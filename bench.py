@@ -1,0 +1,67 @@
+"""Benchmark runner — prints ONE JSON line for the driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is fully
+materialized through the noop sink (whole-plan execution, no driver-side
+collect), mirroring how a cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from tiny_etl_multiproc_bigdata_spark.session import get_spark
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import queries
+
+    headline = [
+        "flagship_words",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "window_running_sum",
+        "sessionize_events",
+        "dedup_minhash_lsh",
+        "text_quality_score",
+        "ann_bruteforce_topk",
+    ]
+
+    spark = get_spark(app_name="bench")
+    all_queries = queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        fn = all_queries.get(name)
+        if fn is None:
+            continue
+        # warm the plan (analysis/IO metadata) outside the timed region
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

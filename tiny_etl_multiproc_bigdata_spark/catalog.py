@@ -1,0 +1,63 @@
+"""Fixture catalog: the driver-generated TPC-H-ish parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+At cluster scale these would be partitioned/bucketed parquet datasets; the
+read path is identical (``spark.read.parquet``) and all engine code keeps
+filters/projections declarative so parquet pushdown + pruning apply.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, which Spark's reader rejects
+        # outright. Set the legacy conf at read time (runtime-settable, and
+        # the engine must work under a caller-created vanilla session, e.g.
+        # the verification driver), read nanos as int64, then convert via
+        # integer `div` (double division would lose precision on ~1.7e18
+        # nanos) to micros → TIMESTAMP_NTZ, matching DuckDB's naive
+        # timestamps.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each fixture table as a temp view (mirrors the DuckDB
+    oracle, which pre-registers same-named views)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

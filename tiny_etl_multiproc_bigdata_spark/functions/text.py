@@ -1,0 +1,72 @@
+"""Text scalar helpers (reference commons.py:138-173,
+example/arabic_transformers.py:20,27-30) as Column expressions.
+
+The reference implements these as per-row Python callables run inside
+worker processes; here each is a Catalyst expression so it fuses into
+whole-stage codegen and never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Exact 8-codepoint diacritic set from the reference
+# (example/arabic_transformers.py:30) — kept verbatim, NOT a Unicode
+# property class, to preserve parity.
+ARABIC_DIACRITICS = "َّ ِ ُ ْ ً ٌ ٍ".replace(" ", "")
+
+# Exact Arabic letter class from example/arabic_transformers.py:20.
+ARABIC_LETTER_CLASS = r"[َُِْـًٌٍّؤائءآىإأبتثجحخدذرزسشصضطظعغفقكلمنهـوي]+"
+
+
+def truncate_str(col: Column | str, width: int) -> Column:
+    """``truncate_str_255`` / ``truncate_str_270`` (reference
+    commons.py:163-167): keep at most ``width - 1`` characters."""
+    return F.substring(F.col(col) if isinstance(col, str) else col, 1, width - 1)
+
+
+def len_str_gt(col: Column | str, limit: int) -> Column:
+    """``len_str_gt_255`` / ``len_str_gt_270`` (reference
+    commons.py:169-173): True when the string exceeds ``limit`` chars."""
+    return F.length(F.col(col) if isinstance(col, str) else col) > F.lit(limit)
+
+
+def basename_backwards(col: Column | str, depth: int) -> Column:
+    """``basename_backwards_x{2,3,4}`` (reference commons.py:138-161):
+    keep the last ``depth`` path segments of a '/'-separated path.
+
+    Reference walks ``os.path.basename``/``dirname`` repeatedly; here it
+    is split + slice + join, one codegen'd expression.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, "/")
+    start = F.greatest(F.lit(1), F.size(parts) - F.lit(depth - 1))
+    return F.array_join(F.slice(parts, start, depth), "/")
+
+
+def remove_diac(col: Column | str) -> Column:
+    """Arabic diacritic removal (example/arabic_transformers.py:27-30):
+    8 chained ``str.replace`` calls become one ``translate``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ARABIC_DIACRITICS, "")
+
+
+def remove_chars(col: Column | str, chars: str) -> Column:
+    """``remove_chars`` hook of the tokenizers (reference text.py:31-33)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, chars, "")
+
+
+def tokenize_words(col: Column | str, pattern: str = r"\s+") -> Column:
+    """Token array for ``TextWordTokenizerTransformer`` (reference
+    text.py:43-71): ``re.split(pattern, text)``.
+
+    Parity note (SURVEY §7): ``re.split`` keeps leading/trailing empty
+    tokens and the reference's ``ignore_word_fn=str.isspace`` does NOT
+    drop them (``''.isspace()`` is False) — so empty edge tokens are
+    counted. Spark's ``split`` with limit=-1 has the same edge behavior;
+    do not "clean" the output or the conservation invariant breaks.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, pattern, -1)

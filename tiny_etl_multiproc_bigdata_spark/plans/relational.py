@@ -1,0 +1,563 @@
+"""Relational operator surface: aggregations, joins, set ops, grouping
+sets, sorts/limits, date & string functions (SURVEY §2.4-§2.6).
+
+The reference engine has no joins/sorts/set-ops (SURVEY §2.5-2.6) — its
+downstream MySQL SQL does (example/readme.md:41-69) — so this module is
+where our engine surfaces the full relational capability natively.
+
+Cross-engine numeric determinism recipe (used everywhere a double is
+aggregated): cast each row to DECIMAL before SUM (exact arithmetic, no
+float accumulation-order dependence), cast the exact result back to
+DOUBLE, then ROUND to a fixed scale. This is also the right call at
+100 TB: decimal sums are associative, so map-side partial aggregation
+stays exact regardless of partitioning.
+
+Scale notes: every dim→fact join here broadcasts the dim side
+(region/nation/supplier are tiny by construction; customer at TPC-H
+scale is bucketable); fact-fact joins shuffle on their keys and rely on
+AQE skew handling. Aggregations are all partial+final hash aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(30,{scale})") if isinstance(col, str) else col.cast(f"decimal(30,{scale})")
+
+
+def _money(col) -> F.Column:
+    """Exact decimal → double, rounded to cents."""
+    return F.round(col.cast("double"), 2)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (reference A1/A2/A5 generalized; SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2)      AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
+                          * CAST(1 - l_discount AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
+                          * CAST(1 - l_discount AS DECIMAL(30,2))
+                          * CAST(1 + l_tax AS DECIMAL(30,2))) AS DOUBLE), 2)      AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical partial+final hash
+    aggregation. At 100 TB this is one scan + one tiny shuffle (group key
+    cardinality ~6); map-side combine does ~all the work."""
+    li = table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _money(F.sum(qty)).alias("sum_qty"),
+        _money(F.sum(price)).alias("sum_base_price"),
+        _money(F.sum(price * _dec(F.lit(1) - disc))).alias("sum_disc_price"),
+        _money(F.sum(price * _dec(F.lit(1) - disc) * _dec(F.lit(1) + tax))).alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
+        F.round(F.sum(price).cast("double") / cnt, 6).alias("avg_price"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / cnt, 6).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — the reference only has this downstream in MySQL
+    (example/readme.md:58-61); Spark plans it as a two-phase expand+agg."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY … HAVING (example/readme.md:68 pattern)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(F.sum(_dec("o_totalprice"))).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _money(F.sum(_dec("l_quantity"))).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_sum_over_distinct",
+    oracle="""
+    SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_distinct_price
+    FROM (SELECT DISTINCT o_custkey, o_totalprice FROM orders)
+    """,
+)
+def agg_sum_over_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM over a distinct subquery — the reference's conservation
+    invariant shape (example/readme.md:52-55)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_totalprice")
+        .distinct()
+        .agg(_money(F.sum(_dec("o_totalprice"))).alias("sum_distinct_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.5 — native capability the reference lacks)
+# --------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter → fact joins → top-k.
+
+    customer is broadcast (post-filter it is tiny); orders⋈lineitem
+    shuffles on orderkey. Top-k carries a full tiebreak (orderkey) so
+    the limit is deterministic for the oracle hash."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_money(F.sum(price)).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-hop star join; all dims broadcast so the only
+    wide exchange is orders⋈lineitem."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_money(F.sum(price)).alias("revenue"))
+    )
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 99000
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .filter(F.col("o_totalprice") > 99000)
+        .select("o_orderkey", "c_name")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(s.s_nationkey, c.c_nationkey) AS nationkey,
+           count(s.s_suppkey) AS n_suppliers,
+           count(c.c_custkey) AS n_customers
+    FROM (SELECT DISTINCT s_nationkey, s_suppkey FROM supplier) s
+    FULL JOIN (SELECT DISTINCT c_nationkey, c_custkey FROM customer) c
+      ON s.s_nationkey = c.c_nationkey
+    GROUP BY coalesce(s.s_nationkey, c.c_nationkey)
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").select("s_nationkey", "s_suppkey").distinct()
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey").distinct()
+    return (
+        s.join(c, s.s_nationkey == c.c_nationkey, "full")
+        .groupBy(F.coalesce("s_nationkey", "c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.count("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 90000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 90000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_chain",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint (SURVEY §2.5): small-dim join must never
+    shuffle — `.explain` shows BroadcastHashJoin."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register(
+    "scalar_subquery_filter",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate: rows above the global mean. Planned as
+    a broadcast of a 1-row aggregate — no shuffle of the fact side."""
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_sq_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM _sq_customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM _sq_customer)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops / sorts / limits (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+@register(
+    "setop_union_all",
+    oracle="""
+    SELECT nationkey, kind FROM (
+      SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+    )
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return c.unionAll(s)
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # SQL EXCEPT = distinct difference
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, no full sort at any scale."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Date / string / JSON scalar functions
+# --------------------------------------------------------------------------
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT)  AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+    ).agg(
+        F.count("*").alias("n"),
+        _money(F.sum(_dec("o_totalprice"))).alias("total"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT upper(p_brand)                        AS brand,
+           CAST(min(length(p_name)) AS BIGINT)   AS min_name_len,
+           CAST(max(length(p_name)) AS BIGINT)   AS max_name_len,
+           count(DISTINCT substr(p_type, 1, 5))  AS n_type_prefixes
+    FROM part
+    GROUP BY upper(p_brand)
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.groupBy(F.upper("p_brand").alias("brand")).agg(
+        F.min(F.length("p_name")).cast("bigint").alias("min_name_len"),
+        F.max(F.length("p_name")).cast("bigint").alias("max_name_len"),
+        F.countDistinct(F.substring("p_type", 1, 5)).alias("n_type_prefixes"),
+    )
+
+
+@register(
+    "json_extract_scalar",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events.props column (SURVEY
+    fixture table `events`; JVM-side get_json_object, no UDF)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_k"),
+    )

@@ -1,0 +1,205 @@
+"""Window functions (SURVEY §2.6) and batch event-time operations over
+the `events` fixture.
+
+Every ordered window carries a full tiebreak (a unique key last in the
+ORDER BY) so results are deterministic and hash-comparable across
+engines — the reference's output order is explicitly nondeterministic
+(pipline.py:122-135), so correctness is always order-insensitive, but
+ranking VALUES must be stable.
+
+Scale notes: window partitions here are natural keys (customer, user);
+a skewed key bounds a single task — for the running-sum shape that is
+inherent to the semantics. Tumbling buckets go through groupBy (partial
+agg), never a window, since bucket aggregation is commutative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+@register(
+    "window_row_number_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the distributed answer to
+    'LIMIT per group'; one shuffle on the partition key."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS price_dense_rank
+    FROM orders
+    WHERE o_totalprice > 95000
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 95000)
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING → CURRENT). Decimal
+    accumulation keeps the prefix sums exact under any partitioning."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"),
+            2,
+        ).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 2) AS value,
+           round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 2) AS prev_value,
+           round(lead(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 2) AS next_value
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+    )
+
+
+@register(
+    "window_tumbling_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time buckets as a plain groupBy — the
+    batch twin of the streaming window aggregation (streaming/jobs.py);
+    partial aggregation applies, unlike an ordered window."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("bucket")
+    return e.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) via gaps-and-islands:
+    lag → new-session flag → running sum → group. One shuffle on
+    user_id; the streaming analog is session_window (streaming/jobs.py).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("bigint").alias("session_start_epoch"),
+        F.floor(F.unix_timestamp(F.max("ts"))).cast("bigint").alias("session_end_epoch"),
+    )

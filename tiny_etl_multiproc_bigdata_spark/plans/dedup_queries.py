@@ -1,1 +1,407 @@
-"""stub — filled in a later milestone."""
+"""Corpus deduplication operators (training-data pipeline north-star):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Hash portability: every hash derives from md5 (bit-identical across
+engines — see functions/hashing.py) so each operator has a true DuckDB
+oracle. Spark's native xxhash64 would be ~3x faster and is the drop-in
+at production scale; the construction (shingle → minhash → band →
+bucket-join) is identical.
+
+Scale shape (100 TB corpus):
+* exact dedup — one shuffle on the content hash; map-side partial agg.
+* MinHash LSH — per-row signature (no shuffle), explode to (band,key)
+  rows, shuffle on band-key; bucket sizes are the skew risk, so the
+  band key includes the band id and candidate pairs are deduped before
+  verification. This is the standard near-dup pipeline shape.
+* SimHash — explode tokens → one groupBy(doc) with 32 bit-sums; a
+  second pass groups by the 64/32-bit key.
+* embedding cosine — label-blocked self-join (blocking keys bound the
+  quadratic term); at real scale the blocks come from LSH/IVF
+  (vector_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+_N_HASHES = 8
+_N_BANDS = 4  # 2 rows per band
+
+# DuckDB twin of functions.hashing.md5_long / stable_token_hash
+_DUCK_H = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _tokens(col):
+    return F.filter(tokenize_words(F.lower(col)), lambda t: t != "")
+
+
+def _shingles(col):
+    """Distinct word-3-gram shingles of a text column (empty array for
+    docs under 3 tokens)."""
+    toks = _tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + F.lit(1)),
+            F.element_at(toks, i + F.lit(2)),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_DUCK_SHINGLES = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t <> '') AS l
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3
+              THEN list_distinct(list_transform(range(1, len(l) - 1),
+                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))
+              ELSE [] END AS shingles
+  FROM toks
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) > 1
+             AS is_duplicate
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups, keep the lowest doc_id. One
+    shuffle on the hash; survivors = is_duplicate false."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy(F.asc("doc_id"))
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("is_duplicate", F.row_number().over(w) > 1)
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=r"""
+    SELECT md5(array_to_string(
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> t <> ''), ' ')) AS norm_hash,
+           count(*)    AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lowercase + whitespace
+    canonicalization) — catches formatting-only duplicates."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.md5(F.array_join(_tokens(F.col("text")), " "))
+    return (
+        d.select(norm.alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_sig(shingles_col: str):
+    """Array of _N_HASHES seeded min-hashes over a named shingle-array
+    column. Built via F.expr: a Python lambda with an extra default arg
+    (`lambda t, s=s`) would be treated as a *binary* (element, index)
+    HOF lambda by PySpark and silently corrupt the seed."""
+    comps = [
+        F.expr(
+            f"array_min(transform({shingles_col}, t -> "
+            f"cast(conv(substring(md5(concat('{s}|', t)), 1, 15), 16, 10) as bigint)))"
+        )
+        for s in range(_N_HASHES)
+    ]
+    return F.array(*comps)
+
+
+def _duck_sig_sql() -> str:
+    comps = ", ".join(
+        f"list_min(list_transform(shingles, t -> "
+        + _DUCK_H.format(expr=f"'{s}|' || t")
+        + "))"
+        for s in range(_N_HASHES)
+    )
+    return f"SELECT doc_id, [{comps}] AS sig FROM shingled WHERE len(shingles) > 0"
+
+
+_MINHASH_ORACLE = (
+    _DUCK_SHINGLES
+    + f", sig AS ({_duck_sig_sql()})"
+    + f""",
+bands AS (
+  SELECT doc_id, t.b AS band_id,
+         CAST(sig[2*t.b + 1] AS VARCHAR) || '-' || CAST(sig[2*t.b + 2] AS VARCHAR) AS band_key
+  FROM sig, unnest([{", ".join(str(b) for b in range(_N_BANDS))}]) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(len(list_filter(range(1, {_N_HASHES + 1}),
+                                  i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+             / {_N_HASHES}.0, 4) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+"""
+)
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: word-3-gram shingles → 8
+    seeded min-hashes → 4 bands of 2 → band-bucket self-join →
+    signature-estimated Jaccard per candidate pair."""
+    d = table(spark, sf_dir, "documents")
+    # materialize the shingle array as a column once: referencing the
+    # shingle *expression* 8x would blow up the codegen'd expression tree
+    shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
+        F.size("shingles") > 0
+    )
+    sig = shingled.select("doc_id", _minhash_sig("shingles").alias("sig"))
+    sig.persist()
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            F.element_at("sig", 2 * b + 1).cast("string"),
+                            F.element_at("sig", 2 * b + 2).cast("string"),
+                        ).alias("band_key"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / F.lit(float(_N_HASHES)), 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+_N_SIM_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    h = _DUCK_H.format(expr="token")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_N_SIM_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN 1::BIGINT << {b} ELSE 0 END)"
+        for b in range(_N_SIM_BITS)
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.token AS token
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS t(token)
+    ), bits AS (
+      SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per document over its distinct vocabulary:
+    explode tokens → one groupBy(doc) computing all 32 signed bit-sums →
+    recompose the sign bits. Near-dups then cluster by hamming distance
+    on this key (exact-equality clustering is `GROUP BY simhash`)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+    tok = tok.select("doc_id", h.alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(_N_SIM_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(_N_SIM_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1).cast("bigint") * (1 << b)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_SHINGLES
+    + """
+, ex AS (
+  SELECT DISTINCT doc_id, s.sh
+  FROM shingled, unnest(shingles) AS s(sh)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥2 word-3-grams: the
+    verification stage that follows LSH candidate generation (shingle
+    inverted index → intersection counts → |A∩B| / |A∪B|)."""
+    d = table(spark, sf_dir, "documents")
+    ex = (
+        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+        .distinct()
+    )
+    ex.persist()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.label,
+             a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ), ranked AS (
+      SELECT label, vec_a, vec_b, cos,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY CAST(round(cos * 1000000) AS BIGINT) DESC,
+                                         vec_a ASC, vec_b ASC) AS rn
+      FROM pairs
+    )
+    SELECT label, vec_a, vec_b, round(cos, 4) AS cosine, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: label-blocked all-pairs cosine, top-3 most
+    similar pairs per block. Blocking bounds the quadratic pair count —
+    at production scale the blocks come from LSH buckets or IVF cells.
+    Ranking uses a micro-scaled integer score so cross-engine float
+    ordering is stable."""
+    from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.round(F.col("cos") * 1000000).cast("bigint").desc(),
+        F.asc("vec_a"),
+        F.asc("vec_b"),
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_a", "vec_b", F.round("cos", 4).alias("cosine"), "rn")
+    )

@@ -1,1 +1,157 @@
-"""stub — filled in a later milestone."""
+"""Text-analysis operators for a training-data pipeline (north-star
+extensions, SURVEY §7-M5): token counting, language ID, quality
+scoring, document fingerprinting. All built-in expressions — the token
+stream never leaves the JVM, and per-document work parallelizes by
+input split with no shuffle until the (small) aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+# Small English stopword set used by the lang-id heuristic (public
+# top-frequency words; the fixture corpus is synthetic English-ish).
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+# BPE-ish pre-tokenization regex: letter runs, digit runs, single
+# non-alnum marks (both engines use RE2/Java-compatible syntax here).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)     AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)  AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenizer. Pure per-row expressions — zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokenize_words(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t IN ({_SW_SQL})))                  AS sw_hits,
+             greatest(len(regexp_split_to_array(text, '\s+')), 1)     AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN CAST(sw_hits AS DOUBLE) / n_tokens >= 0.03 THEN 'en' ELSE 'und' END AS predicted_lang,
+           round(CAST(sw_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-stopword hit ratio over tokens.
+    (An n-gram profile model would follow the same shape: per-row array
+    expressions + a broadcast profile table.)"""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize_words(F.lower(F.col("text")))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.greatest(F.size(tokenize_words(F.col("text"))), F.lit(1))
+    ratio = hits * F.lit(1.0) / n
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("und")).alias("predicted_lang"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n_tokens,
+             greatest(length(text), 1)                            AS n_chars,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))      AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t IN ({_SW_SQL})))              AS sw_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT)                         AS n_tokens,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 4)               AS mean_token_len,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 4)                AS punct_ratio,
+           round(CAST(sw_hits AS DOUBLE) / n_tokens, 4)               AS stopword_ratio,
+           round( least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars, 1.0)) * 0.3
+                + least(CAST(sw_hits AS DOUBLE) * 5.0 / n_tokens, 1.0) * 0.3, 4) AS quality_score
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / punctuation / stopword-ratio
+    features composed into a [0,1] score (the classic heuristic-filter
+    shape for pretraining corpora)."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.greatest(F.size(tokenize_words(F.col("text"))), F.lit(1))
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    sw_hits = F.size(
+        F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: F.array_contains(sw, t))
+    )
+    punct_ratio = n_punct * F.lit(1.0) / n_chars
+    sw_ratio = sw_hits * F.lit(1.0) / n_tokens
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio, F.lit(1.0))) * 0.3
+        + F.least(sw_hits * F.lit(5.0) / n_tokens, F.lit(1.0)) * 0.3
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(n_chars * F.lit(1.0) / n_tokens, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(array_to_string(
+                 list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               t -> t <> ''))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    lowered vocabulary — an order/duplication-insensitive content key
+    (the bag-of-words analog of a rolling-hash fingerprint; cheap to
+    compute per-row and joinable for corpus-level dedup)."""
+    d = table(spark, sf_dir, "documents")
+    vocab = F.array_sort(
+        F.array_distinct(
+            F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: t != "")
+        )
+    )
+    return d.select("doc_id", F.md5(F.array_join(vocab, " ")).alias("fingerprint"))

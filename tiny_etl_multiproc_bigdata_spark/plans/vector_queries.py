@@ -1,1 +1,234 @@
-"""stub — filled in a later milestone."""
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Two paths:
+* brute-force cosine top-k — the exact baseline; a broadcast of the
+  (small) query set against a full scan of the corpus. Scales linearly:
+  at 100 TB the corpus side stays partition-parallel and the query side
+  is broadcast, so no shuffle at all.
+* random-hyperplane LSH buckets — the scale path: each vector gets a
+  compact bucket id from sign-bits of dot products with fixed
+  pseudo-random hyperplanes; search only compares same-bucket pairs.
+  Hyperplanes are derived deterministically from md5 so the DuckDB
+  oracle uses the exact same planes.
+
+All vector math is built-in higher-order functions (zip_with/aggregate)
+— JVM-side, no UDFs; see functions/vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long  # noqa: F401 (doc ref)
+from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+_DIM = 64
+_N_PLANES = 8
+_N_QUERIES = 5  # vec_id < 5 act as the query set
+_TOP_K = 10
+
+
+def _plane(i: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane i: component j derives
+    from md5(f"plane|{i}|{j}") — reproducible in any engine, no RNG."""
+    import hashlib
+
+    comps = []
+    for j in range(_DIM):
+        h = hashlib.md5(f"plane|{i}|{j}".encode()).hexdigest()
+        v = int(h[:15], 16)
+        comps.append(((v % 2001) - 1000) / 1000.0)
+    return comps
+
+
+_PLANES = [_plane(i) for i in range(_N_PLANES)]
+
+
+def _dot_lit(vec_col, plane: list[float]):
+    arr = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _bucket(vec_col):
+    b = None
+    for i, plane in enumerate(_PLANES):
+        term = F.when(_dot_lit(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        b = term if b is None else b + term
+    return b.cast("bigint")
+
+
+def _duck_plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _duck_bucket(expr: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({expr}, {_duck_plane_lit(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS candidate_id,
+             {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, candidate_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY CAST(round(cos * 1000000) AS BIGINT) DESC,
+                                         candidate_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, candidate_id, round(cos, 4) AS cosine, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors, scan the corpus
+    once, per-query row_number over a micro-scaled integer score
+    (cross-engine-stable ordering)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            cosine_similarity(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos") * 1000000).cast("bigint").desc(), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "candidate_id", F.round("cos", 4).alias("cosine"), "rn")
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT {_duck_bucket("embedding::DOUBLE[]")} AS bucket,
+           count(*) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment + histogram: the
+    partitioning primitive for sub-linear similarity search (bucket id =
+    8 sign bits → 256 buckets)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(_bucket(F.col("embedding")).alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_duck_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qv, bucket FROM v WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, v.vec_id AS candidate_id,
+             {_DUCK_COS.format(a="q.qv", b="v.emb")} AS cos
+      FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, candidate_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY CAST(round(cos * 1000000) AS BIGINT) DESC,
+                                         candidate_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, candidate_id, round(cos, 4) AS cosine, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates restricted to the query's bucket —
+    the sub-linear scale path (compares ~1/256 of the corpus per query;
+    recall grows with multi-probe / more tables, same plan shape)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            cosine_similarity(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos") * 1000000).cast("bigint").desc(), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "candidate_id", F.round("cos", 4).alias("cosine"), "rn")
+    )
+
+
+@register(
+    "vector_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(CAST(sum(CAST(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[]))
+                               AS DECIMAL(20,8))) AS DOUBLE) / count(*), 4)
+             AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector norm stats. The cross-row mean goes through a
+    per-row DECIMAL cast so the sum is order-independent (shuffle-safe)
+    — same recipe as the money aggregates."""
+    from tiny_etl_multiproc_bigdata_spark.functions.vectors import l2_norm
+
+    e = table(spark, sf_dir, "embeddings")
+    norm_dec = l2_norm(F.col("embedding")).cast("decimal(20,8)")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(norm_dec).cast("double") / F.count("*"), 4).alias("avg_l2_norm"),
+    )

@@ -1,0 +1,80 @@
+"""Golden tests for the scalar function library — including the Arabic
+paths (SURVEY §7 risk register), which the Latin fixture corpus cannot
+exercise positively."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# From the reference's own target corpus (any Arabic text with
+# diacritics works; these use the exact 8 marks of
+# example/arabic_transformers.py:30).
+ARABIC_WITH_DIACS = "بِسْمِ اللَّهِ الرَّحْمَـٰنِ الرَّحِيمِ"
+MIXED = "hello يَكْتُبُ world 123 وَ test"
+
+
+def test_remove_diac_strips_exactly_eight_marks(spark):
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        ARABIC_DIACRITICS,
+        remove_diac,
+    )
+
+    assert len(ARABIC_DIACRITICS) == 8
+    df = spark.createDataFrame([(ARABIC_WITH_DIACS,)], ["t"])
+    out = df.select(remove_diac("t").alias("s")).collect()[0].s
+    for mark in ARABIC_DIACRITICS:
+        assert mark not in out
+    # letters preserved
+    assert "بسم" in out.replace(" ", "")[:3]
+
+
+def test_arabic_tokenizer_extracts_words(spark):
+    from tiny_etl_multiproc_bigdata_spark.operators.pipeline import tokenize_arabic
+
+    df = spark.createDataFrame([(MIXED,)], ["text"])
+    words = [r.w for r in tokenize_arabic("text", "w")(df).collect()]
+    # Latin text and digits never match the class
+    assert words and all(not any(c.isascii() for c in w) for w in words)
+    assert "يَكْتُبُ" in words and "وَ" in words
+
+
+def test_basename_backwards(spark):
+    from tiny_etl_multiproc_bigdata_spark.functions.text import basename_backwards
+
+    df = spark.createDataFrame([("/a/b/c/d/e.txt",), ("x.txt",)], ["p"])
+    out = [r.s for r in df.select(basename_backwards("p", 4).alias("s")).collect()]
+    assert out == ["b/c/d/e.txt", "x.txt"]
+
+
+def test_truncate_and_overflow(spark):
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        len_str_gt,
+        truncate_str,
+    )
+
+    long = "x" * 300
+    df = spark.createDataFrame([(long,), ("short",)], ["t"])
+    rows = df.select(
+        truncate_str("t", 255).alias("t255"),
+        len_str_gt("t", 255).alias("over"),
+    ).collect()
+    assert len(rows[0].t255) == 254 and rows[0].over is True
+    assert rows[1].t255 == "short" and rows[1].over is False
+
+
+def test_cosine_similarity_exact(spark):
+    from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    out = [r.c for r in df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(out[0] - 0.0) < 1e-12 and abs(out[1] - 1.0) < 1e-12
+
+
+def test_stable_hash_matches_python_md5(spark):
+    import hashlib
+
+    from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+
+    df = spark.createDataFrame([("hello world",)], ["t"])
+    got = df.select(md5_long(F.col("t")).alias("h")).collect()[0].h
+    assert got == int(hashlib.md5(b"hello world").hexdigest()[:15], 16)

@@ -1,0 +1,135 @@
+"""Pipeline DSL, file sources and sinks: the reference-parity API
+surface (SURVEY §2.1/§2.2/§2.7), exercised on real temp files."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_corpus(tmp_path) -> str:
+    root = tmp_path / "books"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("the cat sat\nthe mat\n", encoding="utf-8")
+    (root / "sub" / "b.txt").write_text("big data small data\n", encoding="utf-8")
+    (root / "ignore.md").write_text("not a text file", encoding="utf-8")
+    return str(root)
+
+
+def test_files_list(spark, tmp_path):
+    from tiny_etl_multiproc_bigdata_spark.sources.files import files_list
+
+    df = files_list(spark, _write_corpus(tmp_path), ".txt")
+    paths = sorted(r.file_path for r in df.collect())
+    assert len(paths) == 2  # .md filtered during listing
+    assert paths[0].endswith("a.txt") and paths[1].endswith("b.txt")
+
+
+def test_read_whole_files_and_lines(spark, tmp_path):
+    from tiny_etl_multiproc_bigdata_spark.sources.files import (
+        read_file_lines,
+        read_whole_files,
+    )
+
+    root = _write_corpus(tmp_path)
+    whole = read_whole_files(spark, root, ".txt")
+    contents = {os.path.basename(r.file_path): r.content for r in whole.collect()}
+    assert contents["a.txt"] == "the cat sat\nthe mat\n"
+
+    lines = read_file_lines(spark, root, ".txt")
+    assert sorted(r.line for r in lines.collect()) == [
+        "big data small data",
+        "the cat sat",
+        "the mat",
+    ]
+
+
+def test_pipeline_dsl_flagship_shape(spark, tmp_path):
+    """The reference flagship (example/main.py:59-137) via the DSL:
+    tokenize → per-file count + per-file distinct — single pass."""
+    from tiny_etl_multiproc_bigdata_spark.operators.pipeline import (
+        Pipeline,
+        tokenize_words,
+        unique_filter,
+    )
+    from tiny_etl_multiproc_bigdata_spark.sources.files import read_whole_files
+
+    root = _write_corpus(tmp_path)
+    collected = []
+    pipe = Pipeline(
+        extract=lambda s: read_whole_files(s, root, ".txt"),
+        transformers=[
+            tokenize_words("content", "word", keep=("file_path",),
+                           mappers=(F.trim,)),
+            unique_filter("file_path", "word", normalizers=(F.lower,)),
+        ],
+        loaders=[lambda df: collected.extend(df.collect())],
+    )
+    pipe.run(spark)
+    by_file = {}
+    for r in collected:
+        by_file.setdefault(os.path.basename(r.file_path), set()).add(r.word)
+    # 'the' deduped within a.txt; trailing-newline empty token kept
+    # (re.split edge parity, SURVEY §7)
+    assert by_file["a.txt"] == {"the", "cat", "sat", "mat", ""}
+    assert by_file["b.txt"] == {"big", "data", "small", ""}
+
+
+def test_unique_filter_duplicates_only(spark):
+    from tiny_etl_multiproc_bigdata_spark.operators.pipeline import unique_filter
+
+    df = spark.createDataFrame(
+        [("f1", "a"), ("f1", "a"), ("f1", "b"), ("f2", "a")], ["bag", "val"]
+    )
+    dups = unique_filter("bag", "val", yield_unique=False)(df)
+    rows = [(r.bag, r.val) for r in dups.collect()]
+    assert rows == [("f1", "a")]  # one re-occurrence
+
+
+def test_csv_sink_and_tee(spark, tmp_path):
+    from tiny_etl_multiproc_bigdata_spark.sinks import (
+        Projection,
+        conditional_load,
+        csv_load,
+        noop_load,
+        tee_load,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "y", "ok"), (3, None, "ok")],
+        ["id", "name", "status"],
+    )
+    proj = Projection([("ID", "id", True), ("NAME", "name", True)])
+    out_dir = str(tmp_path / "csv")
+    csv_load(df, out_dir, projection=proj, n_shards=2)
+    part_files = [f for f in os.listdir(out_dir) if f.endswith(".csv")]
+    # L6 shard-parallel writers: empty round-robin partitions produce no
+    # file, so with 2 surviving rows we get 1-2 part files
+    assert 1 <= len(part_files) <= 2
+    body = "".join(
+        open(os.path.join(out_dir, f), encoding="utf-8").read() for f in part_files
+    )
+    assert "3" not in body.replace("NAME", "")  # required-null row dropped
+
+    assert noop_load(df, proj) == 2
+
+    fired = []
+    assert conditional_load(df, False, lambda d: fired.append(1)) is False
+    assert not fired
+    assert conditional_load(df, lambda: True, lambda d: fired.append(1)) is True
+    assert fired == [1]
+
+    counts = []
+    tee_load(df, [lambda d: counts.append(d.count()), lambda d: counts.append(d.count())])
+    assert counts == [3, 3]
+
+
+def test_multimodal_decode_stub_real_raises():
+    from tiny_etl_multiproc_bigdata_spark.operators.multimodal import (
+        decode_image_real,
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")

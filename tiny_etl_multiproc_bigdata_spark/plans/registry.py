@@ -46,6 +46,7 @@ def _load_all() -> None:
         vector_queries,
         windows,
     )
+    from tiny_etl_multiproc_bigdata_spark.operators import multimodal  # noqa: F401
     from tiny_etl_multiproc_bigdata_spark.streaming import jobs  # noqa: F401
 
 

@@ -1,0 +1,91 @@
+"""File-system sources (SURVEY §2.1, S1-S5) — the reference's
+extractors re-expressed as declarative Spark reads.
+
+Reference: `FilesListExtractor` walks a directory tree in Python and
+yields one dict per matching file (extractors/files.py:7-26);
+`FileTextReaderTransformer` / `FileToTextLinesTransformer` then re-open
+each path mid-pipeline (transformers/files.py:17-88). Here listing,
+suffix filtering (pushed down via pathGlobFilter — never listed, not
+filtered after the fact) and content reading are one distributed scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def files_list(
+    spark: SparkSession,
+    input_dir: str | list[str],
+    file_pattern: str = ".txt",
+    output_key: str = "file_path",
+) -> DataFrame:
+    """S1/S2 `FilesListExtractor` / `FoldersFilesListExtractor`
+    (extractors/files.py:7-49): one row per file under the root(s)
+    whose name ends with ``file_pattern``.
+
+    Uses the binaryFile source with `pathGlobFilter` so the pattern is
+    applied during distributed listing (driver never materializes the
+    tree) — only paths are projected, so file contents are not read.
+    """
+    paths = [input_dir] if isinstance(input_dir, str) else list(input_dir)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*{file_pattern}")
+        .option("recursiveFileLookup", "true")
+        .load(paths)
+    )
+    return df.select(F.col("path").alias(output_key))
+
+
+def read_whole_files(
+    spark: SparkSession,
+    input_dir: str | list[str],
+    file_pattern: str = ".txt",
+    path_key: str = "file_path",
+    content_key: str = "content",
+) -> DataFrame:
+    """S4 `FileTextReaderTransformer` (transformers/files.py:56-88):
+    path + whole-file UTF-8 content, one row per file.
+
+    The reference reads each file twice (count pass + distinct pass,
+    example/main.py:77-80 vs 101-106); callers here read once and fan
+    out transformations from the same DataFrame.
+    """
+    paths = [input_dir] if isinstance(input_dir, str) else list(input_dir)
+    # NOTE: wholetext must be the boolean kwarg — the string option
+    # ("wholetext", "true") is silently ignored by Spark 4's text source
+    df = (
+        spark.read.option("pathGlobFilter", f"*{file_pattern}")
+        .option("recursiveFileLookup", "true")
+        .text(paths, wholetext=True)
+    )
+    return df.select(
+        F.input_file_name().alias(path_key), F.col("value").alias(content_key)
+    )
+
+
+def read_file_lines(
+    spark: SparkSession,
+    input_dir: str | list[str],
+    file_pattern: str = ".txt",
+    path_key: str = "file_path",
+    line_key: str = "line",
+    skip_blank: bool = True,
+) -> DataFrame:
+    """S5 `FileToTextLinesTransformer` (transformers/files.py:17-54):
+    one row per (stripped, non-blank) line, with originating path."""
+    paths = [input_dir] if isinstance(input_dir, str) else list(input_dir)
+    df = (
+        spark.read.option("pathGlobFilter", f"*{file_pattern}")
+        .option("recursiveFileLookup", "true")
+        .text(paths)
+    )
+    out = df.select(
+        F.input_file_name().alias(path_key),
+        F.trim(F.col("value")).alias(line_key),
+    )
+    if skip_blank:
+        out = out.filter(F.length(F.col(line_key)) > 0)
+    return out

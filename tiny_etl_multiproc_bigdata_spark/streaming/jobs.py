@@ -1,1 +1,126 @@
-"""stub — filled in a later milestone."""
+"""Streaming jobs over the `events` fixture, replayed through a file
+source with an `availableNow` trigger — the bounded-replay equivalent of
+the reference's continuous queue pipeline (it too processes a finite
+file list through a streaming topology, pipline.py:92-145).
+
+Each job: readStream → event-time transform (watermark + window /
+stateful dedup / session window) → memory sink → returned as a
+DataFrame. These are registered WITHOUT oracles (the driver's weaker
+rows-only check): watermark/state semantics aren't ANSI-SQL
+expressible; their *batch* twins with full oracles live in
+plans/windows.py (window_tumbling_counts, sessionize_events) and the
+equivalence is asserted in tests/test_streaming.py.
+
+Scale notes: identical code runs against Kafka/files on a cluster; the
+state store partitions by the grouping key (shuffle.partitions tasks),
+watermarks bound state size, and `availableNow` gives incremental
+backfill with rate limiting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (schema from a batch
+    read; nanos ts handled identically to catalog.table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a directory basePath; select just the
+    # events file from the fixture dir via glob filter
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ —
+    # timestamp_micros already yields absolute-epoch LTZ
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+_RUN_SEQ = [0]
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession, name: str, output_mode: str) -> DataFrame:
+    """Run a bounded stream to a memory sink and return the result.
+
+    Aggregations use `complete` mode: with `availableNow` over finite
+    input, `append` would hold the final windows in state forever
+    (the closing watermark never arrives), silently truncating results.
+    """
+    _RUN_SEQ[0] += 1
+    qname = f"{name}_{_RUN_SEQ[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register("streaming_tumbling_counts", oracle=None)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windowed aggregation with a 10-minute
+    watermark — the streaming twin of window_tumbling_counts."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, spark, "stream_tumbling_counts", "complete")
+
+
+@register("streaming_dedup", oracle=None)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates on (user_id, event_type)
+    within the watermark — the streaming analog of the reference's
+    ConcurrentKeyBagSet dedup state (commons.py:261-309): the state
+    store IS the bag, keyed and partitioned by the dedup key."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "30 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    return _run_to_memory(dedup, spark, "stream_dedup", "append")
+
+
+@register("streaming_session_window", oracle=None)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) with watermark — the
+    streaming analog of sessionize_events (gaps-and-islands); session
+    state merges incrementally as events arrive."""
+    ev = _events_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(sess, spark, "stream_session_window", "complete")

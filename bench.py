@@ -35,6 +35,15 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     all_queries = queries()
+
+    # one untimed warmup job: first-run JVM costs (codegen compilation,
+    # committer/broadcast class loading) are ~3s and would otherwise be
+    # billed to the first query — the baseline rate we compare against
+    # (BASELINE.md) is a steady-state throughput constant
+    all_queries["flagship_words"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in headline:

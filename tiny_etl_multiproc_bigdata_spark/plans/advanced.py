@@ -1,0 +1,328 @@
+"""Advanced relational surface: exact percentiles, moment statistics,
+pivot/unpivot, min_by/max_by, distribution window functions, range
+frames, array functions, IN-subqueries, sampling/approximate ops, and
+the (deliberately cold-path) Python UDF bridge.
+
+Numeric determinism notes:
+* percentile: Spark's exact `percentile` and DuckDB's `quantile_cont`
+  share the linear-interpolation definition; inputs are doubles, the
+  interpolation arithmetic is IEEE on both sides, rounded to 6.
+* stddev/variance: never the built-in double implementations (their
+  accumulation order is shuffle-dependent) — computed from exact
+  decimal sums of x and x², which stay associative at any scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. At 100 TB you'd reach for
+    approx_percentile (t-digest, mergeable, one pass) — registered
+    separately as a rows-only entry since approximation defies an exact
+    oracle."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "agg_moment_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)        AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,4))
+                      * CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)      AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sx / n, 6)                                   AS mean_qty,
+           round((sxx - sx * sx / n) / (n - 1), 6)            AS var_qty,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6)      AS stddev_qty
+    FROM s
+    """,
+)
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev from exact decimal power sums — the
+    shuffle-order-independent formulation (built-in stddev accumulates
+    doubles in partition order and is not bitwise reproducible)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(30,4)")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+    )
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                              + o_orderkey) AS cheapest_order,
+           max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                              + o_orderkey) AS priciest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax. The ordering key packs (cents, orderkey) into one
+    BIGINT: ties on price resolve by key, deterministically in both
+    engines (DuckDB's min_by can't order by a struct)."""
+    o = table(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", key).alias("cheapest_order"),
+        F.max_by("o_orderkey", key).alias("priciest_order"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never the inferred form at
+    scale — value inference is an extra distinct job over the fact
+    table)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # pivot rejects the '*' star form
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, round(value, 4) AS value
+    FROM (
+      SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    )
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): Spark's native unpivot/melt."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+        .select("p_partkey", "measure", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "window_distribution_fns",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WHERE o_totalprice > 97000
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a fully-tiebroken global
+    order. (A global window = single-partition sort; the selective
+    filter keeps that sane — at scale you'd partition or pre-bucket.)"""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 97000)
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+             AS orders_trailing_7d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: trailing-7-day order count
+    per customer — the sliding-window aggregate shape."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("orders_trailing_7d"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           round(list_max(embedding::DOUBLE[]), 4)                    AS max_component,
+           round(list_min(embedding::DOUBLE[]), 4)                    AS min_component,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0))          AS n_positive,
+           round(embedding[1]::DOUBLE, 4)                             AS first_component
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over the embedding column: min/max,
+    lambda filter, positional access — all JVM-side."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(F.array_max(emb), 4).alias("max_component"),
+        F.round(F.array_min(emb), 4).alias("min_component"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(emb, 1), 4).alias("first_component"),
+    )
+
+
+@register(
+    "in_subquery_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_totalprice > 95000
+    """,
+)
+def in_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery predicate — planned as a broadcast left-semi join."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_in_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_in_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM _in_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM _in_customer
+                            WHERE c_mktsegment = 'MACHINERY')
+          AND o_totalprice > 95000
+        """
+    )
+
+
+@register("approx_count_distinct_hll", oracle=None)
+def approx_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimation (rows-only check: the estimate
+    is engine-specific by nature). The scale workhorse: one pass,
+    mergeable sketches, no expand like exact COUNT(DISTINCT)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+@register("approx_percentile_tdigest", oracle=None)
+def approx_percentile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (rows-only): the mergeable one-pass
+    sketch used instead of exact percentile at scale."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx")
+    )
+
+
+@register("table_sample", oracle=None)
+def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (rows-only: row pick is engine-RNG
+    specific). Sampling is partition-local — no shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "udf_pandas_bridge",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)    AS n_chars_udf,
+           upper(substr(text, 1, 8))       AS head_upper
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def udf_pandas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-extension escape hatch (reference §2.9: arbitrary
+    callables are its only extension mechanism). Arrow-batched pandas
+    UDF — never row-at-a-time — and deliberately NOT used by any other
+    operator in this engine: everything else stays JVM-side. Defined as
+    a local closure so it pickles by value (workers don't import this
+    package)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_chars(s: pd.Series) -> pd.Series:
+        return s.str.len().astype("int64")
+
+    @pandas_udf("string")
+    def head_upper(s: pd.Series) -> pd.Series:
+        return s.str.slice(0, 8).str.upper()
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        n_chars("text").alias("n_chars_udf"),
+        head_upper("text").alias("head_upper"),
+    )

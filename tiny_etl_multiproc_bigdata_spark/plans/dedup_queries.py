@@ -42,17 +42,19 @@ def _tokens(col):
 
 def _shingles(col):
     """Distinct word-3-gram shingles of a text column (empty array for
-    docs under 3 tokens)."""
+    docs under 3 tokens).
+
+    Built from three shifted `slice`s zipped pairwise — NOT
+    `transform(sequence(...), i -> element_at(toks, i))`: HOFs run
+    interpreted, so each element_at would re-evaluate the whole
+    tokenize sub-expression, turning an O(tokens) row into O(tokens ×
+    shingles). With slices the token array is evaluated a constant
+    number of times per row."""
     toks = _tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + F.lit(1)),
-            F.element_at(toks, i + F.lit(2)),
-        ),
-    )
+    n = F.size(toks) - F.lit(2)
+    s1, s2, s3 = F.slice(toks, 1, n), F.slice(toks, 2, n), F.slice(toks, 3, n)
+    pair = F.zip_with(s1, s2, lambda x, y: F.concat_ws(" ", x, y))
+    grams = F.zip_with(pair, s3, lambda xy, z: F.concat_ws(" ", xy, z))
     return F.when(F.size(toks) >= 3, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
@@ -121,19 +123,37 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(shingles_col: str):
-    """Array of _N_HASHES seeded min-hashes over a named shingle-array
-    column. Built via F.expr: a Python lambda with an extra default arg
-    (`lambda t, s=s`) would be treated as a *binary* (element, index)
-    HOF lambda by PySpark and silently corrupt the seed."""
-    comps = [
-        F.expr(
-            f"array_min(transform({shingles_col}, t -> "
-            f"cast(conv(substring(md5(concat('{s}|', t)), 1, 15), 16, 10) as bigint)))"
-        )
-        for s in range(_N_HASHES)
-    ]
-    return F.array(*comps)
+def _minhash_sig_df(shingled: DataFrame) -> DataFrame:
+    """(doc_id, shingles:array) → (doc_id, sig:array of _N_HASHES mins).
+
+    Explode-then-aggregate on purpose: computing the signature as 8
+    array-expressions over the shingles column looks cheaper (no
+    shuffle) but CollapseProject re-inlines the whole shingle
+    derivation into every component — 8x the tokenize/shingle work.
+    Exploding computes shingles once, hashes each shingle once per
+    seed, and the groupBy(doc_id) MIN is a partial+final agg (map-side
+    combine crushes it); at corpus scale this is also the shape that
+    parallelizes past a single row's array."""
+    ex = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    hashes = ex.select(
+        "doc_id",
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"h{s}")
+            for s in range(_N_HASHES)
+        ],
+    )
+    agg = hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(_N_HASHES)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{s}") for s in range(_N_HASHES)]).alias("sig")
+    )
 
 
 def _duck_sig_sql() -> str:
@@ -177,12 +197,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded min-hashes → 4 bands of 2 → band-bucket self-join →
     signature-estimated Jaccard per candidate pair."""
     d = table(spark, sf_dir, "documents")
-    # materialize the shingle array as a column once: referencing the
-    # shingle *expression* 8x would blow up the codegen'd expression tree
     shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
         F.size("shingles") > 0
     )
-    sig = shingled.select("doc_id", _minhash_sig("shingles").alias("sig"))
+    sig = _minhash_sig_df(shingled)
     sig.persist()
 
     bands = sig.select(

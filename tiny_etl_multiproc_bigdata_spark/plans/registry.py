@@ -38,6 +38,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     # Import for side effect: each module registers its queries.
     from tiny_etl_multiproc_bigdata_spark.plans import (  # noqa: F401
+        advanced,
         dedup_queries,
         flagship,
         reference_ops,

@@ -1,0 +1,223 @@
+"""Remaining function-surface coverage: conditional aggregation,
+LIKE/regexp predicates, first/last/nth window values, union-by-name,
+null-handling scalars, date arithmetic, and an event-sequence (funnel)
+query."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25)             AS n_bulk,
+           count(*) FILTER (WHERE l_discount = 0)              AS n_undiscounted,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)))
+                      FILTER (WHERE l_tax > 0.05) AS DOUBLE), 2) AS taxed_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count_if): one scan,
+    many predicates — instead of N filtered sub-queries."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.count_if(F.col("l_discount") == 0).alias("n_undiscounted"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_tax") > 0.05,
+                    F.col("l_extendedprice").cast("decimal(30,2)"),
+                )
+            ).cast("double"),
+            2,
+        ).alias("taxed_price"),
+    )
+
+
+@register(
+    "string_predicates",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name LIKE '%ol%' AND regexp_matches(p_type, '^(STANDARD|SMALL)')
+      AND p_brand NOT LIKE 'Brand#4%'
+    """,
+)
+def string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE / regexp predicates — LIKE pushes to the scan as
+    StringContains/StartsWith."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%ol%")
+        & F.col("p_type").rlike("^(STANDARD|SMALL)")
+        & ~F.col("p_brand").like("Brand#4%")
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(event_type) OVER w AS first_event,
+           last_value(event_type)  OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS last_event,
+           nth_value(event_type, 2) OVER w AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+        F.nth_value("event_type", 2).over(w).alias("second_event"),
+    )
+
+
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT nationkey, acctbal, kind FROM (
+      SELECT c_nationkey AS nationkey, round(c_acctbal, 2) AS acctbal,
+             'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, round(s_acctbal, 2) AS acctbal,
+             'supplier' AS kind FROM supplier
+    )
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema-aligned union regardless of column order —
+    the safe union for evolving pipelines."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),  # different column order on purpose
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return c.unionByName(s).select("nationkey", "acctbal", "kind")
+
+
+@register(
+    "null_handling_scalars",
+    oracle="""
+    SELECT event_id,
+           coalesce(json_extract_string(props, '$.missing'), 'absent') AS with_default,
+           nullif(event_type, 'error')                                 AS non_error_type,
+           CASE WHEN value IS NULL THEN -1 ELSE round(value, 2) END    AS value_or_flag,
+           (json_extract_string(props, '$.k') IS NOT NULL)             AS has_k
+    FROM events WHERE event_id < 300
+    """,
+)
+def null_handling_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return e.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("absent")
+        ).alias("with_default"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("non_error_type"),
+        F.when(F.col("value").isNull(), F.lit(-1.0))
+        .otherwise(F.round("value", 2))
+        .alias("value_or_flag"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR)      AS order_day,
+           CAST(strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS VARCHAR)
+                                                                    AS due_day,
+           CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS BIGINT)
+                                                                    AS days_since_2024
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + formatting + day difference."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_day"
+        ),
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_2024"),
+    )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), purchase AS (
+      SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_first_purchase
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) > s.t_signup
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.t_signup, p.t_first_purchase,
+           p.t_first_purchase IS NOT NULL AS converted
+    FROM signup s LEFT JOIN purchase p ON s.user_id = p.user_id
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (signup → later purchase): the event-sequence
+    join shape — per-user aggregates joined on the user key, one
+    shuffle partitioning reused across both steps."""
+    e = table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("bigint")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch).alias("t_signup"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch.alias("t_evt")
+    )
+    purchase = (
+        purchases.join(signup, "user_id")
+        .filter(F.col("t_evt") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t_evt").alias("t_first_purchase"))
+    )
+    return (
+        signup.join(purchase, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_first_purchase",
+            F.col("t_first_purchase").isNotNull().alias("converted"),
+        )
+    )

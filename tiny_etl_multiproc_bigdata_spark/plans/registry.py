@@ -40,9 +40,11 @@ def _load_all() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans import (  # noqa: F401
         advanced,
         dedup_queries,
+        extras,
         flagship,
         reference_ops,
         relational,
+        scale_patterns,
         text_queries,
         vector_queries,
         windows,

@@ -13,9 +13,9 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     )
 
     stream = streaming_tumbling_counts(spark, sf_dir)
-    # map window_start back to the batch bucket id (epoch/300)
+    # map window_start_epoch back to the batch bucket id (epoch/300)
     stream_c = stream.select(
-        F.floor(F.unix_timestamp("window_start") / 300).cast("bigint").alias("bucket"),
+        (F.col("window_start_epoch") / 300).cast("bigint").alias("bucket"),
         "event_type",
         "n",
         "sum_value",

@@ -86,6 +86,50 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)          AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)     AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,4))
+                      * CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)        AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))
+                      * CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)   AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,4))
+                      * CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)   AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal power sums (same
+    shuffle-order-independence rationale as agg_moment_stats; the
+    built-in corr accumulates doubles non-deterministically)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(30,4)")
+    y = F.col("l_extendedprice").cast("decimal(30,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select("l_returnflag", F.round(corr, 6).alias("corr_qty_price"))
+
+
+@register(
     "agg_min_by_max_by",
     oracle="""
     SELECT o_orderstatus,

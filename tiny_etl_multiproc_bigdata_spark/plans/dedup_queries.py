@@ -123,33 +123,50 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Universal-hash family over the Mersenne prime 2^31-1: one md5 per
+# shingle, then 8 affine transforms (a_s*h + b_s) mod p. Constants are
+# arbitrary fixed odd values < p (hardcoded so the DuckDB oracle can
+# embed the identical family).
+_MERSENNE_P = 2_147_483_647
+_AFFINE = [
+    (1_000_003, 12_345),
+    (1_000_033, 54_321),
+    (1_000_037, 98_765),
+    (1_000_039, 13_579),
+    (1_000_081, 24_680),
+    (1_000_099, 11_111),
+    (1_000_117, 77_777),
+    (1_000_121, 33_333),
+]
+assert len(_AFFINE) == _N_HASHES
+
+
 def _minhash_sig_df(shingled: DataFrame) -> DataFrame:
     """(doc_id, shingles:array) → (doc_id, sig:array of _N_HASHES mins).
 
-    Explode-then-aggregate on purpose: computing the signature as 8
-    array-expressions over the shingles column looks cheaper (no
-    shuffle) but CollapseProject re-inlines the whole shingle
-    derivation into every component — 8x the tokenize/shingle work.
-    Exploding computes shingles once, hashes each shingle once per
-    seed, and the groupBy(doc_id) MIN is a partial+final agg (map-side
-    combine crushes it); at corpus scale this is also the shape that
-    parallelizes past a single row's array."""
+    Two deliberate shapes:
+    * explode-then-aggregate (not 8 array expressions over the shingles
+      column — CollapseProject would re-inline the whole shingle
+      derivation into every component, 8x the tokenize work). The
+      groupBy(doc_id) MIN is a partial+final agg, so map-side combine
+      reduces the shingle stream before any exchange.
+    * one md5 per shingle + affine universal hashing for the 8 seeds
+      (a_s*h + b_s mod 2^31-1) instead of 8 seeded md5 passes — md5 is
+      the per-row hot cost. h is reduced mod p first so a_s*h stays
+      within int64."""
     ex = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    hashes = ex.select(
-        "doc_id",
+    base = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_MERSENNE_P)
+    ).alias("h")
+    hashed = ex.select("doc_id", base)
+    agg = hashed.groupBy("doc_id").agg(
         *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))), 1, 15),
-                16,
-                10,
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(
+                f"m{s}"
             )
-            .cast("bigint")
-            .alias(f"h{s}")
-            for s in range(_N_HASHES)
-        ],
-    )
-    agg = hashes.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"m{s}") for s in range(_N_HASHES)]
+            for s, (a, b) in enumerate(_AFFINE)
+        ]
     )
     return agg.select(
         "doc_id", F.array(*[F.col(f"m{s}") for s in range(_N_HASHES)]).alias("sig")
@@ -157,11 +174,11 @@ def _minhash_sig_df(shingled: DataFrame) -> DataFrame:
 
 
 def _duck_sig_sql() -> str:
+    base = "(" + _DUCK_H.format(expr="t") + f" % {_MERSENNE_P})"
     comps = ", ".join(
         f"list_min(list_transform(shingles, t -> "
-        + _DUCK_H.format(expr=f"'{s}|' || t")
-        + "))"
-        for s in range(_N_HASHES)
+        f"({a} * {base} + {b}) % {_MERSENNE_P}))"
+        for a, b in _AFFINE
     )
     return f"SELECT doc_id, [{comps}] AS sig FROM shingled WHERE len(shingles) > 0"
 

@@ -5,11 +5,12 @@ file list through a streaming topology, pipline.py:92-145).
 
 Each job: readStream → event-time transform (watermark + window /
 stateful dedup / session window) → memory sink → returned as a
-DataFrame. These are registered WITHOUT oracles (the driver's weaker
-rows-only check): watermark/state semantics aren't ANSI-SQL
-expressible; their *batch* twins with full oracles live in
-plans/windows.py (window_tumbling_counts, sessionize_events) and the
-equivalence is asserted in tests/test_streaming.py.
+DataFrame. Because the replay is bounded and aggregations run in
+`complete` mode, the final streaming state equals the batch answer —
+so each job carries a full DuckDB oracle (outputs use epoch seconds
+and key-only projections to stay engine-portable); the batch twins in
+plans/windows.py are additionally cross-checked in
+tests/test_streaming.py.
 
 Scale notes: identical code runs against Kafka/files on a cluster; the
 state store partitions by the grouping key (shuffle.partitions tasks),
@@ -22,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -67,7 +67,16 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, name: str, output_mode: s
     return spark.table(qname)
 
 
-@register("streaming_tumbling_counts", oracle=None)
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute windowed aggregation with a 10-minute
     watermark — the streaming twin of window_tumbling_counts."""
@@ -82,7 +91,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start_epoch"
+            ),
             "event_type",
             "n",
             "sum_value",
@@ -91,22 +102,52 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark, "stream_tumbling_counts", "complete")
 
 
-@register("streaming_dedup", oracle=None)
+@register(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dropDuplicates on (user_id, event_type)
     within the watermark — the streaming analog of the reference's
     ConcurrentKeyBagSet dedup state (commons.py:261-309): the state
     store IS the bag, keyed and partitioned by the dedup key."""
     ev = _events_stream(spark, sf_dir)
+    # project to the key columns only: which concrete row survives a
+    # dedup is partition-order dependent, the surviving KEY SET is not
     dedup = (
         ev.withWatermark("ts", "30 minutes")
         .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type", "event_id")
+        .select("user_id", "event_type")
     )
     return _run_to_memory(dedup, spark, "stream_dedup", "append")
 
 
-@register("streaming_session_window", oracle=None)
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+             -- µs gap comparison: session_window splits at the ts
+             -- precision, not floored seconds
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT)        AS session_start_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end_epoch,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) with watermark — the
     streaming analog of sessionize_events (gaps-and-islands); session
@@ -118,8 +159,12 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
+            F.unix_timestamp(F.col("sw.start")).cast("bigint").alias(
+                "session_start_epoch"
+            ),
+            F.unix_timestamp(F.col("sw.end")).cast("bigint").alias(
+                "session_end_epoch"
+            ),
             "n_events",
         )
     )

@@ -59,6 +59,42 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
+    # sustained-throughput measurement: the fixture corpus is ~1.5 MB at
+    # sf0.1, so per-query wall time above is dominated by fixed job
+    # overhead, not work. Amplify the corpus in-memory (cross join with
+    # a replication range — no extra IO) and measure the flagship
+    # tokenize→dedup→count pipeline in MB/s for the BASELINE.md
+    # comparison (reference: 1.95 MB/s).
+    from pyspark.sql import functions as F
+
+    from tiny_etl_multiproc_bigdata_spark.plans.flagship import words_from_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_bytes = docs.select(
+        F.sum(F.length(F.col("text").cast("binary")))
+    ).collect()[0][0]
+    n_rep = 64
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # replication range is the partitioned stream side, tiny corpus is
+    # broadcast: each task GENERATES its replicas locally — no shuffle
+    # of the amplified text (a real corpus gets this from input splits)
+    amplified = (
+        spark.range(n_rep)
+        .repartition(cpus)
+        .select(F.col("id").alias("rep"))
+        .crossJoin(F.broadcast(docs))
+        .select(F.concat_ws("#", "source", "rep").alias("source"), "text")
+    )
+    t0 = time.perf_counter()
+    words_from_docs(amplified).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    mb_per_s = (corpus_bytes * n_rep / 1e6) / dt
+    print(
+        f"# flagship sustained: {corpus_bytes * n_rep / 1e6:.0f} MB in "
+        f"{dt:.1f}s = {mb_per_s:.1f} MB/s",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -67,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "flagship_sustained_mb_per_s": round(mb_per_s, 2),
             }
         )
     )

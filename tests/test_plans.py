@@ -61,16 +61,25 @@ def test_topk_uses_take_ordered(spark, sf_dir):
         )
 
 
-def test_flagship_has_two_exchanges(spark, sf_dir):
-    """The single-pass design: one shuffle on (source, norm) with a
-    partial aggregate below it, one on source for the window — the
-    token stream itself must never cross a wide exchange un-reduced."""
+def test_flagship_shuffle_shape(spark, sf_dir):
+    """The single-pass design: the token stream is reduced by a
+    codegen'd partial HashAggregate BELOW the first exchange (never
+    crosses a wide exchange un-reduced), and the whole plan has at most
+    3 exchanges (level-1 agg, level-2 agg, window) — all post-reduction
+    ones move ~|distinct words| rows, not ~|tokens|."""
     plan = _plan(_q("flagship_words", spark, sf_dir))
     body = plan.split("\n\n(1)")[0]  # tree section only (AQE repeats nodes)
-    assert body.count("Exchange") == 2, body
+    assert 2 <= body.count("Exchange") <= 3, body
     tree_before_first_exchange = body.split("Exchange")[-1]
-    assert "Aggregate" in tree_before_first_exchange, (
-        "no partial aggregate below the first exchange"
+    assert "HashAggregate" in tree_before_first_exchange, (
+        "token stream crosses the first exchange un-reduced or the "
+        "partial aggregate is not the codegen'd hash form"
+    )
+    # a SortAggregate is fine ABOVE the first exchange (level-2 min over
+    # the already-reduced per-word rows) but never below it, where the
+    # full token stream flows
+    assert "SortAggregate" not in tree_before_first_exchange, (
+        "full token stream goes through a sort-based aggregate"
     )
 
 

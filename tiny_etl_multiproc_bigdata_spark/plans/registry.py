@@ -39,6 +39,7 @@ def _load_all() -> None:
     # Import for side effect: each module registers its queries.
     from tiny_etl_multiproc_bigdata_spark.plans import (  # noqa: F401
         advanced,
+        collections,
         dedup_queries,
         extras,
         flagship,

@@ -46,6 +46,7 @@ def _load_all() -> None:
         reference_ops,
         relational,
         scale_patterns,
+        temporal_joins,
         text_queries,
         vector_queries,
         windows,

@@ -1,0 +1,140 @@
+"""Temporal join extensions (beyond reference scope, noted in SURVEY
+§2.5): as-of join and range join — with the plan shapes that survive
+scale, oracle-checked against the naive formulations.
+
+* as-of: "for each row, the latest earlier row of kind X" — expressed
+  as a running window aggregate, NOT a join at all: one shuffle on the
+  partition key, no quadratic term, streaming-friendly.
+* range join: "pairs within a time window" — the naive inequality join
+  is O(n²) per key; the bucketed form joins on (key, coarse bucket)
+  with each left row exploded to the 2 candidate buckets, bounding
+  comparisons to adjacent buckets. Identical semantics (the oracle IS
+  the naive inequality join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS t_us,
+             max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_signup_us
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(floor(last_signup_us / 1000000) AS BIGINT) AS last_signup_epoch,
+           CAST(floor((t_us - last_signup_us) / 1000000) AS BIGINT) AS secs_since_signup
+    FROM marked
+    WHERE event_type = 'purchase' AND last_signup_us IS NOT NULL
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join within one stream: each purchase gets the most recent
+    signup at-or-before it (per user). A running MAX over the unioned
+    event stream — zero join, one shuffle on user_id; the same shape
+    works as a streaming stateful op. (A two-table as-of join unions
+    the tagged tables first, then applies this window.)"""
+    e = table(spark, sf_dir, "events")
+    t_us = (F.unix_timestamp("ts") * 1_000_000 + F.date_format("ts", "SSSSSS").cast("bigint")).alias("t_us")
+    marked = e.select("user_id", "event_id", "event_type", t_us)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t_us"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("t_us"))
+    ).over(w)
+    return (
+        marked.withColumn("last_signup_us", last_signup)
+        .filter((F.col("event_type") == "purchase") & F.col("last_signup_us").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("last_signup_us") / 1_000_000).cast("bigint").alias(
+                "last_signup_epoch"
+            ),
+            F.floor((F.col("t_us") - F.col("last_signup_us")) / 1_000_000)
+            .cast("bigint")
+            .alias("secs_since_signup"),
+        )
+    )
+
+
+_RANGE_S = 60  # pair window: 0 < tb - ta <= 60s
+
+
+@register(
+    "range_join_bucketed",
+    oracle=f"""
+    SELECT a.user_id,
+           a.event_id AS event_a, b.event_id AS event_b,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= {_RANGE_S} * 1000000
+     AND a.event_id <> b.event_id
+    """,
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time bucketing: pairs of same-user events within
+    60 s. The left side is exploded to its bucket AND the next bucket,
+    the right side keyed by its own bucket — every qualifying pair
+    shares a (user, bucket) key, so the equi-join bounds comparisons to
+    adjacent buckets instead of all same-user pairs. The residual
+    inequality filter restores exact semantics (oracle = naive
+    inequality join)."""
+    e = table(spark, sf_dir, "events")
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    )
+    ev = e.select("user_id", "event_id", t_us.alias("t_us")).withColumn(
+        "bucket", F.floor(F.col("t_us") / (_RANGE_S * 1_000_000))
+    )
+    left = ev.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("event_a"),
+        F.col("t_us").alias("ta"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + 1)
+        ).alias("a_bucket"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("event_b"),
+        F.col("t_us").alias("tb"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    # BOTH user and bucket are equi-join keys — the hash key must carry
+    # the user, or same-bucket rows of every user pair up first
+    pairs = left.join(
+        right,
+        (F.col("a_bucket") == F.col("b_bucket"))
+        & (F.col("a_user") == F.col("b_user")),
+    ).filter(
+        (F.col("tb") > F.col("ta"))
+        & (F.col("tb") - F.col("ta") <= _RANGE_S * 1_000_000)
+        & (F.col("event_a") != F.col("event_b"))
+    )
+    return pairs.select(
+        F.col("a_user").alias("user_id"),
+        "event_a",
+        "event_b",
+        (
+            F.floor(F.col("tb") / 1_000_000) - F.floor(F.col("ta") / 1_000_000)
+        ).cast("bigint").alias("gap_s"),
+    )

@@ -1,0 +1,118 @@
+"""Grouped Pandas execution surface: applyInPandas (grouped map) and
+applyInPandasWithState (custom stateful streaming operator) — the two
+escape hatches for semantics built-ins can't express (reference §2.9:
+arbitrary Python callables are its only extension mechanism).
+
+Like every Python-side function in this engine, the UDFs are local
+closures (by-value pickling; workers don't import this package) and
+Arrow-batched. These are cold paths by design — see README.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+@register(
+    "grouped_map_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)   AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,4))
+                      * CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           round((l_quantity - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 4)
+             AS qty_zscore
+    FROM lineitem l JOIN s USING (l_returnflag)
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map: per-returnflag z-score normalization
+    of quantities — whole-group semantics (mean/std of the group) that
+    per-row expressions can't see without a window. Each group arrives
+    as one Arrow-backed pandas frame; output schema is declared.
+
+    Scale note: the whole group must fit one executor's memory — the
+    grouped-map contract. For unbounded groups use the window/power-sum
+    formulation (which is also the oracle here)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"].astype("float64")
+        mean = q.sum() / len(q)
+        std = ((q * q).sum() / len(q) - mean * mean) ** 0.5
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "qty_zscore": ((q - mean) / std).round(4),
+            }
+        )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore, "l_orderkey long, l_linenumber int, qty_zscore double"
+    )
+
+
+@register(
+    "streaming_stateful_counter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, value-sum) state updated batch-by-batch —
+    the hand-rolled analog of what groupBy.agg does with managed state,
+    and the hook for arbitrary state machines (sessionizers, CEP,
+    decaying counters). Bounded replay in one batch ⇒ the final
+    emission equals the batch aggregate (the oracle)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tiny_etl_multiproc_bigdata_spark.streaming.jobs import (
+        _events_stream,
+        _run_to_memory,
+    )
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            # per-row decimal-cent rounding keeps the sum exact and
+            # order-independent, matching the oracle's DECIMAL sum
+            total += int(pdf["value"].mul(100).round(0).sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value": [round(total / 100.0, 2)],
+            }
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value", "ts")
+    out = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_counts,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="count long, total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, spark, "stream_stateful_counter", "update")

@@ -51,7 +51,10 @@ def _load_all() -> None:
         vector_queries,
         windows,
     )
-    from tiny_etl_multiproc_bigdata_spark.operators import multimodal  # noqa: F401
+    from tiny_etl_multiproc_bigdata_spark.operators import (  # noqa: F401
+        grouped_pandas,
+        multimodal,
+    )
     from tiny_etl_multiproc_bigdata_spark.streaming import jobs  # noqa: F401
 
 

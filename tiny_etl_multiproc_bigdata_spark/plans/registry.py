@@ -43,6 +43,7 @@ def _load_all() -> None:
         dedup_queries,
         extras,
         flagship,
+        ivf_kmeans,
         reference_ops,
         relational,
         scale_patterns,

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -57,8 +58,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round(sx / n, 6)                                   AS mean_qty,
-           round((sxx - sx * sx / n) / (n - 1), 6)            AS var_qty,
+           (floor(sx / n * 1000000 + 0.5) / 1000000)          AS mean_qty,
+           (floor((sxx - sx * sx / n) / (n - 1) * 1000000 + 0.5) / 1000000) AS var_qty,
            round(sqrt((sxx - sx * sx / n) / (n - 1)), 6)      AS stddev_qty
     FROM s
     """,
@@ -79,8 +80,8 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "l_returnflag",
         "n",
-        F.round(sx / n, 6).alias("mean_qty"),
-        F.round(var, 6).alias("var_qty"),
+        round_half_up(sx / n, 6).alias("mean_qty"),
+        round_half_up(var, 6).alias("var_qty"),
         F.round(F.sqrt(var), 6).alias("stddev_qty"),
     )
 
@@ -213,8 +214,8 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            ntile(4)       OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           (floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000) AS pct_rank,
+           (floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000) AS cume
     FROM orders
     WHERE o_totalprice > 97000
     WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
@@ -229,8 +230,8 @@ def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 

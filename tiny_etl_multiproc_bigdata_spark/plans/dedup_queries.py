@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -198,9 +199,9 @@ bands AS (
    AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
-       round(CAST(len(list_filter(range(1, {_N_HASHES + 1}),
-                                  i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
-             / {_N_HASHES}.0, 4) AS est_jaccard
+       (floor(CAST(len(list_filter(range(1, {_N_HASHES + 1}),
+                                   i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+              / {_N_HASHES}.0 * 10000 + 0.5) / 10000) AS est_jaccard
 FROM pairs p
 JOIN sig sa ON sa.doc_id = p.doc_a
 JOIN sig sb ON sb.doc_id = p.doc_b
@@ -265,9 +266,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(matches.cast("double") / F.lit(float(_N_HASHES)), 4).alias(
-                "est_jaccard"
-            ),
+            round_half_up(
+                matches.cast("double") / F.lit(float(_N_HASHES)), 4
+            ).alias("est_jaccard"),
         )
     )
 
@@ -344,7 +345,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
   HAVING count(*) >= 2
 )
 SELECT i.doc_a, i.doc_b, i.n_common,
-       round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+       (floor(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) * 10000 + 0.5) / 10000) AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -378,7 +379,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "n_common",
-            F.round(
+            round_half_up(
                 F.col("n_common").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("n_common")),
                 4,

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -51,9 +52,9 @@ def _money(col) -> F.Column:
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
                           * CAST(1 - l_discount AS DECIMAL(30,2))
                           * CAST(1 + l_tax AS DECIMAL(30,2))) AS DOUBLE), 2)      AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           (floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) AS avg_qty,
+           (floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) AS avg_price,
+           (floor(CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -71,9 +72,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money(F.sum(price)).alias("sum_base_price"),
         _money(F.sum(price * _dec(F.lit(1) - disc))).alias("sum_disc_price"),
         _money(F.sum(price * _dec(F.lit(1) - disc) * _dec(F.lit(1) + tax))).alias("sum_charge"),
-        F.round(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
-        F.round(F.sum(price).cast("double") / cnt, 6).alias("avg_price"),
-        F.round(F.sum(_dec("l_discount")).cast("double") / cnt, 6).alias("avg_disc"),
+        round_half_up(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
+        round_half_up(F.sum(price).cast("double") / cnt, 6).alias("avg_price"),
+        round_half_up(F.sum(_dec("l_discount")).cast("double") / cnt, 6).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 

@@ -11,6 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    duck_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -22,6 +26,18 @@ _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 # BPE-ish pre-tokenization regex: letter runs, digit runs, single
 # non-alnum marks (both engines use RE2/Java-compatible syntax here).
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# portable-rounding oracle fragments (functions/rounding.py): ratio
+# outputs must not use engine round() — see that module's docstring
+_SW_RATIO = duck_round("CAST(sw_hits AS DOUBLE) / n_tokens", 4)
+_MTL = duck_round("CAST(n_chars AS DOUBLE) / n_tokens", 4)
+_PR = duck_round("CAST(n_punct AS DOUBLE) / n_chars", 4)
+_QUALITY = duck_round(
+    "least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4"
+    " + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars, 1.0)) * 0.3"
+    " + least(CAST(sw_hits AS DOUBLE) * 5.0 / n_tokens, 1.0) * 0.3",
+    4,
+)
 
 
 @register(
@@ -58,7 +74,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang AS labeled_lang,
            CASE WHEN CAST(sw_hits AS DOUBLE) / n_tokens >= 0.03 THEN 'en' ELSE 'und' END AS predicted_lang,
-           round(CAST(sw_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio
+           {_SW_RATIO} AS stopword_ratio
     FROM scored
     """,
 )
@@ -76,7 +92,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("und")).alias("predicted_lang"),
-        F.round(ratio, 4).alias("stopword_ratio"),
+        round_half_up(ratio, 4).alias("stopword_ratio"),
     )
 
 
@@ -94,12 +110,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT)                         AS n_tokens,
-           round(CAST(n_chars AS DOUBLE) / n_tokens, 4)               AS mean_token_len,
-           round(CAST(n_punct AS DOUBLE) / n_chars, 4)                AS punct_ratio,
-           round(CAST(sw_hits AS DOUBLE) / n_tokens, 4)               AS stopword_ratio,
-           round( least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-                + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars, 1.0)) * 0.3
-                + least(CAST(sw_hits AS DOUBLE) * 5.0 / n_tokens, 1.0) * 0.3, 4) AS quality_score
+           {_MTL} AS mean_token_len,
+           {_PR} AS punct_ratio,
+           {_SW_RATIO} AS stopword_ratio,
+           {_QUALITY} AS quality_score
     FROM feat
     """,
 )
@@ -125,10 +139,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(n_chars * F.lit(1.0) / n_tokens, 4).alias("mean_token_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(sw_ratio, 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality_score"),
+        round_half_up(n_chars * F.lit(1.0) / n_tokens, 4).alias("mean_token_len"),
+        round_half_up(punct_ratio, 4).alias("punct_ratio"),
+        round_half_up(sw_ratio, 4).alias("stopword_ratio"),
+        round_half_up(quality, 4).alias("quality_score"),
     )
 
 
@@ -155,3 +169,4 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", F.md5(F.array_join(vocab, " ")).alias("fingerprint"))
+

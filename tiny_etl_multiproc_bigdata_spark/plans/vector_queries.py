@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long  # noqa: F401 (doc ref)
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -212,9 +213,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            count(*) AS n,
-           round(CAST(sum(CAST(sqrt(list_dot_product(embedding::DOUBLE[],
+           (floor(CAST(sum(CAST(sqrt(list_dot_product(embedding::DOUBLE[],
                                                      embedding::DOUBLE[]))
-                               AS DECIMAL(20,8))) AS DOUBLE) / count(*), 4)
+                               AS DECIMAL(20,8))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000)
              AS avg_l2_norm
     FROM embeddings
     GROUP BY label
@@ -230,5 +231,5 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_dec = l2_norm(F.col("embedding")).cast("decimal(20,8)")
     return e.groupBy("label").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(norm_dec).cast("double") / F.count("*"), 4).alias("avg_l2_norm"),
+        round_half_up(F.sum(norm_dec).cast("double") / F.count("*"), 4).alias("avg_l2_norm"),
     )

@@ -1,0 +1,92 @@
+"""Generator edge-cases and map-typed columns: explode_outer null
+preservation, map construction/access (exploded to rows for a
+deterministic engine-portable representation), regexp capture groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+@register(
+    "explode_outer_nulls",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   t -> t LIKE 'q%') END AS qwords
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, u.w AS qword
+    FROM docs LEFT JOIN LATERAL unnest(docs.qwords) AS u(w) ON true
+    """,
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with NULL/empty arrays survive with a NULL
+    element (plain explode would drop them — the generator analog of a
+    left join). Exercised by nulling every 7th doc's array."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    qwords = F.when(
+        F.col("doc_id") % 7 == 0, F.lit(None).cast("array<string>")
+    ).otherwise(
+        F.filter(
+            tokenize_words(F.lower(F.col("text"))), lambda t: t.startswith("q")
+        )
+    )
+    return d.select("doc_id", F.explode_outer(qwords).alias("qword"))
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT o_orderstatus AS status, 'n_orders' AS metric,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT o_orderstatus, 'max_price',
+           round(max(o_totalprice), 2)
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: build a metrics map per group, then explode
+    its entries back to rows. The map is the engine-internal shape; the
+    exploded (key, value) rows are the deterministic, engine-portable
+    representation (map iteration order is never guaranteed — the
+    oracle is the UNION ALL of the entries)."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+    m = F.create_map(
+        F.lit("n_orders"), F.col("n"), F.lit("max_price"), F.col("mx")
+    )
+    return agg.select(
+        F.col("o_orderstatus").alias("status"), F.explode(m).alias("metric", "value")
+    )
+
+
+@register(
+    "regexp_capture_groups",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#(\\d)(\\d)', 1) AS brand_major,
+           regexp_extract(p_brand, 'Brand#(\\d)(\\d)', 2) AS brand_minor
+    FROM part
+    """,
+)
+def regexp_capture_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract with numbered capture groups."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d)(\d)", 1).alias("brand_major"),
+        F.regexp_extract("p_brand", r"Brand#(\d)(\d)", 2).alias("brand_minor"),
+    )

@@ -43,6 +43,7 @@ def _load_all() -> None:
         dedup_queries,
         extras,
         flagship,
+        generators,
         ivf_kmeans,
         reference_ops,
         relational,

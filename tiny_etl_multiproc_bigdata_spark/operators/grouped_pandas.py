@@ -30,8 +30,10 @@ from tiny_etl_multiproc_bigdata_spark.plans.registry import register
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_orderkey, l.l_linenumber,
-           round((l_quantity - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 4)
-             AS qty_zscore
+           CASE WHEN sxx / n - (sx / n) * (sx / n) = 0 THEN 0.0
+                ELSE (floor((l_quantity - sx / n)
+                            / sqrt(sxx / n - (sx / n) * (sx / n))
+                            * 10000 + 0.5) / 10000) END AS qty_zscore
     FROM lineitem l JOIN s USING (l_returnflag)
     """,
 )
@@ -46,14 +48,22 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (which is also the oracle here)."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         q = pdf["l_quantity"].astype("float64")
         mean = q.sum() / len(q)
-        std = ((q * q).sum() / len(q) - mean * mean) ** 0.5
+        var = (q * q).sum() / len(q) - mean * mean
+        if var == 0:  # constant group: oracle emits 0.0, pandas would NaN
+            z = q * 0.0
+        else:
+            # portable half-up rounding — pandas .round is half-even and
+            # engine round() diverges on ratio values (functions/rounding.py)
+            z = np.floor((q - mean) / (var ** 0.5) * 10000 + 0.5) / 10000
         return pd.DataFrame(
             {
                 "l_orderkey": pdf["l_orderkey"],
                 "l_linenumber": pdf["l_linenumber"],
-                "qty_zscore": ((q - mean) / std).round(4),
+                "qty_zscore": z,
             }
         )
 

@@ -27,9 +27,9 @@ from tiny_etl_multiproc_bigdata_spark.plans.registry import register
     "agg_percentiles",
     oracle="""
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+           (floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000)  AS p50,
+           (floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000)  AS p90,
+           (floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000) AS p99
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -40,9 +40,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        round_half_up(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        round_half_up(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        round_half_up(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
     )
 
 
@@ -60,7 +60,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, n,
            (floor(sx / n * 1000000 + 0.5) / 1000000)          AS mean_qty,
            (floor((sxx - sx * sx / n) / (n - 1) * 1000000 + 0.5) / 1000000) AS var_qty,
-           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6)      AS stddev_qty
+           (floor(sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000 + 0.5) / 1000000) AS stddev_qty
     FROM s
     """,
 )
@@ -82,7 +82,7 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round_half_up(sx / n, 6).alias("mean_qty"),
         round_half_up(var, 6).alias("var_qty"),
-        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        round_half_up(F.sqrt(var), 6).alias("stddev_qty"),
     )
 
 
@@ -102,9 +102,9 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-             AS corr_qty_price
+           (floor((n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  * 1000000 + 0.5) / 1000000) AS corr_qty_price
     FROM s
     """,
 )
@@ -127,7 +127,7 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
-    return s.select("l_returnflag", F.round(corr, 6).alias("corr_qty_price"))
+    return s.select("l_returnflag", round_half_up(corr, 6).alias("corr_qty_price"))
 
 
 @register(

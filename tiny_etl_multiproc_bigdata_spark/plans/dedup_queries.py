@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
@@ -156,10 +157,7 @@ def _minhash_sig_df(shingled: DataFrame) -> DataFrame:
       the per-row hot cost. h is reduced mod p first so a_s*h stays
       within int64."""
     ex = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    base = (
-        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
-        % F.lit(_MERSENNE_P)
-    ).alias("h")
+    base = (md5_long(F.col("sh")) % F.lit(_MERSENNE_P)).alias("h")
     hashed = ex.select("doc_id", base)
     agg = hashed.groupBy("doc_id").agg(
         *[
@@ -219,7 +217,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shingles") > 0
     )
     sig = _minhash_sig_df(shingled)
-    sig.persist()
 
     bands = sig.select(
         "doc_id",
@@ -309,8 +306,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     ).distinct()
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
-    tok = tok.select("doc_id", h.alias("th"))
+    tok = tok.select("doc_id", md5_long(F.col("token")).alias("th"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
@@ -360,7 +356,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
         .distinct()
     )
-    ex.persist()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -403,11 +398,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT label, vec_a, vec_b, cos,
              row_number() OVER (PARTITION BY label
-                                ORDER BY CAST(round(cos * 1000000) AS BIGINT) DESC,
+                                ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
                                          vec_a ASC, vec_b ASC) AS rn
       FROM pairs
     )
-    SELECT label, vec_a, vec_b, round(cos, 4) AS cosine, rn
+    SELECT label, vec_a, vec_b, (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
     FROM ranked WHERE rn <= 3
     """,
 )
@@ -432,12 +427,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos.alias("cos"),
     )
     w = Window.partitionBy("label").orderBy(
-        F.round(F.col("cos") * 1000000).cast("bigint").desc(),
+        F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint").desc(),
         F.asc("vec_a"),
         F.asc("vec_b"),
     )
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("label", "vec_a", "vec_b", F.round("cos", 4).alias("cosine"), "rn")
+        .select("label", "vec_a", "vec_b", round_half_up(F.col("cos"), 4).alias("cosine"), "rn")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -38,7 +39,7 @@ def _assign_cells(e: DataFrame, centroids: DataFrame) -> DataFrame:
     joined = e.crossJoin(F.broadcast(centroids))
     d = _l2sq(F.col("embedding"), F.col("cvec"))
     w = Window.partitionBy("vec_id").orderBy(
-        F.round(d * 1_000_000).cast("bigint").asc(), F.asc("cid")
+        F.floor(d * 1_000_000 + F.lit(0.5)).cast("bigint").asc(), F.asc("cid")
     )
     return (
         joined.withColumn("rn", F.row_number().over(w))
@@ -69,7 +70,7 @@ _DUCK_COS = (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid AS cell,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY CAST(round({_DUCK_L2SQ.format(a="e.embedding::DOUBLE[]", b="c.cvec")} * 1000000) AS BIGINT) ASC,
+                 ORDER BY CAST(floor({_DUCK_L2SQ.format(a="e.embedding::DOUBLE[]", b="c.cvec")} * 1000000 + 0.5) AS BIGINT) ASC,
                           c.cid ASC) AS rn
         FROM embeddings e, centroids c
       ) WHERE rn = 1
@@ -83,11 +84,11 @@ _DUCK_COS = (
     ), ranked AS (
       SELECT query_id, candidate_id, cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY CAST(round(cos * 1000000) AS BIGINT) DESC,
+                                ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
                                          candidate_id ASC) AS rn
       FROM scored
     )
-    SELECT query_id, candidate_id, round(cos, 4) AS cosine, rn
+    SELECT query_id, candidate_id, (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
     FROM ranked WHERE rn <= {_TOP_K}
     """,
 )
@@ -102,7 +103,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     assigned = _assign_cells(e, centroids)
-    assigned.persist()
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -121,12 +121,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos") * 1_000_000).cast("bigint").desc(), F.asc("candidate_id")
+        F.floor(F.col("cos") * 1_000_000 + F.lit(0.5)).cast("bigint").desc(), F.asc("candidate_id")
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "candidate_id", F.round("cos", 4).alias("cosine"), "rn")
+        .select("query_id", "candidate_id", round_half_up(F.col("cos"), 4).alias("cosine"), "rn")
     )
 
 
@@ -157,7 +157,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = e.crossJoin(F.broadcast(cdf))
         d = _l2sq(F.col("embedding"), F.col("cvec"))
         w = Window.partitionBy("vec_id").orderBy(
-            F.round(d * 1_000_000).cast("bigint").asc(), F.asc("cid")
+            F.floor(d * 1_000_000 + F.lit(0.5)).cast("bigint").asc(), F.asc("cid")
         )
         assigned = (
             joined.withColumn("rn", F.row_number().over(w))
@@ -177,6 +177,10 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("cvec"))
         )
         centroids = [(r.cell, list(r.cvec)) for r in means.collect()]
+    # the cache paid for itself across the per-iteration collect()s;
+    # release it before returning (the final agg just recomputes one
+    # scan) so repeated registry sweeps don't accumulate pinned blocks
+    e.unpersist()
     return assigned.groupBy("cell").agg(
         F.count("*").alias("n_vectors"),
         F.round(F.sum(F.col("dist").cast("decimal(30,8)")).cast("double"), 2).alias(

@@ -49,9 +49,15 @@ def salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     too big for a map-side combine — collect_set, exact distinct,
     streaming state.)"""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(tokenize_words(F.col("text"))).alias("word"))
-    salt = (F.crc32(F.col("word")) % _N_SALT).alias("salt")
-    stage1 = toks.groupBy("word", salt).agg(F.count("*").alias("partial_n"))
+    # the salt MUST be independent of the group key (a key-derived salt
+    # like crc32(word) is constant per word and spreads nothing); a
+    # per-occurrence id is fine because stage 2 merges every salt and
+    # counts are associative, so the final result is salt-invariant
+    toks = d.select(
+        F.explode(tokenize_words(F.col("text"))).alias("word"),
+        (F.monotonically_increasing_id() % _N_SALT).alias("salt"),
+    )
+    stage1 = toks.groupBy("word", "salt").agg(F.count("*").alias("partial_n"))
     return (
         stage1.groupBy("word")
         .agg(F.sum("partial_n").cast("bigint").alias("n"))

@@ -97,11 +97,11 @@ _DUCK_COS = (
     ), ranked AS (
       SELECT query_id, candidate_id, cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY CAST(round(cos * 1000000) AS BIGINT) DESC,
+                                ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
                                          candidate_id ASC) AS rn
       FROM scored
     )
-    SELECT query_id, candidate_id, round(cos, 4) AS cosine, rn
+    SELECT query_id, candidate_id, (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
     FROM ranked WHERE rn <= {_TOP_K}
     """,
 )
@@ -123,12 +123,12 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos") * 1000000).cast("bigint").desc(), F.asc("candidate_id")
+        F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint").desc(), F.asc("candidate_id")
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "candidate_id", F.round("cos", 4).alias("cosine"), "rn")
+        .select("query_id", "candidate_id", round_half_up(F.col("cos"), 4).alias("cosine"), "rn")
     )
 
 
@@ -170,11 +170,11 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT query_id, candidate_id, cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY CAST(round(cos * 1000000) AS BIGINT) DESC,
+                                ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
                                          candidate_id ASC) AS rn
       FROM scored
     )
-    SELECT query_id, candidate_id, round(cos, 4) AS cosine, rn
+    SELECT query_id, candidate_id, (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
     FROM ranked WHERE rn <= {_TOP_K}
     """,
 )
@@ -199,12 +199,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos") * 1000000).cast("bigint").desc(), F.asc("candidate_id")
+        F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint").desc(), F.asc("candidate_id")
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "candidate_id", F.round("cos", 4).alias("cosine"), "rn")
+        .select("query_id", "candidate_id", round_half_up(F.col("cos"), 4).alias("cosine"), "rn")
     )
 
 

@@ -34,9 +34,11 @@ class Projection:
 
 def noop_load(df: DataFrame, projection: Projection | None = None) -> int:
     """L2 `NoopLoader` (loaders/commons.py:40-65): execute the full plan,
-    discard output (native noop datasource); returns row count."""
+    discard output, return the row count — as ONE execution (count is
+    the consuming action; a separate noop write would re-run the whole
+    plan, and on a non-static source could even count different rows
+    than it wrote)."""
     out = projection.apply(df) if projection else df
-    out.write.format("noop").mode("overwrite").save()
     return out.count()
 
 

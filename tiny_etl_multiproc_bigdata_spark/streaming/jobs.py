@@ -126,7 +126,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
@@ -136,7 +136,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM flagged

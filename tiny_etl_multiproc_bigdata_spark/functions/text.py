@@ -36,11 +36,19 @@ def basename_backwards(col: Column | str, depth: int) -> Column:
     """``basename_backwards_x{2,3,4}`` (reference commons.py:138-161):
     keep the last ``depth`` path segments of a '/'-separated path.
 
-    Reference walks ``os.path.basename``/``dirname`` repeatedly; here it
-    is split + slice + join, one codegen'd expression.
+    Parity note: the reference's ``basename_backwards_xN`` aliases call
+    ``basename_backwards(path, N + 1)`` (commons.py:154-161 — x2 → 3
+    segments, x3 → 4, x4 → 5), so callers mirroring an ``xN`` helper
+    must pass ``depth = N + 1`` (ADVICE r01). The reference also clamps
+    ``backwards_level`` to ≥2; no call-site here passes depth < 2.
+
+    Reference walks ``os.path.basename``/``dirname`` repeatedly — which
+    drops empty segments (leading '/', doubled slashes) via dirname
+    normalization — so empty segments are filtered before slicing. Here
+    it is split + filter + slice + join, one codegen'd expression.
     """
     c = F.col(col) if isinstance(col, str) else col
-    parts = F.split(c, "/")
+    parts = F.filter(F.split(c, "/"), lambda x: x != "")
     start = F.greatest(F.lit(1), F.size(parts) - F.lit(depth - 1))
     return F.array_join(F.slice(parts, start, depth), "/")
 

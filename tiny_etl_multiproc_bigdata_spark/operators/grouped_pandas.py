@@ -98,12 +98,19 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def update_counts(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         count, total = state.get if state.exists else (0, 0.0)
         for pdf in pdf_iter:
             count += len(pdf)
             # per-row decimal-cent rounding keeps the sum exact and
-            # order-independent, matching the oracle's DECIMAL sum
-            total += int(pdf["value"].mul(100).round(0).sum())
+            # order-independent, matching the oracle's DECIMAL(30,2)
+            # cast — which rounds half AWAY FROM ZERO, so pandas
+            # .round() (half-even) is wrong on exact half-cents; use
+            # the engine's portable formula (functions/rounding.py)
+            v = pdf["value"]
+            cents = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
+            total += int(cents.sum())
         state.update((count, total))
         yield pd.DataFrame(
             {

@@ -14,19 +14,25 @@ from tiny_etl_multiproc_bigdata_spark.plans.registry import register
     "agg_collect_set",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nation_keys,
-           count(DISTINCT c_nationkey)           AS n_nations
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',')
+             AS nation_keys,
+           count(DISTINCT c_nationkey) AS n_nations
     FROM customer
     GROUP BY c_mktsegment
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set with a deterministic (sorted) array representation —
-    collection order out of a shuffle is undefined, so the engine never
-    exposes an unsorted collected list."""
+    """collect_set with a deterministic canonical representation —
+    collection order out of a shuffle is undefined, so the set is sorted
+    then string-encoded (``array_join``). The string form (vs a raw
+    array column) is deliberate: list-valued cells are unhashable for
+    the verification driver's canonicalizer (r01 ``unhashable type:
+    'list'`` err — VERDICT item 3)."""
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_set("c_nationkey")).alias("nation_keys"),
+        F.array_join(
+            F.array_sort(F.collect_set("c_nationkey")).cast("array<string>"), ","
+        ).alias("nation_keys"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
 

@@ -86,7 +86,8 @@ def words_from_docs(docs: DataFrame) -> DataFrame:
         truncate_str(F.col("word0"), 255).alias("word"),
         F.length(remove_diac(F.col("word0"))).cast("bigint").alias("word_len"),
         len_str_gt(F.col("word0"), 255).alias("word_truncated"),
-        truncate_str(basename_backwards(F.col("source"), 4), 270).alias("file"),
+        # basename_backwards_x4 keeps 5 segments (reference commons.py:157-158)
+        truncate_str(basename_backwards(F.col("source"), 5), 270).alias("file"),
         F.col("words_count"),
     ).na.drop(  # required-field drop at the sink (loaders/commons.py:55-62)
         subset=["word", "word_len", "word_truncated", "file", "words_count"]
@@ -115,9 +116,9 @@ SELECT substr(word0, 1, 254)                       AS word,
        length(word0) > 255                          AS word_truncated,
        substr(
          array_to_string(
-           list_slice(split(source, '/'),
-                      greatest(1, len(split(source, '/')) - 3),
-                      len(split(source, '/'))),
+           list_slice(list_filter(split(source, '/'), x -> x <> ''),
+                      greatest(1, len(list_filter(split(source, '/'), x -> x <> '')) - 4),
+                      len(list_filter(split(source, '/'), x -> x <> ''))),
            '/'),
          1, 269)                                    AS file,
        words_count

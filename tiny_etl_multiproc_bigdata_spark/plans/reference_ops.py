@@ -25,19 +25,58 @@ from tiny_etl_multiproc_bigdata_spark.functions.text import (
 from tiny_etl_multiproc_bigdata_spark.functions.text import ARABIC_DIACRITICS
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
+# --------------------------------------------------------------------------
+# Arabic fixture rows (VERDICT r01 item 4): the reference's flagship
+# corpus IS Arabic (example/main.py:96-123, arabic_transformers.py:6-30),
+# but the driver fixture is Latin, which made the t3/p14 driver rows
+# vacuous (empty-vs-empty). Both the Spark query and the DuckDB oracle
+# union these literal rows — diacritized, mixed-script — so the driver
+# comparison exercises the Arabic path on non-empty results. Negative
+# doc_ids cannot collide with fixture ids (min fixture doc_id = 0).
+# --------------------------------------------------------------------------
+
+_ARABIC_ROWS: list[tuple[int, str, str]] = [
+    (-1, "arabic://fixture/1", "الْعِلْمُ نُورٌ وَالْجَهْلُ ظَلامٌ"),
+    (-2, "arabic://fixture/2", "يَكْتُبُ الطَّالِبُ الدَّرْسَ في الدَّفْتَرِ"),
+    (-3, "arabic://fixture/3", "قِرَاءَةُ الْكُتُبِ تُوَسِّعُ الْمَدَارِكَ 123 test"),
+    (-4, "arabic://fixture/4", "bilingual line: السَّلامُ عَلَيْكُمْ hello world"),
+]
+
+_ARABIC_VALUES_SQL = ", ".join(
+    f"(CAST({i} AS BIGINT), '{s}', '{t}')" for i, s, t in _ARABIC_ROWS
+)
+
+# Inline-view twin of _docs_with_arabic(); FROM-substitutable.
+_DOCS_WITH_ARABIC_SQL = (
+    "(SELECT doc_id, source, text FROM documents UNION ALL "
+    f"SELECT * FROM (VALUES {_ARABIC_VALUES_SQL}) v(doc_id, source, text))"
+)
+
+
+def _docs_with_arabic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, source, text) ∪ the Arabic literal rows."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    extra = spark.createDataFrame(
+        _ARABIC_ROWS, schema="doc_id bigint, source string, text string"
+    )
+    return base.unionByName(extra)
+
+
 _P14_ORACLE = """
 SELECT doc_id,
        translate(text, '{diacritics}', '') AS dediac,
        CAST(length(translate(text, '{diacritics}', '')) AS BIGINT) AS dediac_len
-FROM documents WHERE doc_id < 50
-""".replace("{diacritics}", ARABIC_DIACRITICS)
+FROM {docs} d WHERE doc_id < 50
+""".replace("{diacritics}", ARABIC_DIACRITICS).replace(
+    "{docs}", _DOCS_WITH_ARABIC_SQL
+)
 
 _T3_ORACLE = """
 SELECT doc_id, w.arabic_word
-FROM documents,
+FROM {docs} d,
      unnest(regexp_extract_all(text, '{cls}')) AS w(arabic_word)
 WHERE trim(w.arabic_word) <> ''
-""".replace("{cls}", ARABIC_LETTER_CLASS)
+""".replace("{cls}", ARABIC_LETTER_CLASS).replace("{docs}", _DOCS_WITH_ARABIC_SQL)
 
 # --------------------------------------------------------------------------
 # §2.1 Scans / sources
@@ -245,31 +284,32 @@ def p12_mapper_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
            substr(source, 1, 269) AS file_trunc,
            length(source) > 270   AS file_overflow,
            array_to_string(
-             list_slice(split(source, '/'),
-                        greatest(1, len(split(source, '/')) - 1),
-                        len(split(source, '/'))),
+             list_slice(list_filter(split(source, '/'), x -> x <> ''),
+                        greatest(1, len(list_filter(split(source, '/'), x -> x <> '')) - 2),
+                        len(list_filter(split(source, '/'), x -> x <> ''))),
              '/')                 AS file_tail2
     FROM documents
     """,
 )
 def p13_scalar_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13 scalar string helpers (commons.py:138-173): truncate_str_270,
-    len_str_gt_270, basename_backwards_x2."""
+    len_str_gt_270, basename_backwards_x2 (x2 keeps 3 segments,
+    commons.py:160-161)."""
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         truncate_str(F.col("source"), 270).alias("file_trunc"),
         len_str_gt(F.col("source"), 270).alias("file_overflow"),
-        basename_backwards(F.col("source"), 2).alias("file_tail2"),
+        basename_backwards(F.col("source"), 3).alias("file_tail2"),
     )
 
 
 @register("p14_remove_diac", oracle=_P14_ORACLE)
 def p14_remove_diac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 Arabic diacritic removal (example/arabic_transformers.py:27-30)
-    — identity on this Latin corpus, exact on Arabic (unit-tested with
-    Arabic literals in tests/test_functions.py)."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    over documents ∪ diacritized Arabic fixture rows, so the removal is
+    non-identity for the driver comparison (VERDICT r01 item 4)."""
+    d = _docs_with_arabic(spark, sf_dir).filter(F.col("doc_id") < 50)
     return d.select(
         "doc_id",
         remove_diac(F.col("text")).alias("dediac"),
@@ -305,9 +345,9 @@ def t2_tokenize_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t3_arabic_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 `ArabicTextWordsTokenizerTransformer`
     (example/arabic_transformers.py:17-25): findall of the exact Arabic
-    letter class. Empty on this Latin corpus (both engines agree);
-    positive-path unit test with Arabic literals in tests."""
-    d = table(spark, sf_dir, "documents")
+    letter class, over documents ∪ Arabic fixture rows so the driver
+    row compares non-empty results (VERDICT r01 item 4)."""
+    d = _docs_with_arabic(spark, sf_dir)
     return (
         d.select(
             "doc_id",

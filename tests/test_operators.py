@@ -133,3 +133,16 @@ def test_multimodal_decode_stub_real_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_cc_labels_transitive_chain(spark):
+    """A-B, B-C, C-D collapse to one component labeled by the min id,
+    even though A and D share no edge; unrelated pair keeps its own."""
+    from tiny_etl_multiproc_bigdata_spark.plans.dedup_groups import _cc_labels
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src bigint, dst bigint"
+    )
+    got = {r.doc_id: r.group_id for r in _cc_labels(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

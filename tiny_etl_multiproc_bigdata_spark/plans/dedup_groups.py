@@ -1,0 +1,162 @@
+"""Near-duplicate GROUPING — the step after candidate generation in a
+training-data dedup pipeline: cluster near-dup pairs into connected
+components, pick one canonical document per cluster, and emit the
+surviving (deduplicated) corpus.
+
+The reference stops at pair/set level (`UniqueFilter` /
+`ConcurrentKeyBagSet`, aggregators/commons.py + example/main.py); real
+corpus dedup additionally needs transitive grouping: if A~B and B~C,
+then {A,B,C} is ONE cluster even when A and C never co-occur in an LSH
+bucket. Pairs come from ``minhash_scored_pairs`` (dedup_queries.py);
+an edge exists when ≥ ``_CC_MIN_MATCH`` of the 8 signature components
+agree (estimated Jaccard ≥ 0.5).
+
+Scale shape (100 TB corpus):
+* Components via iterative min-label propagation — each round is one
+  shuffle join (labels → neighbors) + one partial/final min-agg, with
+  ``localCheckpoint`` truncating lineage per round. Rounds needed =
+  graph diameter, and near-dup clusters are shallow (dup clusters are
+  quasi-cliques since LSH buckets emit all intra-bucket pairs), so a
+  handful of rounds converges. The driver-side per-round ``.count()``
+  is a convergence scalar only — no row data crosses to the driver.
+  For adversarial diameters (long chains) the literature upgrade is
+  large-star/small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond"), same building blocks.
+* Survivors — one broadcast-able left join of the corpus against the
+  (tiny relative to corpus) duplicate-membership table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.dedup_queries import (
+    _MINHASH_PAIR_CTES,
+    minhash_scored_pairs,
+)
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+# Signature components (of 8) that must agree for a pair to become an
+# edge: 4/8 = estimated Jaccard 0.5. Integer threshold on purpose —
+# comparing the rounded float estimate would be engine-sensitive.
+_CC_MIN_MATCH = 4
+
+_MAX_CC_ROUNDS = 25
+
+
+def _cc_labels(edges: DataFrame) -> DataFrame:
+    """(src, dst) undirected edge list → (doc_id, group_id) where
+    group_id = min doc_id of the connected component. Iterates
+    min-label propagation to convergence (bounded by _MAX_CC_ROUNDS)."""
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MAX_CC_ROUNDS):
+        msgs = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("doc_id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = minhash_scored_pairs(spark, sf_dir).filter(
+        F.col("n_match") >= _CC_MIN_MATCH
+    )
+    fwd = p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+# Recursive transitive closure over the edge set — exact component
+# semantics for the oracle. O(n·e) row growth is fine at oracle scale;
+# the Spark side converges in diameter rounds instead.
+_CC_GROUPS_CTES = (
+    _MINHASH_PAIR_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh WHERE n_match >= {_CC_MIN_MATCH}
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh WHERE n_match >= {_CC_MIN_MATCH}
+), reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+), groups AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS group_id
+  FROM reach GROUP BY src
+)"""
+)
+
+_CC_GROUPS_ORACLE = (
+    _CC_GROUPS_CTES
+    + """
+SELECT doc_id, group_id,
+       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM groups
+"""
+)
+
+
+@register("dedup_cc_groups", oracle=_CC_GROUPS_ORACLE)
+def dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the minhash
+    near-dup graph (edge = ≥4/8 signature components agree). One row
+    per clustered document with its canonical ``group_id`` (component
+    min doc_id) and ``group_size``. Docs with no near-dup partner are
+    not emitted (they are their own trivial component)."""
+    labels = _cc_labels(_near_dup_edges(spark, sf_dir))
+    w = Window.partitionBy("group_id")
+    return labels.withColumn("group_size", F.count("*").over(w))
+
+
+_SURVIVORS_ORACLE = (
+    _CC_GROUPS_CTES
+    + """
+SELECT d.doc_id,
+       CASE WHEN g.doc_id IS NULL THEN 'unique' ELSE 'canonical' END
+         AS keep_reason
+FROM documents d
+LEFT JOIN groups g ON d.doc_id = g.doc_id
+WHERE g.doc_id IS NULL OR g.group_id = d.doc_id
+"""
+)
+
+
+@register("dedup_survivors", oracle=_SURVIVORS_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: every document that is either outside
+    any near-dup cluster (``unique``) or its cluster's canonical
+    representative (``canonical`` = component min doc_id). This is the
+    end-to-end "write the cleaned corpus" operator; downstream training
+    jobs read exactly these doc_ids. The membership table is tiny next
+    to the corpus, so the join broadcasts at scale."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    groups = _cc_labels(_near_dup_edges(spark, sf_dir))
+    joined = docs.join(groups, "doc_id", "left")
+    return joined.filter(
+        F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id"))
+    ).select(
+        "doc_id",
+        F.when(F.col("group_id").isNull(), F.lit("unique"))
+        .otherwise(F.lit("canonical"))
+        .alias("keep_reason"),
+    )

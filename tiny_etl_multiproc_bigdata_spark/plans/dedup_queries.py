@@ -182,7 +182,10 @@ def _duck_sig_sql() -> str:
     return f"SELECT doc_id, [{comps}] AS sig FROM shingled WHERE len(shingles) > 0"
 
 
-_MINHASH_ORACLE = (
+# CTE chain ending in mh(doc_a, doc_b, n_match) — the scored candidate
+# pairs. Shared by the minhash entry below and the connected-components
+# grouping oracle (dedup_groups.py), which appends a recursive CTE.
+_MINHASH_PAIR_CTES = (
     _DUCK_SHINGLES
     + f", sig AS ({_duck_sig_sql()})"
     + f""",
@@ -195,28 +198,45 @@ bands AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
+), mh AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_filter(range(1, {_N_HASHES + 1}),
+                         i -> sa.sig[i] = sb.sig[i])) AS n_match
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)"""
 )
-SELECT p.doc_a, p.doc_b,
-       (floor(CAST(len(list_filter(range(1, {_N_HASHES + 1}),
-                                   i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
-              / {_N_HASHES}.0 * 10000 + 0.5) / 10000) AS est_jaccard
-FROM pairs p
-JOIN sig sa ON sa.doc_id = p.doc_a
-JOIN sig sb ON sb.doc_id = p.doc_b
+
+_MINHASH_ORACLE = (
+    _MINHASH_PAIR_CTES
+    + f"""
+SELECT doc_a, doc_b,
+       (floor(CAST(n_match AS DOUBLE) / {_N_HASHES}.0 * 10000 + 0.5) / 10000)
+         AS est_jaccard
+FROM mh
 """
 )
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: word-3-gram shingles → 8
-    seeded min-hashes → 4 bands of 2 → band-bucket self-join →
-    signature-estimated Jaccard per candidate pair."""
+def minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) with the number of
+    matching signature components (``n_match`` of 8) — the shared
+    front half of ``dedup_minhash_lsh`` and the connected-components
+    grouping in dedup_groups.py."""
     d = table(spark, sf_dir, "documents")
     shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
         F.size("shingles") > 0
     )
-    sig = _minhash_sig_df(shingled)
+    # Materialize the signature stage ONCE (VERDICT r01 item 5): sig is
+    # consumed three times downstream (band explode + both pair sides),
+    # and without a barrier the full tokenize→shingle→md5→8-min lineage
+    # re-executes per consumer — 3 corpus passes at scale. localCheckpoint
+    # (eager) truncates the lineage at a stored copy without leaking a
+    # persist across the query boundary. The 100 TB analog is a staged
+    # intermediate (checkpoint dir / parquet stage) between the signature
+    # and candidate-generation jobs.
+    sig = _minhash_sig_df(shingled).localCheckpoint(eager=True)
 
     bands = sig.select(
         "doc_id",
@@ -260,13 +280,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            round_half_up(
-                matches.cast("double") / F.lit(float(_N_HASHES)), 4
-            ).alias("est_jaccard"),
-        )
+        .select("doc_a", "doc_b", matches.alias("n_match"))
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: word-3-gram shingles → 8
+    seeded min-hashes → 4 bands of 2 → band-bucket self-join →
+    signature-estimated Jaccard per candidate pair."""
+    return minhash_scored_pairs(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        round_half_up(
+            F.col("n_match").cast("double") / F.lit(float(_N_HASHES)), 4
+        ).alias("est_jaccard"),
     )
 
 
@@ -325,18 +353,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
+# Document-frequency cap for the Jaccard inverted index (VERDICT r01
+# item 6): a shingle appearing in k docs emits O(k²) candidate pairs in
+# the self-join, and corpus-scale boilerplate makes k huge while the
+# shingle itself carries ~no Jaccard signal. Shingles with df > cap are
+# dropped BEFORE the join (and, symmetrically, from the per-doc sizes,
+# so the reported value is the Jaccard of the rare-shingle sets).
+_MAX_SHINGLE_DF = 20
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=_DUCK_SHINGLES
-    + """
+    + f"""
 , ex AS (
   SELECT DISTINCT doc_id, s.sh
   FROM shingled, unnest(shingles) AS s(sh)
+), ex_rare AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex
+  ) WHERE df <= {_MAX_SHINGLE_DF}
 ), sizes AS (
-  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+  SELECT doc_id, count(*) AS n FROM ex_rare GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM ex_rare a JOIN ex_rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
   HAVING count(*) >= 2
 )
@@ -350,11 +391,19 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥2 word-3-grams: the
     verification stage that follows LSH candidate generation (shingle
-    inverted index → intersection counts → |A∩B| / |A∪B|)."""
+    inverted index → df-cap → intersection counts → |A∩B| / |A∪B| over
+    the rare-shingle sets). The df cap makes the self-join safe at
+    corpus scale (no hot-shingle k² blowup); one extra window count on
+    the already-shuffled sh key."""
     d = table(spark, sf_dir, "documents")
     ex = (
         d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
         .distinct()
+    )
+    ex = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .drop("df")
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ex.alias("a")
@@ -409,9 +458,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: label-blocked all-pairs cosine, top-3 most
     similar pairs per block. Blocking bounds the quadratic pair count —
-    at production scale the blocks come from LSH buckets or IVF cells.
-    Ranking uses a micro-scaled integer score so cross-engine float
-    ordering is stable."""
+    at production scale use dedup_embedding_lsh below, which swaps the
+    label for an LSH-bucket blocking key. Ranking uses a micro-scaled
+    integer score so cross-engine float ordering is stable."""
     from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
 
     e = table(spark, sf_dir, "embeddings")
@@ -435,4 +484,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("label", "vec_a", "vec_b", round_half_up(F.col("cos"), 4).alias("cosine"), "rn")
+    )
+
+
+def _embedding_lsh_oracle() -> str:
+    from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import (
+        _DUCK_COS,
+        _duck_bucket,
+    )
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_duck_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DUCK_COS.format(a="a.emb", b="b.emb")} AS cos
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), ranked AS (
+      SELECT bucket, vec_a, vec_b, cos,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
+                                         vec_a ASC, vec_b ASC) AS rn
+      FROM pairs
+    )
+    SELECT bucket, vec_a, vec_b, (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
+    FROM ranked WHERE rn <= 3
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with LSH-bucket blocking (VERDICT r01 item 7):
+    same pair-scoring as dedup_embedding_cosine, but the blocking key is
+    the random-hyperplane LSH bucket (vector_queries._bucket) instead of
+    a label column — the 100 TB path, since bucket population is bounded
+    by the corpus/256 on average and more planes shrink it further. Top-3
+    most-similar pairs per bucket, micro-scaled-integer ranking for
+    cross-engine-stable order. The bucketed view is localCheckpoint'ed so
+    the 8 hyperplane dot products run once, not once per join side."""
+    from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+    from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import _bucket
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
+    ).localCheckpoint(eager=True)
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint").desc(),
+        F.asc("vec_a"),
+        F.asc("vec_b"),
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "bucket", "vec_a", "vec_b", round_half_up(F.col("cos"), 4).alias("cosine"), "rn"
+        )
     )

@@ -40,6 +40,7 @@ def _load_all() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans import (  # noqa: F401
         advanced,
         collections,
+        dedup_groups,
         dedup_queries,
         extras,
         flagship,
@@ -60,15 +61,92 @@ def _load_all() -> None:
     from tiny_etl_multiproc_bigdata_spark.streaming import jobs  # noqa: F401
 
 
+# Driver-sweep ordering (VERDICT r01 item 2): the verification driver
+# checks a capped prefix (~50) of the registry in iteration order, and
+# r01 left 59 entries with no hard-signal row. This list front-loads
+# (a) the two r01-red entries whose fixes need re-verification, then
+# (b) every entry never driver-checked, §2 operator ids and the
+# LLM-pipeline core first. Entries not listed keep insertion order after
+# the prioritized prefix; r01-green entries sort last (they already have
+# a green row on the board). Revisit each round: next round, front-load
+# whatever r02 still left unchecked.
+_PRIORITY: tuple[str, ...] = (
+    # r01 red — fixed this round, must re-verify
+    "flagship_words",
+    "agg_collect_set",
+    # §2.2/2.3 text operators (incl. de-vacuated Arabic entries)
+    "p14_remove_diac",
+    "t2_tokenize_words",
+    "t3_arabic_tokenize",
+    # §2.4 aggregations
+    "a1_reduce_count",
+    "a1_reduce_fold_sum",
+    "a3_unique_filter",
+    "a3_duplicates_only",
+    "a5_conservation_invariant",
+    "q1_pricing_summary",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_sum_over_distinct",
+    # §2.5 joins
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_broadcast_chain",
+    "scalar_subquery_filter",
+    "asof_last_signup",
+    "range_join_bucketed",
+    # §2.6 set ops / sorts / windows
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "sort_limit_topk",
+    "window_row_number_topk",
+    "window_rank_dense",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_tumbling_counts",
+    "sessionize_events",
+    # §2.9 UDF surface + streaming
+    "grouped_map_zscore",
+    "streaming_stateful_counter",
+    "streaming_tumbling_counts",
+    "streaming_dedup",
+    "streaming_session_window",
+    "multimodal_binary_metadata",
+    "multimodal_decode_stub",
+    # LLM-pipeline core still unchecked
+    "text_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_lsh",  # new in r02
+    "dedup_cc_groups",  # new in r02
+    "dedup_survivors",  # new in r02
+)
+
+
+def _ordered_names() -> list[str]:
+    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    return sorted(REGISTRY, key=lambda n: rank.get(n, len(_PRIORITY)))
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return {
-        name: spec.oracle
-        for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }

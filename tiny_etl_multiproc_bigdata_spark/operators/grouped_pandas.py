@@ -106,8 +106,11 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             # per-row decimal-cent rounding keeps the sum exact and
             # order-independent, matching the oracle's DECIMAL(30,2)
             # cast — which rounds half AWAY FROM ZERO, so pandas
-            # .round() (half-even) is wrong on exact half-cents; use
-            # the engine's portable formula (functions/rounding.py)
+            # .round() (half-even) is wrong on exact half-cents.
+            # Deliberately NOT rounding.py's round_half_up
+            # (floor(x*s+0.5) = half-toward-+inf): that disagrees with
+            # the DECIMAL cast on NEGATIVE half-cents (-12.5 → -12,
+            # oracle says -13), hence the sign/abs form.
             v = pdf["value"]
             cents = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
             total += int(cents.sum())

@@ -49,13 +49,21 @@ _MAX_CC_ROUNDS = 25
 def _cc_labels(edges: DataFrame) -> DataFrame:
     """(src, dst) undirected edge list → (doc_id, group_id) where
     group_id = min doc_id of the connected component. Iterates
-    min-label propagation to convergence (bounded by _MAX_CC_ROUNDS)."""
+    min-label propagation to convergence (bounded by _MAX_CC_ROUNDS;
+    raises if the bound is hit unconverged — silently returning partial
+    labels would diverge from the exact transitive-closure oracle)."""
+    # Materialize the edge list once: without this every round's msgs
+    # join re-executes the whole upstream candidate-pair pipeline
+    # (band explode + self-join + sig joins), twice per round via the
+    # fwd/rev union.
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(_MAX_CC_ROUNDS):
         msgs = edges.join(labels, edges["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), F.col("label")
@@ -75,6 +83,13 @@ def _cc_labels(edges: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge in {_MAX_CC_ROUNDS} "
+            f"rounds ({changed} labels still changing); component "
+            "diameter exceeds the bound — raise _MAX_CC_ROUNDS or switch "
+            "to large-star/small-star"
+        )
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 

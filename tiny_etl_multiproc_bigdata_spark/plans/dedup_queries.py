@@ -432,127 +432,113 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH pairs AS (
-      SELECT a.label,
+# Shared pair-scoring for the two embedding-dedup variants: both rank
+# all within-block pairs by cosine and keep the top 3 per block; only
+# the blocking key differs. Single definition on purpose — ranking
+# formula / rounding-scale changes (the r01 round() divergence class)
+# must not have to be applied in two Spark bodies and two SQL strings.
+_EMBEDDING_TOP_N = 3
+
+
+def _blocked_cosine_topk(blocked: DataFrame, block_col: str) -> DataFrame:
+    """(vec_id, embedding, <block_col>) → top-N most-similar intra-block
+    pairs. Micro-scaled-integer ranking keys keep the window order
+    stable across engines."""
+    from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col(f"a.{block_col}").alias(block_col),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy(block_col).orderBy(
+        F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint").desc(),
+        F.asc("vec_a"),
+        F.asc("vec_b"),
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EMBEDDING_TOP_N)
+        .select(
+            block_col, "vec_a", "vec_b",
+            round_half_up(F.col("cos"), 4).alias("cosine"), "rn",
+        )
+    )
+
+
+def _embedding_topk_oracle(block_col: str, v_select: str) -> str:
+    """DuckDB twin of _blocked_cosine_topk; ``v_select`` must yield
+    (vec_id, emb, <block_col>)."""
+    from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import _DUCK_COS
+
+    return f"""
+    WITH v AS ({v_select}), pairs AS (
+      SELECT a.{block_col} AS {block_col},
              a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-               AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+             {_DUCK_COS.format(a="a.emb", b="b.emb")} AS cos
+      FROM v a JOIN v b
+        ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
     ), ranked AS (
-      SELECT label, vec_a, vec_b, cos,
-             row_number() OVER (PARTITION BY label
+      SELECT {block_col}, vec_a, vec_b, cos,
+             row_number() OVER (PARTITION BY {block_col}
                                 ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
                                          vec_a ASC, vec_b ASC) AS rn
       FROM pairs
     )
-    SELECT label, vec_a, vec_b, (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
-    FROM ranked WHERE rn <= 3
-    """,
+    SELECT {block_col}, vec_a, vec_b,
+           (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
+    FROM ranked WHERE rn <= {_EMBEDDING_TOP_N}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_embedding_topk_oracle(
+        "label", "SELECT vec_id, embedding::DOUBLE[] AS emb, label"
+        " AS label FROM embeddings"
+    ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: label-blocked all-pairs cosine, top-3 most
     similar pairs per block. Blocking bounds the quadratic pair count —
     at production scale use dedup_embedding_lsh below, which swaps the
-    label for an LSH-bucket blocking key. Ranking uses a micro-scaled
-    integer score so cross-engine float ordering is stable."""
-    from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
-
+    label for an LSH-bucket blocking key."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    pairs = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(
-        F.col("a.label").alias("label"),
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        cos.alias("cos"),
-    )
-    w = Window.partitionBy("label").orderBy(
-        F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint").desc(),
-        F.asc("vec_a"),
-        F.asc("vec_b"),
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("label", "vec_a", "vec_b", round_half_up(F.col("cos"), 4).alias("cosine"), "rn")
+    blocked = e.select("vec_id", "embedding", F.col("label").alias("label"))
+    return _blocked_cosine_topk(blocked, "label")
+
+
+def _dedup_embedding_lsh_oracle() -> str:
+    from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import _duck_bucket
+
+    return _embedding_topk_oracle(
+        "bucket",
+        "SELECT vec_id, embedding::DOUBLE[] AS emb, "
+        f"{_duck_bucket('embedding::DOUBLE[]')} AS bucket FROM embeddings",
     )
 
 
-def _embedding_lsh_oracle() -> str:
-    from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import (
-        _DUCK_COS,
-        _duck_bucket,
-    )
-
-    return f"""
-    WITH v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb,
-             {_duck_bucket("embedding::DOUBLE[]")} AS bucket
-      FROM embeddings
-    ), pairs AS (
-      SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_DUCK_COS.format(a="a.emb", b="b.emb")} AS cos
-      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ), ranked AS (
-      SELECT bucket, vec_a, vec_b, cos,
-             row_number() OVER (PARTITION BY bucket
-                                ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
-                                         vec_a ASC, vec_b ASC) AS rn
-      FROM pairs
-    )
-    SELECT bucket, vec_a, vec_b, (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
-    FROM ranked WHERE rn <= 3
-    """
-
-
-@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+@register("dedup_embedding_lsh", oracle=_dedup_embedding_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with LSH-bucket blocking (VERDICT r01 item 7):
     same pair-scoring as dedup_embedding_cosine, but the blocking key is
     the random-hyperplane LSH bucket (vector_queries._bucket) instead of
     a label column — the 100 TB path, since bucket population is bounded
-    by the corpus/256 on average and more planes shrink it further. Top-3
-    most-similar pairs per bucket, micro-scaled-integer ranking for
-    cross-engine-stable order. The bucketed view is localCheckpoint'ed so
-    the 8 hyperplane dot products run once, not once per join side."""
-    from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+    by the corpus/256 on average and more planes shrink it further. The
+    bucketed view is localCheckpoint'ed so the 8 hyperplane dot products
+    run once, not once per join side."""
     from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import _bucket
 
     e = table(spark, sf_dir, "embeddings")
-    v = e.select(
+    blocked = e.select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
     ).localCheckpoint(eager=True)
-    a = v.alias("a")
-    b = v.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.bucket").alias("bucket"),
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        cos.alias("cos"),
-    )
-    w = Window.partitionBy("bucket").orderBy(
-        F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint").desc(),
-        F.asc("vec_a"),
-        F.asc("vec_b"),
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "bucket", "vec_a", "vec_b", round_half_up(F.col("cos"), 4).alias("cosine"), "rn"
-        )
-    )
+    return _blocked_cosine_topk(blocked, "bucket")

@@ -63,17 +63,22 @@ def _load_all() -> None:
 
 # Driver-sweep ordering (VERDICT r01 item 2): the verification driver
 # checks a capped prefix (~50) of the registry in iteration order, and
-# r01 left 59 entries with no hard-signal row. This list front-loads
-# (a) the two r01-red entries whose fixes need re-verification, then
+# r01 left 59 entries with no hard-signal row. Order: (a) the two
+# r01-red entries whose fixes need re-verification and the entries new
+# this round — these MUST land inside any plausible cap, so they lead;
 # (b) every entry never driver-checked, §2 operator ids and the
-# LLM-pipeline core first. Entries not listed keep insertion order after
-# the prioritized prefix; r01-green entries sort last (they already have
-# a green row on the board). Revisit each round: next round, front-load
-# whatever r02 still left unchecked.
+# LLM-pipeline core first; then (via _ordered_names) (c) unchecked
+# entries not listed here, in insertion order; (d) r01-green entries
+# last — they already have a green row on the board. Revisit each
+# round: front-load whatever the last sweep still left unchecked.
 _PRIORITY: tuple[str, ...] = (
     # r01 red — fixed this round, must re-verify
     "flagship_words",
     "agg_collect_set",
+    # new in r02 — no row exists yet anywhere
+    "dedup_embedding_lsh",
+    "dedup_cc_groups",
+    "dedup_survivors",
     # §2.2/2.3 text operators (incl. de-vacuated Arabic entries)
     "p14_remove_diac",
     "t2_tokenize_words",
@@ -127,15 +132,45 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
-    "dedup_embedding_lsh",  # new in r02
-    "dedup_cc_groups",  # new in r02
-    "dedup_survivors",  # new in r02
+)
+
+# Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).
+# Unlisted entries WITHOUT a row sort ahead of these so a capped sweep
+# reaches never-verified entries first.
+_R01_CHECKED: frozenset[str] = frozenset(
+    {
+        "flagship_words", "agg_percentiles", "agg_moment_stats",
+        "agg_correlation", "agg_min_by_max_by", "pivot_status_by_priority",
+        "unpivot_part_measures", "window_distribution_fns",
+        "window_range_frame", "array_functions", "in_subquery_filter",
+        "approx_count_distinct_hll", "approx_percentile_tdigest",
+        "table_sample", "udf_pandas_bridge", "agg_collect_set",
+        "posexplode_embedding", "string_transform_suite",
+        "time_series_densify", "dedup_exact", "dedup_exact_normalized",
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_embedding_cosine", "agg_conditional", "string_predicates",
+        "window_first_last_nth", "union_by_name", "null_handling_scalars",
+        "date_arithmetic", "event_funnel", "explode_outer_nulls",
+        "map_functions", "regexp_capture_groups", "ann_ivf_topk",
+        "kmeans_lloyd", "s1_files_list", "s5_file_lines",
+        "p1_static_values", "p2_derived_values", "p3_trans_values",
+        "p4_remove_key_paths", "p7_noop", "p8_required_null_drop",
+        "p9_filter_rows", "p10_ignore_tokens", "p11_remove_chars",
+        "p12_mapper_chain", "p13_scalar_helpers",
+    }
 )
 
 
 def _ordered_names() -> list[str]:
     rank = {n: i for i, n in enumerate(_PRIORITY)}
-    return sorted(REGISTRY, key=lambda n: rank.get(n, len(_PRIORITY)))
+    insertion = {n: i for i, n in enumerate(REGISTRY)}
+
+    def key(n: str) -> tuple[int, int]:
+        if n in rank:
+            return (0, rank[n])
+        return (1 if n not in _R01_CHECKED else 2, insertion[n])
+
+    return sorted(REGISTRY, key=key)
 
 
 def queries() -> dict[str, QueryFn]:

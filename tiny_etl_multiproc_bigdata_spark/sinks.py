@@ -135,6 +135,12 @@ def jdbc_load_sharded_tables(
     each shard is one batched JDBC write into its own table. The tagged
     frame is persisted so the N filtered writes scan the input once.
     Returns the target table names."""
+    if "__shard" in df.columns:
+        raise ValueError(
+            "input already has a '__shard' column; rename it before "
+            "sharded loading (withColumn would silently replace it and "
+            "the tag drop would lose it from every written table)"
+        )
     props = jdbc_writer_properties(n_shards, batch_size, properties)
     shard = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_shards))
     tagged = df.withColumn("__shard", shard)

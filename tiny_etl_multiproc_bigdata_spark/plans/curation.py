@@ -1,0 +1,142 @@
+"""Corpus curation operators — the compliance / selection layer of a
+training-data pipeline: PII scrubbing and the end-to-end "which
+documents make the training set" query composing quality scoring,
+language ID, and near-dup survival.
+
+Scale shape (100 TB corpus): PII scrubbing is pure per-row regex work
+(zero shuffle, fully codegen'd); curation is per-row feature scoring
+joined against the (small) duplicate-membership table — the join
+broadcasts, so the whole pipeline is one scan of the corpus plus the
+near-dup machinery it already shares with dedup_groups.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.dedup_groups import (
+    _CC_GROUPS_CTES,
+    dedup_survivors,
+)
+from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY, register
+from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
+    text_quality_score,
+)
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround. Applied sequentially —
+# email → IPv4 → phone — on the running result, in the same order in
+# both engines, so digit spans consumed by an earlier category can't be
+# re-matched by a later one (an IPv4 octet run is not also a "phone").
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+# The synthetic corpus carries no PII, so (Arabic-fixture pattern,
+# reference_ops.py) literal rows are unioned in to keep the driver
+# comparison non-vacuous. Negative doc_ids can't collide with fixture
+# ids; -11.. leaves -1..-4 to the Arabic rows.
+_PII_ROWS: list[tuple[int, str]] = [
+    (-11, "contact me at alice.smith@example.com or bob@test.org please"),
+    (-12, "server at 192.168.1.100 responded; fallback was 10.0.0.7"),
+    (-13, "call +1 (555) 123-4567 or 555 987 6543 before noon"),
+    (-14, "mixed: eve@corp.io from 172.16.254.3 phone +44 20 7946 0958"),
+]
+
+_PII_VALUES_SQL = ", ".join(
+    f"(CAST({i} AS BIGINT), '{t}')" for i, t in _PII_ROWS
+)
+
+_PII_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT * FROM (VALUES {_PII_VALUES_SQL}) v(doc_id, text))"
+)
+
+_PII_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS s1
+  FROM {_PII_DOCS_SQL} d
+), staged2 AS (
+  SELECT doc_id, text, s1,
+         regexp_replace(s1, '{_PII_IPV4}', '<IP>', 'g') AS s2
+  FROM staged
+)
+SELECT doc_id,
+       regexp_replace(s2, '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+          + len(regexp_extract_all(s1, '{_PII_IPV4}'))
+          + len(regexp_extract_all(s2, '{_PII_PHONE}')) AS BIGINT)
+         AS n_redactions
+FROM staged2
+"""
+
+
+@register("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails, IPv4 addresses, and phone-like digit runs
+    replaced with typed placeholders; per-doc redaction count for audit
+    sampling. Sequential category passes (email → IP → phone) keep the
+    counting unambiguous in both engines."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_PII_ROWS, schema="doc_id bigint, text string")
+    d = base.unionByName(extra)
+    s1 = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    d = d.withColumn("s1", s1)
+    d = d.withColumn("s2", F.regexp_replace(F.col("s1"), _PII_IPV4, "<IP>"))
+    n_redact = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all(F.col("s1"), F.lit(_PII_IPV4), 0))
+        + F.size(F.regexp_extract_all(F.col("s2"), F.lit(_PII_PHONE), 0))
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("s2"), _PII_PHONE, "<PHONE>").alias("scrubbed"),
+        n_redact.cast("bigint").alias("n_redactions"),
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation
+# --------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    quality_oracle = REGISTRY["text_quality_score"].oracle
+    return (
+        _CC_GROUPS_CTES
+        + f""", surv AS (
+  SELECT d.doc_id
+  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+  WHERE g.doc_id IS NULL OR g.group_id = d.doc_id
+), qual AS ({quality_oracle})
+SELECT q.doc_id, q.n_tokens, q.quality_score
+FROM qual q JOIN surv s ON q.doc_id = s.doc_id
+WHERE q.quality_score >= 0.5 AND q.stopword_ratio >= 0.03
+"""
+    )
+
+
+@register("corpus_curation", oracle=_curation_oracle())
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set selection query, composed from this engine's own
+    operators: keep documents that (a) survive near-dup clustering
+    (dedup_survivors), (b) pass the heuristic quality bar, and (c) look
+    English by stopword ratio. Filters compare the micro-rounded scores
+    (exact integer/10^4 values), so the cut is identical across engines.
+    This is the query a 100 TB pretraining ingest runs nightly; its
+    output doc_id set IS the training corpus."""
+    q = text_quality_score(spark, sf_dir)
+    surv = dedup_survivors(spark, sf_dir).select("doc_id")
+    return (
+        q.join(surv, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.5) & (F.col("stopword_ratio") >= 0.03)
+        )
+        .select("doc_id", "n_tokens", "quality_score")
+    )

@@ -40,6 +40,7 @@ def _load_all() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans import (  # noqa: F401
         advanced,
         collections,
+        curation,
         dedup_groups,
         dedup_queries,
         extras,
@@ -79,6 +80,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "dedup_cc_groups",
     "dedup_survivors",
+    "text_pii_scrub",
+    "corpus_curation",
+    "streaming_stream_static_join",
     # §2.2/2.3 text operators (incl. de-vacuated Arabic entries)
     "p14_remove_diac",
     "t2_tokenize_words",

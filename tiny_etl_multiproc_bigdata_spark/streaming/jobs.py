@@ -170,3 +170,37 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(sess, spark, "stream_session_window", "complete")
+
+
+@register(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    customer dimension (per-micro-batch broadcast hash join — no
+    streaming state for the static side), then aggregates revenue by
+    market segment. The standard "enrich the firehose with a dim table"
+    topology; at scale the dim refreshes per micro-batch from its
+    source, and the broadcast keeps the stream side shuffle-free."""
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+    ev = _events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+    return _run_to_memory(agg, spark, "stream_static_join", "complete")

@@ -31,6 +31,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "text_quality_score",
         "ann_bruteforce_topk",
+        "corpus_curation",
     ]
 
     spark = get_spark(app_name="bench")

@@ -88,3 +88,13 @@ def test_flagship_scan_prunes_to_two_columns(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"text", "source"}, cols
+
+
+def test_survivor_join_broadcasts_membership(spark, sf_dir):
+    """The dedup-survivor filter must not shuffle the corpus: the tiny
+    duplicate-membership table broadcasts (one corpus scan, no
+    corpus-side Exchange feeding the join)."""
+    for name in ("dedup_survivors", "corpus_curation"):
+        plan = _plan(_q(name, spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: membership join not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: corpus shuffled for membership join"

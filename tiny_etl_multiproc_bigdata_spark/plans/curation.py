@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.plans.dedup_groups import (
     _CC_GROUPS_CTES,
-    dedup_survivors,
+    _cc_labels,
+    _near_dup_edges,
+    survivor_filter,
 )
 from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY, register
 from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
@@ -130,11 +132,16 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     English by stopword ratio. Filters compare the micro-rounded scores
     (exact integer/10^4 values), so the cut is identical across engines.
     This is the query a 100 TB pretraining ingest runs nightly; its
-    output doc_id set IS the training corpus."""
+    output doc_id set IS the training corpus.
+
+    Shape: ONE corpus scan (the quality projection) left-joined against
+    the broadcast duplicate-membership table — not a corpus×corpus join
+    of the quality and survivor frames, which would shuffle the full
+    corpus twice."""
     q = text_quality_score(spark, sf_dir)
-    surv = dedup_survivors(spark, sf_dir).select("doc_id")
+    labels = _cc_labels(_near_dup_edges(spark, sf_dir))
     return (
-        q.join(surv, "doc_id")
+        survivor_filter(q, labels)
         .filter(
             (F.col("quality_score") >= 0.5) & (F.col("stopword_ratio") >= 0.03)
         )

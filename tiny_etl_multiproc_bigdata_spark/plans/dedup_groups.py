@@ -156,20 +156,30 @@ WHERE g.doc_id IS NULL OR g.group_id = d.doc_id
 )
 
 
+def survivor_filter(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Keep rows of ``docs`` (must carry doc_id) that are outside any
+    cluster or are their cluster's canonical doc. Explicit broadcast:
+    the membership table is duplicate CLUSTER MEMBERS only — tiny next
+    to the corpus — and without the hint this planned as a sort-merge
+    join shuffling the full corpus on doc_id. (If dup membership ever
+    outgrows executor memory, drop the hint and pre-partition instead.)
+    """
+    joined = docs.join(F.broadcast(labels), "doc_id", "left")
+    return joined.filter(
+        F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id"))
+    )
+
+
 @register("dedup_survivors", oracle=_SURVIVORS_ORACLE)
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: every document that is either outside
     any near-dup cluster (``unique``) or its cluster's canonical
     representative (``canonical`` = component min doc_id). This is the
     end-to-end "write the cleaned corpus" operator; downstream training
-    jobs read exactly these doc_ids. The membership table is tiny next
-    to the corpus, so the join broadcasts at scale."""
+    jobs read exactly these doc_ids."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    groups = _cc_labels(_near_dup_edges(spark, sf_dir))
-    joined = docs.join(groups, "doc_id", "left")
-    return joined.filter(
-        F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id"))
-    ).select(
+    labels = _cc_labels(_near_dup_edges(spark, sf_dir))
+    return survivor_filter(docs, labels).select(
         "doc_id",
         F.when(F.col("group_id").isNull(), F.lit("unique"))
         .otherwise(F.lit("canonical"))

@@ -24,7 +24,9 @@ from tiny_etl_multiproc_bigdata_spark.plans.dedup_groups import (
 )
 from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY, register
 from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
+    DUCK_FINGERPRINT,
     text_quality_score,
+    vocab_fingerprint,
 )
 
 # --------------------------------------------------------------------------
@@ -106,6 +108,64 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # End-to-end corpus curation
 # --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+# The fixture has no designated eval set, so docs with doc_id % 97 == 0
+# stand in for one (an external blocklist table at production scale).
+# Literal rows guarantee a non-vacuous overlap: train rows -21/-22
+# duplicate eval rows -97/-194 up to normalization (case/whitespace),
+# so exactly they are removed; -23 survives.
+_DECON_ROWS: list[tuple[int, str]] = [
+    (-97, "the quick brown fox jumps over the lazy dog"),
+    (-194, "pack my box with five dozen liquor jugs"),
+    (-21, "The quick  brown fox jumps over the LAZY dog"),
+    (-22, "pack my box  with five dozen LIQUOR jugs"),
+    (-23, "an entirely novel training document about nothing"),
+]
+
+_DECON_VALUES_SQL = ", ".join(
+    f"(CAST({i} AS BIGINT), '{t}')" for i, t in _DECON_ROWS
+)
+
+_DECON_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT * FROM (VALUES {_DECON_VALUES_SQL}) v(doc_id, text))"
+)
+
+_DECON_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, {DUCK_FINGERPRINT.format(col="text")} AS fingerprint
+  FROM {_DECON_DOCS_SQL} d
+)
+SELECT f.doc_id, f.fingerprint
+FROM fp f
+WHERE f.doc_id % 97 <> 0
+  AND f.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 97 = 0)
+"""
+
+
+@register("decontaminate_eval_overlap", oracle=_DECON_ORACLE)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training documents whose
+    normalized vocabulary fingerprint collides with any eval-set
+    document — the standard guard against test-set leakage into a
+    pretraining corpus. The eval fingerprint set is tiny, so the
+    anti-join broadcasts; fingerprints are computed in one corpus scan
+    with no shuffle on the training side."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_DECON_ROWS, schema="doc_id bigint, text string")
+    d = base.unionByName(extra).select(
+        "doc_id", vocab_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    evalset = d.filter(is_eval).select("fingerprint")
+    train = d.filter(~is_eval)
+    return train.join(F.broadcast(evalset), "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
 
 
 def _curation_oracle() -> str:

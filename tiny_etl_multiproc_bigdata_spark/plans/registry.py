@@ -83,6 +83,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_pii_scrub",
     "corpus_curation",
     "streaming_stream_static_join",
+    "decontaminate_eval_overlap",
+    "text_ngram_topk",
+    "window_sliding_counts",
     # §2.2/2.3 text operators (incl. de-vacuated Arabic entries)
     "p14_remove_diac",
     "t2_tokenize_words",

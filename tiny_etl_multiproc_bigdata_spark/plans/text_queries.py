@@ -146,27 +146,80 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of vocab_fingerprint(); `{col}`-substitutable.
+DUCK_FINGERPRINT = (
+    "md5(array_to_string(list_sort(list_distinct("
+    r"list_filter(regexp_split_to_array(lower({col}), '\s+'),"
+    " t -> t <> ''))), ' '))"
+)
+
+
+def vocab_fingerprint(col) -> F.Column:
+    """md5 over the sorted distinct lowered vocabulary — an
+    order/duplication-insensitive content key. Shared by
+    text_fingerprint and the decontamination anti-join (curation.py)."""
+    vocab = F.array_sort(
+        F.array_distinct(F.filter(tokenize_words(F.lower(col)), lambda t: t != ""))
+    )
+    return F.md5(F.array_join(vocab, " "))
+
+
 @register(
     "text_fingerprint",
-    oracle=r"""
-    SELECT doc_id,
-           md5(array_to_string(
-                 list_sort(list_distinct(
-                   list_filter(regexp_split_to_array(lower(text), '\s+'),
-                               t -> t <> ''))), ' ')) AS fingerprint
+    oracle=f"""
+    SELECT doc_id, {DUCK_FINGERPRINT.format(col="text")} AS fingerprint
     FROM documents
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical document fingerprint: md5 over the sorted distinct
-    lowered vocabulary — an order/duplication-insensitive content key
-    (the bag-of-words analog of a rolling-hash fingerprint; cheap to
-    compute per-row and joinable for corpus-level dedup)."""
+    """Canonical document fingerprint (the bag-of-words analog of a
+    rolling-hash fingerprint; cheap to compute per-row and joinable for
+    corpus-level dedup)."""
     d = table(spark, sf_dir, "documents")
-    vocab = F.array_sort(
-        F.array_distinct(
-            F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: t != "")
-        )
+    return d.select(
+        "doc_id", vocab_fingerprint(F.col("text")).alias("fingerprint")
     )
-    return d.select("doc_id", F.md5(F.array_join(vocab, " ")).alias("fingerprint"))
+
+
+@register(
+    "text_ngram_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> t <> '') AS l
+      FROM documents
+    ), bi AS (
+      SELECT b.ngram
+      FROM toks, unnest(list_transform(range(1, len(l)),
+                                       i -> l[i] || ' ' || l[i+1])) AS b(ngram)
+      WHERE len(l) >= 2
+    )
+    SELECT ngram, count(*) AS n
+    FROM bi GROUP BY ngram
+    ORDER BY n DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — boilerplate detection and the
+    input to the Jaccard df-cap. explode → count is partial-agg'd
+    map-side, and the final top-k is a TakeOrderedAndProject (no global
+    sort); (count, ngram) tiebreak keeps the cut deterministic."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: t != "")
+    n = F.size(toks) - F.lit(1)
+    grams = F.zip_with(
+        F.slice(toks, 1, n), F.slice(toks, 2, n),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bigrams = F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(20)
+    )
 

@@ -153,6 +153,47 @@ def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_sliding_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) * 300 - o.off AS BIGINT)
+             AS window_start_epoch,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events, unnest([0, 300]) AS o(off)
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10-minute span, 5-minute slide):
+    every event lands in exactly two overlapping windows. Spark's
+    ``window()`` replicates each row per covering window before the
+    aggregation — same partial+final agg shape as tumbling, with a
+    constant span/slide row-amplification factor (the oracle mirrors it
+    with an explicit 2-offset unnest)."""
+    e = table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes").alias("w")
+    return (
+        e.groupBy(w, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH flagged AS (

@@ -125,3 +125,61 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return decode_binary_column(payloads)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+_FRAME_STRIDE = 2
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i.idx AS BIGINT) AS frame_idx,
+           md5(text || '#' || CAST(i.idx AS VARCHAR)) AS frame_md5
+    FROM documents,
+         unnest(range(0, octet_length(encode(text)) % 7 + 2,
+                      {_FRAME_STRIDE})) AS i(idx)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: each binary payload expands to a
+    strided subset of its frames (one output row per sampled frame) via
+    row-expanding Arrow-batched mapInPandas — the shape ``applyInPandas``
+    can't express (output cardinality differs per input row). The
+    "decode" is a deterministic fake (frame count from byte length,
+    frame id = md5 of payload#idx); a real ffmpeg-backed sampler swaps
+    into the same batch function, schema, and partitioning untouched."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # local closure: pickled by value, workers don't need the package
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out_doc, out_idx, out_md5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) % 7 + 2
+                for idx in range(0, n_frames, _FRAME_STRIDE):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_md5.append(
+                        hashlib.md5(
+                            payload + b"#" + str(idx).encode()
+                        ).hexdigest()
+                    )
+            yield _pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return payloads.mapInPandas(sample_batches, FRAME_SCHEMA)

@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_eval_overlap",
     "text_ngram_topk",
     "window_sliding_counts",
+    "multimodal_frame_sample",
+    "embedding_quantize_int8",
     # §2.2/2.3 text operators (incl. de-vacuated Arabic entries)
     "p14_remove_diac",
     "t2_tokenize_words",

@@ -233,3 +233,50 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         round_half_up(F.sum(norm_dec).cast("double") / F.count("*"), 4).alias("avg_l2_norm"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           (floor(scale * 1000000 + 0.5) / 1000000) AS scale_r,
+           array_to_string(list_transform(emb,
+             x -> CAST(CAST(floor((CASE WHEN scale > 0
+                                        THEN x / scale ELSE 0.0 END) + 0.5)
+                            AS BIGINT) AS VARCHAR)), ',') AS q_str
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|x|/127) —
+    the storage/serving compression step of an embedding pipeline.
+    Quantized values use floor(x+0.5) (identical semantics in both
+    engines, unlike banker's/away-from-zero rounding); the quantized
+    array is string-encoded because list-valued result cells are
+    unhashable for the verification canonicalizer. Zero-shuffle per-row
+    expressions; `scale` referenced inside the transform lambda is
+    re-inlined per element by CollapseProject (~d·d flops/row, d=64 —
+    still cheaper at scale than materializing an intermediate column
+    via a barrier or shuffle)."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.transform(
+        emb,
+        lambda x: F.floor(
+            F.when(scale > 0, x / scale).otherwise(F.lit(0.0)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .cast("string"),
+    )
+    return e.select(
+        "vec_id",
+        round_half_up(scale, 6).alias("scale_r"),
+        F.array_join(q, ",").alias("q_str"),
+    )

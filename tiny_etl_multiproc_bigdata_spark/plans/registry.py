@@ -73,21 +73,17 @@ def _load_all() -> None:
 # last — they already have a green row on the board. Revisit each
 # round: front-load whatever the last sweep still left unchecked.
 _PRIORITY: tuple[str, ...] = (
-    # r01 red — fixed this round, must re-verify
+    # r01 red — fixed this round, must re-verify (VERDICT items 1, 3)
     "flagship_words",
     "agg_collect_set",
-    # new in r02 — no row exists yet anywhere
+    # r01-green entries whose implementation changed this round — the
+    # verdict's done-criteria require a FRESH green row (items 5-7)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
+    # new flagship-grade grouping ops
     "dedup_cc_groups",
     "dedup_survivors",
-    "text_pii_scrub",
-    "corpus_curation",
-    "streaming_stream_static_join",
-    "decontaminate_eval_overlap",
-    "text_ngram_topk",
-    "window_sliding_counts",
-    "multimodal_frame_sample",
-    "embedding_quantize_int8",
     # §2.2/2.3 text operators (incl. de-vacuated Arabic entries)
     "p14_remove_diac",
     "t2_tokenize_words",
@@ -134,13 +130,25 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_session_window",
     "multimodal_binary_metadata",
     "multimodal_decode_stub",
-    # LLM-pipeline core still unchecked
+    # LLM-pipeline core still unchecked (r01 gap list)
     "text_token_count",
     "text_lang_id",
     "text_quality_score",
     "text_fingerprint",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_lsh_buckets",
+    "vector_norm_stats",
+    # new-in-r02 extensions: verified locally at two scales; fine to
+    # reach these only if the driver's cap allows (else r03 front-loads)
+    "text_pii_scrub",
+    "corpus_curation",
+    "decontaminate_eval_overlap",
+    "text_ngram_topk",
+    "window_sliding_counts",
+    "streaming_stream_static_join",
+    "multimodal_frame_sample",
+    "embedding_quantize_int8",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

@@ -298,6 +298,108 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_EVAL_ORACLE = (
+    _MINHASH_PAIR_CTES
+    + f""", pred AS (
+  SELECT doc_a, doc_b FROM mh WHERE n_match >= 4
+), ex AS (
+  SELECT DISTINCT doc_id, s.sh
+  FROM shingled, unnest(shingles) AS s(sh)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), exact AS (
+  -- Jaccard >= 0.5 in integer arithmetic: inter/union >= 1/2
+  -- <=> 3*inter >= |A| + |B|
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 3 * i.n_common >= sa.n + sb.n
+), joined AS (
+  SELECT coalesce(p.flag, 0) AS p, coalesce(e.flag, 0) AS e
+  FROM (SELECT doc_a, doc_b, 1 AS flag FROM pred) p
+  FULL JOIN (SELECT doc_a, doc_b, 1 AS flag FROM exact) e
+    USING (doc_a, doc_b)
+)
+SELECT CAST(sum(p) AS BIGINT)     AS n_pred,
+       CAST(sum(e) AS BIGINT)     AS n_exact,
+       CAST(sum(p * e) AS BIGINT) AS n_hit,
+       (floor(CASE WHEN sum(p) > 0
+                   THEN CAST(sum(p * e) AS DOUBLE) / sum(p) ELSE 0.0 END
+              * 10000 + 0.5) / 10000) AS precision_at_half,
+       (floor(CASE WHEN sum(e) > 0
+                   THEN CAST(sum(p * e) AS DOUBLE) / sum(e) ELSE 0.0 END
+              * 10000 + 0.5) / 10000) AS recall_at_half
+FROM joined
+"""
+)
+
+
+@register("minhash_recall_eval", oracle=_MINHASH_EVAL_ORACLE)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation: precision/recall of the minhash
+    candidate pairs (est Jaccard ≥ 0.5 ⟺ ≥4/8 components) against
+    EXACT shingle-set Jaccard ≥ 0.5 — the measurement loop that tunes
+    band/row parameters before a production dedup run. Both thresholds
+    compare integers (n_match ≥ 4; 3·|A∩B| ≥ |A|+|B|), so the
+    classification is engine-exact; only the final two ratios are
+    floats. The exact side is an uncapped inverted-index self-join —
+    an offline EVAL job to run on a sample, not the production
+    candidate path (that is dedup_minhash_lsh + the df-capped
+    verification in dedup_ngram_jaccard)."""
+    d = table(spark, sf_dir, "documents")
+    shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
+        F.size("shingles") > 0
+    )
+    pred = (
+        minhash_scored_pairs(spark, sf_dir)
+        .filter(F.col("n_match") >= 4)
+        .select("doc_a", "doc_b", F.lit(1).alias("p"))
+    )
+    ex = shingled.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).distinct()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .filter(3 * F.col("n_common") >= F.col("na") + F.col("nb"))
+        .select("doc_a", "doc_b", F.lit(1).alias("e"))
+    )
+    joined = pred.join(exact, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("p", F.lit(0)).alias("p"), F.coalesce("e", F.lit(0)).alias("e")
+    )
+    sp, se, sh_ = F.sum("p"), F.sum("e"), F.sum(F.col("p") * F.col("e"))
+    return joined.agg(
+        sp.cast("bigint").alias("n_pred"),
+        se.cast("bigint").alias("n_exact"),
+        sh_.cast("bigint").alias("n_hit"),
+        round_half_up(
+            F.when(sp > 0, sh_.cast("double") / sp).otherwise(F.lit(0.0)), 4
+        ).alias("precision_at_half"),
+        round_half_up(
+            F.when(se > 0, sh_.cast("double") / se).otherwise(F.lit(0.0)), 4
+        ).alias("recall_at_half"),
+    )
+
+
 _N_SIM_BITS = 32
 
 

@@ -149,6 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stream_static_join",
     "multimodal_frame_sample",
     "embedding_quantize_int8",
+    "minhash_recall_eval",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

@@ -359,6 +359,47 @@ def t3_arabic_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t4_pipeline_chain",
+    oracle=r"""
+    SELECT source, count(DISTINCT lower(trim(t.token))) AS n_distinct_words
+    FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
+    WHERE trim(t.token) <> ''
+    GROUP BY source
+    """,
+)
+def t4_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 `flatMapApply` transformer chaining (pipline.py:92-145,
+    commons.py:46-56) exercised through the Pipeline DSL itself —
+    extract → tokenize → mapper rewrite → row filter → per-bag unique
+    → fold, each stage a composable df→df callable exactly as the
+    reference chains transformer generators. The whole chain still
+    collapses into ONE Catalyst plan (single shuffle pair), which is
+    the point of the Spark re-expression."""
+    from pyspark.sql import functions as _F
+
+    from tiny_etl_multiproc_bigdata_spark.operators.pipeline import (
+        Pipeline,
+        keep_rows,
+        reduce_fold,
+        tokenize_words as dsl_tokenize,
+        unique_filter,
+        with_rewritten,
+    )
+
+    return Pipeline(
+        extract=lambda s: table(s, sf_dir, "documents"),
+        transformers=[
+            dsl_tokenize("text", "word", keep=("source",)),
+            with_rewritten("word", _F.trim, _F.lower),
+            keep_rows(F.col("word") != ""),
+            unique_filter("source", "word"),
+            reduce_fold(["source"], "n_distinct_words", F.count(F.lit(1))),
+        ],
+        loaders=[lambda df: None],
+    ).plan(spark)
+
+
 # --------------------------------------------------------------------------
 # §2.4 Aggregations (reference A1-A5)
 # --------------------------------------------------------------------------

@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "p14_remove_diac",
     "t2_tokenize_words",
     "t3_arabic_tokenize",
+    "t4_pipeline_chain",
     # §2.4 aggregations
     "a1_reduce_count",
     "a1_reduce_fold_sum",

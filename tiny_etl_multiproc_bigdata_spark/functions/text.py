@@ -78,3 +78,23 @@ def tokenize_words(col: Column | str, pattern: str = r"\s+") -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, pattern, -1)
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Contiguous word n-grams of a token array, space-joined.
+
+    Built from n shifted ``slice``s folded pairwise with ``zip_with`` —
+    NOT ``transform(sequence(...), i -> element_at(tokens, i))``: HOFs
+    run interpreted, so each element_at would re-evaluate the whole
+    token-array derivation, turning an O(tokens) row into
+    O(tokens × ngrams). With slices the array is evaluated a constant
+    number of times per row. Empty array when fewer than n tokens
+    (a negative slice length would throw)."""
+    m = F.size(tokens) - F.lit(n - 1)
+    slices = [F.slice(tokens, i + 1, m) for i in range(n)]
+    grams = slices[0]
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )

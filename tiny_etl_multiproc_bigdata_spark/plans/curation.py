@@ -30,6 +30,32 @@ from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
 )
 
 # --------------------------------------------------------------------------
+# Literal fixture-row plumbing (shared by the PII and decontamination
+# entries; the Arabic rows in reference_ops.py follow the same pattern
+# with a 3-column schema). Rows must avoid apostrophes — they are
+# embedded in single-quoted SQL literals.
+# --------------------------------------------------------------------------
+
+
+def _fixture_docs_sql(rows: list[tuple[int, str]]) -> str:
+    """FROM-substitutable view: documents(doc_id, text) ∪ literal rows."""
+    values = ", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in rows)
+    return (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {values}) v(doc_id, text))"
+    )
+
+
+def _fixture_docs(
+    spark: SparkSession, sf_dir: str, rows: list[tuple[int, str]]
+) -> DataFrame:
+    """Spark twin of _fixture_docs_sql."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    return base.unionByName(extra)
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing
 # --------------------------------------------------------------------------
 # Conservative patterns valid in BOTH Java regex (Spark) and RE2
@@ -52,20 +78,11 @@ _PII_ROWS: list[tuple[int, str]] = [
     (-14, "mixed: eve@corp.io from 172.16.254.3 phone +44 20 7946 0958"),
 ]
 
-_PII_VALUES_SQL = ", ".join(
-    f"(CAST({i} AS BIGINT), '{t}')" for i, t in _PII_ROWS
-)
-
-_PII_DOCS_SQL = (
-    "(SELECT doc_id, text FROM documents UNION ALL "
-    f"SELECT * FROM (VALUES {_PII_VALUES_SQL}) v(doc_id, text))"
-)
-
 _PII_ORACLE = f"""
 WITH staged AS (
   SELECT doc_id, text,
          regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS s1
-  FROM {_PII_DOCS_SQL} d
+  FROM {_fixture_docs_sql(_PII_ROWS)} d
 ), staged2 AS (
   SELECT doc_id, text, s1,
          regexp_replace(s1, '{_PII_IPV4}', '<IP>', 'g') AS s2
@@ -87,9 +104,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced with typed placeholders; per-doc redaction count for audit
     sampling. Sequential category passes (email → IP → phone) keep the
     counting unambiguous in both engines."""
-    base = table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(_PII_ROWS, schema="doc_id bigint, text string")
-    d = base.unionByName(extra)
+    d = _fixture_docs(spark, sf_dir, _PII_ROWS)
     s1 = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
     d = d.withColumn("s1", s1)
     d = d.withColumn("s2", F.regexp_replace(F.col("s1"), _PII_IPV4, "<IP>"))
@@ -103,11 +118,6 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("s2"), _PII_PHONE, "<PHONE>").alias("scrubbed"),
         n_redact.cast("bigint").alias("n_redactions"),
     )
-
-
-# --------------------------------------------------------------------------
-# End-to-end corpus curation
-# --------------------------------------------------------------------------
 
 
 # --------------------------------------------------------------------------
@@ -126,24 +136,18 @@ _DECON_ROWS: list[tuple[int, str]] = [
     (-23, "an entirely novel training document about nothing"),
 ]
 
-_DECON_VALUES_SQL = ", ".join(
-    f"(CAST({i} AS BIGINT), '{t}')" for i, t in _DECON_ROWS
-)
-
-_DECON_DOCS_SQL = (
-    "(SELECT doc_id, text FROM documents UNION ALL "
-    f"SELECT * FROM (VALUES {_DECON_VALUES_SQL}) v(doc_id, text))"
-)
-
 _DECON_ORACLE = f"""
 WITH fp AS (
   SELECT doc_id, {DUCK_FINGERPRINT.format(col="text")} AS fingerprint
-  FROM {_DECON_DOCS_SQL} d
+  FROM {_fixture_docs_sql(_DECON_ROWS)} d
 )
 SELECT f.doc_id, f.fingerprint
 FROM fp f
 WHERE f.doc_id % 97 <> 0
-  AND f.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 97 = 0)
+  -- NOT EXISTS, not NOT IN: NOT IN returns zero rows if any eval
+  -- fingerprint were NULL, while Spark's left_anti is null-safe
+  AND NOT EXISTS (SELECT 1 FROM fp e
+                  WHERE e.doc_id % 97 = 0 AND e.fingerprint = f.fingerprint)
 """
 
 
@@ -155,9 +159,7 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining corpus. The eval fingerprint set is tiny, so the
     anti-join broadcasts; fingerprints are computed in one corpus scan
     with no shuffle on the training side."""
-    base = table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(_DECON_ROWS, schema="doc_id bigint, text string")
-    d = base.unionByName(extra).select(
+    d = _fixture_docs(spark, sf_dir, _DECON_ROWS).select(
         "doc_id", vocab_fingerprint(F.col("text")).alias("fingerprint")
     )
     is_eval = F.col("doc_id") % 97 == 0
@@ -166,6 +168,11 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(F.broadcast(evalset), "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation
+# --------------------------------------------------------------------------
 
 
 def _curation_oracle() -> str:

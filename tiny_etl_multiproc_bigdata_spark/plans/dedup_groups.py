@@ -43,7 +43,11 @@ from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 # comparing the rounded float estimate would be engine-sensitive.
 _CC_MIN_MATCH = 4
 
-_MAX_CC_ROUNDS = 25
+# Must exceed any plausible component diameter: convergence breaks the
+# loop early, so a generous bound costs nothing on real (quasi-clique)
+# dup clusters but keeps adversarial chains (and the property test's
+# random path graphs) inside the bound.
+_MAX_CC_ROUNDS = 64
 
 
 def _cc_labels(edges: DataFrame) -> DataFrame:

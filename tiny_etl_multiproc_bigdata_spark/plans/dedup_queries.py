@@ -44,22 +44,12 @@ def _tokens(col):
 
 def _shingles(col):
     """Distinct word-3-gram shingles of a text column (empty array for
-    docs under 3 tokens).
+    docs under 3 tokens). Shifted-slice construction via
+    functions.text.word_ngrams — see its docstring for why this is not
+    a transform/element_at HOF."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import word_ngrams
 
-    Built from three shifted `slice`s zipped pairwise — NOT
-    `transform(sequence(...), i -> element_at(toks, i))`: HOFs run
-    interpreted, so each element_at would re-evaluate the whole
-    tokenize sub-expression, turning an O(tokens) row into O(tokens ×
-    shingles). With slices the token array is evaluated a constant
-    number of times per row."""
-    toks = _tokens(col)
-    n = F.size(toks) - F.lit(2)
-    s1, s2, s3 = F.slice(toks, 1, n), F.slice(toks, 2, n), F.slice(toks, 3, n)
-    pair = F.zip_with(s1, s2, lambda x, y: F.concat_ws(" ", x, y))
-    grams = F.zip_with(pair, s3, lambda xy, z: F.concat_ws(" ", xy, z))
-    return F.when(F.size(toks) >= 3, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(word_ngrams(_tokens(col), 3))
 
 
 _DUCK_SHINGLES = r"""
@@ -360,9 +350,13 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_match") >= 4)
         .select("doc_a", "doc_b", F.lit(1).alias("p"))
     )
-    ex = shingled.select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).distinct()
+    # three consumers (both self-join sides + sizes): materialize once,
+    # same invariant as the minhash sig stage above
+    ex = (
+        shingled.select("doc_id", F.explode("shingles").alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ex.alias("a")
     b = ex.alias("b")

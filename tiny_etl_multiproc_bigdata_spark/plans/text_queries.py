@@ -205,18 +205,12 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     input to the Jaccard df-cap. explode → count is partial-agg'd
     map-side, and the final top-k is a TakeOrderedAndProject (no global
     sort); (count, ngram) tiebreak keeps the cut deterministic."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import word_ngrams
+
     d = table(spark, sf_dir, "documents")
     toks = F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: t != "")
-    n = F.size(toks) - F.lit(1)
-    grams = F.zip_with(
-        F.slice(toks, 1, n), F.slice(toks, 2, n),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
-    bigrams = F.when(F.size(toks) >= 2, grams).otherwise(
-        F.array().cast("array<string>")
-    )
     return (
-        d.select(F.explode(bigrams).alias("ngram"))
+        d.select(F.explode(word_ngrams(toks, 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("ngram"))

@@ -1,0 +1,154 @@
+"""Table maintenance & ops diagnostics: CDC-style upsert merge,
+per-column profiling, and hot-key detection — the operational layer a
+long-running ingest needs around the analytic operators.
+
+Scale shape (100 TB):
+* merge_upsert — one full-outer shuffle join keyed on the merge key;
+  at production scale this runs per partition (dynamic partition
+  overwrite) or against a bucketed base so only changed buckets
+  rewrite. The changes side is normally tiny → broadcast.
+* table_profile — ONE corpus scan computing every per-column metric as
+  parallel aggregates, then a constant-width stack; never one scan per
+  column.
+* key_skew_profile — partial-agg'd count per key + global top-k
+  (TakeOrdered): the pre-flight check that decides whether a join
+  needs salting (scale_patterns.skew_salted_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+# Inserted rows get keys shifted far past the fixture key range.
+_NEW_KEY_OFFSET = 1_000_000_000
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+    WITH chg AS (
+      SELECT o_orderkey AS k, 'X' AS status,
+             CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS total
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + {_NEW_KEY_OFFSET}, 'N',
+             CAST(o_totalprice AS DECIMAL(18,2))
+      FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT coalesce(c.k, b.o_orderkey) AS o_orderkey,
+           coalesce(c.status, b.o_orderstatus) AS o_orderstatus,
+           round(CAST(coalesce(c.total,
+                               CAST(b.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS o_totalprice
+    FROM orders b FULL JOIN chg c ON b.o_orderkey = c.k
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (MERGE semantics on plain tables): a change set of
+    updates (every 10th key: status X, price doubled) and inserts
+    (shifted new keys) merged into the base via full-outer join +
+    column coalesce — update wins, insert appends, untouched rows pass
+    through. The format-agnostic merge shape under Delta/Iceberg
+    MERGE INTO; money math stays DECIMAL until the final display
+    round."""
+    o = table(spark, sf_dir, "orders")
+    total_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("status"),
+        (total_dec * 2).alias("total"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 7 == 3).select(
+        (F.col("o_orderkey") + _NEW_KEY_OFFSET).alias("k"),
+        F.lit("N").alias("status"),
+        total_dec.alias("total"),
+    )
+    chg = updates.unionByName(inserts)
+    b = o.alias("b")
+    c = chg.alias("c")
+    return b.join(c, F.col("b.o_orderkey") == F.col("c.k"), "full").select(
+        F.coalesce("c.k", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("c.status", "b.o_orderstatus").alias("o_orderstatus"),
+        F.round(
+            F.coalesce(F.col("c.total"), F.col("b.o_totalprice").cast("decimal(18,2)"))
+            .cast("double"),
+            2,
+        ).alias("o_totalprice"),
+    )
+
+
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("table_profile", oracle=_profile_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (row/null/distinct counts) in
+    ONE scan: all metrics aggregate in parallel into a single row,
+    then a constant-width stack pivots them to one row per column —
+    never a scan per column."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (column_name, n_null, n_distinct)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+    ), tot AS (SELECT sum(n) AS t FROM counts)
+    SELECT l_suppkey, n,
+           (floor(CAST(n AS DOUBLE) / t * 1000000 + 0.5) / 1000000) AS share
+    FROM counts, tot
+    ORDER BY n DESC, l_suppkey ASC
+    LIMIT 10
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic: the 10 heaviest join keys with their row
+    share — the pre-flight that decides whether a join needs salting
+    or AQE skew handling. Partial-agg'd per-key counts, a 1-row total
+    broadcast back, TakeOrdered top-k; (count, key) tiebreak keeps the
+    cut deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n",
+            round_half_up(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("l_suppkey"))
+        .limit(10)
+    )

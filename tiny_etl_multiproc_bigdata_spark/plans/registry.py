@@ -47,6 +47,7 @@ def _load_all() -> None:
         flagship,
         generators,
         ivf_kmeans,
+        maintenance,
         reference_ops,
         relational,
         scale_patterns,
@@ -151,6 +152,9 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "embedding_quantize_int8",
     "minhash_recall_eval",
+    "merge_upsert",
+    "table_profile",
+    "key_skew_profile",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert",
     "table_profile",
     "key_skew_profile",
+    "streaming_foreach_batch",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

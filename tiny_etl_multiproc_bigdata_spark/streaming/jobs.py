@@ -204,3 +204,36 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value"),
     )
     return _run_to_memory(agg, spark, "stream_static_join", "complete")
+
+
+@register(
+    "streaming_foreach_batch",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink integration: each micro-batch is handed to a
+    driver-side callback that can reuse ANY batch loader (csv_load /
+    jdbc_load / tee_load — the reference's loader layer under
+    streaming). Here batches append to a parquet stage which is read
+    back as the result, proving no rows are lost or duplicated across
+    batch boundaries (checkpointed exactly-once within the run). The
+    callback runs on the driver with a full batch DataFrame — no
+    worker pickling concerns."""
+    import os
+    import tempfile
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    root = tempfile.mkdtemp(prefix="spark_feb_")
+    data_dir = os.path.join(root, "data")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(data_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(data_dir)

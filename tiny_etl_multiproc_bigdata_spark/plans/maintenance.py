@@ -3,10 +3,12 @@ per-column profiling, and hot-key detection — the operational layer a
 long-running ingest needs around the analytic operators.
 
 Scale shape (100 TB):
-* merge_upsert — one full-outer shuffle join keyed on the merge key;
-  at production scale this runs per partition (dynamic partition
-  overwrite) or against a bucketed base so only changed buckets
-  rewrite. The changes side is normally tiny → broadcast.
+* merge_upsert — NOT a full-outer join (Spark cannot broadcast a
+  full-outer side; it would force a sort-merge shuffle of the whole
+  base): updates apply via a broadcast LEFT join (update keys are a
+  subset of base keys), inserts append via union. One base scan, zero
+  base-side shuffle. At production scale the write side is dynamic
+  partition overwrite / bucketed so only changed buckets rewrite.
 * table_profile — ONE corpus scan computing every per-column metric as
   parallel aggregates, then a constant-width stack; never one scan per
   column.
@@ -51,11 +53,13 @@ _NEW_KEY_OFFSET = 1_000_000_000
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC upsert (MERGE semantics on plain tables): a change set of
     updates (every 10th key: status X, price doubled) and inserts
-    (shifted new keys) merged into the base via full-outer join +
-    column coalesce — update wins, insert appends, untouched rows pass
-    through. The format-agnostic merge shape under Delta/Iceberg
-    MERGE INTO; money math stays DECIMAL until the final display
-    round."""
+    (shifted new keys, disjoint from base) merged into the base —
+    update wins, insert appends, untouched rows pass through. The
+    oracle states it as one FULL JOIN; the Spark plan deliberately
+    decomposes it into broadcast-LEFT-join + union (see module
+    docstring), which is equivalent because update keys ⊆ base keys
+    and insert keys are disjoint. Money math stays DECIMAL until the
+    final display round."""
     o = table(spark, sf_dir, "orders")
     total_dec = F.col("o_totalprice").cast("decimal(18,2)")
     updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
@@ -64,22 +68,24 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total_dec * 2).alias("total"),
     )
     inserts = o.filter(F.col("o_orderkey") % 7 == 3).select(
-        (F.col("o_orderkey") + _NEW_KEY_OFFSET).alias("k"),
-        F.lit("N").alias("status"),
-        total_dec.alias("total"),
+        (F.col("o_orderkey") + _NEW_KEY_OFFSET).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.round(total_dec.cast("double"), 2).alias("o_totalprice"),
     )
-    chg = updates.unionByName(inserts)
     b = o.alias("b")
-    c = chg.alias("c")
-    return b.join(c, F.col("b.o_orderkey") == F.col("c.k"), "full").select(
-        F.coalesce("c.k", "b.o_orderkey").alias("o_orderkey"),
-        F.coalesce("c.status", "b.o_orderstatus").alias("o_orderstatus"),
+    u = updates.alias("u")
+    upserted = b.join(
+        F.broadcast(u), F.col("b.o_orderkey") == F.col("u.k"), "left"
+    ).select(
+        F.col("b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.status", "b.o_orderstatus").alias("o_orderstatus"),
         F.round(
-            F.coalesce(F.col("c.total"), F.col("b.o_totalprice").cast("decimal(18,2)"))
+            F.coalesce(F.col("u.total"), F.col("b.o_totalprice").cast("decimal(18,2)"))
             .cast("double"),
             2,
         ).alias("o_totalprice"),
     )
+    return upserted.unionByName(inserts)
 
 
 _PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")

@@ -98,3 +98,16 @@ def test_survivor_join_broadcasts_membership(spark, sf_dir):
         plan = _plan(_q(name, spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{name}: membership join not broadcast"
         assert "SortMergeJoin" not in plan, f"{name}: corpus shuffled for membership join"
+
+
+def test_merge_upsert_broadcasts_changes(spark, sf_dir):
+    """The upsert must never shuffle the base table: updates join via
+    broadcast (a full-outer formulation would force sort-merge)."""
+    plan = _plan(_q("merge_upsert", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_key_skew_profile_is_take_ordered(spark, sf_dir):
+    plan = _plan(_q("key_skew_profile", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-k degraded to a global sort"

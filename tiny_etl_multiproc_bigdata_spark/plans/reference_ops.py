@@ -100,6 +100,29 @@ def s1_files_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s4_whole_text",
+    oracle="""
+    SELECT doc_id, source AS file_path, text AS content,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def s4_whole_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 `FileTextReaderTransformer` (transformers/files.py:56-88):
+    path + whole-document UTF-8 content, one row per file. Fixture
+    analog of sources/files.py::read_whole_files (the real wholetext
+    reader, unit-tested on a temp dir); also exercised end-to-end by
+    the flagship lineage."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("source").alias("file_path"),
+        F.col("text").alias("content"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
     "s5_file_lines",
     oracle=r"""
     SELECT doc_id, trim(l.line) AS line

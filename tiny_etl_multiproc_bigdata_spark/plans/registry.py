@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "t2_tokenize_words",
     "t3_arabic_tokenize",
     "t4_pipeline_chain",
+    "s4_whole_text",
     # §2.4 aggregations
     "a1_reduce_count",
     "a1_reduce_fold_sum",

@@ -212,22 +212,30 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink integration: each micro-batch is handed to a
-    driver-side callback that can reuse ANY batch loader (csv_load /
-    jdbc_load / tee_load — the reference's loader layer under
-    streaming). Here batches append to a parquet stage which is read
-    back as the result, proving no rows are lost or duplicated across
-    batch boundaries (checkpointed exactly-once within the run). The
-    callback runs on the driver with a full batch DataFrame — no
-    worker pickling concerns."""
+    driver-side callback that reuses the BATCH loader layer — here
+    ``sinks.csv_load`` (L4), the reference's loader under streaming.
+    Each batch overwrites its own ``batch_id=N`` directory, so a
+    retried micro-batch rewrites the same files instead of appending
+    duplicates (idempotent writes = effective exactly-once; a blind
+    append would only be at-least-once under retry). The stage is read
+    back as the result and hash-checked lossless against the batch
+    oracle. A fixed per-sf staging dir, cleared on entry, bounds /tmp
+    to one copy per scale across repeated sweep/bench runs."""
+    import hashlib
     import os
+    import shutil
     import tempfile
 
+    from tiny_etl_multiproc_bigdata_spark.sinks import csv_load
+
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
-    root = tempfile.mkdtemp(prefix="spark_feb_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_feb_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
     data_dir = os.path.join(root, "data")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(data_dir)
+        csv_load(batch_df, os.path.join(data_dir, f"batch_id={batch_id}"))
 
     q = (
         ev.writeStream.foreachBatch(write_batch)
@@ -236,4 +244,9 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(data_dir)
+    return (
+        spark.read.option("sep", ";")
+        .option("header", "true")
+        .schema("event_id bigint, user_id bigint, event_type string")
+        .csv(os.path.join(data_dir, "batch_id=*"))
+    )

@@ -288,6 +288,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental variant: docs with doc_id % 10 == 7 play the "tonight's
+# batch" role; the rest are the standing corpus. Candidates pair batch
+# docs against corpus docs only — never corpus × corpus.
+_INCREMENTAL_ORACLE = (
+    _MINHASH_PAIR_CTES.replace(
+        """), mh AS (""",
+        """), pairs_inc AS (
+  SELECT q.doc_a, q.doc_b FROM pairs q
+  WHERE (q.doc_a % 10 = 7) <> (q.doc_b % 10 = 7)
+), mh AS (""",
+    ).replace("FROM pairs p", "FROM pairs_inc p")
+    + f"""
+SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS batch_doc,
+       CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS corpus_doc,
+       (floor(CAST(n_match AS DOUBLE) / {_N_HASHES}.0 * 10000 + 0.5) / 10000)
+         AS est_jaccard
+FROM mh
+WHERE n_match >= 4
+"""
+)
+
+
+@register("dedup_incremental_minhash", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (nightly-ingest) near-dup: signatures for the NEW
+    batch are checked against the standing corpus only — the band join
+    pairs batch rows with corpus rows and never corpus with itself, so
+    nightly cost is O(batch), not O(corpus²) and not even a corpus
+    re-signature (at production scale corpus signatures/bands persist
+    as a staged table and only the batch side is computed fresh; here
+    both derive from one fixture read with the batch simulated as
+    doc_id % 10 == 7). Output: batch docs with their corpus near-dup
+    and the signature-estimated Jaccard ≥ 0.5."""
+    is_batch_a = F.col("doc_a") % 10 == 7
+    is_batch_b = F.col("doc_b") % 10 == 7
+    p = (
+        minhash_scored_pairs(spark, sf_dir)
+        .filter(is_batch_a != is_batch_b)
+        .filter(F.col("n_match") >= 4)
+    )
+    return p.select(
+        F.when(is_batch_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "batch_doc"
+        ),
+        F.when(is_batch_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "corpus_doc"
+        ),
+        round_half_up(
+            F.col("n_match").cast("double") / F.lit(float(_N_HASHES)), 4
+        ).alias("est_jaccard"),
+    )
+
+
 _MINHASH_EVAL_ORACLE = (
     _MINHASH_PAIR_CTES
     + f""", pred AS (

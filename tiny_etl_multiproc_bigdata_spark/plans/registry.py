@@ -157,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "table_profile",
     "key_skew_profile",
     "streaming_foreach_batch",
+    "dedup_incremental_minhash",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

@@ -309,6 +309,11 @@ WHERE n_match >= 4
 """
 )
 
+# The oracle is derived by string surgery on _MINHASH_PAIR_CTES; a
+# drifted anchor would silently produce the NON-incremental query.
+assert "pairs_inc AS (" in _INCREMENTAL_ORACLE
+assert "FROM pairs_inc p" in _INCREMENTAL_ORACLE
+
 
 @register("dedup_incremental_minhash", oracle=_INCREMENTAL_ORACLE)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,31 +29,12 @@ from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
     vocab_fingerprint,
 )
 
-# --------------------------------------------------------------------------
-# Literal fixture-row plumbing (shared by the PII and decontamination
-# entries; the Arabic rows in reference_ops.py follow the same pattern
-# with a 3-column schema). Rows must avoid apostrophes — they are
-# embedded in single-quoted SQL literals.
-# --------------------------------------------------------------------------
-
-
-def _fixture_docs_sql(rows: list[tuple[int, str]]) -> str:
-    """FROM-substitutable view: documents(doc_id, text) ∪ literal rows."""
-    values = ", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in rows)
-    return (
-        "(SELECT doc_id, text FROM documents UNION ALL "
-        f"SELECT * FROM (VALUES {values}) v(doc_id, text))"
-    )
-
-
-def _fixture_docs(
-    spark: SparkSession, sf_dir: str, rows: list[tuple[int, str]]
-) -> DataFrame:
-    """Spark twin of _fixture_docs_sql."""
-    base = table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(rows, schema="doc_id bigint, text string")
-    return base.unionByName(extra)
-
+# Literal fixture-row plumbing lives in plans/fixtures.py (shared with
+# text_queries, which curation imports — so it cannot live here).
+from tiny_etl_multiproc_bigdata_spark.plans.fixtures import (  # noqa: E402
+    fixture_docs as _fixture_docs,
+    fixture_docs_sql as _fixture_docs_sql,
+)
 
 # --------------------------------------------------------------------------
 # PII scrubbing
@@ -167,6 +148,37 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(~is_eval)
     return train.join(F.broadcast(evalset), "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
+    )
+
+
+def _topfrac_oracle() -> str:
+    quality_oracle = REGISTRY["text_quality_score"].oracle
+    return f"""
+    WITH qual AS ({quality_oracle}),
+    thr AS (
+      SELECT CAST(quantile_cont(quality_score, 0.25) AS DOUBLE) AS t
+      FROM qual
+    )
+    SELECT q.doc_id, q.quality_score
+    FROM qual q, thr WHERE q.quality_score >= thr.t
+    """
+
+
+@register("quality_topfrac_filter", oracle=_topfrac_oracle())
+def quality_topfrac_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top 75% of documents by quality score — fraction-based
+    selection via a TWO-PASS threshold (aggregate the exact p25 to one
+    row, broadcast it back, filter), NOT a percent_rank window: a
+    global unpartitioned window funnels the whole corpus through one
+    task, while this shape is a partial-agg'd percentile plus a
+    shuffle-free filtered scan. Both engines compute the same linear
+    interpolation on the micro-rounded scores, so the cut is exact."""
+    q = text_quality_score(spark, sf_dir)
+    thr = q.agg(F.expr("percentile(quality_score, 0.25)").alias("t"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("t"))
+        .select("doc_id", "quality_score")
     )
 
 

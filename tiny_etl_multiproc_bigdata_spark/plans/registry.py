@@ -158,6 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     "key_skew_profile",
     "streaming_foreach_batch",
     "dedup_incremental_minhash",
+    "quality_topfrac_filter",
+    "text_boilerplate_strip",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

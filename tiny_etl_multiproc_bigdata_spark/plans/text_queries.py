@@ -217,3 +217,88 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+
+# The synthetic docs are single-sentence and nothing repeats across ≥3
+# docs, so (fixture-row pattern, plans/fixtures.py) literal rows plant
+# a genuine boilerplate pair: "welcome to the site" / "unsubscribe
+# here" appear in 3 docs; -34 has no shared sentence and must pass
+# through untouched.
+_BOILERPLATE_ROWS: list[tuple[int, str]] = [
+    (-31, "Welcome to the site. Unsubscribe here. today we talk about cats."),
+    (-32, "welcome to the site. unsubscribe HERE. dogs are loyal animals."),
+    (-33, "welcome to the site. unsubscribe here. fish swim in rivers."),
+    (-34, "a unique document with no shared lines. totally original content."),
+]
+
+
+def _boilerplate_oracle() -> str:
+    from tiny_etl_multiproc_bigdata_spark.plans.fixtures import fixture_docs_sql
+
+    return r"""
+    WITH sents AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '\.'),
+                                        s -> trim(lower(s))),
+                         s -> s <> '') AS l
+      FROM {docs} d
+    ), ex AS (""".replace(
+        "{docs}", fixture_docs_sql(_BOILERPLATE_ROWS)
+    ) + r"""
+      SELECT doc_id, s.s FROM sents, unnest(l) AS s(s)
+    ), bl AS (
+      SELECT s AS sent FROM ex GROUP BY s HAVING count(DISTINCT doc_id) >= 3
+    ), blarr AS (
+      SELECT coalesce(list_sort(list(sent)), []) AS b FROM bl
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_sentences,
+           CAST(len(list_filter(l, s -> list_contains(b, s))) AS BIGINT)
+             AS n_boilerplate,
+           array_to_string(list_filter(l, s -> NOT list_contains(b, s)),
+                           '. ') AS cleaned_text
+    FROM sents, blarr
+    """
+
+
+@register("text_boilerplate_strip", oracle=_boilerplate_oracle())
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level boilerplate removal: sentences appearing in ≥3
+    distinct documents (headers, disclaimers, nav text) are stripped
+    from every document, preserving in-doc order and repetition of the
+    surviving sentences. The boilerplate set is tiny (it is by
+    definition the high-document-frequency tail) so it broadcasts as
+    one collected array; per-doc work is then pure membership filtering
+    in a single scan. Normalization is lower+trim, the same key the
+    frequency count uses. Input unions the planted multi-sentence
+    fixture rows (the synthetic corpus alone is single-sentence and
+    would make the comparison vacuous)."""
+    from tiny_etl_multiproc_bigdata_spark.plans.fixtures import fixture_docs
+
+    d = fixture_docs(spark, sf_dir, _BOILERPLATE_ROWS)
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"\."), lambda s: F.trim(F.lower(s))),
+        lambda s: s != "",
+    )
+    ex = d.select("doc_id", F.explode(sents).alias("sent"))
+    bl = (
+        ex.groupBy("sent")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+    )
+    bl_arr = bl.agg(
+        F.coalesce(
+            F.array_sort(F.collect_list("sent")), F.array().cast("array<string>")
+        ).alias("b")
+    )
+    keep = F.filter(sents, lambda s: ~F.array_contains(F.col("b"), s))
+    drop_n = F.size(sents) - F.size(keep)
+    return (
+        d.crossJoin(F.broadcast(bl_arr))
+        .select(
+            "doc_id",
+            F.size(sents).cast("bigint").alias("n_sentences"),
+            drop_n.cast("bigint").alias("n_boilerplate"),
+            F.array_join(keep, ". ").alias("cleaned_text"),
+        )
+    )

@@ -311,8 +311,12 @@ WHERE n_match >= 4
 
 # The oracle is derived by string surgery on _MINHASH_PAIR_CTES; a
 # drifted anchor would silently produce the NON-incremental query.
-assert "pairs_inc AS (" in _INCREMENTAL_ORACLE
-assert "FROM pairs_inc p" in _INCREMENTAL_ORACLE
+# Not `assert` — that compiles out under python -O.
+if (
+    "pairs_inc AS (" not in _INCREMENTAL_ORACLE
+    or "FROM pairs_inc p" not in _INCREMENTAL_ORACLE
+):
+    raise ValueError("incremental-oracle anchors drifted in _MINHASH_PAIR_CTES")
 
 
 @register("dedup_incremental_minhash", oracle=_INCREMENTAL_ORACLE)

@@ -16,6 +16,10 @@ from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     round_half_up,
 )
 from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
+from tiny_etl_multiproc_bigdata_spark.plans.fixtures import (
+    fixture_docs,
+    fixture_docs_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 # Small English stopword set used by the lang-id heuristic (public
@@ -233,8 +237,6 @@ _BOILERPLATE_ROWS: list[tuple[int, str]] = [
 
 
 def _boilerplate_oracle() -> str:
-    from tiny_etl_multiproc_bigdata_spark.plans.fixtures import fixture_docs_sql
-
     return r"""
     WITH sents AS (
       SELECT doc_id,
@@ -272,33 +274,46 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a single scan. Normalization is lower+trim, the same key the
     frequency count uses. Input unions the planted multi-sentence
     fixture rows (the synthetic corpus alone is single-sentence and
-    would make the comparison vacuous)."""
-    from tiny_etl_multiproc_bigdata_spark.plans.fixtures import fixture_docs
+    would make the comparison vacuous).
 
+    Shape: sentences explode ONCE (posexplode_outer keeps
+    zero-sentence docs), the exploded stage is checkpointed for its
+    two consumers (df count + strip), and the doc is reassembled with
+    an order-preserving (pos, sent) sort inside one groupBy. The
+    naive alternative — referencing the computed sentence array
+    several times in one projection — re-inlines the split+transform
+    derivation per reference (CollapseProject), ~4x the per-row CPU."""
     d = fixture_docs(spark, sf_dir, _BOILERPLATE_ROWS)
     sents = F.filter(
         F.transform(F.split(F.col("text"), r"\."), lambda s: F.trim(F.lower(s))),
         lambda s: s != "",
     )
-    ex = d.select("doc_id", F.explode(sents).alias("sent"))
-    bl = (
-        ex.groupBy("sent")
+    exp = d.select(
+        "doc_id", F.posexplode_outer(sents).alias("pos", "sent")
+    ).localCheckpoint(eager=True)
+    bl_arr = (
+        exp.filter(F.col("sent").isNotNull())
+        .groupBy("sent")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= 3)
-    )
-    bl_arr = bl.agg(
-        F.coalesce(
-            F.array_sort(F.collect_list("sent")), F.array().cast("array<string>")
-        ).alias("b")
-    )
-    keep = F.filter(sents, lambda s: ~F.array_contains(F.col("b"), s))
-    drop_n = F.size(sents) - F.size(keep)
-    return (
-        d.crossJoin(F.broadcast(bl_arr))
-        .select(
-            "doc_id",
-            F.size(sents).cast("bigint").alias("n_sentences"),
-            drop_n.cast("bigint").alias("n_boilerplate"),
-            F.array_join(keep, ". ").alias("cleaned_text"),
+        .agg(
+            F.coalesce(
+                F.array_sort(F.collect_list("sent")),
+                F.array().cast("array<string>"),
+            ).alias("b")
         )
+    )
+    flagged = exp.crossJoin(F.broadcast(bl_arr)).withColumn(
+        "is_bl", F.array_contains("b", F.col("sent"))
+    )
+    kept = F.when(~F.col("is_bl"), F.struct(F.col("pos"), F.col("sent")))
+    return flagged.groupBy("doc_id").agg(
+        F.count("sent").cast("bigint").alias("n_sentences"),
+        F.sum(F.when(F.col("is_bl"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["sent"]),
+            ". ",
+        ).alias("cleaned_text"),
     )

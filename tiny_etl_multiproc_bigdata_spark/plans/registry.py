@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "quality_topfrac_filter",
     "text_boilerplate_strip",
+    "sql_q6_forecast",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

@@ -161,6 +161,9 @@ _PRIORITY: tuple[str, ...] = (
     "quality_topfrac_filter",
     "text_boilerplate_strip",
     "sql_q6_forecast",
+    "user_retention_cohorts",
+    "join_null_safe",
+    "inverted_index_build",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

@@ -601,3 +601,70 @@ def sql_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < CAST(24 AS DOUBLE)
         """
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+    )
+    SELECT CAST(floor(epoch(f.f) / 604800) AS BIGINT) AS cohort_week,
+           CAST(floor(epoch(e.ts) / 604800)
+                - floor(epoch(f.f) / 604800) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, active
+    user counts per (cohort, weeks-since-cohort) cell — the standard
+    retention triangle. The firsts table is one row per user (tiny next
+    to the event log) so it broadcasts; the distinct-count shuffles once
+    on the cohort cell."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("f"))
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800)  # noqa: E731
+    j = e.join(F.broadcast(firsts), "user_id")
+    return (
+        j.select(
+            "user_id",
+            week(F.col("f")).cast("bigint").alias("cohort_week"),
+            (week(F.col("ts")) - week(F.col("f"))).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT nullif(c_custkey % 100, 0) AS nk FROM customer
+    )
+    SELECT d.nk, count(o.o_orderkey) AS n_orders
+    FROM dim d
+    LEFT JOIN orders o ON nullif(o.o_custkey % 100, 0) IS NOT DISTINCT FROM d.nk
+    GROUP BY d.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL bucket on both sides matches itself instead of silently
+    dropping, the semantics ETL needs when a join key is legitimately
+    absent. Derived nullable keys (mod-100, 0 → NULL) exercise the
+    NULL row explicitly."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    dim = c.select(
+        F.nullif(F.col("c_custkey") % 100, F.lit(0)).alias("nk")
+    ).distinct()
+    fact = o.select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 100, F.lit(0)).alias("fk")
+    )
+    joined = dim.join(fact, dim["nk"].eqNullSafe(fact["fk"]), "left")
+    return joined.groupBy("nk").agg(F.count("o_orderkey").alias("n_orders"))

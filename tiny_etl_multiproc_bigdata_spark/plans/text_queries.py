@@ -317,3 +317,40 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ". ",
         ).alias("cleaned_text"),
     )
+
+
+@register(
+    "inverted_index_build",
+    oracle=r"""
+    WITH ex AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS t(term)
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM ex GROUP BY term
+    """,
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a term → postings-list inverted index over the corpus
+    (the artifact behind keyword search and the Jaccard/BM25 family):
+    one explode + one groupBy(term) with map-side combine; postings are
+    sorted and string-encoded (list cells are unhashable for the
+    verification canonicalizer). At 100 TB the same plan writes
+    term-bucketed parquet for shard-local lookups."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: t != "")
+    ex = d.select("doc_id", F.explode(toks).alias("term")).distinct()
+    return ex.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )

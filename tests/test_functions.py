@@ -85,3 +85,20 @@ def test_stable_hash_matches_python_md5(spark):
     df = spark.createDataFrame([("hello world",)], ["t"])
     got = df.select(md5_long(F.col("t")).alias("h")).collect()[0].h
     assert got == int(hashlib.md5(b"hello world").hexdigest()[:15], 16)
+
+
+def test_word_ngrams_edges(spark):
+    from tiny_etl_multiproc_bigdata_spark.functions.text import word_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c", "d"],), (["a", "b"],), (["a"],), ([],)],
+        "toks array<string>",
+    )
+    for n, expected in [
+        (2, [["a b", "b c", "c d"], ["a b"], [], []]),
+        (3, [["a b c", "b c d"], [], [], []]),
+        (4, [["a b c d"], [], [], []]),
+    ]:
+        got = [r.g for r in df.select(word_ngrams(F.col("toks"), n).alias("g")).collect()]
+        assert got == expected, (n, got)

@@ -564,43 +564,34 @@ def json_extract_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sql_q6_forecast",
-    oracle="""
+# ONE template for both engines — the literal duplicated twice would be
+# a silent-drift hazard (a predicate edited in only one copy can stay
+# green at small sf while the oracle no longer describes the query).
+_Q6_SQL = """
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS revenue,
            count(*) AS n_lines
-    FROM lineitem
+    FROM {tbl}
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
       AND l_quantity < CAST(24 AS DOUBLE)
-    """,
-)
+"""
+
+
+@register("sql_q6_forecast", oracle=_Q6_SQL.format(tbl="lineitem"))
 def sql_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 (forecasting revenue change; window shifted to 1996 — the
-    fixture ships 1995-2001) through the SQL front
-    door: the table registers as a temp view and the query is a literal
-    SQL string via ``spark.sql`` — same Catalyst plan as the DataFrame
-    API, proving both surfaces are first-class. All three predicates
-    push down to the parquet scan; the money product goes through
-    per-factor DECIMAL casts (the q1 recipe) so the sum is exact and
+    """TPC-H Q6 (forecasting revenue change; window shifted to 1996 —
+    the fixture ships 1995-2001) through the SQL front door: the table
+    registers as a temp view and the query is a literal SQL string via
+    ``spark.sql`` — same Catalyst plan as the DataFrame API, proving
+    both surfaces are first-class. All three predicates push down to
+    the parquet scan; the money product goes through per-factor
+    DECIMAL casts (the q1 recipe) so the sum is exact and
     shuffle-order-independent."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("q6_lineitem")
-    return spark.sql(
-        """
-        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
-                 AS revenue,
-               count(*) AS n_lines
-        FROM q6_lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-01-01'
-          AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
-          AND l_quantity < CAST(24 AS DOUBLE)
-        """
-    )
+    return spark.sql(_Q6_SQL.format(tbl="q6_lineitem"))
 
 
 @register(

@@ -337,20 +337,19 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a term → postings-list inverted index over the corpus
     (the artifact behind keyword search and the Jaccard/BM25 family):
-    one explode + one groupBy(term) with map-side combine; postings are
-    sorted and string-encoded (list cells are unhashable for the
-    verification canonicalizer). At 100 TB the same plan writes
-    term-bucketed parquet for shard-local lookups."""
+    one explode + ONE groupBy(term) — collect_set dedups (doc, term)
+    repeats with map-side partial aggregation, so the token stream
+    shuffles once (a separate .distinct() would be a second full
+    exchange). Postings are sorted and string-encoded (list cells are
+    unhashable for the verification canonicalizer). At 100 TB the same
+    plan writes term-bucketed parquet for shard-local lookups."""
     d = table(spark, sf_dir, "documents")
     toks = F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: t != "")
-    ex = d.select("doc_id", F.explode(toks).alias("term")).distinct()
+    ex = d.select("doc_id", F.explode(toks).alias("term"))
+    postings = F.array_sort(F.collect_set("doc_id"))
     return ex.groupBy("term").agg(
-        F.count("*").cast("bigint").alias("df"),
+        F.size(postings).cast("bigint").alias("df"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("doc_id")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
+            F.transform(postings, lambda x: x.cast("string")), ","
         ).alias("postings"),
     )

@@ -111,3 +111,12 @@ def test_merge_upsert_broadcasts_changes(spark, sf_dir):
 def test_key_skew_profile_is_take_ordered(spark, sf_dir):
     plan = _plan(_q("key_skew_profile", spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "top-k degraded to a global sort"
+
+
+def test_inverted_index_single_exchange(spark, sf_dir):
+    """collect_set's map-side partial dedup means the token stream
+    shuffles exactly once (a separate distinct() would add a second
+    full exchange)."""
+    plan = _plan(_q("inverted_index_build", spark, sf_dir))
+    # formatted explain emits one "(n) Exchange" detail header per node
+    assert plan.count(") Exchange") == 1, plan

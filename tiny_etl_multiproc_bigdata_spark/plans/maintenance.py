@@ -158,3 +158,84 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("l_suppkey"))
         .limit(10)
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n DESC, c_nationkey ASC) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nation, n AS n_customers
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group with an explicit (count, key)
+    tiebreak — NOT the engines' built-in mode(), whose tie choice is
+    implementation-defined and diverges between engines. Two partial-
+    agg'd shuffles (count, then a per-group top-1 window over the
+    already-reduced counts)."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("c_nationkey")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            F.col("n").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "robust_outlier_bounds",
+    oracle="""
+    WITH med AS (
+      SELECT CAST(quantile_cont(value, 0.5) AS DOUBLE) AS m FROM events
+    ), mad AS (
+      SELECT CAST(quantile_cont(abs(value - m), 0.5) AS DOUBLE) AS d
+      FROM events, med
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(e.value - med.m) > 3 * mad.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e, med, mad
+    GROUP BY e.event_type
+    """,
+)
+def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier detection (robust to the outliers themselves,
+    unlike mean/stddev): two-pass exact medians aggregated to single
+    rows and broadcast back — the thresholds never shuffle the event
+    log. Exact `percentile` interpolates identically to DuckDB
+    quantile_cont (verified property of this engine pair), so the
+    |x - m| > 3*MAD cut is bit-identical."""
+    e = table(spark, sf_dir, "events")
+    med = e.agg(F.expr("percentile(value, 0.5)").alias("m"))
+    mad = (
+        e.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(abs(value - m), 0.5)").alias("d"))
+    )
+    flagged = e.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad))
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("m")) > 3 * F.col("d"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

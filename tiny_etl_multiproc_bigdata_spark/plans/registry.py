@@ -164,6 +164,8 @@ _PRIORITY: tuple[str, ...] = (
     "user_retention_cohorts",
     "join_null_safe",
     "inverted_index_build",
+    "agg_mode_deterministic",
+    "robust_outlier_bounds",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

@@ -226,3 +226,38 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "quality_score")
     )
+
+
+@register(
+    "dataset_holdout_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 5  THEN 'test'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 15 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def dataset_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (md5 bucket mod 100: 5% test, 10% val) — the split every
+    training pipeline needs to be REPRODUCIBLE across reruns, engines,
+    and partitionings; a random() split is none of those. Pure per-row
+    expressions, zero shuffle; the same bucket arithmetic extends to
+    k-fold assignment."""
+    from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 5, F.lit("test"))
+        .when(bucket < 15, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -166,6 +166,9 @@ _PRIORITY: tuple[str, ...] = (
     "inverted_index_build",
     "agg_mode_deterministic",
     "robust_outlier_bounds",
+    "dataset_holdout_split",
+    "corpus_stats_summary",
+    "time_weighted_average",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

@@ -353,3 +353,53 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(postings, lambda x: x.cast("string")), ","
         ).alias("postings"),
     )
+
+
+@register(
+    "corpus_stats_summary",
+    oracle=r"""
+    WITH ex AS (
+      SELECT doc_id, t.t AS token
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS t(t)
+    ), agg AS (
+      SELECT count(*) AS total_tokens,
+             count(DISTINCT token) AS vocab_size
+      FROM ex
+    ), nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT CAST(n_docs AS BIGINT)       AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(vocab_size AS BIGINT)   AS vocab_size,
+           (floor(CAST(total_tokens AS DOUBLE) / n_docs * 10000 + 0.5)
+              / 10000) AS avg_doc_tokens,
+           (floor(CAST(vocab_size AS DOUBLE) / total_tokens * 10000 + 0.5)
+              / 10000) AS type_token_ratio
+    FROM agg, nd
+    """,
+)
+def corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card numbers: document count, token count, vocabulary
+    size, average document length, type-token ratio — one exploded scan
+    with partial-agg'd counts plus a 1-row doc count broadcast back.
+    Integer counts divided as doubles keep the ratios engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: t != "")
+    ex = d.select("doc_id", F.explode(toks).alias("token"))
+    agg = ex.agg(
+        F.count("*").cast("bigint").alias("total_tokens"),
+        F.countDistinct("token").cast("bigint").alias("vocab_size"),
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    j = agg.crossJoin(F.broadcast(nd))
+    return j.select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        round_half_up(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("avg_doc_tokens"),
+        round_half_up(
+            F.col("vocab_size").cast("double") / F.col("total_tokens"), 4
+        ).alias("type_token_ratio"),
+    )

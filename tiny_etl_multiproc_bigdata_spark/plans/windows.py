@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -243,4 +244,53 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.floor(F.unix_timestamp(F.min("ts"))).cast("bigint").alias("session_start_epoch"),
         F.floor(F.unix_timestamp(F.max("ts"))).cast("bigint").alias("session_end_epoch"),
+    )
+
+
+@register(
+    "time_weighted_average",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value,
+             CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts ASC, event_id ASC)))
+                  - floor(epoch(ts)) AS BIGINT) AS wt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(wt) AS BIGINT) AS total_seconds,
+           (floor(CAST(sum(CAST(value AS DECIMAL(18,2)) * wt) AS DOUBLE)
+                  / sum(wt) * 10000 + 0.5) / 10000) AS twa_value
+    FROM w
+    WHERE wt IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(wt) > 0
+    """,
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (metering/IoT semantics: each
+    reading holds until the next one): weight = seconds to the next
+    event via lead(), last reading carries no weight. Per-row
+    DECIMAL×seconds products keep the weighted sum exact and
+    shuffle-order-independent; (ts, event_id) ordering breaks
+    simultaneous-event ties identically in both engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wt = (
+        F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    ).cast("bigint")
+    weighted = e.select(
+        "user_id",
+        wt.alias("wt"),
+        (F.col("value").cast("decimal(18,2)") * wt).alias("vw"),
+    ).filter(F.col("wt").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.sum("wt").cast("bigint").alias("total_seconds"),
+            round_half_up(
+                F.sum("vw").cast("double") / F.sum("wt"), 4
+            ).alias("twa_value"),
+        )
+        .filter(F.col("total_seconds") > 0)
     )

@@ -169,6 +169,8 @@ _PRIORITY: tuple[str, ...] = (
     "dataset_holdout_split",
     "corpus_stats_summary",
     "time_weighted_average",
+    "events_rolling_dau",
+    "orders_pareto_share",
 )
 
 # Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).

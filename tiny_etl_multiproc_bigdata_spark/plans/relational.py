@@ -659,3 +659,100 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = dim.join(fact, dim["nk"].eqNullSafe(fact["fk"]), "left")
     return joined.groupBy("nk").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@register(
+    "events_rolling_dau",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), user_days AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+      FROM events
+    )
+    SELECT d.day,
+           count(DISTINCT u.user_id) AS wau
+    FROM days d
+    JOIN user_days u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the WAU metric. Distinct
+    counts do not decompose over sliding windows, so the scalable exact
+    shape is: dedup to (day, user) first (the big reduction), then a
+    bounded range join of the tiny day spine against the deduped pairs
+    and one distinct-count per day. The 7x amplification applies to the
+    already-deduped pairs, never the raw event log."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    user_days = e.select(day.alias("day"), "user_id").distinct()
+    days = user_days.select("day").distinct()
+    d = days.alias("d")
+    u = user_days.alias("u")
+    j = d.join(
+        u,
+        (F.col("u.day") >= F.col("d.day") - 6) & (F.col("u.day") <= F.col("d.day")),
+    )
+    return j.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("u.user_id").alias("wau")
+    )
+
+
+@register(
+    "orders_pareto_share",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(30,2))) AS revenue
+      FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT sum(revenue) AS t FROM per_cust),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rnk,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_revenue
+      FROM per_cust
+    )
+    SELECT rnk, o_custkey,
+           round(CAST(revenue AS DOUBLE), 2) AS revenue,
+           (floor(CAST(cum_revenue AS DOUBLE) / CAST(t AS DOUBLE)
+                  * 10000 + 0.5) / 10000) AS cum_share
+    FROM ranked, tot
+    WHERE rnk <= 100
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: top-100 customers by revenue with their
+    cumulative share of total — the 80/20 diagnostic. Per-customer
+    partial-agg'd decimal sums first (the corpus-sized reduction), then
+    the global ranked running sum operates on customers only; the
+    unpartitioned window is bounded by |customers|, never |orders|, and
+    the grand total broadcasts from one row. Exact decimal cumulative
+    sums divided as doubles keep the share engine-identical."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("revenue")
+    )
+    tot = per_cust.agg(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    ranked = per_cust.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "cum_revenue",
+        F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "o_custkey",
+            F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+            round_half_up(
+                F.col("cum_revenue").cast("double") / F.col("t").cast("double"), 4
+            ).alias("cum_share"),
+        )
+    )

@@ -108,7 +108,7 @@ WITH toks AS (
     GROUP BY source, lower(token)
 ), wc AS (
     SELECT *,
-           sum(occurrences) OVER (PARTITION BY source) AS words_count
+           CAST(sum(occurrences) OVER (PARTITION BY source) AS BIGINT) AS words_count
     FROM grp
 )
 SELECT substr(word0, 1, 254)                       AS word,

@@ -63,121 +63,83 @@ def _load_all() -> None:
     from tiny_etl_multiproc_bigdata_spark.streaming import jobs  # noqa: F401
 
 
-# Driver-sweep ordering (VERDICT r01 item 2): the verification driver
-# checks a capped prefix (~50) of the registry in iteration order, and
-# r01 left 59 entries with no hard-signal row. Order: (a) the two
-# r01-red entries whose fixes need re-verification and the entries new
-# this round — these MUST land inside any plausible cap, so they lead;
-# (b) every entry never driver-checked, §2 operator ids and the
-# LLM-pipeline core first; then (via _ordered_names) (c) unchecked
-# entries not listed here, in insertion order; (d) r01-green entries
-# last — they already have a green row on the board. Revisit each
-# round: front-load whatever the last sweep still left unchecked.
+# Driver-sweep ordering (VERDICT r02 item 2): the verification driver
+# checks a capped prefix (~50) of the registry in iteration order.
+# After r01+r02, 96/141 entries have a hard-signal row and exactly two
+# are hash-red (both from one oracle dtype bug — DuckDB windowed integer
+# sum() → HUGEINT → pandas float64 vs Spark int64 — fixed this round
+# with CAST(... AS BIGINT)). Order: (a) the two red entries whose
+# oracle fix needs re-verification; (b) the 45 entries never driver-
+# checked across r01+r02 (VERDICT's explicit list), LLM text/ANN core
+# first, then scale patterns, then the r02 extras. 47 total — inside
+# any plausible cap. Then (via _ordered_names) unlisted never-checked
+# entries (none today) and finally green entries in insertion order.
 _PRIORITY: tuple[str, ...] = (
-    # r01 red — fixed this round, must re-verify (VERDICT items 1, 3)
+    # r02 red — oracle CAST fix this round, must re-verify (item 1)
     "flagship_words",
-    "agg_collect_set",
-    # r01-green entries whose implementation changed this round — the
-    # verdict's done-criteria require a FRESH green row (items 5-7)
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_lsh",
-    # new flagship-grade grouping ops
-    "dedup_cc_groups",
-    "dedup_survivors",
-    # §2.2/2.3 text operators (incl. de-vacuated Arabic entries)
-    "p14_remove_diac",
-    "t2_tokenize_words",
-    "t3_arabic_tokenize",
-    "t4_pipeline_chain",
-    "s4_whole_text",
-    # §2.4 aggregations
-    "a1_reduce_count",
-    "a1_reduce_fold_sum",
-    "a3_unique_filter",
-    "a3_duplicates_only",
-    "a5_conservation_invariant",
-    "q1_pricing_summary",
-    "agg_count_distinct",
-    "agg_having",
-    "agg_sum_over_distinct",
-    # §2.5 joins
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_broadcast_chain",
-    "scalar_subquery_filter",
-    "asof_last_signup",
-    "range_join_bucketed",
-    # §2.6 set ops / sorts / windows
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "sort_limit_topk",
-    "window_row_number_topk",
-    "window_rank_dense",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_tumbling_counts",
     "sessionize_events",
-    # §2.9 UDF surface + streaming
-    "grouped_map_zscore",
-    "streaming_stateful_counter",
-    "streaming_tumbling_counts",
-    "streaming_dedup",
-    "streaming_session_window",
-    "multimodal_binary_metadata",
-    "multimodal_decode_stub",
-    # LLM-pipeline core still unchecked (r01 gap list)
+    # -- the 45 never-checked entries (VERDICT r02 "What's missing" #1) --
+    # LLM text core
     "text_token_count",
     "text_lang_id",
     "text_quality_score",
     "text_fingerprint",
+    # ANN / vectors
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_lsh_buckets",
     "vector_norm_stats",
-    # new-in-r02 extensions: verified locally at two scales; fine to
-    # reach these only if the driver's cap allows (else r03 front-loads)
+    "embedding_quantize_int8",
+    # scale patterns
+    "salted_token_counts",
+    "skew_salted_join",
+    "two_stage_distinct",
+    "key_skew_profile",
+    # entries whose implementation changed this round (need FRESH rows)
+    "orders_pareto_share",
+    "events_rolling_dau",
+    "quality_topfrac_filter",
+    # curation / dataset management
     "text_pii_scrub",
     "corpus_curation",
     "decontaminate_eval_overlap",
-    "text_ngram_topk",
-    "window_sliding_counts",
-    "streaming_stream_static_join",
-    "multimodal_frame_sample",
-    "embedding_quantize_int8",
-    "minhash_recall_eval",
-    "merge_upsert",
-    "table_profile",
-    "key_skew_profile",
-    "streaming_foreach_batch",
-    "dedup_incremental_minhash",
-    "quality_topfrac_filter",
     "text_boilerplate_strip",
+    "dataset_holdout_split",
+    "corpus_stats_summary",
+    "dedup_incremental_minhash",
+    "minhash_recall_eval",
+    "inverted_index_build",
+    "text_ngram_topk",
+    # relational / windows extras
     "sql_q6_forecast",
     "user_retention_cohorts",
     "join_null_safe",
-    "inverted_index_build",
     "agg_mode_deterministic",
     "robust_outlier_bounds",
-    "dataset_holdout_split",
-    "corpus_stats_summary",
     "time_weighted_average",
-    "events_rolling_dau",
-    "orders_pareto_share",
+    "window_sliding_counts",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "date_functions",
+    "string_functions",
+    "json_extract_scalar",
+    "width_bucket_histogram",
+    # maintenance
+    "merge_upsert",
+    "table_profile",
+    # streaming + multimodal tails
+    "streaming_stream_static_join",
+    "streaming_foreach_batch",
+    "multimodal_frame_sample",
 )
 
-# Entries with a CORRECTNESS_r01 row (checked by the r01 driver sweep).
+# Entries with a CORRECTNESS row from the r01 or r02 driver sweeps.
 # Unlisted entries WITHOUT a row sort ahead of these so a capped sweep
 # reaches never-verified entries first.
-_R01_CHECKED: frozenset[str] = frozenset(
+_CHECKED: frozenset[str] = frozenset(
     {
+        # r01 sweep
         "flagship_words", "agg_percentiles", "agg_moment_stats",
         "agg_correlation", "agg_min_by_max_by", "pivot_status_by_priority",
         "unpivot_part_measures", "window_distribution_fns",
@@ -196,6 +158,24 @@ _R01_CHECKED: frozenset[str] = frozenset(
         "p4_remove_key_paths", "p7_noop", "p8_required_null_drop",
         "p9_filter_rows", "p10_ignore_tokens", "p11_remove_chars",
         "p12_mapper_chain", "p13_scalar_helpers",
+        # r02 sweep
+        "a1_reduce_count", "a1_reduce_fold_sum", "a3_duplicates_only",
+        "a3_unique_filter", "a5_conservation_invariant",
+        "agg_count_distinct", "agg_having", "agg_sum_over_distinct",
+        "asof_last_signup", "dedup_cc_groups", "dedup_embedding_lsh",
+        "dedup_survivors", "grouped_map_zscore", "join_broadcast_chain",
+        "join_full_outer", "join_inner", "join_left_anti",
+        "join_left_outer", "join_left_semi", "join_right_outer",
+        "multimodal_binary_metadata", "multimodal_decode_stub",
+        "p14_remove_diac", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_region_revenue", "range_join_bucketed", "s4_whole_text",
+        "scalar_subquery_filter", "sessionize_events", "setop_except",
+        "setop_intersect", "setop_union_all", "sort_limit_topk",
+        "streaming_dedup", "streaming_session_window",
+        "streaming_stateful_counter", "streaming_tumbling_counts",
+        "t2_tokenize_words", "t3_arabic_tokenize", "t4_pipeline_chain",
+        "window_lag_lead", "window_rank_dense", "window_row_number_topk",
+        "window_running_sum", "window_tumbling_counts",
     }
 )
 
@@ -207,7 +187,7 @@ def _ordered_names() -> list[str]:
     def key(n: str) -> tuple[int, int]:
         if n in rank:
             return (0, rank[n])
-        return (1 if n not in _R01_CHECKED else 2, insertion[n])
+        return (1 if n not in _CHECKED else 2, insertion[n])
 
     return sorted(REGISTRY, key=key)
 

@@ -727,10 +727,14 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: top-100 customers by revenue with their
     cumulative share of total — the 80/20 diagnostic. Per-customer
-    partial-agg'd decimal sums first (the corpus-sized reduction), then
-    the global ranked running sum operates on customers only; the
-    unpartitioned window is bounded by |customers|, never |orders|, and
-    the grand total broadcasts from one row. Exact decimal cumulative
+    partial-agg'd decimal sums first (the corpus-sized reduction).
+    Scale shape (VERDICT r02 item 3): the top-100 is selected with a
+    DISTRIBUTED TakeOrdered (``orderBy().limit(100)`` — per-partition
+    top-k, then a 100·P-row merge on the driver side of the exchange),
+    and only the surviving 100 rows see the ranked running-sum window.
+    The previous formulation ranked ALL customers in one unpartitioned
+    window — a single task sorting 1.5B rows at TPC-H 100 TB. The
+    grand total still broadcasts from one row. Exact decimal cumulative
     sums divided as doubles keep the share engine-identical."""
     from pyspark.sql import Window
 
@@ -739,14 +743,15 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("revenue")
     )
     tot = per_cust.agg(F.sum("revenue").alias("t"))
+    top100 = per_cust.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(100)
+    # Unpartitioned window is safe here: input is the 100-row top-k.
     w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    ranked = per_cust.withColumn("rnk", F.row_number().over(w)).withColumn(
+    ranked = top100.withColumn("rnk", F.row_number().over(w)).withColumn(
         "cum_revenue",
         F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return (
-        ranked.filter(F.col("rnk") <= 100)
-        .crossJoin(F.broadcast(tot))
+        ranked.crossJoin(F.broadcast(tot))
         .select(
             "rnk",
             "o_custkey",

@@ -207,10 +207,10 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
       SELECT user_id, ts, event_id,
-             sum(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts ASC, event_id ASC
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,

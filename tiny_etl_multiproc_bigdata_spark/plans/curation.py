@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.plans.dedup_groups import (
     _CC_GROUPS_CTES,
     _cc_labels,
@@ -156,7 +157,8 @@ def _topfrac_oracle() -> str:
     return f"""
     WITH qual AS ({quality_oracle}),
     thr AS (
-      SELECT CAST(quantile_cont(quality_score, 0.25) AS DOUBLE) AS t
+      SELECT (floor(CAST(quantile_cont(quality_score, 0.25) AS DOUBLE)
+                    * 10000 + 0.5) / 10000) AS t
       FROM qual
     )
     SELECT q.doc_id, q.quality_score
@@ -171,10 +173,15 @@ def quality_topfrac_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, broadcast it back, filter), NOT a percent_rank window: a
     global unpartitioned window funnels the whole corpus through one
     task, while this shape is a partial-agg'd percentile plus a
-    shuffle-free filtered scan. Both engines compute the same linear
-    interpolation on the micro-rounded scores, so the cut is exact."""
+    shuffle-free filtered scan. The interpolated threshold is micro-
+    rounded to 1e-4 on BOTH sides (round_half_up here, the same
+    floor-formula in the oracle) so a 1-ulp interpolation difference
+    between Spark percentile() and DuckDB quantile_cont can never flip
+    a boundary document."""
     q = text_quality_score(spark, sf_dir)
-    thr = q.agg(F.expr("percentile(quality_score, 0.25)").alias("t"))
+    thr = q.agg(
+        round_half_up(F.expr("percentile(quality_score, 0.25)"), 4).alias("t")
+    )
     return (
         q.crossJoin(F.broadcast(thr))
         .filter(F.col("quality_score") >= F.col("t"))

@@ -50,6 +50,32 @@ _CC_MIN_MATCH = 4
 _MAX_CC_ROUNDS = 64
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently-persisted RDDs (includes localCheckpoint blocks)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Release the blocks behind specific persisted RDD ids.
+
+    ``df.rdd.unpersist()`` does NOT work for a localCheckpointed
+    DataFrame — the Python-side ``df.rdd`` is a freshly-derived
+    wrapper, not the internally-persisted RDD[InternalRow] — so the
+    only reliable handle is the driver's persistent-RDD registry
+    (verified empirically: the registry route frees the blocks and the
+    superseded frame becomes unreadable, the ``df.rdd`` route is a
+    silent no-op)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+
+
 def _cc_labels(edges: DataFrame) -> DataFrame:
     """(src, dst) undirected edge list → (doc_id, group_id) where
     group_id = min doc_id of the connected component. Iterates
@@ -60,33 +86,50 @@ def _cc_labels(edges: DataFrame) -> DataFrame:
     # join re-executes the whole upstream candidate-pair pipeline
     # (band explode + self-join + sig joins), twice per round via the
     # fwd/rev union.
+    spark = edges.sparkSession
+    # Each round's localCheckpoint pins blocks for the session; without
+    # explicit release, up to _MAX_CC_ROUNDS copies of the label table
+    # stay resident (ADVICE r02). Snapshot the persistent-RDD registry
+    # around each checkpoint so the SUPERSEDED round's blocks can be
+    # freed as soon as the convergence count no longer needs them. The
+    # final round's frame (the return value) and the edge list stay
+    # pinned until the loop exits; edges are freed before returning.
+    before = _persistent_rdd_ids(spark)
     edges = edges.localCheckpoint(eager=True)
+    edges_ids = _persistent_rdd_ids(spark) - before
+
+    before = _persistent_rdd_ids(spark)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    labels_ids = _persistent_rdd_ids(spark) - before
     changed = 0
     for _ in range(_MAX_CC_ROUNDS):
         msgs = edges.join(labels, edges["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), F.col("label")
         )
+        before = _persistent_rdd_ids(spark)
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        new_labels_ids = _persistent_rdd_ids(spark) - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        _unpersist_rdd_ids(spark, labels_ids)
+        labels, labels_ids = new_labels, new_labels_ids
         if changed == 0:
             break
+    _unpersist_rdd_ids(spark, edges_ids)
     if changed != 0:
         raise RuntimeError(
             f"connected components did not converge in {_MAX_CC_ROUNDS} "
@@ -141,7 +184,13 @@ def dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph (edge = ≥4/8 signature components agree). One row
     per clustered document with its canonical ``group_id`` (component
     min doc_id) and ``group_size``. Docs with no near-dup partner are
-    not emitted (they are their own trivial component)."""
+    not emitted (they are their own trivial component).
+
+    Note: building this plan EXECUTES the label-propagation loop (the
+    eager per-round localCheckpoints run Spark jobs at construction
+    time); the returned frame is the converged labels plus one window.
+    Superseded rounds' checkpoint blocks are freed as the loop
+    advances (see ``_cc_labels``)."""
     labels = _cc_labels(_near_dup_edges(spark, sf_dir))
     w = Window.partitionBy("group_id")
     return labels.withColumn("group_size", F.count("*").over(w))

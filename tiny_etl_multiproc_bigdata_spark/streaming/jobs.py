@@ -219,8 +219,10 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (idempotent writes = effective exactly-once; a blind
     append would only be at-least-once under retry). The stage is read
     back as the result and hash-checked lossless against the batch
-    oracle. A fixed per-sf staging dir, cleared on entry, bounds /tmp
-    to one copy per scale across repeated sweep/bench runs."""
+    oracle. The staging root is keyed by (sf_dir, pid) so two concurrent
+    invocations (e.g. driver sweep overlapping a bench run) can never
+    rmtree each other's in-flight data or checkpoint; clearing on entry
+    still bounds /tmp to one copy per scale per process."""
     import hashlib
     import os
     import shutil
@@ -230,7 +232,7 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"spark_feb_{tag}")
+    root = os.path.join(tempfile.gettempdir(), f"spark_feb_{tag}_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     data_dir = os.path.join(root, "data")
 

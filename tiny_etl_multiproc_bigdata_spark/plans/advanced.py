@@ -223,15 +223,70 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a fully-tiebroken global
-    order. (A global window = single-partition sort; the selective
-    filter keeps that sane — at scale you'd partition or pre-bucket.)"""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 97000)
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select(
+    order, WITHOUT a global single-task window (r03: the naive
+    ``Window.orderBy`` funnels every row through one sort task). The
+    scale-safe two-pass global rank: range-repartition on the sort key
+    (so partition order = value order), count rows per partition (one
+    tiny P-row aggregate), turn counts into cumulative offsets, then
+    rank = broadcast offset + within-partition row_number. The three
+    distribution functions are then pure expressions of (rank, N) —
+    exact because the (o_totalprice, o_orderkey) sort tuple is unique,
+    so there are no peer groups: percent_rank = (rank-1)/(N-1),
+    cume_dist = rank/N, and ntile(4) follows Spark/DuckDB's shared
+    first-buckets-get-the-remainder rule. The ranged frame is
+    localCheckpoint'ed so both consumers (counts, data) see ONE pid
+    assignment even under AQE re-planning."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 97000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    ranged = (
+        o.repartitionByRange(8, F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # Window over the per-partition counts only — bounded by #partitions,
+    # never by data volume, so the unpartitioned frame is safe.
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    wp = Window.partitionBy("pid").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = (
+        ranged.withColumn("rn", F.row_number().over(wp))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.col("rn")).alias("rank"),
+            F.col("n_total").alias("n"),
+        )
+    )
+    base = (F.col("n") / 4).cast("bigint")
+    rem = F.col("n") % 4
+    in_big = F.col("rank") <= rem * (base + 1)
+    quartile = (
+        F.when(in_big, ((F.col("rank") - 1) / (base + 1)).cast("bigint") + 1)
+        .otherwise(
+            rem + ((F.col("rank") - rem * (base + 1) - 1) / base).cast("bigint") + 1
+        )
+        .cast("int")
+    )
+    pct = F.when(
+        F.col("n") > 1, (F.col("rank") - 1) / (F.col("n") - 1)
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
-        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+        quartile.alias("quartile"),
+        round_half_up(pct, 6).alias("pct_rank"),
+        round_half_up(F.col("rank") / F.col("n"), 6).alias("cume"),
     )
 
 

@@ -666,9 +666,13 @@ def _embedding_topk_oracle(block_col: str, v_select: str) -> str:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: label-blocked all-pairs cosine, top-3 most
-    similar pairs per block. Blocking bounds the quadratic pair count —
-    at production scale use dedup_embedding_lsh below, which swaps the
-    label for an LSH-bucket blocking key."""
+    similar pairs per block. VERIFICATION-ONLY at scale (VERDICT r02):
+    all-pairs is quadratic per block, and a hot label (one dominant
+    language/domain) degenerates to |block|² — this entry exists as the
+    exact twin for validating ``dedup_embedding_lsh`` on bounded
+    samples. The production 100 TB path is dedup_embedding_lsh below,
+    which swaps the label for a random-hyperplane LSH bucket whose
+    population is corpus/2^planes on average and tunable down."""
     e = table(spark, sf_dir, "embeddings")
     blocked = e.select("vec_id", "embedding", F.col("label").alias("label"))
     return _blocked_cosine_topk(blocked, "label")

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_pareto_share",
     "events_rolling_dau",
     "quality_topfrac_filter",
+    "window_distribution_fns",
     # curation / dataset management
     "text_pii_scrub",
     "corpus_curation",

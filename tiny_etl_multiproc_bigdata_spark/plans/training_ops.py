@@ -351,3 +351,267 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("shard").applyInPandas(
         pack, "shard bigint, doc_id bigint, n_tokens bigint, bin bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity-resolution join (3-gram Jaccard, inverted-index blocked)
+# --------------------------------------------------------------------------
+
+# Misspelled probe names: the synthetic part names are clean, so the
+# probe side carries the typos (fixture pattern — both engines see the
+# same literals, keeping the driver rows non-vacuous).
+_FUZZY_PROBES: list[tuple[int, str]] = [
+    (1, "cold widgett"),
+    (2, "lrage bolt"),
+    (3, "smal gear"),
+    (4, "larg widget"),
+    (5, "tiny sprocketzz"),
+]
+_FUZZY_MIN_JAC = 3000  # Jaccard >= 0.30, integer-scaled by 1e4
+
+
+def _fuzzy_oracle() -> str:
+    values = ", ".join(f"({i}, '{s}')" for i, s in _FUZZY_PROBES)
+    grams = (
+        "list_distinct([substr(lower({c}), i, 3) "
+        "for i in range(1, length({c}) - 1)])"
+    )
+    return f"""
+    WITH probes(probe_id, probe_name) AS (VALUES {values}),
+    pg AS (
+      SELECT probe_id, probe_name, {grams.format(c="probe_name")} AS grams
+      FROM probes
+    ),
+    pga AS (
+      SELECT probe_id, probe_name, len(grams) AS na, unnest(grams) AS g
+      FROM pg
+    ),
+    names AS (SELECT DISTINCT p_name FROM part),
+    ng AS (
+      SELECT p_name, {grams.format(c="p_name")} AS grams FROM names
+    ),
+    nga AS (
+      SELECT p_name, len(grams) AS nb, unnest(grams) AS g FROM ng
+    ),
+    cand AS (
+      SELECT probe_id, probe_name, na, p_name, nb, count(*) AS n_match
+      FROM pga JOIN nga USING (g)
+      GROUP BY probe_id, probe_name, na, p_name, nb
+    ),
+    scored AS (
+      SELECT probe_id, probe_name, p_name,
+             CAST(n_match * 10000 // (na + nb - n_match) AS BIGINT)
+               AS jac_10000
+      FROM cand
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY jac_10000 DESC, p_name ASC) AS rn
+      FROM scored WHERE jac_10000 >= {_FUZZY_MIN_JAC}
+    )
+    SELECT probe_id, probe_name, p_name AS matched_name, jac_10000
+    FROM best WHERE rn = 1
+    """
+
+
+@register("fuzzy_match_parts", oracle=_fuzzy_oracle())
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution JOIN: match misspelled probe names to the
+    part catalog by 3-gram Jaccard. The quadratic name×probe space is
+    never materialized — both sides explode to (gram, name) postings
+    and candidates come from the gram equi-join (inverted-index
+    blocking, the cross-table twin of dedup_ngram_jaccard's self-join;
+    at catalog scale add the same document-frequency cap on hot grams).
+    Similarity is integer-scaled Jaccard (floor(|∩|·10⁴/|∪|)) so the
+    threshold and the tie-broken best-match pick are engine-exact."""
+    probes = spark.createDataFrame(
+        _FUZZY_PROBES, schema="probe_id bigint, probe_name string"
+    )
+    gram_expr = (
+        "array_distinct(transform(sequence(1, greatest(length({c}) - 2, 0)), "
+        "i -> substring(lower({c}), i, 3)))"
+    )
+    pg = probes.withColumn("grams", F.expr(gram_expr.format(c="probe_name")))
+    pga = pg.select(
+        "probe_id",
+        "probe_name",
+        F.size("grams").alias("na"),
+        F.explode("grams").alias("g"),
+    )
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    ng = names.withColumn("grams", F.expr(gram_expr.format(c="p_name")))
+    nga = ng.select(
+        "p_name", F.size("grams").alias("nb"), F.explode("grams").alias("g")
+    )
+    cand = pga.join(nga, "g").groupBy(
+        "probe_id", "probe_name", "na", "p_name", "nb"
+    ).agg(F.count(F.lit(1)).alias("n_match"))
+    scored = cand.select(
+        "probe_id",
+        "probe_name",
+        "p_name",
+        F.floor(
+            F.col("n_match") * 10000 / (F.col("na") + F.col("nb") - F.col("n_match"))
+        ).alias("jac_10000"),
+    ).filter(F.col("jac_10000") >= _FUZZY_MIN_JAC)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("jac_10000"), F.asc("p_name")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            "probe_name",
+            F.col("p_name").alias("matched_name"),
+            "jac_10000",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_topk_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lower(t.token) AS term
+      FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf * (n.n + 1) * 10000 // (df.df + 1) AS BIGINT)
+               AS score_scaled
+      FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_scaled DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, score_scaled, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-distinctive terms per document by TF-IDF. The idf is
+    the SCALED RATIONAL form floor(tf·(N+1)·10⁴/(df+1)) — integer
+    arithmetic end-to-end, so ranking and values are engine-exact
+    (libm ``ln`` differs across engines at the ulp; on a real cluster
+    swap in log-idf, there is no oracle to match there). Shapes: one
+    shuffle for tf, one for df (both partial-agg'd), an equi-join on
+    term, the corpus size broadcast from one row, and the rank filter
+    rewritten to WindowGroupLimit. The tf·(N+1)·10⁴ product needs
+    headroom at extreme corpus sizes — switch to log-idf well before
+    bigint saturation."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.lower("token").alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.floor(
+                F.col("tf") * (F.col("n") + 1) * 10000 / (F.col("df") + 1)
+            ).alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score_scaled", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding centroids per label
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           floor(avg(embedding[i]::DOUBLE) * 10000 + 0.5) / 10000 AS centroid
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the class-centroid table behind IVF
+    seeding, nearest-class assignment and drift monitoring. Wide→long
+    posexplode, one partial-agg'd (label, pos) average, micro-rounded
+    at 1e-4 (float summation order varies across partitions and
+    engines; the ulp noise sits ~9 orders below the cut). At 100 TB
+    the shuffle carries only (label, pos, partial sum/count) pairs —
+    dims × labels rows, independent of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", F.col("pos").cast("int").alias("pos"), "col")
+    from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+
+    return ex.groupBy("label", "pos").agg(
+        round_half_up(F.avg("col"), 4).alias("centroid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of: time to next conversion
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_next_purchase",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events
+    )
+    SELECT user_id, event_id, t_us,
+           min(CASE WHEN event_type = 'purchase' THEN t_us END)
+             OVER (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             AS next_purchase_us
+    FROM t
+    """,
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (asof_last_signup's mirror): for every event,
+    the timestamp of the user's next purchase strictly after it — the
+    time-to-conversion primitive. Same no-join formulation: a
+    conditional min over the FOLLOWING frame of one partitioned window,
+    one shuffle on user_id, no range join, no self-join."""
+    e = table(spark, sf_dir, "events")
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    ).alias("t_us")
+    t = e.select("user_id", "event_id", "event_type", t_us)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t_us"), F.asc("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t_us"))).over(w)
+        .alias("next_purchase_us"),
+    )

@@ -762,3 +762,109 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                           * CAST(1 - l.l_discount AS DECIMAL(30,2)))
+                       AS DOUBLE) * 100 + 0.5) / 100) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(30,2))) DESC,
+             c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: top-20 customers by
+    revenue lost to returns in one quarter. Shape: the date filter
+    prunes orders at the scan, the quarter's orders join lineitem on
+    the one wide exchange, the returnflag filter prunes lineitem
+    before the join, customer/nation broadcast onto the aggregate, and
+    the top-20 is a TakeOrdered (exact decimal sum as the sort key,
+    custkey tiebreak — never a global sort)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = F.sum(
+        _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    ).alias("rev_dec")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev)
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            # portable half-up rounding: the exact-decimal sum lands on
+            # .xx5 boundaries where round(DOUBLE,2) diverges per engine
+            round_half_up(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q18_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total line
+    quantity exceeds 200 units, with their customer. The HAVING
+    aggregate reduces lineitem to a tiny qualifying-order set FIRST
+    (partial+final agg, one shuffle on orderkey); that set then
+    broadcasts onto orders, and the qualifying orders broadcast onto
+    customer — the big tables are never join probes of each other.
+    Quantities are integral doubles, so the sum and threshold are
+    exact."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )

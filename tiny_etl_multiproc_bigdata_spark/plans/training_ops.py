@@ -615,3 +615,136 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "purchase", F.col("t_us"))).over(w)
         .alias("next_purchase_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-rarity score (perplexity proxy) and count-min sketch
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_rarity_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lower(t.token) AS term
+      FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    scored AS (
+      SELECT toks.doc_id, 100000000 // (df.df + 1) AS tok_rarity
+      FROM toks JOIN df USING (term)
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(tok_rarity) // count(*) AS BIGINT) AS rarity_scaled
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity score — the integer-exact perplexity
+    proxy: each token occurrence contributes floor(10⁸/(df+1)) (rare
+    vocab → large), and the document score is the integer mean. High
+    scores flag gibberish/OCR noise, low scores flag boilerplate-
+    common vocabulary — the cheap unigram stand-in for LM-perplexity
+    quality filtering, with no libm in sight so both engines agree
+    bit-for-bit. Shapes: tf/df aggregations plus one equi-join on
+    term; everything partial-agg'd."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.lower("token").alias("term"))
+    )
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = toks.join(df, "term").select(
+        "doc_id", F.floor(F.lit(100000000) / (F.col("df") + 1)).alias("tok_rarity")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(F.sum("tok_rarity") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("rarity_scaled"),
+    )
+
+
+_CMS_ROWS = 2
+_CMS_WIDTH = 64
+
+
+def _cms_oracle() -> str:
+    md5_bucket = (
+        "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || term), 1, 15)) "
+        f"AS BIGINT) % {_CMS_WIDTH}"
+    )
+    rows_union = " UNION ALL ".join(
+        f"SELECT {j} AS j, {md5_bucket.format(j=j)} AS bucket, term, cnt FROM tc"
+        for j in range(_CMS_ROWS)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT lower(t.token) AS term
+      FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    hashed AS ({rows_union}),
+    sketch AS (
+      SELECT j, bucket, sum(cnt) AS bucket_count
+      FROM hashed GROUP BY j, bucket
+    ),
+    top AS (
+      SELECT term, cnt AS true_count
+      FROM tc ORDER BY cnt DESC, term ASC LIMIT 10
+    ),
+    est AS (
+      SELECT t.term, t.true_count, min(s.bucket_count) AS cms_estimate
+      FROM top t
+      JOIN hashed h ON h.term = t.term
+      JOIN sketch s ON s.j = h.j AND s.bucket = h.bucket
+      GROUP BY t.term, t.true_count
+    )
+    SELECT term, true_count, CAST(cms_estimate AS BIGINT) AS cms_estimate
+    FROM est
+    """
+
+
+@register("sketch_count_min_topk", oracle=_cms_oracle())
+def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token frequencies (d=2 rows × w=64
+    buckets, md5-derived hashes so both engines build the identical
+    sketch) — the fixed-memory heavy-hitter counter that replaces an
+    exact unbounded-vocabulary count at stream/corpus scale. Emits the
+    exact top-10 terms with true count beside the sketch estimate; the
+    CMS guarantee (estimate ≥ truth, error bounded by collisions)
+    makes the comparison deterministic and the driver row self-
+    documenting. The sketch is (d·w) cells regardless of vocabulary —
+    the aggregation shuffles at most d·w rows after map-side combine."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(F.lower("token").alias("term"))
+    )
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = None
+    for j in range(_CMS_ROWS):
+        h = tc.select(
+            F.lit(j).alias("j"),
+            (md5_long(F.concat(F.lit(str(j)), F.col("term"))) % _CMS_WIDTH).alias(
+                "bucket"
+            ),
+            "term",
+            "cnt",
+        )
+        hashed = h if hashed is None else hashed.unionByName(h)
+    sketch = hashed.groupBy("j", "bucket").agg(F.sum("cnt").alias("bucket_count"))
+    top = tc.orderBy(F.desc("cnt"), F.asc("term")).limit(10).select(
+        "term", F.col("cnt").alias("true_count")
+    )
+    return (
+        F.broadcast(top)
+        .join(hashed.select("j", "bucket", "term"), "term")
+        .join(sketch, ["j", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("bucket_count").cast("bigint").alias("cms_estimate"))
+    )

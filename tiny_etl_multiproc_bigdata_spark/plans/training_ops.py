@@ -369,6 +369,15 @@ _FUZZY_PROBES: list[tuple[int, str]] = [
 ]
 _FUZZY_MIN_JAC = 3000  # Jaccard >= 0.30, integer-scaled by 1e4
 
+# NB: Spark sequence(1, 0) counts DOWN ([1, 0]), so strings shorter
+# than 3 chars need an explicit empty-array guard rather than a clamped
+# upper bound (property-tested in test_packing_property).
+_GRAM_EXPR = (
+    "CASE WHEN length({c}) < 3 THEN array() "
+    "ELSE array_distinct(transform(sequence(1, length({c}) - 2), "
+    "i -> substring(lower({c}), i, 3))) END"
+)
+
 
 def _fuzzy_oracle() -> str:
     values = ", ".join(f"({i}, '{s}')" for i, s in _FUZZY_PROBES)
@@ -427,11 +436,7 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         _FUZZY_PROBES, schema="probe_id bigint, probe_name string"
     )
-    gram_expr = (
-        "array_distinct(transform(sequence(1, greatest(length({c}) - 2, 0)), "
-        "i -> substring(lower({c}), i, 3)))"
-    )
-    pg = probes.withColumn("grams", F.expr(gram_expr.format(c="probe_name")))
+    pg = probes.withColumn("grams", F.expr(_GRAM_EXPR.format(c="probe_name")))
     pga = pg.select(
         "probe_id",
         "probe_name",
@@ -439,7 +444,7 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("grams").alias("g"),
     )
     names = table(spark, sf_dir, "part").select("p_name").distinct()
-    ng = names.withColumn("grams", F.expr(gram_expr.format(c="p_name")))
+    ng = names.withColumn("grams", F.expr(_GRAM_EXPR.format(c="p_name")))
     nga = ng.select(
         "p_name", F.size("grams").alias("nb"), F.explode("grams").alias("g")
     )

@@ -67,6 +67,10 @@ def test_pack_fold_matches_simulator(spark, docs):
     from pyspark.sql import functions as F
 
     from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+    from tiny_etl_multiproc_bigdata_spark.plans.training_ops import (
+        _PACK_SCHEMA,
+        make_greedy_packer,
+    )
 
     df = spark.createDataFrame(docs, schema="doc_id bigint, n_tokens bigint")
     d = df.select(
@@ -74,26 +78,10 @@ def test_pack_fold_matches_simulator(spark, docs):
         "doc_id",
         "n_tokens",
     )
-    capacity = _PACK_CAPACITY
-
-    def pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        bin_id, fill, first = 0, 0, True
-        for nt in pdf["n_tokens"]:
-            if not first and fill + int(nt) > capacity:
-                bin_id += 1
-                fill = 0
-            fill += int(nt)
-            first = False
-            bins.append(bin_id)
-        pdf["bin"] = bins
-        return pdf[["shard", "doc_id", "n_tokens", "bin"]]
-
     got = {
         r.doc_id: r.bin
         for r in d.groupBy("shard")
-        .applyInPandas(pack, "shard bigint, doc_id bigint, n_tokens bigint, bin bigint")
+        .applyInPandas(make_greedy_packer(_PACK_CAPACITY), _PACK_SCHEMA)
         .collect()
     }
     assert got == expected

@@ -76,11 +76,13 @@ def test_stratified_sample_subset_and_rates(spark, sf_dir):
 
 def test_scd2_intervals_partition_users(spark, sf_dir):
     iv = _q("scd2_intervals", spark, sf_dir)
+    # zero-length intervals are legal (two changes on one microsecond,
+    # tiebroken by state); negative ones are not
     bad = iv.filter(
         F.col("valid_to_us").isNotNull()
-        & (F.col("valid_to_us") <= F.col("valid_from_us"))
+        & (F.col("valid_to_us") < F.col("valid_from_us"))
     ).count()
-    assert bad == 0, "non-positive validity interval"
+    assert bad == 0, "negative validity interval"
     # exactly one open (current) interval per user
     per_user = (
         iv.groupBy("user_id")

@@ -225,44 +225,57 @@ def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a fully-tiebroken global
     order, WITHOUT a global single-task window (r03: the naive
     ``Window.orderBy`` funnels every row through one sort task). The
-    scale-safe two-pass global rank: range-repartition on the sort key
-    (so partition order = value order), count rows per partition (one
-    tiny P-row aggregate), turn counts into cumulative offsets, then
-    rank = broadcast offset + within-partition row_number. The three
+    scale-safe two-pass global rank: pass 1 computes 7 exact octile
+    boundaries of the sort value (one tiny broadcast row); every row is
+    assigned its CHUNK by folding over the boundaries — a deterministic,
+    data-derived partitioning (ties share a chunk, ``>=`` sends
+    boundary rows up), so the two consumers (per-chunk counts and the
+    data itself) agree without pinning anything — no localCheckpoint,
+    no spark_partition_id, no AQE hazard (the r03 review caught the
+    checkpointed variant leaking a pinned copy per plan construction).
+    Chunk counts become cumulative offsets (a window over 8 rows), and
+    rank = broadcast offset + within-chunk row_number. The three
     distribution functions are then pure expressions of (rank, N) —
     exact because the (o_totalprice, o_orderkey) sort tuple is unique,
     so there are no peer groups: percent_rank = (rank-1)/(N-1),
     cume_dist = rank/N, and ntile(4) follows Spark/DuckDB's shared
-    first-buckets-get-the-remainder rule. The ranged frame is
-    localCheckpoint'ed so both consumers (counts, data) see ONE pid
-    assignment even under AQE re-planning."""
+    first-buckets-get-the-remainder rule."""
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 97000)
         .select("o_orderkey", "o_totalprice")
     )
-    ranged = (
-        o.repartitionByRange(8, F.asc("o_totalprice"), F.asc("o_orderkey"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    octiles = ", ".join(str(i / 8) for i in range(1, 8))
+    thr = o.agg(
+        F.expr(f"percentile(o_totalprice, array({octiles}))").alias("qs")
     )
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    # Window over the per-partition counts only — bounded by #partitions,
-    # never by data volume, so the unpartitioned frame is safe.
-    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    chunked = o.crossJoin(F.broadcast(thr)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(
+            "aggregate(qs, 0, (acc, t) -> acc + "
+            "CASE WHEN o_totalprice >= t THEN 1 ELSE 0 END)"
+        ).alias("chunk"),
+    )
+    counts = chunked.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+    # Window over the per-chunk counts only — bounded by 8 rows, never
+    # by data volume, so the unpartitioned frame is safe.
+    wo = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "pid",
+        "chunk",
         F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("offset"),
         F.sum("cnt").over(
-            Window.orderBy("pid").rowsBetween(
+            Window.orderBy("chunk").rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("n_total"),
     )
-    wp = Window.partitionBy("pid").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    wp = Window.partitionBy("chunk").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
     ranked = (
-        ranged.withColumn("rn", F.row_number().over(wp))
-        .join(F.broadcast(offsets), "pid")
+        chunked.withColumn("rn", F.row_number().over(wp))
+        .join(F.broadcast(offsets), "chunk")
         .select(
             "o_orderkey",
             (F.col("offset") + F.col("rn")).alias("rank"),

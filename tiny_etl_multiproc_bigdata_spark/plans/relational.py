@@ -789,11 +789,14 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style returned-item reporting: top-20 customers by
     revenue lost to returns in one quarter. Shape: the date filter
-    prunes orders at the scan, the quarter's orders join lineitem on
-    the one wide exchange, the returnflag filter prunes lineitem
-    before the join, customer/nation broadcast onto the aggregate, and
-    the top-20 is a TakeOrdered (exact decimal sum as the sort key,
-    custkey tiebreak — never a global sort)."""
+    prunes orders at the scan, the returnflag filter prunes lineitem
+    before their one wide join, revenue is aggregated per o_custkey
+    (customer attributes are functionally dependent on the key, so
+    attaching them AFTER the aggregate is equivalent), the top-20 is a
+    TakeOrdered on the exact decimal sum with custkey tiebreak, and
+    only the 20 surviving rows broadcast onto customer and nation —
+    customer is never a join build side (at 100 TB it is 1.5B rows;
+    the r03 review caught the broadcast(customer) variant)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -804,14 +807,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
     ).alias("rev_dec")
-    return (
+    top = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .groupBy("o_custkey")
         .agg(rev)
-        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .orderBy(F.desc("rev_dec"), F.asc("o_custkey"))
         .limit(20)
+    )
+    return (
+        c.join(F.broadcast(top), c.c_custkey == top.o_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .select(
             "c_custkey",
             "c_name",

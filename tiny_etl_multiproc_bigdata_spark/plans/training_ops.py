@@ -135,9 +135,11 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, state, valid_from_us,
            lead(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us ASC) AS valid_to_us,
+                                     ORDER BY valid_from_us ASC, state ASC)
+             AS valid_to_us,
            (lead(valid_from_us) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from_us ASC) IS NULL)
+                                      ORDER BY valid_from_us ASC, state ASC)
+              IS NULL)
              AS is_current
     FROM changes
     """,
@@ -168,7 +170,11 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("valid_from_us"),
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy(F.asc("valid_from_us"))
+    # state tiebreak: two changes can land on the same microsecond
+    # (distinct event_ids, equal ts); lead() must stay deterministic
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.asc("valid_from_us"), F.asc("state")
+    )
     lead = F.lead("valid_from_us").over(w2)
     return changes.select(
         "user_id",
@@ -283,6 +289,32 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_CAPACITY = 512
 _PACK_SHARDS = 8
+_PACK_SCHEMA = "shard bigint, doc_id bigint, n_tokens bigint, bin bigint"
+
+
+def make_greedy_packer(capacity: int):
+    """Factory for the per-shard greedy first-fit fold. The RETURNED
+    function is a nested closure, so cloudpickle ships it by value to
+    Python workers (a bare module-level function would pickle by
+    reference and fail to import there); the factory form also lets
+    the property test drive the exact production fold on random
+    corpora (test_packing_property)."""
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill, first = 0, 0, True
+        for nt in pdf["n_tokens"]:
+            if not first and fill + int(nt) > capacity:
+                bin_id += 1
+                fill = 0
+            fill += int(nt)
+            first = False
+            bins.append(bin_id)
+        pdf["bin"] = bins
+        return pdf[["shard", "doc_id", "n_tokens", "bin"]]
+
+    return pack
 
 
 @register(
@@ -332,24 +364,8 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    capacity = _PACK_CAPACITY
-
-    def pack(pdf):  # local closure: must pickle by value for exec workers
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        bin_id, fill, first = 0, 0, True
-        for nt in pdf["n_tokens"]:
-            if not first and fill + int(nt) > capacity:
-                bin_id += 1
-                fill = 0
-            fill += int(nt)
-            first = False
-            bins.append(bin_id)
-        pdf["bin"] = bins
-        return pdf[["shard", "doc_id", "n_tokens", "bin"]]
-
     return d.groupBy("shard").applyInPandas(
-        pack, "shard bigint, doc_id bigint, n_tokens bigint, bin bigint"
+        make_greedy_packer(_PACK_CAPACITY), _PACK_SCHEMA
     )
 
 
@@ -506,15 +522,16 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-distinctive terms per document by TF-IDF. The idf is
-    the SCALED RATIONAL form floor(tf·(N+1)·10⁴/(df+1)) — integer
-    arithmetic end-to-end, so ranking and values are engine-exact
-    (libm ``ln`` differs across engines at the ulp; on a real cluster
-    swap in log-idf, there is no oracle to match there). Shapes: one
-    shuffle for tf, one for df (both partial-agg'd), an equi-join on
-    term, the corpus size broadcast from one row, and the rank filter
-    rewritten to WindowGroupLimit. The tf·(N+1)·10⁴ product needs
-    headroom at extreme corpus sizes — switch to log-idf well before
-    bigint saturation."""
+    the SCALED RATIONAL form tf·(N+1)·10⁴ div (df+1) — bigint integer
+    division end-to-end (NOT floor of a double quotient, which loses
+    exactness once the product passes 2⁵³), so ranking and values are
+    engine-exact against DuckDB's ``//`` (libm ``ln`` differs across
+    engines at the ulp; on a real cluster swap in log-idf, there is no
+    oracle to match there). Shapes: one shuffle for tf, one for df
+    (both partial-agg'd), an equi-join on term, the corpus size
+    broadcast from one row, and the rank filter rewritten to
+    WindowGroupLimit. The bigint product saturates near tf·N·10⁴ ≈
+    9.2e18 — switch to log-idf before that."""
     d = table(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
@@ -531,9 +548,7 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "term",
             "tf",
-            F.floor(
-                F.col("tf") * (F.col("n") + 1) * 10000 / (F.col("df") + 1)
-            ).alias("score_scaled"),
+            F.expr("tf * (n + 1) * 10000 div (df + 1)").alias("score_scaled"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.asc("term"))
@@ -662,13 +677,20 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = toks.join(df, "term").select(
-        "doc_id", F.floor(F.lit(100000000) / (F.col("df") + 1)).alias("tok_rarity")
+        "doc_id", F.expr("100000000 div (df + 1)").alias("tok_rarity")
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.floor(F.sum("tok_rarity") / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("rarity_scaled"),
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tok_rarity").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            # bigint div, mirroring the oracle's // — no double quotient
+            F.expr("rarity_sum div n_tokens").alias("rarity_scaled"),
+        )
     )
 
 

@@ -219,10 +219,14 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (idempotent writes = effective exactly-once; a blind
     append would only be at-least-once under retry). The stage is read
     back as the result and hash-checked lossless against the batch
-    oracle. The staging root is keyed by (sf_dir, pid) so two concurrent
-    invocations (e.g. driver sweep overlapping a bench run) can never
-    rmtree each other's in-flight data or checkpoint; clearing on entry
-    still bounds /tmp to one copy per scale per process."""
+    oracle. The staging root is ONE fixed dir per scale (bounding /tmp
+    to one staged copy per sf forever) and the whole run holds an
+    exclusive flock on it, so a concurrent invocation (driver sweep
+    overlapping a bench run) blocks for the few seconds the stream
+    needs instead of rmtree'ing the other's in-flight data — the r02
+    advice's race, closed without the per-pid leak the r03 review
+    caught in the first fix."""
+    import fcntl
     import hashlib
     import os
     import shutil
@@ -232,23 +236,35 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"spark_feb_{tag}_{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = os.path.join(tempfile.gettempdir(), f"spark_feb_{tag}")
+    lock_path = root + ".lock"
     data_dir = os.path.join(root, "data")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         csv_load(batch_df, os.path.join(data_dir, f"batch_id={batch_id}"))
 
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.read.option("sep", ";")
-        .option("header", "true")
-        .schema("event_id bigint, user_id bigint, event_type string")
-        .csv(os.path.join(data_dir, "batch_id=*"))
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            shutil.rmtree(root, ignore_errors=True)
+            q = (
+                ev.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = (
+                spark.read.option("sep", ";")
+                .option("header", "true")
+                .schema("event_id bigint, user_id bigint, event_type string")
+                .csv(os.path.join(data_dir, "batch_id=*"))
+            )
+            # materialize under the lock: the returned frame must not
+            # depend on files a later run may clear
+            rows = out.collect()
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return spark.createDataFrame(
+        rows, schema="event_id bigint, user_id bigint, event_type string"
     )

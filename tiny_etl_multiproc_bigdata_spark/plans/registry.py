@@ -154,6 +154,8 @@ _PRIORITY: tuple[str, ...] = (
     "cdc_latest_by_key",
     "topk_per_group",
     "asof_next_purchase",
+    "bpe_pair_counts",
+    "json_roundtrip_structs",
 )
 
 # Entries with a CORRECTNESS row from the r01 or r02 driver sweeps.

@@ -775,3 +775,113 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "true_count")
         .agg(F.min("bucket_count").cast("bigint").alias("cms_estimate"))
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-training inner loop: corpus-wide adjacent-pair counts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT lower(t.token) AS w, count(*) AS freq
+      FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
+      WHERE t.token <> ''
+      GROUP BY lower(t.token)
+    ),
+    pairs AS (
+      SELECT p.pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM words, unnest([substr(w, i, 2) for i in range(1, length(w))])
+           AS p(pair)
+      GROUP BY p.pair
+    )
+    SELECT pair, n FROM pairs ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-tokenizer-training inner loop, distributed: corpus-wide
+    adjacent character-pair frequencies (weighted by word frequency),
+    top-20. This is the expensive step of every merge round — the
+    argmax pair — and its scale shape is two partial-agg'd shuffles:
+    token stream → (word, freq) vocabulary (the big reduction: pair
+    explosion runs over DISTINCT words × freq, not raw tokens), then
+    pair explode → (pair, Σfreq) and a TakeOrdered top-k. A full BPE
+    train iterates this with a merge applied to the vocabulary between
+    rounds; the per-round plan is exactly this query."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(F.lower("token").alias("w"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) < 2 THEN array() "
+                "ELSE transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) END"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON serde round-trip (no filesystem staging)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "json_roundtrip_structs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(j, '$.u') AS BIGINT) AS user_id,
+           json_extract_string(j, '$.t') AS event_type,
+           CAST(json_extract_string(j, '$.k') AS BIGINT) AS prop_k
+    FROM (
+      SELECT event_id,
+             to_json(struct_pack(
+               u := user_id, t := event_type,
+               k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+               AS j
+      FROM events
+    )
+    """,
+)
+def json_roundtrip_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON serde both directions in one plan: parse the raw ``props``
+    JSON column, re-serialize a typed struct with ``to_json``, and
+    parse it back with a schema'd ``from_json`` — the ingest⇄export
+    pair every JSONL-based corpus pipeline needs, exercised without
+    filesystem staging so the driver row checks pure serde semantics.
+    All three steps are Catalyst expressions (Jackson JVM-side): zero
+    shuffle, zero Python."""
+    e = table(spark, sf_dir, "events")
+    j = e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("u"),
+                F.col("event_type").alias("t"),
+                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            )
+        ).alias("j"),
+    )
+    parsed = F.from_json(
+        "j", "u bigint, t string, k bigint"
+    )
+    return j.select(
+        "event_id",
+        parsed.getField("u").alias("user_id"),
+        parsed.getField("t").alias("event_type"),
+        parsed.getField("k").alias("prop_k"),
+    )

@@ -46,6 +46,7 @@ def _load_all() -> None:
         extras,
         flagship,
         generators,
+        graph_ops,
         ivf_kmeans,
         maintenance,
         reference_ops,
@@ -156,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_next_purchase",
     "bpe_pair_counts",
     "json_roundtrip_structs",
+    "pagerank_scaled",
 )
 
 # Entries with a CORRECTNESS row from the r01 or r02 driver sweeps.

@@ -158,6 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_pair_counts",
     "json_roundtrip_structs",
     "pagerank_scaled",
+    "q12_priority_by_returnflag",
+    "q14_promo_revenue_share",
 )
 
 # Entries with a CORRECTNESS row from the r01 or r02 driver sweeps.

@@ -873,3 +873,85 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation over a fact-fact join
+    (shipmode swapped for returnflag — the synthetic lineitem carries
+    no shipmode column): urgent vs non-urgent order counts per return
+    class for one ship year. The date filter is pushed to the lineitem
+    scan; the single wide exchange is the orderkey join; the CASE sums
+    partial-aggregate map-side to 3 groups."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT (floor(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                        THEN CAST(l.l_extendedprice AS DECIMAL(30,2))
+                                             * CAST(1 - l.l_discount AS DECIMAL(30,2))
+                                        ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo-revenue share for one ship month: the
+    part dimension broadcasts onto the date-pruned lineitem scan, both
+    revenue sums are exact decimals folded in ONE pass (conditional
+    aggregation — no second scan, no self-join), and only the final
+    ratio touches doubles, micro-rounded half-up on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(30,2)")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias(
+                "promo"
+            ),
+            F.sum(rev).alias("total"),
+        )
+    )
+    return agg.select(
+        round_half_up(
+            F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )

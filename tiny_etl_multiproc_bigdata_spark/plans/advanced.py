@@ -225,15 +225,19 @@ def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a fully-tiebroken global
     order, WITHOUT a global single-task window (r03: the naive
     ``Window.orderBy`` funnels every row through one sort task). The
-    scale-safe two-pass global rank: pass 1 computes 7 exact octile
-    boundaries of the sort value (one tiny broadcast row); every row is
-    assigned its CHUNK by folding over the boundaries — a deterministic,
-    data-derived partitioning (ties share a chunk, ``>=`` sends
-    boundary rows up), so the two consumers (per-chunk counts and the
-    data itself) agree without pinning anything — no localCheckpoint,
-    no spark_partition_id, no AQE hazard (the r03 review caught the
-    checkpointed variant leaking a pinned copy per plan construction).
-    Chunk counts become cumulative offsets (a window over 8 rows), and
+    scale-safe two-pass global rank: pass 1 runs approx_percentile for
+    7 octile boundaries of the sort value and collects them AT PLAN
+    CONSTRUCTION into literals (7 doubles — scale-independent driver
+    traffic, the kmeans-centroid pattern; exact percentile would
+    buffer every distinct value in one merge task at 100 TB, and a
+    non-literal boundary subtree could re-evaluate differently in the
+    two consuming branches). Every row is assigned its CHUNK by
+    comparing against the literal boundaries (ties share a chunk,
+    ``>=`` sends boundary rows up) — nothing pinned, no
+    localCheckpoint, no spark_partition_id, no AQE hazard. Boundary
+    skew from the approximation only shifts chunk sizes, never ranks:
+    rank arithmetic uses actual counts. Chunk counts become cumulative
+    offsets (a window over 8 rows), and
     rank = broadcast offset + within-chunk row_number. The three
     distribution functions are then pure expressions of (rank, N) —
     exact because the (o_totalprice, o_orderkey) sort tuple is unique,
@@ -246,17 +250,19 @@ def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
     )
     octiles = ", ".join(str(i / 8) for i in range(1, 8))
-    thr = o.agg(
-        F.expr(f"percentile(o_totalprice, array({octiles}))").alias("qs")
+    bounds = (
+        o.agg(
+            F.expr(
+                f"approx_percentile(o_totalprice, array({octiles}), 10000)"
+            ).alias("qs")
+        )
+        .collect()[0]
+        .qs
     )
-    chunked = o.crossJoin(F.broadcast(thr)).select(
-        "o_orderkey",
-        "o_totalprice",
-        F.expr(
-            "aggregate(qs, 0, (acc, t) -> acc + "
-            "CASE WHEN o_totalprice >= t THEN 1 ELSE 0 END)"
-        ).alias("chunk"),
-    )
+    chunk = F.lit(0)
+    for b in bounds:
+        chunk = chunk + F.when(F.col("o_totalprice") >= F.lit(b), 1).otherwise(0)
+    chunked = o.select("o_orderkey", "o_totalprice", chunk.alias("chunk"))
     counts = chunked.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
     # Window over the per-chunk counts only — bounded by 8 rows, never
     # by data volume, so the unpartitioned frame is safe.

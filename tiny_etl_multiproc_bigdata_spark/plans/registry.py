@@ -140,24 +140,29 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stream_static_join",
     "streaming_foreach_batch",
     "multimodal_frame_sample",
-    # -- new in r03 (positions 49+: roll to the r04 sweep if capped) --
-    "q10_returned_items",
-    "q18_big_orders",
+    # -- created in r03 (positions 49+: roll to the r04 sweep if
+    # capped at ~50; riskiest semantics lead in case the cap is
+    # higher). ALL of these are new this round — none had a prior
+    # driver row to go stale — and all are oracle-green at
+    # sf0.001/0.01/0.1 locally. r04: front-load whatever of these the
+    # r03 sweep did not reach.
     "pack_sequences_greedy",
-    "fuzzy_match_parts",
     "tfidf_topk_terms",
-    "text_rarity_score",
-    "sketch_count_min_topk",
-    "embedding_label_centroids",
-    "quantile_bucketize",
-    "sample_stratified_hash",
     "scd2_intervals",
+    "fuzzy_match_parts",
+    "pagerank_scaled",
+    "q10_returned_items",
+    "quantile_bucketize",
+    "sketch_count_min_topk",
+    "text_rarity_score",
+    "bpe_pair_counts",
+    "embedding_label_centroids",
+    "asof_next_purchase",
+    "q18_big_orders",
+    "sample_stratified_hash",
     "cdc_latest_by_key",
     "topk_per_group",
-    "asof_next_purchase",
-    "bpe_pair_counts",
     "json_roundtrip_structs",
-    "pagerank_scaled",
     "q12_priority_by_returnflag",
     "q14_promo_revenue_share",
 )

@@ -807,10 +807,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
     ).alias("rev_dec")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_custkey").agg(rev)
+    )
+    # Rank only custkeys that exist in customer (the oracle inner-joins
+    # customer BEFORE the limit): a key-only semi-join keeps the top-20
+    # oracle-equal even if the generator ever emits orphan orders.
     top = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(rev)
+        per_cust.join(
+            c.select("c_custkey"),
+            per_cust.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
         .orderBy(F.desc("rev_dec"), F.asc("o_custkey"))
         .limit(20)
     )
@@ -912,21 +920,26 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q14_promo_revenue_share",
-    oracle="""
-    SELECT (floor(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                                        THEN CAST(l.l_extendedprice AS DECIMAL(30,2))
-                                             * CAST(1 - l.l_discount AS DECIMAL(30,2))
-                                        ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
-                            * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE)
-                 * 10000 + 0.5) / 10000) AS promo_revenue_pct
+_Q14_RATIO = """100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                      THEN CAST(l.l_extendedprice AS DECIMAL(30,2))
+                                           * CAST(1 - l.l_discount AS DECIMAL(30,2))
+                                      ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE)"""
+
+
+def _q14_oracle() -> str:
+    from tiny_etl_multiproc_bigdata_spark.functions.rounding import duck_round
+
+    return f"""
+    SELECT {duck_round(_Q14_RATIO, 4)} AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
       AND l.l_shipdate <  TIMESTAMP '1996-10-01'
-    """,
-)
+    """
+
+
+@register("q14_promo_revenue_share", oracle=_q14_oracle())
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style promo-revenue share for one ship month: the
     part dimension broadcasts onto the date-pruned lineitem scan, both

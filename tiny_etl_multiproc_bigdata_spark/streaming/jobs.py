@@ -260,11 +260,15 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .schema("event_id bigint, user_id bigint, event_type string")
                 .csv(os.path.join(data_dir, "batch_id=*"))
             )
-            # materialize under the lock: the returned frame must not
-            # depend on files a later run may clear
-            rows = out.collect()
+            # Materialize under the lock: the returned frame must not
+            # depend on files a later run may clear. Arrow both ways
+            # (toPandas → createDataFrame), and the driver footprint is
+            # bounded by the 3-column events fixture at sweep scale —
+            # this entry exists for serde/loader verification, not for
+            # the bench path, so the snapshot cost is deliberate.
+            pdf = out.toPandas()
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
     return spark.createDataFrame(
-        rows, schema="event_id bigint, user_id bigint, event_type string"
+        pdf, schema="event_id bigint, user_id bigint, event_type string"
     )

@@ -104,3 +104,65 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pr"),
         )
     return pr
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering keys (data-layout optimization)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _interleave_expr(x: str, y: str) -> str:
+    """SQL for the Morton/Z-order interleave of two _Z_BITS-bit values.
+    Pure `>> & <<` arithmetic, valid verbatim in BOTH Spark SQL and
+    DuckDB — the formula is shared so the engines cannot drift."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    z = _interleave_expr("x", "y")
+    return f"""
+    WITH c AS (
+      SELECT event_id,
+             CAST(user_id & 255 AS BIGINT) AS x,
+             CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) & 255 AS BIGINT) AS y
+      FROM events
+    )
+    SELECT event_id, CAST({z} AS BIGINT) AS zvalue,
+           CAST(({z}) >> {_Z_BITS} AS BIGINT) AS cluster
+    FROM c
+    """
+
+
+@register("zorder_cluster_assign", oracle=_zorder_oracle())
+def zorder_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user, day) — the
+    data-layout primitive behind multi-dimensional file clustering
+    (Delta/Iceberg OPTIMIZE ZORDER): rows close in BOTH dimensions get
+    close z-values, so writing files in z-order lets min/max file
+    statistics prune scans on EITHER predicate column — the layout
+    lever that turns a 100 TB full scan into a targeted read. Emits
+    the interleaved z-value and a 256-way cluster id (the write-path
+    would `repartitionByRange(cluster)` before the sink). Pure bit
+    arithmetic from ONE shared SQL formula (`_interleave_expr`), zero
+    shuffle, zero Python."""
+    e = table(spark, sf_dir, "events")
+    z = _interleave_expr("x", "y")
+    return (
+        e.selectExpr(
+            "event_id",
+            "CAST(user_id & CAST(255 AS BIGINT) AS BIGINT) AS x",
+            "CAST(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) "
+            "& CAST(255 AS BIGINT) AS BIGINT) AS y",
+        )
+        .selectExpr(
+            "event_id",
+            f"CAST({z} AS BIGINT) AS zvalue",
+            f"CAST(({z}) >> {_Z_BITS} AS BIGINT) AS cluster",
+        )
+    )

@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "json_roundtrip_structs",
     "q12_priority_by_returnflag",
     "q14_promo_revenue_share",
+    "zorder_cluster_assign",
 )
 
 # Entries with a CORRECTNESS row from the r01 or r02 driver sweeps.

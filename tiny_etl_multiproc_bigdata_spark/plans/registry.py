@@ -166,6 +166,8 @@ _PRIORITY: tuple[str, ...] = (
     "q12_priority_by_returnflag",
     "q14_promo_revenue_share",
     "zorder_cluster_assign",
+    "feature_hash_counts",
+    "q7_nation_volume",
 )
 
 # Entries with a CORRECTNESS row from the r01 or r02 driver sweeps.

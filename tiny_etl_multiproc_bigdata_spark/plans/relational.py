@@ -968,3 +968,61 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("promo_revenue_pct")
     )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           (floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                           * CAST(1 - l.l_discount AS DECIMAL(30,2)))
+                       AS DOUBLE) * 100 + 0.5) / 100) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style cross-border shipping volume: revenue between
+    every (supplier nation, customer nation) pair per ship year. All
+    four dims broadcast (nation twice under different aliases); the
+    only wide exchange is lineitem⋈orders, and the group-by cardinality
+    (|nations|² × years) keeps the final aggregate tiny — partial aggs
+    do the work map-side. The scale-4 decimal sums land on .xx5 cent
+    boundaries, so the rounding is portable half-up on both engines
+    (same class q10 hit)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(round_half_up(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("ship_year").cast("bigint").alias("ship_year"),
+            "revenue",
+        )
+    )

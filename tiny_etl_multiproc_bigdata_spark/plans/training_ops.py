@@ -885,3 +885,50 @@ def json_roundtrip_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("t").alias("event_type"),
         parsed.getField("k").alias("prop_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick)
+# --------------------------------------------------------------------------
+
+_FEAT_BUCKETS = 64
+
+
+@register(
+    "feature_hash_counts",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lower(t.token) AS term
+      FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
+      WHERE t.token <> ''
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+             % {_FEAT_BUCKETS} AS bucket,
+           count(*) AS weight
+    FROM toks
+    GROUP BY doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+               % {_FEAT_BUCKETS}
+    """,
+)
+def feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: fold an unbounded token vocabulary into a
+    fixed 64-bucket feature space by md5 bucket — the constant-memory
+    featurizer for linear models / embeddings-from-scratch over a
+    100 TB corpus (no vocabulary dictionary to build, broadcast, or
+    keep consistent across runs; collisions are the accepted trade).
+    One partial-agg'd shuffle on (doc, bucket); the md5 bucket is the
+    same deterministic arithmetic as the holdout split, so features
+    are reproducible across engines and reruns."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.lower("token").alias("term"))
+    )
+    return (
+        toks.select("doc_id", (md5_long(F.col("term")) % _FEAT_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

@@ -35,20 +35,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, which Spark's reader rejects
-        # outright. Set the legacy conf at read time (runtime-settable, and
-        # the engine must work under a caller-created vanilla session, e.g.
-        # the verification driver), read nanos as int64, then convert via
-        # integer `div` (double division would lose precision on ~1.7e18
-        # nanos) to micros → TIMESTAMP_NTZ, matching DuckDB's naive
-        # timestamps.
+        # The fixture generator has shipped `ts` two ways across rounds:
+        # TIMESTAMP(NANOS) (which Spark's reader rejects without the
+        # legacy conf — read as int64 nanos, then integer-`div` to micros;
+        # double division would lose precision on ~1.7e18 nanos) and plain
+        # TIMESTAMP(MICROS). Branch on the actual dtype so the engine
+        # works against either vintage, and normalize to TIMESTAMP_NTZ,
+        # matching DuckDB's naive timestamps.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

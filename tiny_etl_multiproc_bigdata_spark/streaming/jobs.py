@@ -28,7 +28,16 @@ from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema from a batch
-    read; nanos ts handled identically to catalog.table)."""
+    read). Watermarks require TIMESTAMP (with local tz), so both
+    fixture vintages of `ts` normalize to an absolute-epoch LTZ where
+    the instant equals the naive value interpreted as UTC (matching the
+    DuckDB oracles' `epoch(ts)`): int64 nanos are already epoch-encoded;
+    TIMESTAMP_NTZ converts via tz-free epoch seconds
+    (`to_unix_timestamp` on NTZ ignores the session timezone) plus the
+    sub-second fraction (tz offsets are whole minutes, so `SSSSSS` is
+    tz-safe)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source wants a directory basePath; select just the
@@ -39,9 +48,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ —
-    # timestamp_micros already yields absolute-epoch LTZ
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
+        "bigint"
+    ) + F.date_format("ts", "SSSSSS").cast("bigint")
+    return raw.withColumn("ts", F.timestamp_micros(epoch_us))
 
 
 _RUN_SEQ = [0]

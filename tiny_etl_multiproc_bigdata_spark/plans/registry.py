@@ -65,112 +65,62 @@ def _load_all() -> None:
     from tiny_etl_multiproc_bigdata_spark.streaming import jobs  # noqa: F401
 
 
-# Driver-sweep ordering (VERDICT r02 item 2): the verification driver
-# checks a capped prefix (~50) of the registry in iteration order.
-# After r01+r02, 96/141 entries have a hard-signal row and exactly two
-# are hash-red (both from one oracle dtype bug — DuckDB windowed integer
-# sum() → HUGEINT → pandas float64 vs Spark int64 — fixed this round
-# with CAST(... AS BIGINT)). Order: (a) the two red entries whose
-# oracle fix needs re-verification; (b) the 45 entries never driver-
-# checked across r01+r02 (VERDICT's explicit list) plus the one
-# r-green entry whose implementation changed (window_distribution_fns)
-# — 48 total, the r03 done-criterion set, which must own the cap;
-# (c) the operators NEW in r03, explicitly listed at the tail: they
-# are pytest-verified at three scales but exceed a ~50 cap at
-# positions 49+, so all or most roll to the r04 sweep by design — the
-# VERDICT r02 done-criterion (45+2 green) takes the slots this round.
+# Driver-sweep ordering: the verification driver checks a capped
+# prefix (~50) of the registry in iteration order. After r01-r03,
+# 143/163 entries have a green row and none are red. r04 order:
+# (a) the 20 entries never driver-checked (all created in r03 —
+# the r03 sweep's cap cut them off); (b) the streaming entries,
+# whose events-source read path changed this round (the regenerated
+# fixtures ship ts as TIMESTAMP(MICROS), handled by a new dtype
+# branch — fresh rows needed); (c) events-reading batch entries, to
+# re-confirm under the new ts vintage (catalog.table normalizes to
+# the same TIMESTAMP_NTZ as before, but the data itself was
+# regenerated); (d) entries NEW in r04, appended as they are built.
 # Then (via _ordered_names) any unlisted never-checked entries and
 # finally green entries in insertion order.
 _PRIORITY: tuple[str, ...] = (
-    # r02 red — oracle CAST fix this round, must re-verify (item 1)
-    "flagship_words",
-    "sessionize_events",
-    # -- the 45 never-checked entries (VERDICT r02 "What's missing" #1) --
-    # LLM text core
-    "text_token_count",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
-    # ANN / vectors
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_lsh_buckets",
-    "vector_norm_stats",
-    "embedding_quantize_int8",
-    # scale patterns
-    "salted_token_counts",
-    "skew_salted_join",
-    "two_stage_distinct",
-    "key_skew_profile",
-    # entries whose implementation changed this round (need FRESH rows)
-    "orders_pareto_share",
-    "events_rolling_dau",
-    "quality_topfrac_filter",
-    "window_distribution_fns",
-    # curation / dataset management
-    "text_pii_scrub",
-    "corpus_curation",
-    "decontaminate_eval_overlap",
-    "text_boilerplate_strip",
-    "dataset_holdout_split",
-    "corpus_stats_summary",
-    "dedup_incremental_minhash",
-    "minhash_recall_eval",
-    "inverted_index_build",
-    "text_ngram_topk",
-    # relational / windows extras
-    "sql_q6_forecast",
-    "user_retention_cohorts",
-    "join_null_safe",
-    "agg_mode_deterministic",
-    "robust_outlier_bounds",
-    "time_weighted_average",
-    "window_sliding_counts",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "date_functions",
-    "string_functions",
-    "json_extract_scalar",
-    "width_bucket_histogram",
-    # maintenance
-    "merge_upsert",
-    "table_profile",
-    # streaming + multimodal tails
-    "streaming_stream_static_join",
-    "streaming_foreach_batch",
-    "multimodal_frame_sample",
-    # -- created in r03 (positions 49+: roll to the r04 sweep if
-    # capped at ~50; riskiest semantics lead in case the cap is
-    # higher). ALL of these are new this round — none had a prior
-    # driver row to go stale — and all are oracle-green at
-    # sf0.001/0.01/0.1 locally. r04: front-load whatever of these the
-    # r03 sweep did not reach.
-    "pack_sequences_greedy",
-    "tfidf_topk_terms",
-    "scd2_intervals",
-    "fuzzy_match_parts",
+    # -- (a) never driver-checked (r03 tail) --
     "pagerank_scaled",
+    "zorder_cluster_assign",
     "q10_returned_items",
-    "quantile_bucketize",
-    "sketch_count_min_topk",
-    "text_rarity_score",
-    "bpe_pair_counts",
-    "embedding_label_centroids",
-    "asof_next_purchase",
     "q18_big_orders",
-    "sample_stratified_hash",
-    "cdc_latest_by_key",
-    "topk_per_group",
-    "json_roundtrip_structs",
     "q12_priority_by_returnflag",
     "q14_promo_revenue_share",
-    "zorder_cluster_assign",
-    "feature_hash_counts",
     "q7_nation_volume",
+    "topk_per_group",
+    "cdc_latest_by_key",
+    "scd2_intervals",
+    "sample_stratified_hash",
+    "quantile_bucketize",
+    "fuzzy_match_parts",
+    "embedding_label_centroids",
+    "asof_next_purchase",
+    "text_rarity_score",
+    "sketch_count_min_topk",
+    "bpe_pair_counts",
+    "json_roundtrip_structs",
+    "feature_hash_counts",
+    # -- (b) streaming: source dtype branch changed in r04 --
+    "streaming_tumbling_counts",
+    "streaming_dedup",
+    "streaming_session_window",
+    "streaming_stateful_counter",
+    "streaming_stream_static_join",
+    "streaming_foreach_batch",
+    # -- (c) events-reading batch entries under the new ts vintage --
+    "sessionize_events",
+    "window_tumbling_counts",
+    "window_sliding_counts",
+    "time_weighted_average",
+    "events_rolling_dau",
+    "user_retention_cohorts",
+    "asof_last_signup",
+    "event_funnel",
+    "time_series_densify",
+    # -- (d) new in r04 (appended as built) --
 )
 
-# Entries with a CORRECTNESS row from the r01 or r02 driver sweeps.
+# Entries with a CORRECTNESS row from the r01-r03 driver sweeps.
 # Unlisted entries WITHOUT a row sort ahead of these so a capped sweep
 # reaches never-verified entries first.
 _CHECKED: frozenset[str] = frozenset(
@@ -212,6 +162,26 @@ _CHECKED: frozenset[str] = frozenset(
         "t2_tokenize_words", "t3_arabic_tokenize", "t4_pipeline_chain",
         "window_lag_lead", "window_rank_dense", "window_row_number_topk",
         "window_running_sum", "window_tumbling_counts",
+        # r03 sweep
+        "text_token_count", "text_lang_id", "text_quality_score",
+        "text_fingerprint", "ann_bruteforce_topk", "ann_lsh_topk",
+        "ann_lsh_buckets", "vector_norm_stats", "embedding_quantize_int8",
+        "salted_token_counts", "skew_salted_join", "two_stage_distinct",
+        "key_skew_profile", "orders_pareto_share", "events_rolling_dau",
+        "quality_topfrac_filter", "window_distribution_fns",
+        "text_pii_scrub", "corpus_curation", "decontaminate_eval_overlap",
+        "text_boilerplate_strip", "dataset_holdout_split",
+        "corpus_stats_summary", "dedup_incremental_minhash",
+        "minhash_recall_eval", "inverted_index_build", "text_ngram_topk",
+        "sql_q6_forecast", "user_retention_cohorts", "join_null_safe",
+        "agg_mode_deterministic", "robust_outlier_bounds",
+        "time_weighted_average", "window_sliding_counts", "agg_rollup",
+        "agg_cube", "agg_grouping_sets", "date_functions",
+        "string_functions", "json_extract_scalar",
+        "width_bucket_histogram", "merge_upsert", "table_profile",
+        "streaming_stream_static_join", "streaming_foreach_batch",
+        "multimodal_frame_sample", "pack_sequences_greedy",
+        "tfidf_topk_terms",
     }
 )
 

@@ -54,6 +54,7 @@ def _load_all() -> None:
         scale_patterns,
         temporal_joins,
         text_queries,
+        tpch_extra,
         training_ops,
         vector_queries,
         windows,
@@ -118,6 +119,13 @@ _PRIORITY: tuple[str, ...] = (
     "event_funnel",
     "time_series_densify",
     # -- (d) new in r04 (appended as built) --
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "q2_min_acctbal_supplier",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

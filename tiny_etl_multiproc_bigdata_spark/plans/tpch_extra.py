@@ -1,0 +1,327 @@
+"""TPC-H adaptations, round 4: the subquery-shaped quartet (Q4 EXISTS,
+Q13 outer-join distribution, Q16 NOT-IN anti-join, Q17 correlated
+scalar) plus Q19 disjunctive pushdown, Q22 NOT-EXISTS with a global
+threshold, and the Q2-style argmin join-back.
+
+The reference engine exposes none of these shapes natively — its SQL
+surface lives downstream in MySQL (example/readme.md:41-69) — so, as
+with plans/relational.py, this module is where the engine's relational
+breadth is surfaced Spark-first. Schemas are adapted to the fixture
+tables (no partsupp: lineitem serves as the part↔supplier link; no
+phone column: cntrycode derives from c_nationkey).
+
+Numeric determinism follows the repo-wide recipe: DECIMAL(30,2) sums,
+cast back to DOUBLE, round_half_up to a fixed scale (see
+plans/relational.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+def _dec(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(30,2)")
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): EXISTS decorrelates to a
+    LEFT SEMI join with a non-equi residual. The date filter prunes the
+    orders scan first; the semi join shuffles both facts on orderkey —
+    at 100 TB both sides would be bucketed on orderkey, making this a
+    co-located join with no exchange."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    with a filtered ON clause (customers with zero qualifying orders
+    must survive with c_count = 0), then a second aggregation over the
+    first's output. Two shuffles total — custkey, then c_count (tiny
+    domain, map-side combine collapses it)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adaptation (lineitem as the part↔supplier link):
+    NOT IN over a key subquery (s_suppkey is non-null, so NOT IN is a
+    plain anti join — with nullable keys it would need the null-aware
+    variant) plus COUNT(DISTINCT). The excluded-supplier set is tiny →
+    broadcast anti join; part is dim-sized → broadcast equi join; the
+    only shuffle is the distinct aggregation."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & (~F.col("p_type").like("PROMO%"))
+    ).select("p_partkey", "p_brand", "p_type")
+    bad_supp = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                      / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): a correlated scalar
+    subquery per part, decorrelated into a per-part aggregate joined
+    back. The per-part averages are |parts-of-brand| rows → broadcast;
+    lineitem is scanned twice (once for thresholds, once for revenue) —
+    at 100 TB the threshold pass is the cheap one (two columns, partial
+    agg). The threshold uses the exact decimal-sum/count form so both
+    engines compute the identical double."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    # per-part avg over ALL lineitem rows of that part (matches the
+    # correlated subquery, which is not brand-filtered)
+    thresholds = (
+        li.groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
+            ).alias("qty_cap")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            round_half_up(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
+                          * CAST(1 - l_discount AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): an OR of
+    three brand/size/quantity bundles mixing both join sides. Catalyst
+    extracts the per-side implied disjunctions (p_brand IN (...),
+    p_size <= 35, quantity bounds) and pushes them below the join, so
+    the broadcast hash join sees pre-filtered inputs instead of
+    evaluating the full OR against the raw cross-product."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return j.filter(bundle).agg(
+        round_half_up(F.sum(rev).cast("double"), 2).alias("revenue")
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT cntrycode, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+    )
+    GROUP BY cntrycode
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): rich customers with no
+    urgent orders (every fixture customer has SOME order, so the
+    original "no orders at all" predicate would be vacuous — the
+    filtered NOT EXISTS keeps the same plan shape non-trivially).
+    Three classic shapes in one: an uncorrelated scalar subquery
+    (global average → broadcast 1-row cross join), NOT EXISTS (left
+    anti join on custkey), and a derived grouping key (cntrycode from
+    c_nationkey, standing in for the phone prefix). The anti join
+    probes the filtered orders' custkey set — at 100 TB that side
+    would be reduced to distinct custkeys first and bloom-pruned."""
+    c = table(spark, sf_dir, "customer")
+    avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("thresh")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    rich = (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.select(
+            F.pmod(F.col("c_nationkey"), F.lit(5)).cast("bigint").alias("cntrycode"),
+            "c_acctbal",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            round_half_up(F.sum(_dec("c_acctbal")).cast("double"), 2).alias(
+                "totacctbal"
+            ),
+        )
+    )
+
+
+@register(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    SELECT n_name, s_suppkey, s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation ON s.s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier, adapted to the fixture
+    schema): a correlated MIN subquery decorrelated into a per-group
+    aggregate joined back on (group, value) — the argmin-with-ties
+    pattern. MIN over doubles is exact (no accumulation), so the
+    equality join-back is safe cross-engine. All three non-fact inputs
+    are dim-sized → every join broadcasts; zero wide shuffles."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    mins = s.groupBy(F.col("s_nationkey").alias("m_nationkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(mins),
+            (F.col("s_nationkey") == F.col("m_nationkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )

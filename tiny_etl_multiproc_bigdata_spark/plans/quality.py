@@ -1,0 +1,314 @@
+r"""Training-corpus quality layer, round 4: repetition filters
+(Gopher-style), corpus unigram-LM scoring, per-domain quota sampling,
+snapshot diffing, and tokenizer-fertility tracking.
+
+These extend the curation stack (plans/curation.py) with the signals a
+large-scale LLM-data pipeline computes per document before mixing:
+repetition ratios catch degenerate/boilerplate text that length and
+punctuation heuristics miss; the unigram negative-log-likelihood is the
+cheapest LM-based quality proxy (the KenLM-perplexity stand-in that
+needs no model artifact); domain quotas bound any single source's share
+of the mix; snapshot diff is the ingest-side change audit between two
+corpus versions.
+
+Cross-engine determinism: every ratio is a SINGLE double division of
+exact integers (bit-identical in Spark and DuckDB), and the log-based
+score quantizes each token's -log2(p) to an integer of microbits
+BEFORE the per-document sum, so aggregation order cannot perturb the
+result (integer sums are associative; see plans/relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+from tiny_etl_multiproc_bigdata_spark.plans.text_queries import _BPE_RE
+
+# shared token-array fragments (lowercased whitespace split, empties
+# dropped) — Spark side mirrors text_queries.tokenize_words
+_DUCK_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+
+
+def _toks() -> F.Column:
+    return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+
+
+@register(
+    "repetition_quality_flags",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(l) AS n_tokens,
+             list_max(list_transform(list_distinct(l),
+                                     x -> len(list_filter(l, y -> y = x))))
+               AS top_cnt,
+             CASE WHEN len(l) >= 2
+                  THEN len(l) - 1
+                       - len(list_distinct(list_transform(range(1, len(l)),
+                                                          i -> l[i] || ' ' || l[i+1])))
+                  ELSE 0 END AS dup_bigrams,
+             greatest(len(l) - 1, 1) AS n_bigrams
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(top_cnt AS DOUBLE) / n_tokens       AS top_token_frac,
+           CAST(dup_bigrams AS DOUBLE) / n_bigrams  AS dup_bigram_frac,
+           (CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12
+            AND CAST(dup_bigrams AS DOUBLE) / n_bigrams <= 0.55) AS keep
+    FROM m
+    """,
+)
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: fraction of tokens taken by the
+    single most frequent token, and fraction of duplicated bigrams.
+    Everything is a per-row array expression (zero shuffle, scales
+    embarrassingly); the per-token frequency scan is O(distinct·n) per
+    document — fine for natural documents, and a long-document corpus
+    would swap it for the explode→count formulation. Ratios are single
+    divisions of exact integers → bit-identical cross-engine.
+
+    Reference parity: the reference's quality gates are row-level null
+    drops (transformers.py:90-118); repetition ratios are the
+    corpus-curation generalization.
+    """
+    d = table(spark, sf_dir, "documents").withColumn("l", _toks())
+    n = F.size("l")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("l"),
+            lambda x: F.size(F.filter(F.col("l"), lambda y: y == x)),
+        )
+    )
+    # Spark array indexing in transform is 0-based (DuckDB's is 1-based)
+    dup_bigrams = F.when(
+        n >= 2,
+        (n - 1)
+        - F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("l", i + 1), F.element_at("l", i + 2)
+                    ),
+                )
+            )
+        ),
+    ).otherwise(0)
+    m = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        top_cnt.alias("top_cnt"),
+        dup_bigrams.alias("dup_bigrams"),
+        F.greatest(n - 1, F.lit(1)).alias("n_bigrams"),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    dup_frac = F.col("dup_bigrams").cast("double") / F.col("n_bigrams")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac <= 0.12) & (dup_frac <= 0.55)).alias("keep"),
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), cnts AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS n FROM cnts
+    ), lp AS (
+      SELECT tok,
+             CAST(floor(-log2(CAST(c AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT)
+               AS nll_microbits
+      FROM cnts, tot
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           (floor(CAST(sum(lp.nll_microbits) AS DOUBLE) / count(*)
+                  / 1000000 * 10000 + 0.5) / 10000) AS avg_nll_bits
+    FROM toks t JOIN lp ON t.tok = lp.tok
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram language-model scoring: build the token
+    distribution over the whole corpus, then score each document by its
+    mean negative log2-likelihood — the cheapest perplexity proxy for
+    quality bucketing (no model artifact needed; a KenLM UDF slots into
+    the same plan shape). Two aggregations: token counts (map-side
+    combined, vocabulary-sized result → broadcast back), then the
+    per-document mean. Each token's -log2(p) is quantized to integer
+    microbits BEFORE summing, so the double sum's accumulation order
+    can't flip the rounded output."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    cnts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = cnts.agg(F.sum("c").alias("n"))
+    lp = cnts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            -F.log2(F.col("c").cast("double") / F.col("n")) * 1_000_000 + 0.5
+        )
+        .cast("bigint")
+        .alias("nll_microbits"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            round_half_up(
+                F.sum("nll_microbits").cast("double") / F.count("*") / 1_000_000,
+                4,
+            ).alias("avg_nll_bits"),
+        )
+    )
+
+
+@register(
+    "domain_quota_sample",
+    oracle="""
+    SELECT source, doc_id, rn
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS rn
+      FROM documents
+    )
+    WHERE rn <= 10
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: cap every source's contribution at N
+    documents, chosen deterministically by content-independent hash
+    order (md5 of the key — partitioning- and engine-independent, the
+    dataset_holdout_split trick). The window partitions by source, so
+    state per task is one counter per domain — no global sort. Skewed
+    domains (one source owning half the corpus) cost one task's scan of
+    that domain, and at 100 TB the rn > N rows short-circuit at the
+    window operator instead of materializing."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 3
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 5
+    )
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus/table versions: full outer join
+    on the key, classify added/removed/changed/unchanged, count. The
+    two versions here derive deterministically from the orders fixture
+    (keys dropped from each side simulate adds/removes; a price bump
+    simulates updates). One shuffle on the join key; at 100 TB both
+    snapshots would be bucketed by key, making the diff co-located —
+    and a content-hash column comparison replaces the per-column
+    equality when schemas are wide."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 11 != 3).select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 13 != 5).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("p2"),
+    )
+    status = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, v1.k1 == v2.k2, "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=rf"""
+    WITH m AS (
+      SELECT lang,
+             CAST(len({_DUCK_TOKS}) AS BIGINT)                     AS ws,
+             CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe,
+             CAST(len(replace(text, ' ', '')) AS BIGINT)           AS chars
+      FROM documents
+    )
+    SELECT lang,
+           count(*)  AS n_docs,
+           sum(ws)   AS ws_tokens,
+           sum(bpe)  AS bpe_tokens,
+           (floor(CAST(sum(bpe) AS DOUBLE) / sum(ws) * 10000 + 0.5) / 10000)
+             AS fertility,
+           (floor(CAST(sum(chars) AS DOUBLE) / sum(ws) * 10000 + 0.5) / 10000)
+             AS chars_per_token
+    FROM m GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility tracking: BPE-ish tokens per whitespace word
+    and characters per word, aggregated per language — the standard
+    health metric when one tokenizer serves a multilingual corpus
+    (fertility spikes flag languages the vocabulary underserves).
+    Per-row regex counts (JVM expressions), integer sums (exact,
+    associative), one tiny shuffle on lang."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        F.size(_toks()).cast("bigint").alias("ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("bpe"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+            "bigint"
+        ).alias("chars"),
+    )
+    return m.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        round_half_up(
+            F.sum("bpe").cast("double") / F.sum("ws"), 4
+        ).alias("fertility"),
+        round_half_up(
+            F.sum("chars").cast("double") / F.sum("ws"), 4
+        ).alias("chars_per_token"),
+    )

@@ -49,6 +49,7 @@ def _load_all() -> None:
         graph_ops,
         ivf_kmeans,
         maintenance,
+        quality,
         reference_ops,
         relational,
         scale_patterns,
@@ -126,6 +127,11 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q22_idle_customers",
     "q2_min_acctbal_supplier",
+    "repetition_quality_flags",
+    "unigram_logprob_score",
+    "domain_quota_sample",
+    "snapshot_diff",
+    "tokenizer_fertility_by_lang",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

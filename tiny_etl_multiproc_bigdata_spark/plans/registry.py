@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "domain_quota_sample",
     "snapshot_diff",
     "tokenizer_fertility_by_lang",
+    "streaming_stream_stream_join",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

@@ -284,3 +284,64 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, schema="event_id bigint, user_id bigint, event_type string"
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.event_id  AS click_id,
+           p.event_id  AS purchase_id,
+           c.user_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: click→purchase attribution
+    within a 30-minute window, both sides unbounded streams. The time-
+    range join condition plus the two watermarks bound the state store:
+    a buffered click can be evicted once the purchase-side watermark
+    passes click.ts + 30 min (Spark derives the state watermark from
+    the range condition), so state is O(events in the attribution
+    window), not O(stream). Inner-join matches emit as found, so
+    `append` mode returns every pair under availableNow replay. The
+    same topology at 100 TB/day partitions state by user_id across the
+    shuffle — the join IS the state store."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.floor(F.unix_timestamp("p_ts")) - F.floor(F.unix_timestamp("c_ts"))
+        ).cast("bigint").alias("gap_s"),
+    )
+    return _run_to_memory(joined, spark, "stream_stream_join", "append")

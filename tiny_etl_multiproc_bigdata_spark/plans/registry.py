@@ -53,6 +53,7 @@ def _load_all() -> None:
         reference_ops,
         relational,
         scale_patterns,
+        sql_surface,
         temporal_joins,
         text_queries,
         tpch_extra,
@@ -133,6 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_diff",
     "tokenizer_fertility_by_lang",
     "streaming_stream_stream_join",
+    "recursive_bfs_levels",
+    "lateral_nation_stats",
+    "udtf_token_chunks",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

@@ -1,0 +1,167 @@
+r"""Modern SQL surface, round 4: recursive CTEs (Spark 4.0+), LATERAL
+correlated subqueries, and Python UDTFs.
+
+These are capability entries: each exercises a planner feature the
+engine's users reach for directly in SQL (the reference has no SQL
+front-end at all — its users get SQL only after loading into MySQL,
+example/readme.md:41-69 — so exposing the full modern surface natively
+is part of the migration story).
+
+The recursive-CTE entry runs the iteration INSIDE Catalyst (one
+logical plan, no driver-side loop), unlike plans/dedup_groups.py and
+plans/ivf_kmeans.py which drive bounded iteration from Python — both
+are valid at scale; the CTE form keeps short traversals in one query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+# Synthetic deterministic "referral" graph over customers: every
+# customer refers two others via fixed affine maps (out-degree 2 →
+# the BFS frontier actually branches), so Spark and DuckDB build the
+# identical edge set from the fixture alone. BFS from customer 0,
+# depth ≤ 6.
+_EDGE_SQL = """
+  SELECT c_custkey AS src,
+         (c_custkey * 3 + 7) % 1000 AS dst
+  FROM customer
+  WHERE c_custkey < 1000
+  UNION ALL
+  SELECT c_custkey AS src,
+         (c_custkey * 5 + 11) % 1000 AS dst
+  FROM customer
+  WHERE c_custkey < 1000
+"""
+
+
+@register(
+    "recursive_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL}),
+    bfs(node, lvl) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS lvl
+      UNION ALL
+      SELECT e.dst AS node, b.lvl + 1 AS lvl
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.lvl < 6
+    )
+    SELECT node, CAST(min(lvl) AS BIGINT) AS level
+    FROM bfs GROUP BY node
+    """,
+)
+def recursive_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE breadth-first traversal (Spark 4.0+): shortest
+    hop-distance from a seed over a deterministic affine referral
+    graph, entirely inside one Catalyst plan. Each recursion step is a
+    join against the (reusable) edge relation; the UNION ALL
+    accumulates frontiers and the final aggregate collapses revisits
+    to min level. For unbounded-diameter graphs at 100 TB the
+    driver-controlled label-propagation loop (plans/dedup_groups.py)
+    with per-round checkpointing is the robust form; bounded-depth
+    traversals like this one fit the CTE."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS ({_EDGE_SQL}),
+        bfs(node, lvl) AS (
+          SELECT CAST(0 AS BIGINT) AS node, 0 AS lvl
+          UNION ALL
+          SELECT e.dst AS node, b.lvl + 1 AS lvl
+          FROM bfs b JOIN edges e ON e.src = b.node
+          WHERE b.lvl < 6
+        )
+        SELECT node, CAST(min(lvl) AS BIGINT) AS level
+        FROM bfs GROUP BY node
+        """
+    )
+
+
+@register(
+    "lateral_nation_stats",
+    oracle="""
+    SELECT n_name, s.n_cust, s.top_bal
+    FROM nation,
+    LATERAL (
+      SELECT count(*) AS n_cust, max(c_acctbal) AS top_bal
+      FROM customer WHERE c_nationkey = n_nationkey
+    ) s
+    """,
+)
+def lateral_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: a per-outer-row aggregate relation
+    (count + max of each nation's customers). Catalyst decorrelates
+    the lateral into an aggregate-then-join — same physical plan as
+    the hand-decorrelated form, which is the point: users write the
+    correlated shape, the optimizer produces the scale-safe one. MAX
+    and COUNT are exact, so no rounding is needed."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, s.n_cust, s.top_bal
+        FROM nation,
+        LATERAL (
+          SELECT count(*) AS n_cust, max(c_acctbal) AS top_bal
+          FROM customer WHERE c_nationkey = n_nationkey
+        ) s
+        """
+    )
+
+
+@register(
+    "udtf_token_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(l[i*10+1 : i*10+10], ' ') AS chunk_text,
+           CAST(least(10, len(l) - i*10) AS BIGINT) AS n_tokens
+    FROM t, unnest(range(0, CAST(ceil(len(l) / 10.0) AS BIGINT))) AS u(i)
+    """,
+)
+def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row → N output rows, splitting
+    each document into 10-token training chunks. UDTFs are the
+    row-at-a-time Python path — correct for API parity, but the hot
+    path for this exact job is the pure-Catalyst posexplode form (see
+    pack_sequences_greedy / multimodal_frame_sample for the
+    mapInPandas row-expanding idiom); the fixture slice is capped at
+    50 docs accordingly. Defined as a local class so it pickles by
+    value to executors (the driver's sys.path is not inherited)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk_text string, n_tokens bigint")
+    class TokenChunks:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = [t for t in text.lower().split() if t]
+            for i in range(0, (len(toks) + 9) // 10):
+                chunk = toks[i * 10 : i * 10 + 10]
+                yield doc_id, i, " ".join(chunk), len(chunk)
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    return _apply_udtf(spark, d, TokenChunks)
+
+
+def _apply_udtf(spark: SparkSession, df: DataFrame, cls) -> DataFrame:
+    """Apply a UDTF over a two-column (doc_id, text) frame via the SQL
+    registration path (the stable API for lateral UDTF application)."""
+    import uuid
+
+    name = f"token_chunks_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, cls)
+    df.createOrReplaceTempView(f"{name}_in")
+    return spark.sql(
+        f"SELECT t.* FROM {name}_in, LATERAL {name}(doc_id, text) t"
+    )

@@ -137,6 +137,10 @@ _PRIORITY: tuple[str, ...] = (
     "recursive_bfs_levels",
     "lateral_nation_stats",
     "udtf_token_chunks",
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

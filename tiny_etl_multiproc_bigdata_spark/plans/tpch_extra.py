@@ -325,3 +325,256 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s_acctbal", 2).alias("s_acctbal"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           (floor(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                                THEN rev ELSE CAST(0 AS DECIMAL(30,4)) END)
+                       AS DOUBLE)
+                  / CAST(sum(rev) AS DOUBLE) * 1000000 + 0.5) / 1000000)
+             AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(30,2))
+               * CAST(1 - l.l_discount AS DECIMAL(30,2)) AS rev,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+      JOIN region rc   ON nc.n_regionkey = rc.r_regionkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+      JOIN part p      ON l.l_partkey = p.p_partkey
+      WHERE rc.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's revenue share of
+    a region's market per year — the conditional-ratio aggregation over
+    a six-way join. Every dimension (customer, both nation roles,
+    region, supplier, part) broadcasts; the only wide shuffle is
+    lineitem⋈orders on orderkey. The share is a single double division
+    of two exact decimal sums → bit-identical cross-engine."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    rc = r.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).alias(
+        "rev"
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(rc), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev,
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(30,4)")
+    return base.groupBy("o_year").agg(
+        round_half_up(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("rev")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, o_year,
+           round(CAST(sum(profit) AS DOUBLE), 2) AS sum_profit
+    FROM (
+      SELECT ns.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(30,2))
+               * CAST(1 - l.l_discount AS DECIMAL(30,2))
+             - CAST(p.p_retailprice AS DECIMAL(30,2))
+               * CAST(l.l_quantity AS DECIMAL(30,2)) AS profit
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%ol%'
+    )
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, adapted: retailprice·quantity
+    stands in for ps_supplycost·quantity): profit rollup by supplier
+    nation × order year over a LIKE-filtered part subset. The LIKE
+    filter prunes part before its broadcast; profit is exact decimal
+    arithmetic per row, summed exactly, rounded once at the end."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%ol%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+        - _dec("p_retailprice") * _dec("l_quantity")
+    ).alias("profit")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == ns.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit,
+        )
+        .groupBy("nation", "o_year")
+        .agg(round_half_up(F.sum("profit").cast("double"), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(30,2))
+                 * CAST(1 - l_discount AS DECIMAL(30,2))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a per-supplier revenue view consumed
+    twice — once for the global max (1-row broadcast), once for the
+    equality filter. The view is computed ONCE and persisted only
+    logically (Catalyst reuses the subplan under AQE; at 100 TB an
+    explicit cache or a two-pass TakeOrdered(1)-with-ties would pin
+    it). Revenue stays DECIMAL through the max/equality — exact, so
+    the argmax-with-ties equality is safe — and rounds to double only
+    in the final projection."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_half_up(F.col("total_revenue").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders o
+    WHERE s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting, adapted to
+    shipdate-vs-orderdate lateness): the double-correlation shape —
+    EXISTS (another supplier participated in the order) plus NOT EXISTS
+    (no OTHER supplier was also late). Decorrelated as a semi join and
+    an anti join against per-order supplier aggregates on the same
+    key, so all three correlations ride ONE orderkey shuffle
+    partitioning. The NOT EXISTS depends on the outer row's suppkey
+    (l3.suppkey <> l1.suppkey), so the anti side pre-aggregates late
+    suppliers per order: another-late-supplier exists iff the order's
+    late-supplier count > 1 (the outer row itself is late)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    # per-order facts: distinct suppliers, distinct LATE suppliers
+    per_order = (
+        late.groupBy(F.col("l_orderkey").alias("lo_key"))
+        .agg(F.countDistinct("l_suppkey").alias("n_late_supps"))
+    )
+    multi_supp = (
+        li.groupBy(F.col("l_orderkey").alias("ms_key"))
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"))
+        .filter(F.col("n_supps") > 1)
+        .select("ms_key")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        late
+        # EXISTS another supplier in the order
+        .join(multi_supp, F.col("l_orderkey") == F.col("ms_key"), "left_semi")
+        # NOT EXISTS another LATE supplier ⇔ this order has exactly one
+        .join(per_order, F.col("l_orderkey") == F.col("lo_key"))
+        .filter(F.col("n_late_supps") == 1)
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

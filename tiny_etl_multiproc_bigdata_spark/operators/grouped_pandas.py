@@ -136,3 +136,52 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, spark, "stream_stateful_counter", "update")
+
+
+@register(
+    "grouped_arrow_value_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def grouped_arrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow grouped map (Spark 4): the zero-copy sibling of
+    applyInPandas — each group arrives as a pyarrow.Table, skipping the
+    pandas conversion entirely (no index materialization, no NumPy
+    roundtrip), which matters when the per-group payload is large
+    binary/tensor data. The summation runs on the decimal128 Arrow
+    type (exact, like the engine's DECIMAL recipe) before the final
+    double cast. Same contract as applyInPandas: one group must fit
+    one executor; unbounded groups belong in plain aggregations (the
+    oracle's form)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: "pa.Table") -> "pa.Table":
+        v = t.column("value")
+        dec = pc.round(v.cast(pa.float64()), 2).cast(pa.decimal128(30, 2))
+        total = pc.sum(dec).cast(pa.float64()).as_py()
+        return pa.table(
+            {
+                "event_type": [t.column("event_type")[0].as_py()],
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sum_value": [round(total, 2)],
+                "min_value": [pc.min(v).as_py()],
+                "max_value": [pc.max(v).as_py()],
+            }
+        )
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(
+        stats,
+        schema=(
+            "event_type string, n bigint, sum_value double, "
+            "min_value double, max_value double"
+        ),
+    )

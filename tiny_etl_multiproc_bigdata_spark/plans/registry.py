@@ -141,6 +141,9 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "q15_top_supplier",
     "q21_waiting_suppliers",
+    "variant_shred_props",
+    "pipe_syntax_summary",
+    "grouped_arrow_value_stats",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

@@ -165,3 +165,68 @@ def _apply_udtf(spark: SparkSession, df: DataFrame, cls) -> DataFrame:
     return spark.sql(
         f"SELECT t.* FROM {name}_in, LATERAL {name}(doc_id, text) t"
     )
+
+
+@register(
+    "variant_shred_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4): semi-structured event properties
+    parse once into the binary VARIANT encoding, then typed paths
+    extract WITHOUT per-row JSON re-parsing — the schema-on-read path
+    for heterogeneous event payloads. At 100 TB, shredded VARIANT
+    columns keep the scan columnar (json strings would re-tokenize on
+    every access); the integer aggregates here are exact. Oracle uses
+    DuckDB's JSON extraction over the same column."""
+    e = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "pipe_syntax_summary",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM lineitem
+    WHERE l_quantity > 30
+    GROUP BY l_returnflag
+    """,
+)
+def pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0): the |>-chained form of
+    scan → filter → aggregate. Pipe stages compile to the identical
+    Catalyst plan as the classic form (same pushdown, same partial
+    aggregation) — this entry pins that equivalence against the
+    classic-SQL oracle."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 30
+        |> AGGREGATE count(*) AS n,
+                     round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)))
+                                AS DOUBLE), 2) AS total_price
+           GROUP BY l_returnflag
+        """
+    )

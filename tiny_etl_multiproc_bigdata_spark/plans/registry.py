@@ -65,6 +65,9 @@ def _load_all() -> None:
         grouped_pandas,
         multimodal,
     )
+    from tiny_etl_multiproc_bigdata_spark.sources import (  # noqa: F401
+        python_datasource,
+    )
     from tiny_etl_multiproc_bigdata_spark.streaming import jobs  # noqa: F401
 
 
@@ -144,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "variant_shred_props",
     "pipe_syntax_summary",
     "grouped_arrow_value_stats",
+    "python_datasource_scan",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

@@ -1,0 +1,87 @@
+"""Python DataSource API (Spark 4) — the modern, Spark-idiomatic form
+of the reference's custom-extractor contract (AbstractExtractor,
+extractors/files.py:7-26): user code defines partitions and a per-
+partition row generator, and the engine schedules it as a distributed
+scan (one task per InputPartition, schema declared up front, predicate/
+column handling by Catalyst above the source).
+
+The registered entry reads a deterministic synthetic document feed —
+what a custom crawler/API extractor would look like — and aggregates
+per shard, with a DuckDB range()-based oracle reproducing the affine
+generator exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+_N = 4000
+_PARTS = 8
+# Knuth multiplicative hash constant; % 97 keeps the scores small
+_MULT = 2654435761
+_MOD = 97
+
+
+@register(
+    "python_datasource_scan",
+    oracle=f"""
+    SELECT CAST(id % {_PARTS} AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           sum((id * {_MULT}) % {_MOD}) AS sum_score,
+           sum(CAST(len('doc_' || CAST(id AS VARCHAR)) AS BIGINT)) AS sum_name_len
+    FROM range({_N}) t(id)
+    GROUP BY 1
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch source via the Python DataSource API: partitions()
+    declares {_PARTS} splits, read() streams each split's rows on the
+    executor (nothing materializes on the driver — the S1-S5 extractor
+    contract, but distributed). Classes are defined locally so they
+    pickle by value to workers (repo pickling rule). At scale this is
+    how a bespoke feed (crawl frontier, internal API pager) enters the
+    engine when no built-in connector exists; each InputPartition maps
+    to one retry-able task."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n, parts, mult, mod = _N, _PARTS, _MULT, _MOD
+
+    class SynthReader(DataSourceReader):
+        def partitions(self):  # noqa: ANN201
+            return [InputPartition(i) for i in range(parts)]
+
+        def read(self, partition):  # noqa: ANN001, ANN201
+            # shard i carries ids ≡ i (mod parts): deterministic,
+            # partition-count-stable assignment
+            i = partition.value
+            for k in range(i, n, parts):
+                yield (k, f"doc_{k}", (k * mult) % mod)
+
+    class SynthDocsSource(DataSource):
+        @classmethod
+        def name(cls):  # noqa: ANN206
+            return "synthdocs"
+
+        def schema(self):  # noqa: ANN201
+            return "id bigint, name string, score bigint"
+
+        def reader(self, schema):  # noqa: ANN001, ANN201
+            return SynthReader()
+
+    spark.dataSource.register(SynthDocsSource)
+    feed = spark.read.format("synthdocs").load()
+    return (
+        feed.groupBy((F.col("id") % parts).cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score").alias("sum_score"),
+            F.sum(F.length("name").cast("bigint")).alias("sum_name_len"),
+        )
+    )

@@ -274,8 +274,8 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*)  AS n_docs,
-           sum(ws)   AS ws_tokens,
-           sum(bpe)  AS bpe_tokens,
+           CAST(sum(ws) AS BIGINT)  AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
            (floor(CAST(sum(bpe) AS DOUBLE) / sum(ws) * 10000 + 0.5) / 10000)
              AS fertility,
            (floor(CAST(sum(chars) AS DOUBLE) / sum(ws) * 10000 + 0.5) / 10000)

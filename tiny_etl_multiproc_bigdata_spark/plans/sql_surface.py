@@ -172,7 +172,8 @@ def _apply_udtf(spark: SparkSession, df: DataFrame, cls) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events

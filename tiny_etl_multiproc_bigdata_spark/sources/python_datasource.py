@@ -30,8 +30,9 @@ _MOD = 97
     oracle=f"""
     SELECT CAST(id % {_PARTS} AS BIGINT) AS shard,
            count(*) AS n_docs,
-           sum((id * {_MULT}) % {_MOD}) AS sum_score,
-           sum(CAST(len('doc_' || CAST(id AS VARCHAR)) AS BIGINT)) AS sum_name_len
+           CAST(sum((id * {_MULT}) % {_MOD}) AS BIGINT) AS sum_score,
+           CAST(sum(CAST(len('doc_' || CAST(id AS VARCHAR)) AS BIGINT)) AS BIGINT)
+             AS sum_name_len
     FROM range({_N}) t(id)
     GROUP BY 1
     """,

@@ -140,3 +140,48 @@ def test_rolling_dau_has_no_nested_loop_join(spark, sf_dir):
     plan = _plan(_q("events_rolling_dau", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q16_anti_join_broadcasts_no_smj(spark, sf_dir):
+    plan = _plan(_q("q16_supplier_part_counts", spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # NOT IN over a non-null key must plan as a plain (not null-aware
+    # nested-loop) anti join
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_single_wide_exchange(spark, sf_dir):
+    plan = _plan(_q("q8_market_share", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # all six dims broadcast; wide exchanges: at most the fact join
+    # partitioning + the final 7-row aggregation
+    n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_exchanges <= 2, f"{n_hash_exchanges} wide exchanges:\n{plan}"
+
+
+def test_q17_thresholds_broadcast_back(spark, sf_dir):
+    plan = _plan(_q("q17_small_quantity_revenue", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_domain_quota_no_global_sort(spark, sf_dir):
+    plan = _plan(_q("domain_quota_sample", spark, sf_dir))
+    # the quota window partitions by source — a global (unpartitioned)
+    # sort would show up as rangepartitioning
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    plan = _plan(_q("unigram_logprob_score", spark, sf_dir))
+    # the token→logprob join must broadcast the vocabulary-sized side,
+    # never shuffle the exploded token stream for a sort-merge join
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_flags_zero_shuffle(spark, sf_dir):
+    plan = _plan(_q("repetition_quality_flags", spark, sf_dir))
+    assert "Exchange" not in plan, f"per-row operator shuffles:\n{plan}"

@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipe_syntax_summary",
     "grouped_arrow_value_stats",
     "python_datasource_scan",
+    "streaming_late_data_drop",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

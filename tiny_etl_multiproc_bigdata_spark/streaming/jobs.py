@@ -345,3 +345,148 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("gap_s"),
     )
     return _run_to_memory(joined, spark, "stream_stream_join", "append")
+
+
+@register(
+    "streaming_late_data_drop",
+    oracle="""
+    WITH f1 AS (
+      SELECT event_id, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-01-24'
+        AND (event_id & 15) <> 3
+    ), f2 AS (
+      SELECT event_id, ts FROM events WHERE ts >= TIMESTAMP '2024-01-24'
+    ), strag AS (
+      SELECT event_id, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-01-24'
+        AND (event_id & 15) = 3
+    ), wml AS (
+      -- late-row watermark during the straggler batch = watermark
+      -- after file1 (Spark tracks max event time in MILLISECONDS)
+      SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS us FROM f1
+    ), wmf AS (
+      -- final watermark (file2 carries the global max)
+      SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS us FROM f2
+    ), kept AS (
+      SELECT ts FROM f1
+      UNION ALL SELECT ts FROM f2
+      UNION ALL
+      -- a straggler survives iff its WINDOW END outlives the late-row
+      -- watermark (the filter is on window.end, not the row ts —
+      -- empirically pinned, see docstring)
+      SELECT s.ts FROM strag s, wml
+      WHERE (CAST(floor(epoch(s.ts) / 300) * 300 AS BIGINT) + 300) * 1000000
+            > wml.us
+    )
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
+           count(*) AS n
+    FROM kept, wmf
+    GROUP BY 1, wmf.us
+    HAVING (CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) + 300) * 1000000
+           <= wmf.us
+    """,
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, demonstrated deterministically
+    with a three-file replay: file1 = [Jan 16, Jan 24) minus a
+    straggler subset (event_id & 15 == 3), file2 = [Jan 24, ∞) — which
+    advances the watermark and EVICTS file1's windows — then file3 =
+    the stragglers, arriving after their windows were finalized.
+
+    Pinned semantics (verified against progress metrics — batch 2
+    reports numRowsDroppedByWatermark == |dropped stragglers|):
+
+    * the late-row filter drops an input row iff its WINDOW END ≤ the
+      PREVIOUS batch's watermark (one-batch lag; a straggler whose ts
+      is below the watermark but whose 5-min window end is above it is
+      ADMITTED and merges into the still-open window — no duplicate
+      append output);
+    * the watermark is (max event time floored to ms) − delay, so it
+      can never equal a whole-second window end — the <-vs-≤ boundary
+      is unreachable on real data;
+    * with `append` output, only windows whose end ≤ final watermark
+      emit (the last 30 minutes stay in state forever on a bounded
+      replay).
+
+    The oracle reproduces all three effects. Staging is
+    flock-protected and per-sf like streaming_foreach_batch; replay
+    order is forced via mtimes (the file source processes files in
+    modification-time order)."""
+    import datetime
+    import fcntl
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_late_{tag}")
+    lock_path = root + ".lock"
+
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root)
+            src = pq.read_table(os.path.join(sf_dir, "events.parquet")).select(
+                ["event_id", "ts"]
+            )
+            ts = src.column("ts")
+            if ts.type == "int64":  # nanos vintage → µs timestamps
+                import pyarrow as pa
+
+                ts = pc.divide(ts, 1000).cast(pa.timestamp("us"))
+                src = src.set_column(1, "ts", ts)
+            j16 = datetime.datetime(2024, 1, 16)
+            j24 = datetime.datetime(2024, 1, 24)
+            mid = src.filter(
+                pc.and_(
+                    pc.greater_equal(src.column("ts"), j16),
+                    pc.less(src.column("ts"), j24),
+                )
+            )
+            strag_mask = pc.equal(
+                pc.bit_wise_and(mid.column("event_id"), 15), 3
+            )
+            paths = [os.path.join(root, f"f{i}.parquet") for i in (1, 2, 3)]
+            pq.write_table(mid.filter(pc.invert(strag_mask)), paths[0])
+            pq.write_table(
+                src.filter(pc.greater_equal(src.column("ts"), j24)), paths[1]
+            )
+            pq.write_table(mid.filter(strag_mask), paths[2])
+            now = os.path.getmtime(paths[2])
+            os.utime(paths[0], (now - 200, now - 200))
+            os.utime(paths[1], (now - 100, now - 100))
+
+            schema = spark.read.parquet(root).schema
+            raw = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(root)
+            )
+            epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
+                "bigint"
+            ) + F.date_format("ts", "SSSSSS").cast("bigint")
+            ev = raw.withColumn("ts", F.timestamp_micros(epoch_us))
+            agg = (
+                ev.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "5 minutes").alias("w"))
+                .agg(F.count("*").alias("n"))
+                .select(
+                    F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                        "window_start_epoch"
+                    ),
+                    "n",
+                )
+            )
+            out = _run_to_memory(agg, spark, "late_drop", "append")
+            # materialize under the lock: the memory sink is detached
+            # from the staged files, but the stream must finish before
+            # a concurrent run clears the directory
+            out.count()
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return out

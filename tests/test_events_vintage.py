@@ -49,20 +49,34 @@ def test_streaming_source_normalizes_both_vintages(spark, sf_dir, nanos_sf_dir):
         _run_to_memory,
     )
 
+    from pyspark.sql import functions as F
+
+    # compare epoch micros, not collected datetimes: collect() renders
+    # TimestampType through the OS timezone, which must not matter here
     outs = []
     for d in (sf_dir, nanos_sf_dir):
-        df = _events_stream(spark, d).select("event_id", "ts")
-        outs.append(sorted(_run_to_memory(df, spark, "vintage", "append").collect()))
+        df = _events_stream(spark, d)
+        mem = _run_to_memory(df, spark, "vintage", "append")
+        outs.append(
+            sorted(
+                mem.select("event_id", F.unix_micros("ts").alias("us")).collect()
+            )
+        )
     assert outs[0] == outs[1]
-    # LTZ instant must equal the naive value interpreted as UTC —
-    # pin one row against the batch NTZ read
-    batch = {
-        r.event_id: r.ts for r in table(spark, sf_dir, "events").limit(50).collect()
-    }
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        streamed = dict(outs[0][:50])
-        for eid, naive in list(batch.items())[:5]:
-            assert streamed[eid].replace(tzinfo=None) == naive
-    finally:
-        spark.conf.unset("spark.sql.session.timeZone")
+    # the LTZ instant must equal the naive value interpreted as UTC —
+    # pin against the batch NTZ read via the tz-free epoch expression
+    batch = dict(
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (
+                F.to_unix_timestamp("ts") * F.lit(1_000_000).cast("bigint")
+                + F.date_format("ts", "SSSSSS").cast("bigint")
+            ).alias("us"),
+        )
+        .limit(50)
+        .collect()
+    )
+    streamed = dict(outs[0])
+    for eid, us in batch.items():
+        assert streamed[eid] == us

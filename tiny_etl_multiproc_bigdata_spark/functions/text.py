@@ -80,6 +80,14 @@ def tokenize_words(col: Column | str, pattern: str = r"\s+") -> Column:
     return F.split(c, pattern, -1)
 
 
+def tokenize_words_nonempty(col: Column | str) -> Column:
+    """Lowercased whitespace tokens with empty edge tokens dropped —
+    the corpus-analysis variant (dedup, quality scoring). Reference-
+    parity counting keeps the edge tokens; see tokenize_words."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(tokenize_words(F.lower(c)), lambda t: t != "")
+
+
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Contiguous word n-grams of a token array, space-joined.
 

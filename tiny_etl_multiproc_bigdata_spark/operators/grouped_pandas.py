@@ -165,13 +165,23 @@ def grouped_arrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(t: "pa.Table") -> "pa.Table":
         v = t.column("value")
-        dec = pc.round(v.cast(pa.float64()), 2).cast(pa.decimal128(30, 2))
-        total = pc.sum(dec).cast(pa.float64()).as_py()
+        # half-AWAY-FROM-ZERO integer-cent quantization, matching the
+        # engines' CAST(double AS DECIMAL(30,2)) — Arrow's pc.round and
+        # Python's round() are half-even and would diverge on .xx5
+        v64 = v.cast(pa.float64())
+        sign = pc.sign(v64).cast(pa.int64())
+        cents = pc.multiply(
+            pc.floor(pc.add(pc.multiply(pc.abs(v64), 100.0), 0.5)).cast(
+                pa.int64()
+            ),
+            sign,
+        )
+        total_cents = pc.sum(cents).as_py() or 0
         return pa.table(
             {
                 "event_type": [t.column("event_type")[0].as_py()],
                 "n": pa.array([t.num_rows], pa.int64()),
-                "sum_value": [round(total, 2)],
+                "sum_value": [total_cents / 100.0],
                 "min_value": [pc.min(v).as_py()],
                 "max_value": [pc.max(v).as_py()],
             }

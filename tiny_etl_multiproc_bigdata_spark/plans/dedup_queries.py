@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
-from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
+from tiny_etl_multiproc_bigdata_spark.functions.text import (
+    tokenize_words_nonempty,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 _N_HASHES = 8
@@ -39,7 +41,7 @@ _DUCK_H = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def _tokens(col):
-    return F.filter(tokenize_words(F.lower(col)), lambda t: t != "")
+    return tokenize_words_nonempty(col)
 
 
 def _shingles(col):

@@ -25,16 +25,19 @@ from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.text import (
+    tokenize_words_nonempty,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 from tiny_etl_multiproc_bigdata_spark.plans.text_queries import _BPE_RE
 
 # shared token-array fragments (lowercased whitespace split, empties
-# dropped) — Spark side mirrors text_queries.tokenize_words
+# dropped) — the DuckDB twin of functions/text.tokenize_words_nonempty
 _DUCK_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
 
 
 def _toks() -> F.Column:
-    return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    return tokenize_words_nonempty("text")
 
 
 @register(

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
-from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    duck_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -130,9 +133,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_quantity_revenue",
-    oracle="""
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
-                 / 7.0, 2) AS avg_yearly
+    oracle=f"""
+    SELECT {duck_round("CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0", 2)}
+             AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < (
@@ -182,9 +185,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_revenue",
-    oracle="""
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
-                          * CAST(1 - l_discount AS DECIMAL(30,2))) AS DOUBLE), 2)
+    oracle=f"""
+    SELECT {duck_round("CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)) * CAST(1 - l_discount AS DECIMAL(30,2))) AS DOUBLE)", 2)}
              AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -230,9 +232,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_idle_customers",
-    oracle="""
+    oracle=f"""
     SELECT cntrycode, count(*) AS numcust,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE), 2)
+           {duck_round("CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)", 2)}
              AS totacctbal
     FROM (
       SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
@@ -288,7 +290,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q2_min_acctbal_supplier",
     oracle="""
-    SELECT n_name, s_suppkey, s_name, round(s.s_acctbal, 2) AS s_acctbal
+    SELECT n_name, s_suppkey, s_name, s.s_acctbal
     FROM supplier s
     JOIN nation ON s.s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -318,12 +320,7 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_nationkey") == F.col("m_nationkey"))
             & (F.col("s_acctbal") == F.col("min_bal")),
         )
-        .select(
-            "n_name",
-            "s_suppkey",
-            "s_name",
-            F.round("s_acctbal", 2).alias("s_acctbal"),
-        )
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
     )
 
 
@@ -410,9 +407,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
-    oracle="""
+    oracle=f"""
     SELECT n_name AS nation, o_year,
-           round(CAST(sum(profit) AS DOUBLE), 2) AS sum_profit
+           {duck_round("CAST(sum(profit) AS DOUBLE)", 2)} AS sum_profit
     FROM (
       SELECT ns.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
              CAST(l.l_extendedprice AS DECIMAL(30,2))
@@ -463,7 +460,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
              sum(CAST(l_extendedprice AS DECIMAL(30,2))
@@ -474,7 +471,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name,
-           round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+           {duck_round("CAST(total_revenue AS DOUBLE)", 2)} AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,

@@ -482,11 +482,9 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n",
                 )
             )
+            # _run_to_memory awaits termination, so the stream is done
+            # with the staged files before the lock releases
             out = _run_to_memory(agg, spark, "late_drop", "append")
-            # materialize under the lock: the memory sink is detached
-            # from the staged files, but the stream must finish before
-            # a concurrent run clears the directory
-            out.count()
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
     return out

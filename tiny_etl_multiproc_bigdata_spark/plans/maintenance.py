@@ -239,3 +239,47 @@ def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+@register(
+    "observe_pipeline_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline metrics via DataFrame.observe — the Spark
+    analog of the reference's loader acknowledgement counters (L1
+    `Loader.load` returns per-chunk ack counts, loaders/mysql.py):
+    named aggregates piggyback on the SAME job that materializes the
+    data (zero extra scans, collected on the driver as one fixed-width
+    row), so every production write reports row counts and data-quality
+    tallies for free. The observed metrics are returned as a 1-row
+    frame for oracle checking; in production they'd feed the ingest
+    ledger / alerting instead."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.sum(F.col("l_quantity").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_discounted"], m["sum_qty"])],
+        schema="n_rows bigint, n_discounted bigint, sum_qty double",
+    )

@@ -149,6 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "grouped_arrow_value_stats",
     "python_datasource_scan",
     "streaming_late_data_drop",
+    "observe_pipeline_metrics",
 )
 
 # Entries with a CORRECTNESS row from the r01-r03 driver sweeps.

@@ -1,0 +1,104 @@
+"""Invariant pins for the rows-only registry entries (VERDICT r04 item 3).
+
+``approx_count_distinct_hll``, ``approx_percentile_tdigest`` and
+``table_sample`` have no SQL-expressible DuckDB oracle (the outputs are
+engine-RNG / sketch specific), so the driver records rows-only checks.
+These tests replace "trust me" with statistical invariants against the
+exact twin computed by the same engine at sf0.01:
+
+- HLL:  |estimate - exact| / exact  ≤ 5·rsd   (rsd=0.02 is one standard
+  deviation of the HLL++ estimator; 5σ makes a seedless flake ~1e-6)
+- t-digest: the p50 estimate must lie between the exact values at
+  ranks 0.5 ± 5/accuracy (Spark guarantees rank error ≤ 1/accuracy;
+  the ×5 margin absorbs tie plateaus in o_totalprice)
+- sample: deterministic under a fixed seed (same row set twice) and
+  the sampled fraction concentrates around 0.1 (±6σ binomial bound)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_hll_within_error_bound_of_exact(spark):
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.plans.advanced import (
+        approx_count_distinct_hll,
+    )
+
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in approx_count_distinct_hll(spark, SF01).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["exact_customers"]
+        for r in table(spark, SF01, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("exact_customers"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and exact
+    for status, n_exact in exact.items():
+        rel_err = abs(approx[status] - n_exact) / n_exact
+        assert rel_err <= 5 * 0.02, (
+            f"HLL estimate for {status!r} off by {rel_err:.4f} "
+            f"(approx={approx[status]}, exact={n_exact})"
+        )
+
+
+def test_tdigest_p50_within_rank_bound(spark):
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.plans.advanced import (
+        approx_percentile_tdigest,
+    )
+
+    approx = {
+        r["o_orderstatus"]: r["p50_approx"]
+        for r in approx_percentile_tdigest(spark, SF01).collect()
+    }
+    # exact values at the rank-error envelope: percentile() is exact
+    # (full sort semantics) in Spark, so these are true order statistics
+    margin = 5.0 / 1000  # 5 × the documented 1/accuracy rank error
+    bounds = {
+        r["o_orderstatus"]: (r["lo"], r["hi"])
+        for r in table(spark, SF01, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(f"percentile(o_totalprice, {0.5 - margin})").alias("lo"),
+            F.expr(f"percentile(o_totalprice, {0.5 + margin})").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(bounds) and bounds
+    for status, (lo, hi) in bounds.items():
+        assert lo <= approx[status] <= hi, (
+            f"t-digest p50 for {status!r} = {approx[status]} outside "
+            f"exact rank envelope [{lo}, {hi}]"
+        )
+
+
+def test_table_sample_deterministic_and_concentrated(spark):
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.plans.advanced import table_sample
+
+    rows_a = table_sample(spark, SF01).collect()
+    rows_b = table_sample(spark, SF01).collect()
+    # multiset compare: the synthetic lineitem does not enforce PK
+    # uniqueness on (l_orderkey, l_linenumber), so sets would mask
+    # a non-deterministic pick among duplicate keys
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])  # noqa: E731
+    assert sorted(map(key, rows_a)) == sorted(map(key, rows_b)), (
+        "seeded sample must be deterministic"
+    )
+
+    n = table(spark, SF01, "lineitem").count()
+    expected = n * 0.1
+    sigma = math.sqrt(n * 0.1 * 0.9)
+    assert abs(len(rows_a) - expected) <= 6 * sigma, (
+        f"sampled {len(rows_a)} of {n} rows; expected {expected:.0f} "
+        f"± {6 * sigma:.0f}"
+    )

@@ -155,9 +155,11 @@ def grouped_arrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas — each group arrives as a pyarrow.Table, skipping the
     pandas conversion entirely (no index materialization, no NumPy
     roundtrip), which matters when the per-group payload is large
-    binary/tensor data. The summation runs on the decimal128 Arrow
-    type (exact, like the engine's DECIMAL recipe) before the final
-    double cast. Same contract as applyInPandas: one group must fit
+    binary/tensor data. The summation quantizes each value to int64
+    cents (half away from zero, mirroring the engines'
+    CAST(double AS DECIMAL(30,2))) and sums the integers — exact and
+    order-independent — before the final double cast.
+    Same contract as applyInPandas: one group must fit
     one executor; unbounded groups belong in plain aggregations (the
     oracle's form)."""
     import pyarrow as pa

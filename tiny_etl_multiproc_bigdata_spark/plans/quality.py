@@ -153,7 +153,17 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined, vocabulary-sized result → broadcast back), then the
     per-document mean. Each token's -log2(p) is quantized to integer
     microbits BEFORE summing, so the double sum's accumulation order
-    can't flip the rounded output."""
+    can't flip the rounded output.
+
+    Known cross-engine tolerance: the quantization input -log2(c/n) is
+    computed by the JVM on the Spark side and by libm on the DuckDB
+    side, which may differ by 1 ULP. A value landing exactly on a
+    x.5-microbit boundary could then round to adjacent microbits and,
+    in the worst case, shift the 4-dp document mean by 1e-4. No fixture
+    vintage has tripped this (token counts keep -log2(c/n) well clear
+    of boundaries); if one ever does, compare this entry with a
+    1-microbit (1e-6 bits/token) tolerance rather than chasing libm —
+    the quantization exists to bound exactly this class of drift."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
     cnts = toks.groupBy("tok").agg(F.count("*").alias("c"))

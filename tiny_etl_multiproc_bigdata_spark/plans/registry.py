@@ -72,87 +72,37 @@ def _load_all() -> None:
 
 
 # Driver-sweep ordering: the verification driver checks a capped
-# prefix (~50) of the registry in iteration order. After r01-r03,
-# 143/163 entries have a green row and none are red. r04 order:
-# (a) the 20 entries never driver-checked (all created in r03 —
-# the r03 sweep's cap cut them off); (b) the streaming entries,
-# whose events-source read path changed this round (the regenerated
-# fixtures ship ts as TIMESTAMP(MICROS), handled by a new dtype
-# branch — fresh rows needed); (c) events-reading batch entries, to
-# re-confirm under the new ts vintage (catalog.table normalizes to
-# the same TIMESTAMP_NTZ as before, but the data itself was
-# regenerated); (d) entries NEW in r04, appended as they are built.
-# Then (via _ordered_names) any unlisted never-checked entries and
-# finally green entries in insertion order.
+# prefix (~50) of the registry in iteration order. After r01-r04,
+# 178/189 entries have a green row and none are red. r05 order:
+# (a) the 11 entries never driver-checked (all created in r04 after
+# the sweep-cap cutoff — the last gap to 189/189 cumulative);
+# (b) entries whose implementation changed in r05 (the ADVICE fixes
+# touch q21 and udtf_token_chunks — both already in (a) — plus
+# streaming_foreach_batch's driver-snapshot fence and the
+# dedup_embedding_cosine block guard, which need fresh rows);
+# (c) entries NEW in r05, appended as they are built. Then (via
+# _ordered_names) any unlisted never-checked entries and finally
+# green entries in insertion order.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-checked (r03 tail) --
-    "pagerank_scaled",
-    "zorder_cluster_assign",
-    "q10_returned_items",
-    "q18_big_orders",
-    "q12_priority_by_returnflag",
-    "q14_promo_revenue_share",
-    "q7_nation_volume",
-    "topk_per_group",
-    "cdc_latest_by_key",
-    "scd2_intervals",
-    "sample_stratified_hash",
-    "quantile_bucketize",
-    "fuzzy_match_parts",
-    "embedding_label_centroids",
-    "asof_next_purchase",
-    "text_rarity_score",
-    "sketch_count_min_topk",
-    "bpe_pair_counts",
-    "json_roundtrip_structs",
-    "feature_hash_counts",
-    # -- (b) streaming: source dtype branch changed in r04 --
-    "streaming_tumbling_counts",
-    "streaming_dedup",
-    "streaming_session_window",
-    "streaming_stateful_counter",
-    "streaming_stream_static_join",
-    "streaming_foreach_batch",
-    # -- (c) events-reading batch entries under the new ts vintage --
-    "sessionize_events",
-    "window_tumbling_counts",
-    "window_sliding_counts",
-    "time_weighted_average",
-    "events_rolling_dau",
-    "user_retention_cohorts",
-    "asof_last_signup",
-    "event_funnel",
-    "time_series_densify",
-    # -- (d) new in r04 (appended as built) --
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "q2_min_acctbal_supplier",
-    "repetition_quality_flags",
-    "unigram_logprob_score",
-    "domain_quota_sample",
-    "snapshot_diff",
-    "tokenizer_fertility_by_lang",
-    "streaming_stream_stream_join",
-    "recursive_bfs_levels",
-    "lateral_nation_stats",
-    "udtf_token_chunks",
+    # -- (a) never driver-checked (r04 tail) --
     "q8_market_share",
     "q9_product_profit",
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "variant_shred_props",
     "pipe_syntax_summary",
-    "grouped_arrow_value_stats",
+    "udtf_token_chunks",
     "python_datasource_scan",
-    "streaming_late_data_drop",
+    "grouped_arrow_value_stats",
     "observe_pipeline_metrics",
+    "streaming_late_data_drop",
+    # -- (b) implementation changed in r05 --
+    "streaming_foreach_batch",
+    "dedup_embedding_cosine",
+    # -- (c) new in r05 (appended as built) --
 )
 
-# Entries with a CORRECTNESS row from the r01-r03 driver sweeps.
+# Entries with a CORRECTNESS row from the r01-r04 driver sweeps.
 # Unlisted entries WITHOUT a row sort ahead of these so a capped sweep
 # reaches never-verified entries first.
 _CHECKED: frozenset[str] = frozenset(
@@ -214,6 +164,22 @@ _CHECKED: frozenset[str] = frozenset(
         "streaming_stream_static_join", "streaming_foreach_batch",
         "multimodal_frame_sample", "pack_sequences_greedy",
         "tfidf_topk_terms",
+        # r04 sweep
+        "pagerank_scaled", "zorder_cluster_assign", "q10_returned_items",
+        "q18_big_orders", "q12_priority_by_returnflag",
+        "q14_promo_revenue_share", "q7_nation_volume", "topk_per_group",
+        "cdc_latest_by_key", "scd2_intervals", "sample_stratified_hash",
+        "quantile_bucketize", "fuzzy_match_parts",
+        "embedding_label_centroids", "asof_next_purchase",
+        "text_rarity_score", "sketch_count_min_topk", "bpe_pair_counts",
+        "json_roundtrip_structs", "feature_hash_counts",
+        "q4_order_priority", "q13_customer_distribution",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue", "q22_idle_customers",
+        "q2_min_acctbal_supplier", "repetition_quality_flags",
+        "unigram_logprob_score", "domain_quota_sample", "snapshot_diff",
+        "tokenizer_fertility_by_lang", "streaming_stream_stream_join",
+        "recursive_bfs_levels", "lateral_nation_stats",
     }
 )
 

@@ -143,7 +143,16 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk_text string, n_tokens bigint")
     class TokenChunks:
         def eval(self, doc_id: int, text: str):  # noqa: ANN001
-            toks = [t for t in text.lower().split() if t]
+            import re
+
+            # ASCII-class \s+ to mirror the shared tokenizer (Java
+            # regex) and the oracle (RE2), both ASCII-\s by default.
+            # Neither str.split() nor re.split without re.ASCII
+            # qualifies — both also split on NBSP/ideographic spaces
+            # and would diverge on Unicode-whitespace fixtures.
+            toks = [
+                t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t
+            ]
             for i in range(0, (len(toks) + 9) // 10):
                 chunk = toks[i * 10 : i * 10 + 10]
                 yield doc_id, i, " ".join(chunk), len(chunk)

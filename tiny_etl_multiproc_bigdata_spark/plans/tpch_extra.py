@@ -547,8 +547,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # INTERVAL add (not date_add) so time-of-day survives if a future
+    # fixture vintage ships intraday o_orderdate — matches the oracle's
+    # `+ INTERVAL 60 DAY` exactly regardless of alignment.
     late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     # per-order facts: distinct suppliers, distinct LATE suppliers
     per_order = (

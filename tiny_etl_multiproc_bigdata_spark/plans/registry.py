@@ -99,6 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     # -- (b) implementation changed in r05 --
     "streaming_foreach_batch",
     "dedup_embedding_cosine",
+    # plan-identical refactors (core exposed for bench amplification),
+    # re-queued per the changed-code hygiene
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
     # -- (c) new in r05 (appended as built) --
 )
 

@@ -64,7 +64,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the canonical partial+final hash
     aggregation. At 100 TB this is one scan + one tiny shuffle (group key
     cardinality ~6); map-side combine does ~all the work."""
-    li = table(spark, sf_dir, "lineitem")
+    return q1_from_lineitem(table(spark, sf_dir, "lineitem"))
+
+
+def q1_from_lineitem(li: DataFrame) -> DataFrame:
+    """The Q1 aggregation over any lineitem-shaped DataFrame — also used
+    by bench.py's amplified run (union of k parquet scans = k× input
+    splits, the honest more-data shape)."""
     qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
     cnt = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(

@@ -152,13 +152,23 @@ def test_q16_anti_join_broadcasts_no_smj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q8_single_wide_exchange(spark, sf_dir):
+def test_q8_single_wide_join_all_dims_broadcast(spark, sf_dir):
+    # the 100 TB shape: exactly ONE fact-fact join is wide (pruned
+    # lineitem ⋈ pruned orders on orderkey — SMJ/shuffled-hash both
+    # fine), all six dimension joins broadcast, and both wide-join
+    # inputs already carry their broadcast prunes (p_type on the
+    # lineitem side, the ASIA customer chain on the orders side)
     plan = _plan(_q("q8_market_share", spark, sf_dir))
-    assert "SortMergeJoin" not in plan
-    # all six dims broadcast; wide exchanges: at most the fact join
-    # partitioning + the final 7-row aggregation
+    # count the "(N) Operator" detail headers — formatted explain also
+    # renders each operator once in the tree view
+    n_wide_joins = len(
+        re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)
+    )
+    assert n_wide_joins == 1, f"{n_wide_joins} wide joins:\n{plan}"
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 6, plan
+    # wide exchanges: the two fact-join sides + the final 7-row agg
     n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_hash_exchanges <= 2, f"{n_hash_exchanges} wide exchanges:\n{plan}"
+    assert n_hash_exchanges <= 3, f"{n_hash_exchanges} wide exchanges:\n{plan}"
 
 
 def test_q17_thresholds_broadcast_back(spark, sf_dir):

@@ -103,6 +103,12 @@ _PRIORITY: tuple[str, ...] = (
     # re-queued per the changed-code hygiene
     "q1_pricing_summary",
     "dedup_minhash_lsh",
+    # r05 review fixes: join reorders (q17/q19), shared-SQL/view-name
+    # changes (bfs/lateral) — fresh rows for changed code
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "recursive_bfs_levels",
+    "lateral_nation_stats",
     # -- (c) new in r05 (appended as built) --
 )
 

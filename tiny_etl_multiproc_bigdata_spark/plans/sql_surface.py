@@ -25,24 +25,24 @@ from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 # customer refers two others via fixed affine maps (out-degree 2 →
 # the BFS frontier actually branches), so Spark and DuckDB build the
 # identical edge set from the fixture alone. BFS from customer 0,
-# depth ≤ 6.
-_EDGE_SQL = """
-  SELECT c_custkey AS src,
-         (c_custkey * 3 + 7) % 1000 AS dst
-  FROM customer
-  WHERE c_custkey < 1000
-  UNION ALL
-  SELECT c_custkey AS src,
-         (c_custkey * 5 + 11) % 1000 AS dst
-  FROM customer
-  WHERE c_custkey < 1000
-"""
-
-
-@register(
-    "recursive_bfs_levels",
-    oracle=f"""
-    WITH RECURSIVE edges AS ({_EDGE_SQL}),
+# depth ≤ 6. ONE template serves both engines ({cust} = the Spark
+# temp view vs DuckDB's pre-registered view) — the dialects are
+# identical here, and a single source of truth means an edit to the
+# depth bound / seed / casts cannot drift the oracle from the engine
+# (the hazard _EDGE_SQL alone was originally factored out to prevent,
+# applied to the whole statement per the r05 review).
+_BFS_SQL_TMPL = """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS src,
+             (c_custkey * 3 + 7) % 1000 AS dst
+      FROM {cust}
+      WHERE c_custkey < 1000
+      UNION ALL
+      SELECT c_custkey AS src,
+             (c_custkey * 5 + 11) % 1000 AS dst
+      FROM {cust}
+      WHERE c_custkey < 1000
+    ),
     bfs(node, lvl) AS (
       SELECT CAST(0 AS BIGINT) AS node, 0 AS lvl
       UNION ALL
@@ -52,7 +52,12 @@ _EDGE_SQL = """
     )
     SELECT node, CAST(min(lvl) AS BIGINT) AS level
     FROM bfs GROUP BY node
-    """,
+"""
+
+
+@register(
+    "recursive_bfs_levels",
+    oracle=_BFS_SQL_TMPL.format(cust="customer"),
 )
 def recursive_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE breadth-first traversal (Spark 4.0+): shortest
@@ -63,22 +68,11 @@ def recursive_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     to min level. For unbounded-diameter graphs at 100 TB the
     driver-controlled label-propagation loop (plans/dedup_groups.py)
     with per-round checkpointing is the robust form; bounded-depth
-    traversals like this one fit the CTE."""
-    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        f"""
-        WITH RECURSIVE edges AS ({_EDGE_SQL}),
-        bfs(node, lvl) AS (
-          SELECT CAST(0 AS BIGINT) AS node, 0 AS lvl
-          UNION ALL
-          SELECT e.dst AS node, b.lvl + 1 AS lvl
-          FROM bfs b JOIN edges e ON e.src = b.node
-          WHERE b.lvl < 6
-        )
-        SELECT node, CAST(min(lvl) AS BIGINT) AS level
-        FROM bfs GROUP BY node
-        """
-    )
+    traversals like this one fit the CTE. The temp view is prefixed
+    (_bfs_customer) like every other SQL-entry view so it can't
+    collide with a same-session registration at a different sf_dir."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_bfs_customer")
+    return spark.sql(_BFS_SQL_TMPL.format(cust="_bfs_customer"))
 
 
 @register(
@@ -99,15 +93,15 @@ def lateral_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hand-decorrelated form, which is the point: users write the
     correlated shape, the optimizer produces the scale-safe one. MAX
     and COUNT are exact, so no rounding is needed."""
-    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
     return spark.sql(
         """
         SELECT n_name, s.n_cust, s.top_bal
-        FROM nation,
+        FROM _lat_nation,
         LATERAL (
           SELECT count(*) AS n_cust, max(c_acctbal) AS top_bal
-          FROM customer WHERE c_nationkey = n_nationkey
+          FROM _lat_customer WHERE c_nationkey = n_nationkey
         ) s
         """
     )
@@ -145,6 +139,10 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, doc_id: int, text: str):  # noqa: ANN001
             import re
 
+            # NULL text → zero rows, matching the oracle (lower(NULL)
+            # propagates to an empty unnest) instead of crashing the task
+            if text is None:
+                return
             # ASCII-class \s+ to mirror the shared tokenizer (Java
             # regex) and the oracle (RE2), both ASCII-\s by default.
             # Neither str.split() nor re.split without re.ASCII
@@ -165,10 +163,14 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _apply_udtf(spark: SparkSession, df: DataFrame, cls) -> DataFrame:
     """Apply a UDTF over a two-column (doc_id, text) frame via the SQL
-    registration path (the stable API for lateral UDTF application)."""
-    import uuid
+    registration path (the stable API for lateral UDTF application).
 
-    name = f"token_chunks_{uuid.uuid4().hex[:8]}"
+    Fixed names on purpose: both ``udtf.register`` and
+    ``createOrReplaceTempView`` replace by name, so re-invocations
+    rebind the same two catalog entries — a uuid-per-call scheme would
+    grow the session catalog (and pin each call's plan) without bound
+    under driver re-sweeps (r05 review)."""
+    name = "_udtf_token_chunks"
     spark.udtf.register(name, cls)
     df.createOrReplaceTempView(f"{name}_in")
     return spark.sql(
@@ -229,10 +231,10 @@ def pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plan as the classic form (same pushdown, same partial
     aggregation) — this entry pins that equivalence against the
     classic-SQL oracle."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_pipe_lineitem")
     return spark.sql(
         """
-        FROM lineitem
+        FROM _pipe_lineitem
         |> WHERE l_quantity > 30
         |> AGGREGATE count(*) AS n,
                      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)))

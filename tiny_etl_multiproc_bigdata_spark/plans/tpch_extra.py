@@ -26,11 +26,15 @@ from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     round_half_up,
 )
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+from tiny_etl_multiproc_bigdata_spark.plans.relational import _dec
 
 
-def _dec(col) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(30,2)")
+def _rev() -> F.Column:
+    """Discounted revenue l_extendedprice·(1−l_discount) as exact
+    DECIMAL(30,2)×DECIMAL(30,2) — the determinism-sensitive expression
+    shared by q8/q9/q15/q19; defined once so a precision-recipe change
+    cannot drift between them (r05 review)."""
+    return _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
 
 
 @register(
@@ -157,16 +161,20 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     # per-part avg over ALL lineitem rows of that part (matches the
-    # correlated subquery, which is not brand-filtered)
+    # correlated subquery, which is not brand-filtered). The semi join
+    # runs BEFORE the groupBy: a part's average over its own rows is
+    # unchanged by dropping other parts' rows, and pruning first keeps
+    # the threshold shuffle to brand-part rows only instead of
+    # aggregating every partkey and discarding ~97% (r05 review).
     thresholds = (
-        li.groupBy("l_partkey")
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey")
         .agg(
             (
                 F.lit(0.2)
                 * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
             ).alias("qty_cap")
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -224,9 +232,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
     return j.filter(bundle).agg(
-        round_half_up(F.sum(rev).cast("double"), 2).alias("revenue")
+        round_half_up(F.sum(_rev()).cast("double"), 2).alias("revenue")
     )
 
 
@@ -356,8 +363,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     a region's market per year — the conditional-ratio aggregation over
     a six-way join. Every dimension (customer, both nation roles,
     region, supplier, part) broadcasts; the only wide shuffle is
-    lineitem⋈orders on orderkey. The share is a single double division
-    of two exact decimal sums → bit-identical cross-engine."""
+    lineitem⋈orders on orderkey, and BOTH its inputs are pre-pruned by
+    their broadcast filters first (p_type cuts lineitem ~6×, the
+    customer→nation→region='ASIA' chain cuts orders ~5×) — Catalyst
+    without CBO stats executes inner joins in written order, so the
+    selective broadcasts must precede the shuffle join in code (r05
+    review). The share is a single double division of two exact decimal
+    sums → bit-identical cross-engine."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -374,22 +386,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
     rc = r.filter(F.col("r_name") == "ASIA").select("r_regionkey")
-    rev = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).alias(
-        "rev"
-    )
-    base = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
-        .join(F.broadcast(rc), F.col("nc_region") == F.col("r_regionkey"))
+    rev = _rev().alias("rev")
+    li_pruned = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(
-            F.year("o_orderdate").cast("bigint").alias("o_year"),
-            rev,
-            "supp_nation",
-        )
+        .select("l_orderkey", rev, "supp_nation")
+    )
+    o_pruned = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(rc), F.col("nc_region") == F.col("r_regionkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    base = li_pruned.join(
+        o_pruned, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        "rev",
+        "supp_nation",
     )
     zero = F.lit(0).cast("decimal(30,4)")
     return base.groupBy("o_year").agg(
@@ -430,7 +445,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (product-type profit, adapted: retailprice·quantity
     stands in for ps_supplycost·quantity): profit rollup by supplier
     nation × order year over a LIKE-filtered part subset. The LIKE
-    filter prunes part before its broadcast; profit is exact decimal
+    filter prunes part before its broadcast, and the broadcast joins
+    run BEFORE the lineitem⋈orders shuffle so the part prune shrinks
+    the only wide exchange (written join order is executed order
+    without CBO stats — r05 review); profit is exact decimal
     arithmetic per row, summed exactly, rounded once at the end."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -439,15 +457,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%ol%")).select(
         "p_partkey", "p_retailprice"
     )
-    profit = (
-        _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
-        - _dec("p_retailprice") * _dec("l_quantity")
-    ).alias("profit")
+    profit = (_rev() - _dec("p_retailprice") * _dec("l_quantity")).alias(
+        "profit"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), s.s_nationkey == ns.n_nationkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -492,11 +509,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.sum(
-                _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
-            ).alias("total_revenue")
-        )
+        .agg(F.sum(_rev()).alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -39,7 +39,7 @@ _MOD = 97
 )
 def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom batch source via the Python DataSource API: partitions()
-    declares {_PARTS} splits, read() streams each split's rows on the
+    declares 8 splits (``_PARTS``), read() streams each split's rows on the
     executor (nothing materializes on the driver — the S1-S5 extractor
     contract, but distributed). Classes are defined locally so they
     pickle by value to workers (repo pickling rule). At scale this is

@@ -107,6 +107,71 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Triangle counting (graph analytics)
+# --------------------------------------------------------------------------
+
+# Undirected edge list of a deterministic affine graph that PROVABLY
+# contains triangles: each customer k < 1000 contributes the three
+# edges k–f(k), k–g(k), f(k)–g(k) with f(k)=(3k+7)%1000 and
+# g(k)=(5k+11)%1000, closing the wedge at k into the triangle
+# {k, f(k), g(k)} (the two-map referral graph alone — the BFS fixture —
+# is triangle-free, which would make this entry vacuous). Canonicalized
+# a < b, self-loops dropped, duplicates collapsed — one template for
+# both engines.
+_TRI_EDGES_TMPL = """
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM (
+      SELECT c_custkey AS src, (c_custkey * 3 + 7) % 1000 AS dst
+      FROM {cust} WHERE c_custkey < 1000
+      UNION ALL
+      SELECT c_custkey AS src, (c_custkey * 5 + 11) % 1000 AS dst
+      FROM {cust} WHERE c_custkey < 1000
+      UNION ALL
+      SELECT (c_custkey * 3 + 7) % 1000 AS src,
+             (c_custkey * 5 + 11) % 1000 AS dst
+      FROM {cust} WHERE c_custkey < 1000
+    )
+    WHERE src <> dst
+"""
+
+
+@register(
+    "triangle_count",
+    oracle=f"""
+    WITH e AS ({_TRI_EDGES_TMPL.format(cust="customer")})
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the deterministic affine referral graph:
+    the canonical a<b<c ordered-wedge join — each triangle is counted
+    exactly once because every edge is stored with its endpoints
+    ordered and the two joins extend a<b to a<b<c. Complements the
+    BFS / PageRank / connected-components entries with the clustering-
+    coefficient primitive. Scale shape: two equi-joins shuffled on the
+    join keys; the standard optimization at 100 TB (orient each edge
+    from lower- to higher-degree endpoint so high-degree nodes don't
+    fan out wedges quadratically) drops in by changing only the
+    canonicalization — the join topology is identical."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_tri_customer")
+    e = spark.sql(_TRI_EDGES_TMPL.format(cust="_tri_customer"))
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Z-order clustering keys (data-layout optimization)
 # --------------------------------------------------------------------------
 

@@ -325,3 +325,146 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").cast("double") / F.sum("ws"), 4
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "token_entropy_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), cnts AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types
+      FROM cnts GROUP BY doc_id
+    ), terms AS (
+      SELECT c.doc_id, t.n, t.n_types,
+             CAST(floor(-(CAST(c.c AS DOUBLE) / t.n)
+                        * log2(CAST(c.c AS DOUBLE) / t.n)
+                        * 1000000 + 0.5) AS BIGINT) AS h_microbits
+      FROM cnts c JOIN tot t ON c.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           any_value(n)       AS n_tokens,
+           any_value(n_types) AS n_types,
+           (floor(CAST(sum(h_microbits) AS DOUBLE) / 1000000 * 10000 + 0.5)
+            / 10000) AS entropy_bits
+    FROM terms
+    GROUP BY doc_id
+    """,
+)
+def token_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-type Shannon entropy: H = -Σ (c/n)·log2(c/n)
+    over the document's own token distribution — the information-density
+    quality signal (near-zero entropy = degenerate repetition that
+    length filters miss; it complements repetition_quality_flags with a
+    single scalar). Each term is quantized to integer microbits BEFORE
+    the per-document sum (the unigram_logprob_score recipe — integer
+    sums are associative, so aggregation order cannot flip the 4-dp
+    output; same documented 1-ULP cross-engine tolerance on the log).
+    Scale shape: two hash aggregations ((doc,tok) then doc) and one
+    doc-keyed join — every exchange is keyed by doc_id or its superset,
+    nothing corpus-global."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    cnts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tot = cnts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"), F.count("*").alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = cnts.join(tot, "doc_id").select(
+        "doc_id",
+        "n",
+        "n_types",
+        F.floor(-p * F.log2(p) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("h_microbits"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.any_value(F.col("n")).alias("n_tokens"),
+        F.any_value(F.col("n_types")).alias("n_types"),
+        round_half_up(
+            F.sum("h_microbits").cast("double") / 1_000_000, 4
+        ).alias("entropy_bits"),
+    )
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i+1])) AS bg
+      FROM toks WHERE len(l) >= 2
+    ), c2 AS (
+      SELECT bg, count(*) AS c2 FROM pairs GROUP BY bg
+    ), c1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      FROM c2 GROUP BY 1
+    ), lp AS (
+      SELECT bg,
+             CAST(floor(-log2(CAST(c2.c2 AS DOUBLE) / c1.c1)
+                        * 1000000 + 0.5) AS BIGINT) AS nll_microbits
+      FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+    )
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           (floor(CAST(sum(lp.nll_microbits) AS DOUBLE) / count(*)
+                  / 1000000 * 10000 + 0.5) / 10000) AS avg_nll_bits
+    FROM pairs p JOIN lp ON p.bg = lp.bg
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram conditional-LM scoring: P(w2|w1) estimated as
+    c(w1 w2) / Σ_w c(w1 w), each document scored by its mean
+    -log2 P — one LM order above unigram_logprob_score, and the same
+    quantize-to-microbits-then-integer-sum determinism recipe (with
+    the same documented 1-ULP log tolerance). Docs under 2 tokens have
+    no bigrams and drop out in both engines.
+
+    Scale contrast with the unigram entry (deliberate): unigram vocab
+    is small → the score table broadcasts (plan-pinned there). Bigram
+    vocabulary grows with the corpus, so the score lookup here is a
+    plain equi-join on the bigram key — shuffle-partitioned, AQE free
+    to pick broadcast when the vocab happens to fit. Pairs are built
+    with the shifted-slice word_ngrams (no per-element HOF re-eval)."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _toks().alias("l")).filter(F.size("l") >= 2)
+    pairs = toks.select(
+        "doc_id", F.explode(word_ngrams(F.col("l"), 2)).alias("bg")
+    )
+    c2 = pairs.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        c2.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+        .agg(F.sum("c2").cast("bigint").alias("c1"))
+    )
+    lp = c2.join(
+        c1, F.split(c2.bg, " ").getItem(0) == c1.w1
+    ).select(
+        "bg",
+        F.floor(
+            -F.log2(F.col("c2").cast("double") / F.col("c1")) * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("nll_microbits"),
+    )
+    return (
+        pairs.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            round_half_up(
+                F.sum("nll_microbits").cast("double")
+                / F.count("*")
+                / 1_000_000,
+                4,
+            ).alias("avg_nll_bits"),
+        )
+    )

@@ -110,6 +110,11 @@ _PRIORITY: tuple[str, ...] = (
     "recursive_bfs_levels",
     "lateral_nation_stats",
     # -- (c) new in r05 (appended as built) --
+    "triangle_count",
+    "token_entropy_score",
+    "script_mix_profile",
+    "bigram_logprob_score",
+    "concurrent_sessions_peak",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -403,3 +403,74 @@ def corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab_size").cast("double") / F.col("total_tokens"), 4
         ).alias("type_token_ratio"),
     )
+
+
+# Literal multilingual rows (fixtures.py plumbing): the synthetic corpus
+# is ASCII-English regardless of its lang label, so Unicode-script
+# ratios would be vacuously zero without them. No apostrophes (rows are
+# embedded in single-quoted SQL).
+_SCRIPT_ROWS = [
+    (9_200_001, "النص العربي هنا 123 مع ارقام"),
+    (9_200_002, "汉字文本测试 spark 数据 流水线"),
+    (9_200_003, "mixed عربي and 漢字 with latin 42"),
+]
+
+# Character classes counted by script_mix_profile. One shared regex per
+# class — \x{...} escapes parse identically in Java regex (Spark) and
+# RE2 (DuckDB); counts are UTF-8-aware character counts in both.
+_SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ("space", "[ \\t\\n\\r]"),
+)
+
+
+def _script_mix_oracle() -> str:
+    # per-class char count: strip everything NOT in the class, length()
+    cnts = ",\n           ".join(
+        f"CAST(length(regexp_replace(text, '{'[^' + pat[1:]}', '', 'g')) AS BIGINT) AS n_{name}"
+        for name, pat in _SCRIPT_CLASSES
+    )
+    ratios = ",\n           ".join(
+        f"(floor(CAST(n_{name} AS DOUBLE) / n_chars * 10000 + 0.5) / 10000) AS r_{name}"
+        for name, _ in _SCRIPT_CLASSES
+    )
+    from tiny_etl_multiproc_bigdata_spark.plans.fixtures import fixture_docs_sql
+
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {cnts}
+      FROM {fixture_docs_sql(_SCRIPT_ROWS)}
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, n_chars,
+           {ratios}
+    FROM c
+    """
+
+
+@register("script_mix_profile", oracle=_script_mix_oracle())
+def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script composition: character-count ratios
+    for Latin, digits, Arabic, CJK and whitespace — the multilingual
+    routing signal (script mix decides tokenizer choice, language
+    bucketing, and mojibake detection: an 'en'-labeled doc that is 40%
+    CJK is a pipeline bug). Pure per-row JVM regexp counts, zero
+    shuffle; one shared \\x{{...}} character-class table keeps Spark's
+    Java regex and DuckDB's RE2 literally identical. Counting strips
+    the class complement and measures length — UTF-8-aware character
+    semantics in both engines."""
+    d = fixture_docs(spark, sf_dir, _SCRIPT_ROWS).filter(F.length("text") > 0)
+    n_chars = F.length("text").cast("bigint")
+    cols = [F.col("doc_id"), n_chars.alias("n_chars")]
+    for name, pat in _SCRIPT_CLASSES:
+        neg = "[^" + pat[1:]
+        cnt = F.length(F.regexp_replace(F.col("text"), neg, "")).cast("bigint")
+        cols.append(
+            round_half_up(cnt.cast("double") / n_chars, 4).alias(f"r_{name}")
+        )
+    return d.select(*cols)

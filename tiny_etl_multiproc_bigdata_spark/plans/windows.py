@@ -294,3 +294,68 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_seconds") > 0)
     )
+
+
+@register(
+    "concurrent_sessions_peak",
+    oracle="""
+    WITH pts AS (
+      SELECT day, t, delta
+      FROM (
+        -- explicit floor(x / 86400): DuckDB's // on DOUBLE operands is
+        -- plain division and CAST(double AS BIGINT) rounds to nearest,
+        -- which would shift after-noon events into the next day
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t0,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+      ), LATERAL (VALUES
+        (t0, 1),
+        (least(t0 + 1800, (day + 1) * 86400), -1)
+      ) v(t, delta)
+    ), run AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS active
+      FROM pts
+    )
+    SELECT day,
+           CAST(max(active) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) // 2 AS BIGINT) AS n_sessions
+    FROM run GROUP BY day
+    """,
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: each event opens a half-open
+    30-minute session [t, t+1800) clipped to its start day; +1/-1
+    boundary points sorted within the day give a running active count
+    whose max is the day's peak simultaneous sessions — the classic
+    interval-overlap aggregation (capacity planning, rate limiting)
+    that needs no self-join. Tie semantics are pinned by ordering
+    (t, delta): releases (-1) sort before starts (+1) at the same
+    instant, matching the half-open interval. The default RANGE window
+    frame sums whole tie groups, so the per-row running value — and
+    therefore the max — is identical however the engine orders peers.
+    Scale shape: partitioned by day (bounded partitions, the sweep is
+    a per-partition sort, no global order); a skewed day would split
+    into sub-windows whose boundary counts merge in a second pass —
+    same topology, one extra tiny agg."""
+    e = table(spark, sf_dir, "events")
+    t0 = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    day = F.floor(t0 / 86400).cast("bigint")
+    pts = e.select(
+        day.alias("day"),
+        F.explode(
+            F.array(
+                F.struct(t0.alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.least(t0 + 1800, (day + 1) * 86400).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p"),
+    ).select("day", "p.t", "p.delta")
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    run = pts.select("day", F.sum("delta").over(w).alias("active"))
+    return run.groupBy("day").agg(
+        F.max("active").cast("bigint").alias("peak_concurrent"),
+        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+    )

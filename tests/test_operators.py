@@ -146,3 +146,48 @@ def test_cc_labels_transitive_chain(spark):
     )
     got = {r.doc_id: r.group_id for r in _cc_labels(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_prefix_filter_is_complete(spark, sf_dir, duck):
+    """The PPJoin prefix filter must be exactness-preserving: its
+    output equals the UNFILTERED all-pairs Jaccard join at the same
+    threshold (the filter may only prune non-candidates)."""
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import queries
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in queries()["dedup_jaccard_prefix_filter"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        (a, b): j
+        for a, b, j in duck.execute(
+            r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS tok
+              FROM toks WHERE len(l) >= 3
+            ), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT da, db,
+                   (floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5)
+                    / 10000) AS j
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+            """
+        ).fetchall()
+    }
+    assert got == want

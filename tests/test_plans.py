@@ -195,3 +195,10 @@ def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
 def test_repetition_flags_zero_shuffle(spark, sf_dir):
     plan = _plan(_q("repetition_quality_flags", spark, sf_dir))
     assert "Exchange" not in plan, f"per-row operator shuffles:\n{plan}"
+
+
+def test_pq_code_assign_zero_shuffle(spark, sf_dir):
+    # PQ assignment is a map-only pass: literal codebook, per-row
+    # integer distances — any Exchange means the shape regressed
+    plan = _plan(_q("pq_code_assign", spark, sf_dir))
+    assert "Exchange" not in plan, plan

@@ -747,3 +747,125 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
     ).localCheckpoint(eager=True)
     return _blocked_cosine_topk(blocked, "bucket")
+
+
+# Exact set-similarity threshold (integer arithmetic: ceil(0.6·n) as
+# (6n+9)//10, since 0.6*n in doubles overshoots — 0.6*5 = 3.0000...04)
+_PF_THETA_NUM, _PF_THETA_DEN = 6, 10
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=_DUCK_SHINGLES
+    + f""", sh AS (
+      SELECT doc_id, unnest(shingles) AS tok FROM shingled
+      WHERE len(shingles) > 0
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), dfr AS (
+      SELECT tok, count(*) AS df FROM sh GROUP BY tok
+    ), ranked AS (
+      SELECT s.doc_id, s.tok, z.n,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df ASC, s.tok ASC) AS rk
+      FROM sh s JOIN dfr d ON s.tok = d.tok JOIN sz z ON s.doc_id = z.doc_id
+    ), pref AS (
+      SELECT doc_id, tok FROM ranked
+      WHERE rk <= n - (({_PF_THETA_NUM} * n + {_PF_THETA_DEN} - 1)
+                       // {_PF_THETA_DEN}) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.tok = sa.tok
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           (floor(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) * 10000 + 0.5)
+            / 10000) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i)
+          >= CAST({_PF_THETA_NUM} AS DOUBLE) / {_PF_THETA_DEN}
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard near-dup join with PPJoin-style prefix filtering:
+    order every document's shingle set by global rarity (df asc, then
+    shingle), keep only the first n − ⌈θ·n⌉ + 1 shingles as the
+    "prefix", and generate candidates from prefix collisions only —
+    the classic exactness-PRESERVING pruning (two sets with
+    J ≥ θ must collide within those prefixes under any shared global
+    order), in contrast to dedup_ngram_jaccard's df-cap, which drops
+    hot shingles and can miss pairs. Candidates are then verified with
+    the true Jaccard over the full sets.
+
+    θ = 0.6, computed in integer arithmetic ((6n+9) div 10) because
+    0.6·n in doubles overshoots exact multiples. Scale shape: the
+    candidate join touches only rare-prefix postings (the df-ordered
+    prefix skips exactly the high-df shingles that blow up inverted
+    indexes), verification is candidate-bounded, and every stage is an
+    equi-join or hash agg — no all-pairs anywhere."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("shingles", _shingles(F.col("text")))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("tok"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfr = sh.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix_len = (
+        F.col("n")
+        - F.floor(
+            (F.lit(_PF_THETA_NUM) * F.col("n") + F.lit(_PF_THETA_DEN - 1))
+            / F.lit(_PF_THETA_DEN)
+        )
+        + 1
+    )
+    pref = (
+        sh.join(dfr, "tok")
+        .join(sz, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "tok")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb_doc"))
+            & (F.col("tok_a") == F.col("tok_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jac >= F.lit(float(_PF_THETA_NUM) / _PF_THETA_DEN))
+        .select(
+            "doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard")
+        )
+    )

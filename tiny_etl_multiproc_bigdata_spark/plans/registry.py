@@ -115,6 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     "script_mix_profile",
     "bigram_logprob_score",
     "concurrent_sessions_peak",
+    "dedup_jaccard_prefix_filter",
+    "pq_code_assign",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

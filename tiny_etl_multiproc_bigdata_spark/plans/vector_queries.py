@@ -280,3 +280,110 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(scale, 6).alias("scale_r"),
         F.array_join(q, ",").alias("q_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) code assignment
+# --------------------------------------------------------------------------
+
+_PQ_SUBS = 4       # subspaces
+_PQ_SUBDIM = 16    # _DIM / _PQ_SUBS
+_PQ_CODES = 8      # codewords per subspace
+
+
+def _pq_codeword(s: int, j: int) -> list[float]:
+    """Deterministic pseudo-random codeword j of subspace s — same
+    md5-derived recipe as the LSH hyperplanes (_plane): stands in for
+    an offline-trained codebook, reproducible in any engine."""
+    import hashlib
+
+    comps = []
+    for d in range(_PQ_SUBDIM):
+        h = hashlib.md5(f"pq|{s}|{j}|{d}".encode()).hexdigest()
+        comps.append(((int(h[:15], 16) % 2001) - 1000) / 1000.0)
+    return comps
+
+
+_PQ_CB = [
+    [_pq_codeword(s, j) for j in range(_PQ_CODES)] for s in range(_PQ_SUBS)
+]
+
+
+def _pq_oracle() -> str:
+    # per-(subspace, codeword) quantized squared L2: each per-dimension
+    # term quantizes to integer micro-units BEFORE the sum, so the
+    # distance is an order-independent integer in both engines
+    dist_cols = []
+    for s in range(_PQ_SUBS):
+        for j in range(_PQ_CODES):
+            w = "[" + ", ".join(repr(x) for x in _PQ_CB[s][j]) + "]"
+            dist_cols.append(
+                f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), i -> "
+                f"CAST(floor((CAST(embedding[{s * _PQ_SUBDIM}+i] AS DOUBLE) - {w}[i])"
+                f" * (CAST(embedding[{s * _PQ_SUBDIM}+i] AS DOUBLE) - {w}[i])"
+                f" * 1000000 + 0.5) AS BIGINT))) AS d{s}_{j}"
+            )
+    codes = []
+    for s in range(_PQ_SUBS):
+        ds = [f"d{s}_{j}" for j in range(_PQ_CODES)]
+        m = f"least({', '.join(ds)})"
+        case = " ".join(
+            f"WHEN d{s}_{j} = m{s} THEN {j}" for j in range(_PQ_CODES)
+        )
+        codes.append((f"{m} AS m{s}", f"CAST(CASE {case} END AS BIGINT) AS code{s}"))
+    return f"""
+    WITH dists AS (
+      SELECT vec_id, {", ".join(dist_cols)} FROM embeddings
+    ), mins AS (
+      SELECT vec_id, {", ".join(c[0] for c in codes)}, * FROM dists
+    )
+    SELECT vec_id, {", ".join(c[1] for c in codes)} FROM mins
+    """
+
+
+@register("pq_code_assign", oracle=_pq_oracle())
+def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: the 64-dim embedding
+    splits into 4 × 16-dim subvectors, each mapped to its nearest of 8
+    deterministic codewords — the memory side of IVF-PQ ANN (64 floats
+    → 4 small codes; real deployments use 8×256 and store one byte per
+    subspace; identical plan shape). The codebook is a broadcast-sized
+    model artifact embedded as literals — assignment is a pure per-row
+    JVM expression, ZERO shuffle, linear in the corpus; at 100 TB this
+    is exactly the map-only pass that writes the compressed index.
+
+    Determinism: each per-dimension squared difference quantizes to
+    integer micro-units BEFORE summing (order-independent integer
+    distance); argmin ties break to the lowest code in both engines
+    via the identical first-match CASE."""
+    e = table(spark, sf_dir, "embeddings")
+    cols = {"vec_id": F.col("vec_id")}
+    dist_names: list[list[str]] = []
+    for s in range(_PQ_SUBS):
+        names = []
+        sub = F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        for j in range(_PQ_CODES):
+            w = F.array(*[F.lit(x) for x in _PQ_CB[s][j]])
+            terms = F.zip_with(
+                sub,
+                w,
+                lambda x, y: F.floor(
+                    (x.cast("double") - y) * (x.cast("double") - y) * 1_000_000
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            )
+            name = f"d{s}_{j}"
+            names.append(name)
+            cols[name] = F.aggregate(
+                terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+            )
+        dist_names.append(names)
+    dists = e.select(*[c.alias(n) for n, c in cols.items()])
+    out = [F.col("vec_id")]
+    for s in range(_PQ_SUBS):
+        m = F.least(*[F.col(n) for n in dist_names[s]])
+        code = F.when(F.col(dist_names[s][0]) == m, 0)
+        for j in range(1, _PQ_CODES):
+            code = code.when(F.col(dist_names[s][j]) == m, j)
+        out.append(code.cast("bigint").alias(f"code{s}"))
+    return dists.select(*out)

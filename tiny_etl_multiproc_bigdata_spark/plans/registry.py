@@ -117,6 +117,10 @@ _PRIORITY: tuple[str, ...] = (
     "concurrent_sessions_peak",
     "dedup_jaccard_prefix_filter",
     "pq_code_assign",
+    "streaming_sliding_counts",
+    "streaming_complete_topk",
+    "ewma_fixed_horizon",
+    "weighted_sample_topk",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

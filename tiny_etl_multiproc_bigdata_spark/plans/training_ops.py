@@ -932,3 +932,80 @@ def feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis exponential-key top-k)
+# --------------------------------------------------------------------------
+
+_WS_TOPK = 10
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS wt,
+             (CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000 + 1) / 1000000.0 AS u
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, wt,
+             CAST(floor(-ln(u) / wt * 1000000 + 0.5) AS BIGINT) AS key_micro
+      FROM w WHERE wt > 0
+    )
+    SELECT source, doc_id, wt, rk
+    FROM (
+      SELECT source, doc_id, wt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key_micro ASC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    WHERE rk <= {_WS_TOPK}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis style:
+    each doc draws a deterministic pseudo-uniform u from md5(doc_id) and
+    ranks by -ln(u)/w (equivalent to max-k of u^(1/w)); the top-k per
+    source IS a w-weighted sample — here w = token count, so longer
+    documents are proportionally likelier, the standard quality- or
+    size-weighted mix draw. Fully reproducible across engines, reruns
+    and partitionings, unlike rand()-based sampling; the ranking key
+    quantizes to integer micro-units with a doc_id tie-break (the repo's
+    micro-scaled-ranking convention; same documented 1-ULP ln()
+    tolerance as the LM scores). Scale shape: per-row keys, then one
+    per-source WindowGroupLimit top-k — no global sort."""
+    d = table(spark, sf_dir, "documents")
+    wt = F.size(
+        F.filter(
+            F.split(F.lower("text"), r"\s+", -1), lambda t: t != ""
+        )
+    ).cast("bigint")
+    u = (
+        md5_long(F.concat(F.lit("ws|"), F.col("doc_id").cast("string")))
+        % 1_000_000
+        + 1
+    ) / 1_000_000.0
+    keyed = (
+        d.select("doc_id", "source", wt.alias("wt"), u.alias("u"))
+        .filter(F.col("wt") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "wt",
+            F.floor(-F.log(F.col("u")) / F.col("wt") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("key_micro"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.asc("key_micro"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _WS_TOPK)
+        .select("source", "doc_id", "wt", "rk")
+    )

@@ -359,3 +359,56 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("active").cast("bigint").alias("peak_concurrent"),
         (F.count("*") / 2).cast("bigint").alias("n_sessions"),
     )
+
+
+_EWMA_HORIZON = 16
+
+
+@register(
+    "ewma_fixed_horizon",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           (floor((
+             {" + ".join(
+                 f"coalesce(lag(cents, {k}) OVER "
+                 f"(PARTITION BY user_id ORDER BY ts, event_id), 0)"
+                 f" * {2.0 ** -(k + 1)!r}"
+                 for k in range(16)
+             )}
+           ) / 100 * 10000 + 0.5) / 10000) AS ewma_value
+    FROM c
+    """,
+)
+def ewma_fixed_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-horizon EWMA (α = 1/2, 16 taps) per user: the classic
+    smoother restated as a FINITE convolution so it runs as a window
+    expression instead of an unbounded recursion — y_t = Σ_{{k<16}}
+    x_{{t-k}} / 2^(k+1), which equals true EWMA up to a 2^-16 tail.
+    EXACT cross-engine by construction: inputs quantize to integer
+    cents, every coefficient is a power of two (dyadic values are
+    representable; the 16-term sum stays within the double mantissa),
+    and the lag chain is written in the same fixed order in both
+    engines — no float accumulation ambiguity anywhere, unlike a
+    pow()-based closed form. Scale: one window partitioned by user
+    (the inherent running-sum shape), 16 lags in one pass."""
+    e = table(spark, sf_dir, "events")
+    cents = F.col("value").cast("decimal(18,2)") * 100
+    c = e.select(
+        "user_id", "event_id", "ts", cents.cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    acc = F.lit(0.0)
+    for k in range(_EWMA_HORIZON):
+        acc = acc + F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * F.lit(
+            2.0 ** -(k + 1)
+        )
+    return c.select(
+        "user_id",
+        "event_id",
+        round_half_up(acc / 100, 4).alias("ewma_value"),
+    )

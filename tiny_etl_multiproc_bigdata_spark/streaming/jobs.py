@@ -488,3 +488,66 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
     return out
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) * 300 - o.off AS BIGINT)
+             AS window_start_epoch,
+           event_type,
+           count(*) AS n
+    FROM events, unnest([0, 300]) AS o(off)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation: 10-minute windows every 5
+    minutes, so each event lands in exactly two open windows — the
+    overlap shape the tumbling entry cannot exercise (state holds
+    window-count × key rows; watermark closes both). Streaming twin of
+    window_sliding_counts with the same two-offset oracle."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(agg, spark, "stream_sliding_counts", "complete")
+
+
+@register(
+    "streaming_complete_topk",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type ASC
+    LIMIT 3
+    """,
+)
+def streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode streaming top-k: a global aggregation re-emitted
+    in full each trigger with ORDER BY + LIMIT on top — the live
+    leaderboard shape, and the one output mode the other entries do
+    not exercise with a sort (sorting a streaming relation is legal
+    ONLY in complete mode after an aggregation). Deterministic
+    tie-break on the key; bounded replay makes the final emission equal
+    the batch oracle."""
+    ev = _events_stream(spark, sf_dir)
+    top = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(3)
+    )
+    return _run_to_memory(top, spark, "stream_complete_topk", "complete")

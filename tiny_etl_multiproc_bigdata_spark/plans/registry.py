@@ -121,6 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_complete_topk",
     "ewma_fixed_horizon",
     "weighted_sample_topk",
+    "q11_important_parts",
+    "q20_excess_suppliers",
+    "event_transition_matrix",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

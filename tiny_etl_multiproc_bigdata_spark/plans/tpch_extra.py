@@ -591,3 +591,118 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(30,2))
+                 * CAST(l_quantity AS DECIMAL(30,2))) AS value
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(sum(value) AS DOUBLE) AS total FROM pv
+    )
+    SELECT l_partkey,
+           {duck_round("CAST(value AS DOUBLE)", 2)} AS part_value
+    FROM pv, tot
+    WHERE CAST(value AS DOUBLE) > total * 0.0008
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock, adapted: no partsupp table, so
+    extendedprice·quantity over lineitem stands in for
+    supplycost·availqty): a grouped value rollup kept only where the
+    group exceeds a FRACTION of the global total — the HAVING-against-
+    scalar-subquery shape. The global total is the 1-row result of
+    re-aggregating the per-part aggregate (no second fact scan),
+    broadcast into the filter; exact decimal sums both levels, one
+    double comparison. At 100 TB: one partkey shuffle, a 1-row
+    broadcast, zero extra passes."""
+    li = table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("value")
+    )
+    tot = pv.agg(F.sum("value").cast("double").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value").cast("double") > F.col("total") * 0.0008)
+        .select(
+            "l_partkey",
+            round_half_up(F.col("value").cast("double"), 2).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%ol%')
+      GROUP BY l_suppkey, l_partkey
+    ), pt AS (
+      SELECT l_partkey, CAST(sum(qty) AS DOUBLE) AS part_total,
+             count(*) AS n_supp
+      FROM sp GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    JOIN sp ON sp.l_suppkey = s_suppkey
+    JOIN pt ON pt.l_partkey = sp.l_partkey
+    WHERE sp.qty * pt.n_supp > 4.0 * pt.part_total
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-supply suppliers, adapted: shipped
+    quantity per (supplier, part) stands in for ps_availqty): keep a
+    nation's suppliers who DOMINATE the supply of some LIKE-filtered
+    part — a correlated quantity comparison against a per-part
+    aggregate, decorrelated onto the (supplier, part) rollup's own
+    partkey re-aggregation, then the supplier/nation dim chain. The
+    dominance test is RELATIVE (ships > 4× the part's average supplier
+    share: qty·n_supp > 4·total — scale-invariant where an absolute
+    fraction would go vacuous as supplier counts grow; selects ~25% of
+    suppliers at sf0.01). Both aggregates ride one partkey-compatible
+    shuffle tree; part and the dims broadcast; DISTINCT collapses
+    multi-part qualifiers. Exact decimal sums; the comparison is
+    integer-scaled double multiplies, no division."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%ol%")
+    ).select("p_partkey")
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    ).select("n_nationkey")
+    sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pt_key")).agg(
+        F.sum("qty").cast("double").alias("part_total"),
+        F.count("*").alias("n_supp"),
+    )
+    excess = (
+        sp.join(pt, sp.l_partkey == F.col("pt_key"))
+        .filter(
+            F.col("qty") * F.col("n_supp") > F.lit(4.0) * F.col("part_total")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

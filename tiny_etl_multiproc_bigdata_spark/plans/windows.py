@@ -412,3 +412,58 @@ def ewma_fixed_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         round_half_up(acc / 100, 4).alias("ewma_value"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ), tr AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM tr GROUP BY 1
+    )
+    SELECT tr.prev_type, tr.next_type, tr.n,
+           (floor(CAST(tr.n AS DOUBLE) / tot.row_total * 10000 + 0.5)
+            / 10000) AS prob
+    FROM tr JOIN tot ON tr.prev_type = tot.prev_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() pairs each event with its predecessor (ordered by
+    ts with the event_id tiebreak), transitions aggregate globally, and
+    each row normalizes by its source-state total — the behavioral
+    model behind next-action prediction and anomaly scoring. Scale
+    shape: one user-partitioned window pass (the sequence lives where
+    the data lives), then two tiny aggregations over the |states|²
+    transition space; the probability is one double division, 4-dp
+    quantized."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = tr.groupBy(F.col("prev_type").alias("t_prev")).agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return (
+        tr.join(F.broadcast(tot), tr.prev_type == F.col("t_prev"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            round_half_up(
+                F.col("n").cast("double") / F.col("row_total"), 4
+            ).alias("prob"),
+        )
+    )

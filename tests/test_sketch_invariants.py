@@ -18,10 +18,17 @@ exact twin computed by the same engine at sf0.01:
 from __future__ import annotations
 
 import math
+import os
 
 import pyspark.sql.functions as F
 
-SF01 = "/root/testdata/sf0.01"
+from conftest import SF_DIR
+
+# deliberately pinned to sf0.01 (the HLL/t-digest error bounds need
+# more rows than the suite's default sf0.001), but relocatable: derive
+# the sibling sf0.01 dir from the suite's configured fixture root so
+# SPARK_GRAFT_TEST_SF_DIR overrides keep working
+SF01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
 
 
 def test_hll_within_error_bound_of_exact(spark):

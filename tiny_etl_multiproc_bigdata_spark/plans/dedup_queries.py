@@ -705,7 +705,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_COSINE_BLOCK_CAP`` rows (≈5e9 pairs) this raises instead of
     degenerating — the demotion is mechanical, not just a docstring."""
     e = table(spark, sf_dir, "embeddings")
-    blocked = e.select("vec_id", "embedding", F.col("label").alias("label"))
+    # checkpoint first so the guard's count job and the pair join share
+    # ONE input scan instead of re-reading the table (r05 review)
+    blocked = e.select(
+        "vec_id", "embedding", F.col("label").alias("label")
+    ).localCheckpoint(eager=True)
     biggest = (
         blocked.groupBy("label").count().agg(F.max("count")).first()[0] or 0
     )
@@ -811,10 +815,17 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes), verification is candidate-bounded, and every stage is an
     equi-join or hash agg — no all-pairs anywhere."""
     d = table(spark, sf_dir, "documents")
+    # Materialize the exploded shingle postings ONCE: sh feeds five
+    # independent subtrees (sizes, document frequencies, the prefix
+    # window input, and both verification sides) — without a barrier
+    # the tokenize→shingle→explode lineage re-executes per consumer,
+    # ~5 corpus passes at scale (the minhash_scored_pairs lesson,
+    # VERDICT r01 item 5; flagged again by the r05 review).
     sh = (
         d.withColumn("shingles", _shingles(F.col("text")))
         .filter(F.size("shingles") > 0)
         .select("doc_id", F.explode("shingles").alias("tok"))
+        .localCheckpoint(eager=True)
     )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfr = sh.groupBy("tok").agg(F.count("*").alias("df"))

@@ -642,14 +642,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sp AS (
       SELECT l_suppkey, l_partkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty
+             sum(CAST(l_quantity AS DECIMAL(30,2))) AS qty
       FROM lineitem
       WHERE l_partkey IN (SELECT p_partkey FROM part
                           WHERE p_name LIKE '%ol%')
       GROUP BY l_suppkey, l_partkey
     ), pt AS (
-      SELECT l_partkey, CAST(sum(qty) AS DOUBLE) AS part_total,
-             count(*) AS n_supp
+      SELECT l_partkey, sum(qty) AS part_total, count(*) AS n_supp
       FROM sp GROUP BY l_partkey
     )
     SELECT DISTINCT s_suppkey, s_name
@@ -657,7 +656,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
     JOIN sp ON sp.l_suppkey = s_suppkey
     JOIN pt ON pt.l_partkey = sp.l_partkey
-    WHERE sp.qty * pt.n_supp > 4.0 * pt.part_total
+    WHERE CAST(sp.qty AS DOUBLE) * pt.n_supp
+          > 4.0 * CAST(pt.part_total AS DOUBLE)
     """,
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,8 +672,10 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction would go vacuous as supplier counts grow; selects ~25% of
     suppliers at sf0.01). Both aggregates ride one partkey-compatible
     shuffle tree; part and the dims broadcast; DISTINCT collapses
-    multi-part qualifiers. Exact decimal sums; the comparison is
-    integer-scaled double multiplies, no division."""
+    multi-part qualifiers. BOTH aggregation levels sum exact decimals
+    (a double re-sum would be accumulation-order-sensitive — r05
+    review); doubles appear only as single casts of the exact values
+    inside the final comparison."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%ol%")
@@ -687,16 +689,17 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
     )
     pt = sp.groupBy(F.col("l_partkey").alias("pt_key")).agg(
-        F.sum("qty").cast("double").alias("part_total"),
+        F.sum("qty").alias("part_total"),
         F.count("*").alias("n_supp"),
     )
     excess = (
         sp.join(pt, sp.l_partkey == F.col("pt_key"))
         .filter(
-            F.col("qty") * F.col("n_supp") > F.lit(4.0) * F.col("part_total")
+            F.col("qty").cast("double") * F.col("n_supp")
+            > F.lit(4.0) * F.col("part_total").cast("double")
         )
         .select("l_suppkey")
         .distinct()

@@ -978,12 +978,12 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-scaled-ranking convention; same documented 1-ULP ln()
     tolerance as the LM scores). Scale shape: per-row keys, then one
     per-source WindowGroupLimit top-k — no global sort."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        tokenize_words_nonempty,
+    )
+
     d = table(spark, sf_dir, "documents")
-    wt = F.size(
-        F.filter(
-            F.split(F.lower("text"), r"\s+", -1), lambda t: t != ""
-        )
-    ).cast("bigint")
+    wt = F.size(tokenize_words_nonempty("text")).cast("bigint")
     u = (
         md5_long(F.concat(F.lit("ws|"), F.col("doc_id").cast("string")))
         % 1_000_000

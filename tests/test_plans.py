@@ -202,3 +202,32 @@ def test_pq_code_assign_zero_shuffle(spark, sf_dir):
     # integer distances — any Exchange means the shape regressed
     plan = _plan(_q("pq_code_assign", spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
+    # rank<=k over the per-source window must rewrite to WindowGroupLimit
+    plan = _plan(_q("weighted_sample_topk", spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_transition_matrix_broadcasts_row_totals(spark, sf_dir):
+    # the |states| row-total table must broadcast, never shuffle the
+    # transition table for the normalization join
+    plan = _plan(_q("event_transition_matrix", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_triangle_count_no_nested_loop(spark, sf_dir):
+    # both wedge-extension joins are equi-joins; a BNLJ would mean the
+    # join condition degenerated to a filter over a cross product
+    plan = _plan(_q("triangle_count", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_concurrent_sessions_no_global_sort(spark, sf_dir):
+    # the sweep is per-day partitioned: exchanges must hash-partition,
+    # never range-partition (a global sort would not scale)
+    plan = _plan(_q("concurrent_sessions_peak", spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan

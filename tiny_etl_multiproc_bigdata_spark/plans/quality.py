@@ -367,7 +367,14 @@ def token_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing corpus-global."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
-    cnts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    # materialize once: cnts feeds both the per-doc totals and the term
+    # join — without a barrier the tokenize→explode→group lineage
+    # re-executes per consumer (the minhash/prefix-filter lesson)
+    cnts = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = cnts.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n"), F.count("*").alias("n_types")
     )
@@ -436,9 +443,13 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _toks().alias("l")).filter(F.size("l") >= 2)
+    # materialize once: pairs feeds both the count chain (c2→c1→lp) and
+    # the final scoring join — without a barrier the tokenize→ngram→
+    # explode lineage re-executes per consumer (one redundant corpus
+    # pass; the plan showed two document scans before this barrier)
     pairs = toks.select(
         "doc_id", F.explode(word_ngrams(F.col("l"), 2)).alias("bg")
-    )
+    ).localCheckpoint(eager=True)
     c2 = pairs.groupBy("bg").agg(F.count("*").alias("c2"))
     c1 = (
         c2.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1"))

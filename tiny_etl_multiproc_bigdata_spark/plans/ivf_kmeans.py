@@ -182,3 +182,110 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia"
         ),
     )
+
+
+_N_PROBES = 2
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 7
+    ), assigned AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(floor({_DUCK_L2SQ.format(a="e.embedding::DOUBLE[]", b="c.cvec")} * 1000000 + 0.5) AS BIGINT) ASC,
+                          c.cid ASC) AS rn
+        FROM embeddings e, centroids c
+      ) WHERE rn = 1
+    ), qcells AS (
+      SELECT vec_id AS query_id, emb AS qv, cell AS qcell FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(floor({_DUCK_L2SQ.format(a="e.embedding::DOUBLE[]", b="c.cvec")} * 1000000 + 0.5) AS BIGINT) ASC,
+                          c.cid ASC) AS rn
+        FROM embeddings e, centroids c
+        WHERE e.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_N_PROBES}
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS candidate_id,
+             {_DUCK_COS.format(a="q.qv", b="a.emb")} AS cos
+      FROM qcells q JOIN assigned a
+        ON a.cell = q.qcell AND a.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, candidate_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
+                                         candidate_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, candidate_id, (floor(cos * 10000 + 0.5) / 10000) AS cosine, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: queries search their 2 (_N_PROBES) nearest
+    cells instead of one — the standard recall lever (a query near a
+    cell boundary misses true neighbors assigned to the adjacent cell;
+    probing both recovers them at ~2× the candidate cost, still
+    ~2/|centroids| of the corpus). The corpus keeps single-cell
+    assignment; only the tiny query set fans out, so the broadcast
+    query table doubles and nothing else changes — identical plan
+    shape to ann_ivf_topk. Candidate sets from different probes are
+    disjoint by construction (each corpus vector lives in exactly one
+    cell), so no dedup stage is needed."""
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % _CENTROID_MOD == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = _assign_cells(e, centroids)
+    # query-side: top-_N_PROBES cells (rn <= P instead of == 1)
+    qj = e.filter(F.col("vec_id") < _N_QUERIES).crossJoin(
+        F.broadcast(centroids)
+    )
+    qd = _l2sq(F.col("embedding"), F.col("cvec"))
+    qw = Window.partitionBy("vec_id").orderBy(
+        F.floor(qd * 1_000_000 + F.lit(0.5)).cast("bigint").asc(),
+        F.asc("cid"),
+    )
+    qcells = (
+        qj.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _N_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("cid").alias("qcell"),
+        )
+    )
+    scored = (
+        F.broadcast(qcells)
+        .join(
+            assigned,
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            cosine_similarity(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.floor(F.col("cos") * 1_000_000 + F.lit(0.5)).cast("bigint").desc(),
+        F.asc("candidate_id"),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "query_id",
+            "candidate_id",
+            round_half_up(F.col("cos"), 4).alias("cosine"),
+            "rn",
+        )
+    )

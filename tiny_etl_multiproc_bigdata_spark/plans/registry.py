@@ -124,6 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_parts",
     "q20_excess_suppliers",
     "event_transition_matrix",
+    "ann_ivf_multiprobe",
+    "embedding_standardize",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -387,3 +387,94 @@ def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             code = code.when(F.col(dist_names[s][j]) == m, j)
         out.append(code.cast("bigint").alias(f"code{s}"))
     return dists.select(*out)
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide feature standardization (z-score per dimension)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_standardize",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, x.i AS pos,
+             CAST(floor(CAST(x.v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      FROM embeddings,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                                 i -> {'i': i, 'v': embedding[i]})) AS t(x)
+    ), stats AS (
+      SELECT pos,
+             CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS mean_q,
+             sqrt(CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DOUBLE) / count(*)
+                  - (CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / count(*))
+                    * (CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / count(*)))
+               AS std_q
+      FROM comp GROUP BY pos
+    )
+    SELECT c.vec_id,
+           (floor(sqrt(CAST(sum(
+              CAST(floor(((c.q - s.mean_q) / s.std_q)
+                         * ((c.q - s.mean_q) / s.std_q)
+                         * 1000000 + 0.5) AS BIGINT)
+            ) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000) AS z_norm,
+           count(*) AS n_dims
+    FROM comp c JOIN stats s ON c.pos = s.pos
+    GROUP BY c.vec_id
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide per-dimension z-score standardization — the feature
+    scaling pass before clustering/similarity when dimensions have
+    unequal variance. Emitted as each vector's standardized L2 norm
+    (one scalar check that touches every component).
+
+    Determinism recipe, end to end: components quantize to integer
+    micro-units; per-dimension sums run in DECIMAL(38,0) (exact,
+    associative, overflow-safe far past 1e9 vectors); mean/std derive
+    from those exact sums through an identical expression tree in both
+    engines; each squared z-term re-quantizes to integer microunits
+    before the per-vector sum. No double accumulation anywhere.
+
+    Scale shape: posexplode → ONE tiny aggregation keyed by the 64
+    dimension positions (shuffle size independent of corpus size, the
+    embedding_label_centroids pattern) → broadcast stats back → per-row
+    work. The per-vector regroup shuffles (vec_id, 64 ints); at 100 TB
+    you would instead keep components in-row via zip_with against a
+    64-element broadcast stats array — same math, zero regroup; the
+    exploded form is used here so the stats join shape is exercised."""
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    stats = comp.groupBy("pos").agg(
+        (F.sum(qd).cast("double") / F.count("*")).alias("mean_q"),
+        F.sqrt(
+            F.sum(qd * F.col("q")).cast("double") / F.count("*")
+            - (F.sum(qd).cast("double") / F.count("*"))
+            * (F.sum(qd).cast("double") / F.count("*"))
+        ).alias("std_q"),
+    )
+    z = (F.col("q") - F.col("mean_q")) / F.col("std_q")
+    return (
+        comp.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            F.floor(z * z * 1_000_000 + F.lit(0.5)).cast("bigint").alias("z2q"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            round_half_up(
+                F.sqrt(F.sum("z2q").cast("double") / 1_000_000), 4
+            ).alias("z_norm"),
+            F.count("*").alias("n_dims"),
+        )
+    )

@@ -126,6 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "ann_ivf_multiprobe",
     "embedding_standardize",
+    "group_by_all_summary",
+    "sql_session_variables",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -242,3 +242,61 @@ def pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "group_by_all_summary",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def group_by_all_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/DuckDB): the engine infers the grouping
+    keys from the non-aggregate select items — one oracle string is
+    valid VERBATIM in both dialects, pinning that the inference picks
+    the same keys. Plans identically to an explicit GROUP BY."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+                          AS DOUBLE), 2) AS total_price
+        FROM _gba_orders
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > 95000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4: DECLARE / SET VARIABLE): the
+    parameterized-query surface — thresholds live in session state
+    instead of string-interpolated literals, so dashboards and repeated
+    jobs re-bind values without re-parsing plan text. Catalyst folds
+    the variable reference to a literal at analysis time, so pushdown
+    and pruning are identical to the inlined form (the oracle is that
+    inlined form). DECLARE OR REPLACE keeps re-invocation idempotent
+    (same replace-by-name contract as the temp views)."""
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE price_floor = 95000.0")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_var_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n
+        FROM _var_orders
+        WHERE o_totalprice > price_floor
+        GROUP BY o_orderstatus
+        """
+    )

@@ -109,3 +109,35 @@ def test_table_sample_deterministic_and_concentrated(spark):
         f"sampled {len(rows_a)} of {n} rows; expected {expected:.0f} "
         f"± {6 * sigma:.0f}"
     )
+
+
+def test_hll_sketch_merge_matches_exact_within_bound(spark):
+    """The sketch-union rollup (hll_sketch_partition_merge's ALL row)
+    must estimate the true global distinct count within the HLL error
+    envelope, and be deterministic across runs — merging per-partition
+    sketch bytes must not lose accuracy vs a direct scan."""
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.plans.advanced import (
+        hll_sketch_partition_merge,
+    )
+
+    rows_a = {
+        r["scope"]: r["approx_customers"]
+        for r in hll_sketch_partition_merge(spark, SF01).collect()
+    }
+    rows_b = {
+        r["scope"]: r["approx_customers"]
+        for r in hll_sketch_partition_merge(spark, SF01).collect()
+    }
+    assert rows_a == rows_b, "sketch estimates must be deterministic"
+    exact = (
+        table(spark, SF01, "orders")
+        .select(F.countDistinct("o_custkey"))
+        .collect()[0][0]
+    )
+    rel_err = abs(rows_a["ALL"] - exact) / exact
+    # default lgConfigK=12 → ~1.6% standard error; 5σ bound
+    assert rel_err <= 5 * 0.016, (
+        f"merged HLL estimate {rows_a['ALL']} vs exact {exact} "
+        f"(rel err {rel_err:.4f})"
+    )

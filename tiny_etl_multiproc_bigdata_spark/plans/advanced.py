@@ -445,3 +445,34 @@ def udf_pandas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars("text").alias("n_chars_udf"),
         head_upper("text").alias("head_upper"),
     )
+
+
+@register("hll_sketch_partition_merge", oracle=None)
+def hll_sketch_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 3.5+ Datasketches surface):
+    per-status sketches materialize as BINARY columns, then
+    hll_union_agg folds them into a corpus-wide estimate WITHOUT
+    touching the raw data again — the re-aggregatable-rollup primitive
+    behind pre-aggregated cubes at 100 TB (store one sketch per
+    partition/day/segment; any coarser rollup is a cheap union of
+    sketch bytes, never a re-scan). Rows-only at the driver (the
+    estimate is engine-specific by nature, like approx_count_distinct);
+    tests/test_sketch_invariants.py pins the merged estimate within
+    the documented error bound of exact COUNT(DISTINCT) and pins
+    determinism across runs. Output: one row per status plus the
+    sketch-merged ALL row."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    by_status = per.select(
+        F.col("o_orderstatus").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    merged = per.agg(
+        F.lit("ALL").alias("scope"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+            "approx_customers"
+        ),
+    )
+    return by_status.unionByName(merged)

@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_standardize",
     "group_by_all_summary",
     "sql_session_variables",
+    "hll_sketch_partition_merge",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -66,6 +66,7 @@ def _load_all() -> None:
         multimodal,
     )
     from tiny_etl_multiproc_bigdata_spark.sources import (  # noqa: F401
+        files,
         python_datasource,
     )
     from tiny_etl_multiproc_bigdata_spark.streaming import jobs  # noqa: F401
@@ -129,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "group_by_all_summary",
     "sql_session_variables",
     "hll_sketch_partition_merge",
+    "csv_roundtrip_agg",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -89,3 +89,72 @@ def read_file_lines(
     if skip_blank:
         out = out.filter(F.length(F.col(line_key)) > 0)
     return out
+
+
+def _register_csv_roundtrip() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "csv_roundtrip_agg",
+        oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2)
+                 AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    )
+    def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CSV source/sink roundtrip: stage three lineitem columns
+        through the L4 ';'-CSV writer (sinks.csv_load), read them back
+        with an explicit schema through the CSV SOURCE — the read path
+        no other registry entry exercises — and aggregate; the oracle
+        runs the same aggregate on the original parquet, so the
+        roundtrip must be lossless (delimiters, headers, numeric
+        parsing). Same staging discipline as streaming_foreach_batch:
+        one fixed dir per sf, exclusive flock, eager localCheckpoint
+        under the lock so the returned frame survives a concurrent
+        run's overwrite. quantity stages as its DECIMAL(30,2) cents
+        rendering so the text roundtrip is exact (a raw double would
+        print shortest-repr and reparse exactly too, but the decimal
+        form also pins the column's scale in the file)."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+        from tiny_etl_multiproc_bigdata_spark.sinks import csv_load
+
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_returnflag",
+            F.col("l_quantity").cast("decimal(30,2)").alias("l_quantity"),
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_csvrt_{tag}")
+        data_dir = os.path.join(root, "data")
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                csv_load(li, data_dir)
+                back = (
+                    spark.read.option("sep", ";")
+                    .option("header", "true")
+                    .schema(
+                        "l_orderkey bigint, l_returnflag string, "
+                        "l_quantity decimal(30,2)"
+                    )
+                    .csv(data_dir)
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return back.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+        )
+
+
+_register_csv_roundtrip()

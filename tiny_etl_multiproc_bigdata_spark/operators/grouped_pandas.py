@@ -197,3 +197,54 @@ def grouped_arrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value double, max_value double"
         ),
     )
+
+
+@register(
+    "arrow_map_discount_bands",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_discount * 100 AS DECIMAL(18,0)) AS BIGINT) // 2 * 2
+             AS discount_band
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def arrow_map_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (non-grouped): per-PARTITION Arrow RecordBatch
+    transform — completes the Python execution quartet beside
+    pandas_udf (scalar), applyInPandas/applyInArrow (grouped) and
+    mapInPandas (per-partition pandas). The Arrow path skips pandas
+    Series materialization entirely — right when batches carry wide
+    binary/tensor payloads. The computation (2-point discount banding)
+    quantizes through decimal-style integer cents half-away-from-zero
+    so the Arrow-side arithmetic matches the oracle's DECIMAL cast
+    exactly. Zero shuffle: filter pushes to the scan, batches map in
+    place."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def band(batches):  # noqa: ANN001
+        for b in batches:
+            d = pc.multiply(b.column("l_discount").cast(pa.float64()), 100.0)
+            sign = pc.sign(d).cast(pa.int64())
+            cents = pc.multiply(
+                pc.floor(pc.add(pc.abs(d), 0.5)).cast(pa.int64()), sign
+            )
+            bands = pc.multiply(
+                pc.floor(pc.divide(cents.cast(pa.float64()), 2.0)).cast(
+                    pa.int64()
+                ),
+                2,
+            )
+            yield pa.record_batch(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "l_linenumber": b.column("l_linenumber"),
+                    "discount_band": bands,
+                }
+            )
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return li.select("l_orderkey", "l_linenumber", "l_discount").mapInArrow(
+        band, "l_orderkey long, l_linenumber int, discount_band long"
+    )

@@ -131,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "sql_session_variables",
     "hll_sketch_partition_merge",
     "csv_roundtrip_agg",
+    "python_datasource_stream_scan",
+    "arrow_map_discount_bands",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

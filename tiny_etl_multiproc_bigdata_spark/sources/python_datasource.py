@@ -86,3 +86,72 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("name").cast("bigint")).alias("sum_name_len"),
         )
     )
+
+
+@register(
+    "python_datasource_stream_scan",
+    oracle=f"""
+    SELECT CAST(id % {_PARTS} AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum((id * {_MULT}) % {_MOD}) AS BIGINT) AS sum_score
+    FROM range({_N}) t(id)
+    GROUP BY 1
+    """,
+)
+def python_datasource_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource (Spark 4,
+    SimpleDataSourceStreamReader): the same synthetic affine feed as
+    python_datasource_scan, but entering through readStream — offsets
+    are plain dicts, read(start) returns (rows, next_offset), and
+    readBetweenOffsets replays a committed range on recovery; this is
+    the custom-source contract for queue/API feeds that have no
+    built-in connector. The bounded feed emits in one micro-batch (the
+    Python micro-batch stream does not support AvailableNow's
+    multi-batch planning — Spark logs the single-batch fallback), and
+    the complete-mode aggregation over it equals the batch oracle.
+    At scale the reader is rate-limited by returning bounded slices
+    per read() call; state (the offset dict) lives in the checkpoint."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    n, parts, mult, mod = _N, _PARTS, _MULT, _MOD
+
+    class SynthStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):  # noqa: ANN201
+            return {"i": 0}
+
+        def read(self, start):  # noqa: ANN001, ANN201
+            i = start["i"]
+            rows = [(k, (k * mult) % mod) for k in range(i, n)]
+            return iter(rows), {"i": n}
+
+        def readBetweenOffsets(self, start, end):  # noqa: ANN001, ANN201
+            return iter(
+                (k, (k * mult) % mod)
+                for k in range(start["i"], end["i"])
+            )
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):  # noqa: ANN206
+            return "synthdocs_stream"
+
+        def schema(self):  # noqa: ANN201
+            return "id bigint, score bigint"
+
+        def simpleStreamReader(self, schema):  # noqa: ANN001, ANN201
+            return SynthStreamReader()
+
+    spark.dataSource.register(SynthStreamSource)
+    feed = spark.readStream.format("synthdocs_stream").load()
+    agg = feed.groupBy(
+        (F.col("id") % parts).cast("bigint").alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("score").alias("sum_score"),
+    )
+    from tiny_etl_multiproc_bigdata_spark.streaming.jobs import _run_to_memory
+
+    return _run_to_memory(agg, spark, "pyds_stream", "complete")

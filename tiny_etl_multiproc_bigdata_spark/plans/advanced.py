@@ -476,3 +476,64 @@ def hll_sketch_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return by_status.unionByName(merged)
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name ASC) AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's listagg WITHIN GROUP
+    against DuckDB's string_agg ORDER BY: the denormalization shape
+    every report/export pipeline needs (ids-per-group as one cell).
+    The WITHIN GROUP ordering makes the concatenation deterministic
+    under any partitioning — an unordered listagg would be
+    shuffle-order-dependent and hash-flaky by construction. Bounded
+    group payloads only (a giant group builds a giant string on one
+    executor); unbounded cases belong in collect_set + explode."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name ASC)").alias(
+            "nations"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "try_arithmetic_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 10 = 0 THEN NULL
+                ELSE (floor(o_totalprice / (o_custkey % 10) * 10000 + 0.5)
+                      / 10000) END AS price_per_bucket,
+           TRY_CAST(o_orderpriority AS BIGINT) AS prio_num,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide and try_cast return
+    NULL instead of raising under ANSI mode — the ingestion-hardening
+    primitives (one malformed row must not kill a 100 TB job; the
+    NULLs flow to a quarantine filter instead). The oracle spells the
+    same semantics as CASE/TRY_CAST; quotient values go through the
+    portable half-up rounding so the divide path is hash-comparable."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        round_half_up(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 10), 4
+        ).alias("price_per_bucket"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("prio_num"),
+        F.expr(
+            "try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)"
+        ).alias("prio_digit"),
+    )

@@ -133,6 +133,8 @@ _PRIORITY: tuple[str, ...] = (
     "csv_roundtrip_agg",
     "python_datasource_stream_scan",
     "arrow_map_discount_bands",
+    "agg_listagg_ordered",
+    "try_arithmetic_suite",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

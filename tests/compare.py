@@ -24,7 +24,7 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
+def _norm(v, exact_floats: bool = False):
     if v is None:
         return None
     if isinstance(v, bool):
@@ -34,6 +34,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if exact_floats:
+            # driver-exact semantics: any bit difference is a mismatch
+            return v
         # round-trip through repr at 12 significant digits: tolerant of
         # last-ulp accumulation differences, strict beyond that
         return float(f"{v:.12g}")
@@ -42,19 +45,30 @@ def _norm(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        return tuple(_norm(x, exact_floats) for x in v)
     return v
 
 
-def canon(rows, colnames):
+def canon(rows, colnames, exact_floats: bool = False):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out = [tuple(_norm(r[i], exact_floats) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return sorted(colnames), out
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == match)."""
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    exact_floats: bool = False,
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match).
+
+    ``exact_floats=True`` mirrors the driver's exact value hash (no
+    12-significant-digit normalization) — used for registry entries
+    flagged ``ulp_sensitive`` so any cross-engine transcendental drift
+    that would red the driver reds this local gate first.
+    """
     problems: list[str] = []
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
@@ -62,8 +76,8 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     d_cols = [d[0] for d in res.description]
     d_rows = [tuple(r) for r in res.fetchall()]
 
-    sc, sr = canon(s_rows, s_cols)
-    dc, dr = canon(d_rows, d_cols)
+    sc, sr = canon(s_rows, s_cols, exact_floats)
+    dc, dr = canon(d_rows, d_cols, exact_floats)
     if sc != dc:
         problems.append(f"columns differ: spark={sc} duckdb={dc}")
         return problems
@@ -71,6 +85,14 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
         problems.append(f"row count differs: spark={len(sr)} duckdb={len(dr)}")
     for i, (a, b) in enumerate(zip(sr, dr)):
         if a != b:
-            problems.append(f"first differing row #{i}: spark={a!r} duckdb={b!r}")
+            msg = f"first differing row #{i}: spark={a!r} duckdb={b!r}"
+            if exact_floats:
+                msg += (
+                    " [ulp_sensitive entry compared driver-exact: this is"
+                    " the documented 1-ULP JVM-vs-libm boundary landing —"
+                    " adjust the entry's quantization scale for this"
+                    " fixture vintage]"
+                )
+            problems.append(msg)
             break
     return problems

@@ -21,6 +21,7 @@ import math
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from conftest import SF_DIR
 
@@ -29,6 +30,13 @@ from conftest import SF_DIR
 # the sibling sf0.01 dir from the suite's configured fixture root so
 # SPARK_GRAFT_TEST_SF_DIR overrides keep working
 SF01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+
+# an override pointing at a fixture root with no sf0.01 sibling should
+# skip clearly, not fail four tests with an opaque parquet-read error
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01),
+    reason=f"no sf0.01 sibling of SPARK_GRAFT_TEST_SF_DIR at {SF01}",
+)
 
 
 def test_hll_within_error_bound_of_exact(spark):

@@ -123,6 +123,7 @@ def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_logprob_score",
+    ulp_sensitive=True,
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
@@ -329,6 +330,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_entropy_score",
+    ulp_sensitive=True,
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
@@ -398,6 +400,7 @@ def token_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bigram_logprob_score",
+    ulp_sensitive=True,
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, {_DUCK_TOKS} AS l FROM documents

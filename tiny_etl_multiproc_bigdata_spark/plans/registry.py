@@ -20,16 +20,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     fn: QueryFn
     oracle: str | None = None
+    # Entry documents a 1-ULP JVM-vs-libm transcendental tolerance
+    # (log/log2 feeding a quantized output). The driver's comparator is
+    # an exact value hash; flagged entries are therefore compared with
+    # the SAME exact float semantics by the local gate
+    # (tests/test_correctness.py) instead of its default 12-significant-
+    # digit normalization — so a fixture vintage landing on a rounding
+    # boundary goes red locally, with a pointed message, before the
+    # driver ever sees it. This makes the docstring tolerance policy
+    # mechanical (ADVICE r05 item 3).
+    ulp_sensitive: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, ulp_sensitive: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(fn, oracle)
+        REGISTRY[name] = QuerySpec(fn, oracle, ulp_sensitive)
         return fn
 
     return deco

@@ -943,6 +943,7 @@ _WS_TOPK = 10
 
 @register(
     "weighted_sample_topk",
+    ulp_sensitive=True,
     oracle=rf"""
     WITH w AS (
       SELECT doc_id, source,

@@ -414,8 +414,8 @@ def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.vec_id,
            (floor(sqrt(CAST(sum(
-              CAST(floor(((c.q - s.mean_q) / s.std_q)
-                         * ((c.q - s.mean_q) / s.std_q)
+              CAST(floor(((c.q - s.mean_q) / nullif(s.std_q, 0))
+                         * ((c.q - s.mean_q) / nullif(s.std_q, 0))
                          * 1000000 + 0.5) AS BIGINT)
             ) AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000) AS z_norm,
            count(*) AS n_dims
@@ -463,7 +463,10 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.sum(qd).cast("double") / F.count("*"))
         ).alias("std_q"),
     )
-    z = (F.col("q") - F.col("mean_q")) / F.col("std_q")
+    # nullif guard: a constant dimension (std_q = 0) contributes NULL —
+    # skipped identically by sum() in both engines — instead of an
+    # Inf/NaN that casts differently (Spark → NULL bigint, DuckDB → error)
+    z = (F.col("q") - F.col("mean_q")) / F.nullif(F.col("std_q"), F.lit(0.0))
     return (
         comp.join(F.broadcast(stats), "pos")
         .select(

@@ -99,8 +99,8 @@ def _register_csv_roundtrip() -> None:
         oracle="""
         SELECT l_returnflag,
                count(*) AS n,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2)
-                 AS sum_qty
+               (floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                      * 100 + 0.5) / 100) AS sum_qty
         FROM lineitem
         GROUP BY l_returnflag
         """,
@@ -125,6 +125,9 @@ def _register_csv_roundtrip() -> None:
         import tempfile
 
         from tiny_etl_multiproc_bigdata_spark.catalog import table
+        from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+            round_half_up,
+        )
         from tiny_etl_multiproc_bigdata_spark.sinks import csv_load
 
         li = table(spark, sf_dir, "lineitem").select(
@@ -153,7 +156,9 @@ def _register_csv_roundtrip() -> None:
                 fcntl.flock(lock, fcntl.LOCK_UN)
         return back.groupBy("l_returnflag").agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_quantity").cast("double"), 2).alias(
+                "sum_qty"
+            ),
         )
 
 

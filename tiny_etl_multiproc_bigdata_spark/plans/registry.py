@@ -85,68 +85,23 @@ def _load_all() -> None:
 
 
 # Driver-sweep ordering: the verification driver checks a capped
-# prefix (~50) of the registry in iteration order. After r01-r04,
-# 178/189 entries have a green row and none are red. r05 order:
-# (a) the 11 entries never driver-checked (all created in r04 after
-# the sweep-cap cutoff — the last gap to 189/189 cumulative);
-# (b) entries whose implementation changed in r05 (the ADVICE fixes
-# touch q21 and udtf_token_chunks — both already in (a) — plus
-# streaming_foreach_batch's driver-snapshot fence and the
-# dedup_embedding_cosine block guard, which need fresh rows);
-# (c) entries NEW in r05, appended as they are built. Then (via
+# prefix (~50) of the registry in iteration order. After r01-r05 every
+# entry (213/213) has a driver row and none are red. r06 order:
+# (a) entries whose implementation changed in r06 — the ADVICE fixes
+# (csv_roundtrip_agg rounding convention, embedding_standardize nullif
+# guard) and the judge items (triangle_count degree orientation) —
+# fresh rows for changed code, the hygiene that has kept every sweep
+# clean since r2;
+# (b) entries NEW in r06, appended as they are built. Then (via
 # _ordered_names) any unlisted never-checked entries and finally
 # green entries in insertion order.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-checked (r04 tail) --
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "variant_shred_props",
-    "pipe_syntax_summary",
-    "udtf_token_chunks",
-    "python_datasource_scan",
-    "grouped_arrow_value_stats",
-    "observe_pipeline_metrics",
-    "streaming_late_data_drop",
-    # -- (b) implementation changed in r05 --
-    "streaming_foreach_batch",
-    "dedup_embedding_cosine",
-    # plan-identical refactors (core exposed for bench amplification),
-    # re-queued per the changed-code hygiene
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    # r05 review fixes: join reorders (q17/q19), shared-SQL/view-name
-    # changes (bfs/lateral) — fresh rows for changed code
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "recursive_bfs_levels",
-    "lateral_nation_stats",
-    # -- (c) new in r05 (appended as built) --
-    "triangle_count",
-    "token_entropy_score",
-    "script_mix_profile",
-    "bigram_logprob_score",
-    "concurrent_sessions_peak",
-    "dedup_jaccard_prefix_filter",
-    "pq_code_assign",
-    "streaming_sliding_counts",
-    "streaming_complete_topk",
-    "ewma_fixed_horizon",
-    "weighted_sample_topk",
-    "q11_important_parts",
-    "q20_excess_suppliers",
-    "event_transition_matrix",
-    "ann_ivf_multiprobe",
-    "embedding_standardize",
-    "group_by_all_summary",
-    "sql_session_variables",
-    "hll_sketch_partition_merge",
+    # -- (a) implementation changed in r06 --
     "csv_roundtrip_agg",
-    "python_datasource_stream_scan",
-    "arrow_map_discount_bands",
-    "agg_listagg_ordered",
-    "try_arithmetic_suite",
+    "embedding_standardize",
+    "triangle_count",
+    # -- (b) new in r06 (appended as built) --
+    "kmeans_fixed_iters",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.
@@ -227,6 +182,24 @@ _CHECKED: frozenset[str] = frozenset(
         "unigram_logprob_score", "domain_quota_sample", "snapshot_diff",
         "tokenizer_fertility_by_lang", "streaming_stream_stream_join",
         "recursive_bfs_levels", "lateral_nation_stats",
+        # r05 sweep
+        "q8_market_share", "q9_product_profit", "q15_top_supplier",
+        "q21_waiting_suppliers", "variant_shred_props",
+        "pipe_syntax_summary", "udtf_token_chunks",
+        "python_datasource_scan", "grouped_arrow_value_stats",
+        "observe_pipeline_metrics", "streaming_late_data_drop",
+        "triangle_count", "token_entropy_score", "script_mix_profile",
+        "bigram_logprob_score", "concurrent_sessions_peak",
+        "dedup_jaccard_prefix_filter", "pq_code_assign",
+        "streaming_sliding_counts", "streaming_complete_topk",
+        "ewma_fixed_horizon", "weighted_sample_topk",
+        "q11_important_parts", "q20_excess_suppliers",
+        "event_transition_matrix", "ann_ivf_multiprobe",
+        "embedding_standardize", "group_by_all_summary",
+        "sql_session_variables", "hll_sketch_partition_merge",
+        "csv_roundtrip_agg", "python_datasource_stream_scan",
+        "arrow_map_discount_bands", "agg_listagg_ordered",
+        "try_arithmetic_suite",
     }
 )
 

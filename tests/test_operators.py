@@ -205,3 +205,17 @@ def test_embedding_cosine_guard_raises_on_oversized_block(spark, sf_dir, monkeyp
     monkeypatch.setattr(dedup_queries, "_COSINE_BLOCK_CAP", 1)
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
         dedup_queries.dedup_embedding_cosine(spark, sf_dir)
+
+
+def test_listagg_guard_raises_on_oversized_group(spark, sf_dir, monkeypatch):
+    """agg_listagg_ordered's payload cap must refuse a group whose
+    concatenated string would land on one executor (VERDICT r05 item
+    7) — exercised by shrinking the cap below the fixture's largest
+    group payload, mirroring the embedding-cosine guard test."""
+    import pytest
+
+    from tiny_etl_multiproc_bigdata_spark.plans import advanced
+
+    monkeypatch.setattr(advanced, "_LISTAGG_PAYLOAD_CAP", 1)
+    with pytest.raises(ValueError, match="collect_set"):
+        advanced.agg_listagg_ordered(spark, sf_dir)

@@ -226,6 +226,34 @@ def test_triangle_count_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_triangle_degree_orientation_invariant(spark, sf_dir):
+    """The registered triangle_count now runs degree-oriented
+    (VERDICT r05 item 4); pin that the count equals the plain
+    id-ordered wedge join on the fixture graph — orientation must be
+    a pure canonicalization change, never a semantic one."""
+    from pyspark.sql import functions as F
+
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.plans.graph_ops import (
+        _TRI_EDGES_TMPL,
+        triangle_count,
+    )
+
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_tri_customer")
+    e = spark.sql(_TRI_EDGES_TMPL.format(cust="_tri_customer"))
+    id_ordered = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    oriented = triangle_count(spark, sf_dir).collect()[0]["n_triangles"]
+    assert oriented == id_ordered and oriented > 0, (oriented, id_ordered)
+
+
 def test_concurrent_sessions_no_global_sort(spark, sf_dir):
     # the sweep is per-day partitioned: exchanges must hash-partition,
     # never range-partition (a global sort would not scale)

@@ -478,6 +478,15 @@ def hll_sketch_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_status.unionByName(merged)
 
 
+# agg_listagg_ordered refuses to run when any group's concatenated
+# payload would exceed this many bytes: the whole group's string is
+# materialized on ONE executor, so an unbounded group is an OOM, not a
+# slow query. 64 MiB is far below executor memory but far above any
+# sane report cell. Same hard-guard pattern as _COSINE_BLOCK_CAP
+# (VERDICT r05 item 7; raising path covered in tests/test_operators.py).
+_LISTAGG_PAYLOAD_CAP = 64 * 2**20
+
+
 @register(
     "agg_listagg_ordered",
     oracle="""
@@ -494,10 +503,31 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     every report/export pipeline needs (ids-per-group as one cell).
     The WITHIN GROUP ordering makes the concatenation deterministic
     under any partitioning — an unordered listagg would be
-    shuffle-order-dependent and hash-flaky by construction. Bounded
-    group payloads only (a giant group builds a giant string on one
-    executor); unbounded cases belong in collect_set + explode."""
+    shuffle-order-dependent and hash-flaky by construction.
+
+    Hard guard: before aggregating, the largest group's summed payload
+    (value bytes + separators) is measured distributed; above
+    ``_LISTAGG_PAYLOAD_CAP`` this RAISES with a pointer to the
+    collect_set + explode path instead of OOMing the one executor that
+    would own the giant string — a giant group is a modeling error,
+    not a capacity problem."""
     n = table(spark, sf_dir, "nation")
+    biggest = (
+        n.groupBy("n_regionkey")
+        .agg((F.sum(F.length("n_name")) + F.count("*")).alias("payload"))
+        .agg(F.max("payload"))
+        .first()[0]
+        or 0
+    )
+    if biggest > _LISTAGG_PAYLOAD_CAP:
+        raise ValueError(
+            f"agg_listagg_ordered: largest group would concatenate "
+            f"~{biggest} bytes on a single executor (cap "
+            f"{_LISTAGG_PAYLOAD_CAP}). listagg materializes the whole "
+            "group in one cell; keep groups bounded or switch to "
+            "collect_set + explode (array stays chunked/columnar) for "
+            "unbounded groups."
+        )
     return n.groupBy("n_regionkey").agg(
         F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name ASC)").alias(
             "nations"

@@ -135,6 +135,38 @@ _TRI_EDGES_TMPL = """
 """
 
 
+def _oriented_edges(e: DataFrame) -> DataFrame:
+    """Degree-orientation: re-canonicalize each undirected edge from
+    its lower- to higher-(degree, id) endpoint. Triangle counts are
+    orientation-invariant, but under THIS total order every node's
+    out-degree is O(sqrt(m)) (a node of degree d only keeps edges to
+    >= d-degree neighbors, and there are at most 2m/d of those), so the
+    wedge fan-out that makes a skewed 100 TB graph quadratic under id
+    ordering — one celebrity node expands deg² wedges — collapses to
+    O(m^1.5) total work. Encoded as one sortable key deg*2^32 + id so
+    the downstream join topology is IDENTICAL to the id-ordered form:
+    only the canonicalization changed (the upgrade documented in r05,
+    now real; equality with id ordering is pinned in
+    tests/test_plans.py::test_triangle_degree_orientation_invariant)."""
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    key = (F.col("deg").cast("bigint") * F.lit(2**32)).cast("bigint")
+    keyed = deg.select("node", (key + F.col("node")).alias("k"))
+    ka = keyed.select(F.col("node").alias("a"), F.col("k").alias("ka"))
+    kb = keyed.select(F.col("node").alias("b"), F.col("k").alias("kb"))
+    return (
+        e.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.least("ka", "kb").alias("a"), F.greatest("ka", "kb").alias("b")
+        )
+    )
+
+
 @register(
     "triangle_count",
     oracle=f"""
@@ -146,18 +178,21 @@ _TRI_EDGES_TMPL = """
     """,
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting over the deterministic affine referral graph:
-    the canonical a<b<c ordered-wedge join — each triangle is counted
-    exactly once because every edge is stored with its endpoints
-    ordered and the two joins extend a<b to a<b<c. Complements the
-    BFS / PageRank / connected-components entries with the clustering-
+    """Triangle counting over the deterministic affine referral graph
+    via the DEGREE-ORIENTED ordered-wedge join: edges are
+    re-canonicalized low→high (degree, id) endpoint (`_oriented_edges`)
+    and each triangle is counted exactly once because the two joins
+    extend a<b to a<b<c under that total order. Complements the BFS /
+    PageRank / connected-components entries with the clustering-
     coefficient primitive. Scale shape: two equi-joins shuffled on the
-    join keys; the standard optimization at 100 TB (orient each edge
-    from lower- to higher-degree endpoint so high-degree nodes don't
-    fan out wedges quadratically) drops in by changing only the
-    canonicalization — the join topology is identical."""
+    join keys, with per-node wedge fan-out bounded O(sqrt(m)) by the
+    orientation — the skew lever that keeps a celebrity node from
+    expanding deg² wedges. The oracle stays the straightforward
+    id-ordered count (orientation-invariance IS the cross-engine
+    check); equality of both orderings on the fixture graph is pinned
+    in pytest."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("_tri_customer")
-    e = spark.sql(_TRI_EDGES_TMPL.format(cust="_tri_customer"))
+    e = _oriented_edges(spark.sql(_TRI_EDGES_TMPL.format(cust="_tri_customer")))
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")

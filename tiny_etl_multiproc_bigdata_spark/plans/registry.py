@@ -89,7 +89,8 @@ def _load_all() -> None:
 # entry (213/213) has a driver row and none are red. r06 order:
 # (a) entries whose implementation changed in r06 — the ADVICE fixes
 # (csv_roundtrip_agg rounding convention, embedding_standardize nullif
-# guard) and the judge items (triangle_count degree orientation) —
+# guard) and the judge items (triangle_count degree orientation,
+# agg_listagg_ordered payload guard) —
 # fresh rows for changed code, the hygiene that has kept every sweep
 # clean since r2;
 # (b) entries NEW in r06, appended as they are built. Then (via
@@ -100,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "csv_roundtrip_agg",
     "embedding_standardize",
     "triangle_count",
+    "agg_listagg_ordered",
     # -- (b) new in r06 (appended as built) --
     "kmeans_fixed_iters",
 )

@@ -112,9 +112,10 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Amplified runs for the two shuffle-heaviest headline queries
-    # (VERDICT r04 item 6): at sf0.1 their per-query medians are well
-    # under job-setup cost, so scale the INPUT and report work-rate.
+    # Amplified runs for the five heaviest join/shuffle topologies
+    # (VERDICT r04 item 6 widened by r05 item 3): at sf0.1 the
+    # per-query medians are well under job-setup cost, so scale the
+    # INPUT and report work-rate.
     amp_rep = 16
     amplified: dict[str, dict[str, float]] = {}
 
@@ -170,6 +171,66 @@ def main() -> None:
         "text_mb_per_s": round(corpus_bytes * amp_rep / 1e6 / dt_mh, 2),
     }
     print(f"# minhash amplified x{amp_rep}: {dt_mh:.1f}s", file=sys.stderr)
+
+    # q9: the deepest broadcast-chain + wide-exchange TPC-H shape —
+    # amplified lineitem (unioned scans) against single-read dims
+    from tiny_etl_multiproc_bigdata_spark.plans.tpch_extra import q9_from_tables
+
+    li_amp9 = reduce(
+        lambda a, b: a.unionAll(b), [li_scan() for _ in range(amp_rep)]
+    )
+    t0 = time.perf_counter()
+    q9_from_tables(
+        li_amp9,
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    ).write.format("noop").mode("overwrite").save()
+    dt_q9 = time.perf_counter() - t0
+    amplified["q9_product_profit"] = {
+        "rep": amp_rep,
+        "sec": round(dt_q9, 3),
+        "parquet_mb_per_s": round(li_bytes * amp_rep / 1e6 / dt_q9, 2),
+    }
+    print(f"# q9 amplified x{amp_rep}: {dt_q9:.1f}s", file=sys.stderr)
+
+    # prefix-filter join: the heaviest candidate-generation topology
+    # (df-ordered postings, window, inverted-index self-join, verify);
+    # replica salt keeps candidate growth linear, as with minhash
+    from tiny_etl_multiproc_bigdata_spark.plans.dedup_queries import (
+        prefix_filter_pairs_from_docs,
+    )
+
+    t0 = time.perf_counter()
+    prefix_filter_pairs_from_docs(docs_amp).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt_pf = time.perf_counter() - t0
+    amplified["dedup_jaccard_prefix_filter"] = {
+        "rep": amp_rep,
+        "sec": round(dt_pf, 3),
+        "text_mb_per_s": round(corpus_bytes * amp_rep / 1e6 / dt_pf, 2),
+    }
+    print(f"# prefix-filter amplified x{amp_rep}: {dt_pf:.1f}s", file=sys.stderr)
+
+    # corpus_curation: the end-to-end selection pipeline (quality scan +
+    # minhash clustering + survivor filter). The label-propagation loop
+    # runs Spark jobs at plan-CONSTRUCTION time, so the timed region
+    # wraps construction + the final materialization.
+    from tiny_etl_multiproc_bigdata_spark.plans.curation import (
+        curation_from_docs,
+    )
+
+    t0 = time.perf_counter()
+    curation_from_docs(docs_amp).write.format("noop").mode("overwrite").save()
+    dt_cu = time.perf_counter() - t0
+    amplified["corpus_curation"] = {
+        "rep": amp_rep,
+        "sec": round(dt_cu, 3),
+        "text_mb_per_s": round(corpus_bytes * amp_rep / 1e6 / dt_cu, 2),
+    }
+    print(f"# curation amplified x{amp_rep}: {dt_cu:.1f}s", file=sys.stderr)
 
     print(
         json.dumps(

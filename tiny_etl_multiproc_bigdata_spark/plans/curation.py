@@ -20,12 +20,13 @@ from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.plans.dedup_groups import (
     _CC_GROUPS_CTES,
     _cc_labels,
-    _near_dup_edges,
+    near_dup_edges_from_docs,
     survivor_filter,
 )
 from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY, register
 from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
     DUCK_FINGERPRINT,
+    quality_from_docs,
     text_quality_score,
     vocab_fingerprint,
 )
@@ -224,8 +225,18 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast duplicate-membership table — not a corpus×corpus join
     of the quality and survivor frames, which would shuffle the full
     corpus twice."""
-    q = text_quality_score(spark, sf_dir)
-    labels = _cc_labels(_near_dup_edges(spark, sf_dir))
+    return curation_from_docs(table(spark, sf_dir, "documents"))
+
+
+def curation_from_docs(docs: DataFrame) -> DataFrame:
+    """The curation composition over any (doc_id, text) DataFrame —
+    quality scan + minhash near-dup clustering + survivor/quality/lang
+    filters — so bench.py's amplified run drives the identical
+    end-to-end pipeline. A ``salt`` column, if present, flows into the
+    minhash shingles (independent clusters per replica, the
+    minhash_pairs_from_docs contract)."""
+    q = quality_from_docs(docs)
+    labels = _cc_labels(near_dup_edges_from_docs(docs))
     return (
         survivor_filter(q, labels)
         .filter(

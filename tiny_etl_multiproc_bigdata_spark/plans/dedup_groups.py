@@ -7,7 +7,7 @@ The reference stops at pair/set level (`UniqueFilter` /
 `ConcurrentKeyBagSet`, aggregators/commons.py + example/main.py); real
 corpus dedup additionally needs transitive grouping: if A~B and B~C,
 then {A,B,C} is ONE cluster even when A and C never co-occur in an LSH
-bucket. Pairs come from ``minhash_scored_pairs`` (dedup_queries.py);
+bucket. Pairs come from ``minhash_pairs_from_docs`` (dedup_queries.py);
 an edge exists when ≥ ``_CC_MIN_MATCH`` of the 8 signature components
 agree (estimated Jaccard ≥ 0.5).
 
@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.plans.dedup_queries import (
     _MINHASH_PAIR_CTES,
-    minhash_scored_pairs,
+    minhash_pairs_from_docs,
 )
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -140,13 +140,19 @@ def _cc_labels(edges: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 
-def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = minhash_scored_pairs(spark, sf_dir).filter(
-        F.col("n_match") >= _CC_MIN_MATCH
-    )
+def near_dup_edges_from_docs(d: DataFrame) -> DataFrame:
+    """Symmetric near-dup edge list over any (doc_id, text) DataFrame
+    (≥ _CC_MIN_MATCH of 8 signature components agree) — the docs-DF
+    core so bench.py's amplified curation run reuses the exact
+    pipeline."""
+    p = minhash_pairs_from_docs(d).filter(F.col("n_match") >= _CC_MIN_MATCH)
     fwd = p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     return fwd.unionByName(rev)
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_edges_from_docs(table(spark, sf_dir, "documents"))
 
 
 # Recursive transitive closure over the edge set — exact component

@@ -814,19 +814,34 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix skips exactly the high-df shingles that blow up inverted
     indexes), verification is candidate-bounded, and every stage is an
     equi-join or hash agg — no all-pairs anywhere."""
-    d = table(spark, sf_dir, "documents")
+    return prefix_filter_pairs_from_docs(table(spark, sf_dir, "documents"))
+
+
+def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
+    """The prefix-filter join over any (doc_id, text) DataFrame — also
+    driven by bench.py's amplified run. A ``salt`` column, if present,
+    folds into each shingle (the minhash_pairs_from_docs contract), so
+    an N×-replicated corpus forms N independent token spaces and
+    candidate pairs grow linearly, not quadratically."""
     # Materialize the exploded shingle postings ONCE: sh feeds five
     # independent subtrees (sizes, document frequencies, the prefix
     # window input, and both verification sides) — without a barrier
     # the tokenize→shingle→explode lineage re-executes per consumer,
-    # ~5 corpus passes at scale (the minhash_scored_pairs lesson,
+    # ~5 corpus passes at scale (the minhash_pairs_from_docs lesson,
     # VERDICT r01 item 5; flagged again by the r05 review).
-    sh = (
-        d.withColumn("shingles", _shingles(F.col("text")))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("tok"))
-        .localCheckpoint(eager=True)
+    shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
+        F.size("shingles") > 0
     )
+    if "salt" in d.columns:
+        shingled = shingled.withColumn(
+            "shingles",
+            F.transform(
+                "shingles", lambda sh: F.concat_ws("|", sh, F.col("salt"))
+            ),
+        )
+    sh = shingled.select(
+        "doc_id", F.explode("shingles").alias("tok")
+    ).localCheckpoint(eager=True)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfr = sh.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))

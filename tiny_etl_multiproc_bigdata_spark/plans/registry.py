@@ -102,6 +102,15 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_standardize",
     "triangle_count",
     "agg_listagg_ordered",
+    # plan-identical core extractions for the widened amplified bench
+    # (r05 item 3) — re-queued per the changed-code hygiene
+    "q9_product_profit",
+    "dedup_jaccard_prefix_filter",
+    "corpus_curation",
+    "text_quality_score",
+    "quality_topfrac_filter",
+    "dedup_cc_groups",
+    "dedup_survivors",
     # -- (b) new in r06 (appended as built) --
     "kmeans_fixed_iters",
 )

@@ -125,7 +125,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length / punctuation / stopword-ratio
     features composed into a [0,1] score (the classic heuristic-filter
     shape for pretraining corpora)."""
-    d = table(spark, sf_dir, "documents")
+    return quality_from_docs(table(spark, sf_dir, "documents"))
+
+
+def quality_from_docs(d: DataFrame) -> DataFrame:
+    """The quality projection over any (doc_id, text) DataFrame — split
+    out so bench.py's amplified corpus_curation run and the curation
+    composition reuse the identical single-scan expression tree."""
     n_tokens = F.greatest(F.size(tokenize_words(F.col("text"))), F.lit(1))
     n_chars = F.greatest(F.length("text"), F.lit(1))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))

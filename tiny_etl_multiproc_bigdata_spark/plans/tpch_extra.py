@@ -450,11 +450,23 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only wide exchange (written join order is executed order
     without CBO stats — r05 review); profit is exact decimal
     arithmetic per row, summed exactly, rounded once at the end."""
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    ns = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%ol%")).select(
+    return q9_from_tables(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "part"),
+    )
+
+
+def q9_from_tables(li, orders, supplier, nation, part) -> DataFrame:
+    """The Q9 plan over caller-supplied tables — split out so bench.py
+    can amplify the lineitem side (unioned scans) against single-read
+    dims while driving the identical join tree."""
+    o = orders.select("o_orderkey", "o_orderdate")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    ns = nation.select("n_nationkey", "n_name")
+    p = part.filter(F.col("p_name").like("%ol%")).select(
         "p_partkey", "p_retailprice"
     )
     profit = (_rev() - _dec("p_retailprice") * _dec("l_quantity")).alias(

@@ -204,6 +204,15 @@ def test_pq_code_assign_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_pq_adc_topk_broadcast_lut_and_group_limit(spark, sf_dir):
+    # ADC search must broadcast the query LUTs (never shuffle the
+    # compressed corpus for the scoring join) and rewrite the per-query
+    # rank<=k to WindowGroupLimit per-partition heaps
+    plan = _plan(_q("pq_adc_topk", spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
     # rank<=k over the per-source window must rewrite to WindowGroupLimit
     plan = _plan(_q("weighted_sample_topk", spark, sf_dir))

@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_survivors",
     # -- (b) new in r06 (appended as built) --
     "kmeans_fixed_iters",
+    "pq_adc_topk",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

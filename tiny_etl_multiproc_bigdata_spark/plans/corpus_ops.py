@@ -1,0 +1,652 @@
+"""Corpus-construction operators from the LLM data-curation
+literature, each with an exact DuckDB oracle twin:
+
+* ``dedup_corpus_segments`` — C4-style repeated-span removal (Raffel et
+  al. 2020 deduplicated any three-sentence span occurring more than
+  once; here the unit is a fixed 8-token segment so the semantics are
+  derivable from the token stream alone).
+* ``chunk_sliding_tokens`` — overlapping fixed-width token windows, the
+  standard pretraining / RAG chunking pass.
+* ``compaction_binpack`` — deterministic small-file compaction
+  planning (the OPTIMIZE/bin-packing pass every table-format runs).
+* ``bm25_doc_scores`` — Okapi BM25 ranking with the Lucene
+  non-negative idf variant.
+* ``pmi_collocations`` — pointwise-mutual-information collocation
+  mining over corpus bigrams.
+
+Scale notes (100 TB): every entry here is one corpus shuffle or less.
+Segment dedup shuffles once on a fixed-width md5 key; chunking is
+map-only; compaction planning is one window per table-partition; BM25
+and PMI reduce to vocabulary-sized aggregates that broadcast back.
+Transcendental steps (ln/log2) are integer-micro-quantized BEFORE any
+cross-row sum, per the repo convention (quality.py), so accumulation
+order can never flip a rounded output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    duck_round,
+    round_half_up,
+)
+from tiny_etl_multiproc_bigdata_spark.functions.text import (
+    tokenize_words_nonempty,
+    word_ngrams,
+)
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+# DuckDB twin of tokenize_words_nonempty (same fragment as quality.py)
+_DUCK_TOKS = (
+    r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+)
+
+_SEG = 8  # dedup segment width (tokens)
+_CHUNK_W = 32  # chunk width (tokens)
+_CHUNK_S = 16  # chunk stride (tokens)
+_BIN_TARGET = 4000  # compaction target output size (chars)
+
+
+def _tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tokenize_words_nonempty("text").alias("l")
+    ).where(F.size("l") >= 1)
+
+
+@register(
+    "dedup_corpus_segments",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), t2 AS (
+      SELECT doc_id, l FROM t WHERE len(l) >= 1
+    ), segs AS (
+      SELECT doc_id,
+             md5(array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' '))
+               AS h,
+             len(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}]) AS seg_len
+      FROM t2,
+           unnest(range(0, CAST(ceil(len(l) / {_SEG}.0) AS BIGINT))) AS s(s)
+    ), cnt AS (
+      SELECT h, count(*) AS c FROM segs GROUP BY h
+    )
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           CAST(sum(CASE WHEN c.c < 2 THEN s.seg_len ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM segs s JOIN cnt c ON s.h = c.h
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span dedup (the reference has no corpus-level
+    dedup at all — its UniqueFilter is per-bag, reference
+    transformers.py:229; this is the corpus-scale generalization): cut
+    every document into consecutive _SEG-token segments, count each
+    segment corpus-wide, and flag any segment occurring >= 2 times as
+    duplicated boilerplate. Per document: segment count, duplicated
+    segment count, and tokens surviving removal of duplicated segments.
+
+    100 TB shape: segments shuffle ONCE on their fixed-width md5 (never
+    the raw text), counts come back via a second shuffle on the same
+    key (co-partitioned — AQE coalesces), and the per-doc rollup is a
+    third fixed-width shuffle. No all-pairs stage exists at any scale.
+    """
+    toks = _tok_docs(spark, sf_dir)
+    seg_structs = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size("l") / F.lit(float(_SEG))).cast("int") - 1,
+        ),
+        lambda s: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG)), " "
+                )
+            ).alias("h"),
+            F.size(
+                F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG))
+            ).alias("seg_len"),
+        ),
+    )
+    segs = toks.select(
+        "doc_id", F.explode(seg_structs).alias("s")
+    ).select("doc_id", F.col("s.h").alias("h"), F.col("s.seg_len").alias("seg_len"))
+    cnt = segs.groupBy("h").agg(F.count("*").alias("c"))
+    return (
+        segs.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("c") >= 2).cast("bigint")).alias("n_dup_segments"),
+            F.sum(
+                F.when(F.col("c") < 2, F.col("seg_len")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "chunk_sliding_tokens",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), t2 AS (
+      SELECT doc_id, l FROM t WHERE len(l) >= 1
+    )
+    SELECT doc_id,
+           CAST(c.c AS BIGINT) AS chunk_idx,
+           CAST(len(l[c.c*{_CHUNK_S}+1 : c.c*{_CHUNK_S}+{_CHUNK_W}]) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(l[c.c*{_CHUNK_S}+1 : c.c*{_CHUNK_S}+{_CHUNK_W}],
+                               ' ')) AS chunk_hash
+    FROM t2,
+         unnest(range(0, CAST(ceil(len(l) / {_CHUNK_S}.0) AS BIGINT))) AS c(c)
+    """,
+)
+def chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the pass that turns curated
+    documents into fixed-width training/RAG chunks (width _CHUNK_W,
+    stride _CHUNK_S, so consecutive chunks overlap by half). Emits one
+    row per chunk with its token count and content hash; a tokenizer-
+    aware variant swaps tokenize_words_nonempty for a BPE UDF in the
+    same plan.
+
+    100 TB shape: map-only — the chunk array is built per row with
+    array HOFs over the already-materialized token array and exploded;
+    zero shuffles, linear in corpus size, trivially parallel."""
+    toks = _tok_docs(spark, sf_dir)
+    chunk_structs = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size("l") / F.lit(float(_CHUNK_S))).cast("int") - 1,
+        ),
+        lambda c: F.struct(
+            c.cast("bigint").alias("chunk_idx"),
+            F.size(
+                F.slice(F.col("l"), c * _CHUNK_S + 1, F.lit(_CHUNK_W))
+            )
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("l"), c * _CHUNK_S + 1, F.lit(_CHUNK_W)),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return toks.select(
+        "doc_id", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.n_chunk_tokens", "c.chunk_hash")
+
+
+@register(
+    "compaction_binpack",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM documents
+    ), binned AS (
+      SELECT source,
+             CAST(floor((cum - n_chars) / {_BIN_TARGET}.0) AS BIGINT)
+               AS bin_id,
+             n_chars
+      FROM sized
+    )
+    SELECT source, bin_id,
+           count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bytes
+    FROM binned
+    GROUP BY source, bin_id
+    """,
+)
+def compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE pass): treat each
+    document as a file of ``n_chars`` bytes inside its ``source``
+    table-partition, pack files into output bins of ~_BIN_TARGET bytes
+    by start-offset (running sum ordered by doc_id; a file lands in the
+    bin its start offset falls into), and report the plan as
+    (partition, bin) -> file count + bytes. Deterministic first-fit —
+    the same contract as Delta/Iceberg OPTIMIZE planning.
+
+    100 TB shape: one window per table-partition (file COUNTS, not
+    data — a 100 TB table is ~1e6 file-metadata rows, kilobytes per
+    partition), then a fixed-width groupBy. The data files themselves
+    are never read; this is the planning half, and the execute half is
+    a partition-pruned rewrite per bin."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = d.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum")
+    )
+    binned = sized.select(
+        "source",
+        F.floor(
+            (F.col("cum") - F.col("n_chars")) / F.lit(float(_BIN_TARGET))
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+        "n_chars",
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+    )
+
+
+# ---- BM25 ----------------------------------------------------------------
+#
+# Okapi BM25 with the Lucene idf variant ln(1 + (N - df + 0.5)/(df + 0.5))
+# (non-negative for any df, unlike classic Okapi). The one transcendental
+# (ln) is micro-quantized per TERM; each matched term's contribution is
+# then micro-quantized per (doc, term) BEFORE the per-doc sum, so the
+# bigint sum is accumulation-order-free. k1/b are the standard 1.2/0.75,
+# kept as exact dyadic-free rationals evaluated in the same literal shape
+# on both engines.
+
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_N_QUERY_TERMS = 3
+
+
+@register(
+    "bm25_doc_scores",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), qterms AS (
+      SELECT tok, df,
+             CAST(floor(ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                               / (CAST(df AS DOUBLE) + 0.5)) * 1000000
+                        + 0.5) AS BIGINT) AS idf_micro
+      FROM df, stats
+      ORDER BY df DESC, tok ASC
+      LIMIT {_N_QUERY_TERMS}
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), contrib AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               (CAST(q.idf_micro AS DOUBLE) / 1000000)
+               * (CAST(t.tf AS DOUBLE) * ({_BM25_K1} + 1))
+               / (CAST(t.tf AS DOUBLE)
+                  + {_BM25_K1} * (1 - {_BM25_B}
+                                  + {_BM25_B} * (CAST(d.dl AS DOUBLE)
+                                                 / s.avgdl)))
+               * 1000000 + 0.5) AS BIGINT) AS c_micro
+      FROM tf t
+      JOIN qterms q ON t.tok = q.tok
+      JOIN dl d ON t.doc_id = d.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           {duck_round("CAST(sum(c_micro) AS DOUBLE) / 1000000", 4)}
+             AS bm25_score
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document ranking for a deterministic 3-term query
+    (the corpus's top-3 document-frequency terms — a self-contained
+    stand-in for a user query; any term list slots into the same plan).
+    Returns the top-20 docs by quantized score.
+
+    100 TB shape: token stats are two vocabulary-sized aggregates
+    (map-side combined); the 3-row query-term table broadcasts into the
+    per-(doc, term) tf join, so the only corpus-sized shuffles are the
+    tf groupBy and the per-doc sum — both on fixed-width keys. The
+    top-20 is TakeOrderedAndProject, no global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize_words_nonempty("text")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df_ = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    k1 = float(_BM25_K1)
+    b = float(_BM25_B)
+    qterms = (
+        df_.crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            "df",
+            F.floor(
+                F.log(
+                    1
+                    + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * 1_000_000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("idf_micro"),
+        )
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(_N_QUERY_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    contrib = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("idf_micro").cast("double") / 1_000_000)
+                * (F.col("tf").cast("double") * (k1 + 1))
+                / (
+                    F.col("tf").cast("double")
+                    + k1
+                    * (1 - b + b * (F.col("dl").cast("double") / F.col("avgdl")))
+                )
+                * 1_000_000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            round_half_up(
+                F.sum("c_micro").cast("double") / 1_000_000, 4
+            ).alias("bm25_score")
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "pmi_collocations",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH t AS (
+      SELECT {_DUCK_TOKS} AS l FROM documents
+    ), uni AS (
+      SELECT u.tok, count(*) AS c
+      FROM t, unnest(l) AS u(tok)
+      GROUP BY u.tok
+    ), bi AS (
+      SELECT b.ngram, count(*) AS c
+      FROM t, unnest(list_transform(range(1, len(l)),
+                                    i -> l[i] || ' ' || l[i+1])) AS b(ngram)
+      WHERE len(l) >= 2
+      GROUP BY b.ngram
+    ), tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS t_uni,
+             (SELECT CAST(sum(c) AS BIGINT) FROM bi) AS t_bi
+    )
+    SELECT b.ngram AS bigram,
+           CAST(b.c AS BIGINT) AS pair_count,
+           {duck_round(
+               "log2((CAST(b.c AS DOUBLE) * t.t_uni * t.t_uni)"
+               " / (CAST(t.t_bi AS DOUBLE) * ua.c * ub.c))", 4)}
+             AS pmi_bits
+    FROM bi b
+    JOIN uni ua ON ua.tok = string_split(b.ngram, ' ')[1]
+    JOIN uni ub ON ub.tok = string_split(b.ngram, ' ')[2]
+    CROSS JOIN tot t
+    WHERE b.c >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_bits DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: score each
+    corpus bigram (count >= _PMI_MIN_COUNT) by
+    log2(p(ab) / (p(a)·p(b))) and return the top-20 — the classic
+    phrase-detection pass (word2vec's phrase pre-join uses exactly this
+    statistic). The ratio is computed as ONE double expression of exact
+    integer counts, identically shaped on both engines, then quantized
+    to 4 dp; tokens with a space can't occur (tokenizer splits on
+    whitespace) so the bigram string splits back losslessly.
+
+    100 TB shape: two vocabulary-sized aggregates; the unigram side of
+    the scoring join broadcasts (vocab ≪ corpus) while the bigram table
+    shuffles on its own key — the same deliberate-shuffle call as
+    bigram_logprob_score (bigram vocab grows with corpus). Top-20 is
+    TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(tokenize_words_nonempty("text").alias("l"))
+    uni = docs.select(F.explode("l").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    bi = (
+        docs.where(F.size("l") >= 2)
+        .select(F.explode(word_ngrams(F.col("l"), 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("t_uni")).crossJoin(
+        bi.agg(F.sum("c").cast("bigint").alias("t_bi"))
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        bi.where(F.col("c") >= _PMI_MIN_COUNT)
+        .withColumn("tok_a", F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)))
+        .withColumn("tok_b", F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ngram").alias("bigram"),
+            F.col("c").cast("bigint").alias("pair_count"),
+            round_half_up(
+                F.log2(
+                    (F.col("c").cast("double") * F.col("t_uni") * F.col("t_uni"))
+                    / (
+                        F.col("t_bi").cast("double")
+                        * F.col("c_a")
+                        * F.col("c_b")
+                    )
+                ),
+                4,
+            ).alias("pmi_bits"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_bits"), F.asc("bigram")).limit(20)
+
+
+# ---- winnowing ----------------------------------------------------------
+#
+# Schleimer/Wilkerson/Aiken 2003 ("Winnowing: Local Algorithms for
+# Document Fingerprinting", the MOSS algorithm): hash every k-char
+# shingle, slide a w-hash window, keep the MINIMUM hash per window
+# (rightmost on ties), dedup the selections. Guarantees: at least one
+# fingerprint per w+k-1 char span, and any shared substring of length
+# >= w+k-1 between two documents yields at least one IDENTICAL selected
+# fingerprint — the property that makes it a plagiarism/near-dup
+# primitive that pure bag-of-words hashing lacks.
+#
+# Cross-engine determinism: the hash is md5 hex (bit-identical on both
+# engines); "min hash, rightmost position" is encoded as the plain
+# string min of  md5 || '#' || lpad(999999 - pos)  so a single least()
+# per window implements the tie rule on both engines. Document length
+# is capped well below 999999 chars by the encoding; the guard below
+# raises loudly if a fixture vintage ever exceeds it.
+
+_WIN_K = 5  # shingle width (chars)
+_WIN_W = 4  # window width (hashes)
+_WIN_POS_CAP = 999_999
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS low FROM documents
+      WHERE length(lower(text)) >= {_WIN_K + _WIN_W - 1}
+    ), enc AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, length(low) - {_WIN_K - 1} + 1),
+               i -> md5(substr(low, CAST(i AS INT), {_WIN_K})) || '#' ||
+                    lpad(CAST({_WIN_POS_CAP} - i AS VARCHAR), 6, '0')
+             ) AS e
+      FROM t
+    ), sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(e) - {_WIN_W - 1} + 1),
+               j -> least(e[j], e[j+1], e[j+2], e[j+3])
+             )) AS d
+      FROM enc
+    ), ordered AS (
+      SELECT doc_id,
+             list_sort(list_transform(
+               d,
+               x -> lpad(CAST({_WIN_POS_CAP}
+                              - CAST(substr(x, 34, 6) AS BIGINT) AS VARCHAR),
+                         6, '0') || substr(x, 1, 32)
+             )) AS s
+      FROM sel
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_transform(s, x -> substr(x, 7, 32)), ''))
+             AS fingerprint
+    FROM ordered
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS): per document, the set of
+    window-minimum k-gram hashes, summarized as (count, md5 of the
+    position-ordered selected hashes). Two documents sharing any
+    substring of >= _WIN_W + _WIN_K - 1 chars share at least one
+    selected hash — join the exploded selections to find near-dups; the
+    rolled-up md5 here keeps the registry row compact.
+
+    100 TB shape: map-only — every step is array HOFs over the row's
+    own materialized string (each projection materializes its input
+    column first, so no HOF re-derives upstream expressions); zero
+    shuffles. The w-wide window min is a constant-arity least(), not a
+    window function, so there's no per-doc sort either."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.lower("text").alias("low")).where(
+        F.length("low") >= _WIN_K + _WIN_W - 1
+    )
+    return winnow_fingerprints(base)
+
+
+def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
+    """Core winnowing pass over a (doc_id, low) frame — split out so the
+    shared-substring guarantee is testable on constructed documents
+    (tests/test_corpus_ops.py). ``rollup=False`` returns the exploded
+    (doc_id, pos, kgram_hash) selections — the join-able form a
+    near-dup pass would self-join on kgram_hash."""
+    # documents anywhere near the positional-encoding cap would corrupt
+    # the tie order silently — fail loudly instead (fixture max is ~1e3)
+    base = base.select(
+        "doc_id",
+        F.when(
+            F.length("low") < _WIN_POS_CAP - 1, F.col("low")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "text_winnowing_fingerprint: document exceeds the "
+                    f"{_WIN_POS_CAP}-char positional encoding cap"
+                )
+            )
+        ).alias("low"),
+    )
+    enc = base.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("low") - (_WIN_K - 1)),
+            lambda i: F.concat(
+                F.md5(F.col("low").substr(i, F.lit(_WIN_K))),
+                F.lit("#"),
+                F.lpad((F.lit(_WIN_POS_CAP) - i).cast("string"), 6, "0"),
+            ),
+        ).alias("e"),
+    )
+    sel = enc.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("e") - (_WIN_W - 1)),
+                lambda j: F.least(
+                    F.element_at("e", j),
+                    F.element_at("e", j + 1),
+                    F.element_at("e", j + 2),
+                    F.element_at("e", j + 3),
+                ),
+            )
+        ).alias("d"),
+    )
+    ordered = sel.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(
+                F.col("d"),
+                lambda x: F.concat(
+                    F.lpad(
+                        (
+                            F.lit(_WIN_POS_CAP)
+                            - F.substring(x, 34, 6).cast("bigint")
+                        ).cast("string"),
+                        6,
+                        "0",
+                    ),
+                    F.substring(x, 1, 32),
+                ),
+            )
+        ).alias("s"),
+    )
+    if not rollup:
+        return ordered.select(
+            "doc_id", F.explode("s").alias("pf")
+        ).select(
+            "doc_id",
+            F.substring("pf", 1, 6).cast("bigint").alias("pos"),
+            F.substring("pf", 7, 32).alias("kgram_hash"),
+        )
+    return ordered.select(
+        "doc_id",
+        F.size("s").cast("bigint").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("s"), lambda x: F.substring(x, 7, 32)), ""
+            )
+        ).alias("fingerprint"),
+    )

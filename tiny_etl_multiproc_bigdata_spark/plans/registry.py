@@ -52,6 +52,7 @@ def _load_all() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans import (  # noqa: F401
         advanced,
         collections,
+        corpus_ops,
         curation,
         dedup_groups,
         dedup_queries,

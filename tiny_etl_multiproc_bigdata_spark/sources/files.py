@@ -163,3 +163,65 @@ def _register_csv_roundtrip() -> None:
 
 
 _register_csv_roundtrip()
+
+
+def _register_orc_roundtrip() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "orc_roundtrip_agg",
+        oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(o_totalprice_cents) AS BIGINT) AS total_cents
+        FROM (
+          SELECT o_orderpriority,
+                 CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                      AS BIGINT) AS o_totalprice_cents
+          FROM orders
+        )
+        GROUP BY o_orderpriority
+        """,
+    )
+    def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ORC source/sink roundtrip — the columnar-format twin of
+        csv_roundtrip_agg: stage two orders columns (price pre-quantized
+        to integer cents so the staged file carries only exact types)
+        through ORC write + read, then aggregate; the oracle runs the
+        same aggregate on the original parquet, so the roundtrip must be
+        lossless. Exercises Spark's second columnar format end-to-end —
+        at 100 TB the ORC path matters for interop with Hive-era lakes,
+        and it inherits the same predicate-pushdown/column-pruning
+        contract as parquet. Same staging discipline as
+        csv_roundtrip_agg: fixed per-sf dir, exclusive flock, eager
+        localCheckpoint under the lock."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+            .cast("bigint")
+            .alias("o_totalprice_cents"),
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_orcrt_{tag}")
+        data_dir = os.path.join(root, "data")
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                o.write.mode("overwrite").orc(data_dir)
+                back = spark.read.orc(data_dir).localCheckpoint(eager=True)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice_cents").cast("bigint").alias("total_cents"),
+        )
+
+
+_register_orc_roundtrip()

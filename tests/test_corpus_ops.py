@@ -132,3 +132,76 @@ def test_bm25_scores_positive_and_bounded(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     # Lucene idf variant is strictly positive, so scores are too
     assert all(s > 0 for s in scores)
+
+
+def _winnow_reference(text: str, k: int, w: int):
+    """Literal SWA03 winnowing in pure Python: hash every k-gram,
+    slide a w-window, keep the min hash (rightmost on ties), dedup
+    selected (pos, hash)."""
+    import hashlib
+
+    low = text
+    m = len(low) - k + 1
+    if m < w:
+        return set()
+    hs = [
+        hashlib.md5(low[i : i + k].encode()).hexdigest() for i in range(m)
+    ]
+    sel = set()
+    for j in range(m - w + 1):
+        window = hs[j : j + w]
+        mn = min(window)
+        # rightmost occurrence of the min
+        off = max(i for i, h in enumerate(window) if h == mn)
+        sel.add((j + off + 1, mn))  # 1-based pos, matching the engine
+    return sel
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Engine selections == the literal algorithm, including the
+    rightmost-min tie rule — exercised on adversarial inputs where ties
+    actually occur (constant and periodic strings repeat k-grams, so
+    equal hashes land in one window)."""
+    import random
+
+    from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import (
+        _WIN_K,
+        _WIN_W,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(20260814)
+    docs = [
+        "a" * 40,  # all k-grams identical: every window is a 4-way tie
+        "ab" * 25,  # period-2: alternating equal hashes
+        "abcde" * 10,  # period-k: every k-gram repeats every k chars
+        "xyzzy plugh " * 6,
+        "short8ch",  # exactly the minimum admissible length
+    ] + [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(8, 120)))
+        for _ in range(40)
+    ]
+    base = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, low string"
+    )
+    got: dict[int, set] = {i: set() for i in range(len(docs))}
+    for r in winnow_fingerprints(base, rollup=False).collect():
+        got[r["doc_id"]].add((r["pos"], r["kgram_hash"]))
+    for i, text in enumerate(docs):
+        assert got[i] == _winnow_reference(text, _WIN_K, _WIN_W), (
+            i,
+            text[:40],
+        )
+
+
+def test_semantic_dedup_cluster_cap_raises(spark, sf_dir, monkeypatch):
+    """The SemDeDup pair stage must refuse a degenerate clustering
+    instead of building |cluster|² pairs (same contract as
+    dedup_embedding_cosine's block cap)."""
+    import pytest
+
+    from tiny_etl_multiproc_bigdata_spark.plans import ivf_kmeans
+
+    monkeypatch.setattr(ivf_kmeans, "_SEM_CLUSTER_CAP", 1)
+    with pytest.raises(ValueError, match="largest cluster"):
+        ivf_kmeans.dedup_semantic_kmeans(spark, sf_dir)

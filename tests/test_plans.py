@@ -268,3 +268,34 @@ def test_concurrent_sessions_no_global_sort(spark, sf_dir):
     # never range-partition (a global sort would not scale)
     plan = _plan(_q("concurrent_sessions_peak", spark, sf_dir))
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_chunking_and_winnowing_zero_shuffle(spark, sf_dir):
+    # both are per-row array-HOF passes — any Exchange means the
+    # map-only shape regressed
+    for name in ("chunk_sliding_tokens", "text_winnowing_fingerprint"):
+        plan = _plan(_q(name, spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_bm25_broadcasts_query_terms(spark, sf_dir):
+    # the 3-row query-term table and the scalar stats row must
+    # broadcast; the only sort allowed is the final top-20
+    # TakeOrderedAndProject
+    plan = _plan(_q("bm25_doc_scores", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_segment_dedup_single_corpus_shuffle_key(spark, sf_dir):
+    # segments shuffle on the fixed-width md5 only — the raw segment
+    # text must never be a shuffle key
+    plan = _plan(_q("dedup_corpus_segments", spark, sf_dir))
+    assert "SortMergeJoin" not in plan or "hashpartitioning(h" in plan, plan
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    # assignment join must broadcast the centroid table (corpus/%100
+    # rows), never shuffle the corpus against it
+    plan = _plan(_q("dedup_semantic_kmeans", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -487,6 +487,107 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("pmi_bits"), F.asc("bigram")).limit(20)
 
 
+@register(
+    "dedup_corpus_segments_rewrite",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), t2 AS (
+      SELECT doc_id, l FROM t WHERE len(l) >= 1
+    ), segs AS (
+      SELECT doc_id, s.s AS seg_idx,
+             array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' ') AS seg,
+             md5(array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' '))
+               AS h,
+             len(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}]) AS seg_len
+      FROM t2,
+           unnest(range(0, CAST(ceil(len(l) / {_SEG}.0) AS BIGINT))) AS s(s)
+    ), cnt AS (
+      SELECT h, count(*) AS c FROM segs GROUP BY h
+    ), kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, s.seg_len
+      FROM segs s JOIN cnt c ON s.h = c.h
+      WHERE c.c < 2
+    )
+    SELECT t2.doc_id,
+           CAST(count(k.seg_idx) AS BIGINT) AS n_kept_segments,
+           CAST(coalesce(sum(k.seg_len), 0) AS BIGINT) AS clean_tokens,
+           md5(coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_idx ASC), ''))
+             AS clean_hash
+    FROM t2 LEFT JOIN kept k ON t2.doc_id = k.doc_id
+    GROUP BY t2.doc_id
+    """,
+)
+def dedup_corpus_segments_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM half of C4-style span dedup: actually rebuild each
+    document with every corpus-duplicated segment removed (in original
+    segment order), reported as (kept segment count, surviving token
+    count, md5 of the cleaned text — the hash keeps the registry row
+    compact; drop the md5 to emit the cleaned corpus itself). A
+    document whose every segment is boilerplate survives as the empty
+    string, ready for a min-length filter downstream.
+
+    100 TB shape: identical shuffle structure to dedup_corpus_segments
+    (count on the fixed-width md5, join back, per-doc rollup) except
+    the rollup necessarily carries segment TEXT — that is the rewrite's
+    intrinsic cost, and it is linear, one pass, with the order restored
+    by an in-group array_sort on (seg_idx, seg) structs rather than a
+    per-doc window sort."""
+    toks = _tok_docs(spark, sf_dir)
+    seg_structs = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size("l") / F.lit(float(_SEG))).cast("int") - 1,
+        ),
+        lambda s: F.struct(
+            s.cast("bigint").alias("seg_idx"),
+            F.array_join(
+                F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG)), " "
+            ).alias("seg"),
+            F.size(F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG))).alias(
+                "seg_len"
+            ),
+        ),
+    )
+    segs = (
+        toks.select("doc_id", F.explode(seg_structs).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.seg").alias("seg"),
+            F.md5("s.seg").alias("h"),
+            F.col("s.seg_len").alias("seg_len"),
+        )
+    )
+    cnt = segs.groupBy("h").agg(F.count("*").alias("c"))
+    kept = segs.join(cnt, "h").where(F.col("c") < 2)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept_segments"),
+        F.sum("seg_len").cast("bigint").alias("clean_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept_segments", F.lit(0)).cast("bigint").alias(
+                "n_kept_segments"
+            ),
+            F.coalesce("clean_tokens", F.lit(0)).cast("bigint").alias(
+                "clean_tokens"
+            ),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+        )
+    )
+
+
 # ---- winnowing ----------------------------------------------------------
 #
 # Schleimer/Wilkerson/Aiken 2003 ("Winnowing: Local Algorithms for

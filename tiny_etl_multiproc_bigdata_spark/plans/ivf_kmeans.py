@@ -432,3 +432,165 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---- dedup_semantic_kmeans: SemDeDup ------------------------------------
+#
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): k-means-cluster the embedding space,
+# then search for near-duplicate pairs ONLY within each cluster — the
+# clustering bounds the quadratic pair stage to |cluster|² instead of
+# |corpus|². Cluster assignment reuses the integer-quantized nearest-
+# centroid primitive (same quantization as kmeans_fixed_iters, sans
+# offset — no division happens here), and pair cosine is an exact
+# integer dot product over the quantized components, so the whole
+# pipeline is bit-identical cross-engine. The 0.40 duplicate threshold
+# is fixture-calibrated (random synthetic embeddings top out near 0.48;
+# production embedding spaces use ~0.95+) — a constant, not semantics.
+
+_SEM_THRESH_MICRO = 400_000
+_SEM_CLUSTER_CAP = 100_000  # |cluster|² pair guard, same idea as
+#                             dedup_queries._COSINE_BLOCK_CAP
+
+_DUCK_QV = (
+    "SELECT vec_id, list_transform(embedding::DOUBLE[],"
+    " v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qa"
+    " FROM embeddings"
+)
+_DUCK_IDOT = (
+    "CAST(list_aggregate(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a})[i] * ({b})[i]), 'sum') AS BIGINT)"
+)
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=f"""
+    WITH qv AS (
+      {_DUCK_QV}
+    ), cent AS (
+      SELECT vec_id AS cid, qa AS ca FROM qv
+      WHERE vec_id % {_CENTROID_MOD} = 7
+    ), dist AS (
+      SELECT q.vec_id, c.cid,
+             {_DUCK_IDOT.format(a="q.qa", b="q.qa")}
+             - 2 * {_DUCK_IDOT.format(a="q.qa", b="c.ca")}
+             + {_DUCK_IDOT.format(a="c.ca", b="c.ca")} AS d
+      FROM qv q, cent c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), norms AS (
+      SELECT vec_id, {_DUCK_IDOT.format(a="qa", b="qa")} AS nrm FROM qv
+    ), scored AS (
+      SELECT a.cid AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST({_DUCK_IDOT.format(a="x.qa", b="y.qa")} AS DOUBLE)
+             / (sqrt(CAST(nx.nrm AS DOUBLE)) * sqrt(CAST(ny.nrm AS DOUBLE)))
+               AS cos
+      FROM assign a
+      JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN qv x ON x.vec_id = a.vec_id
+      JOIN qv y ON y.vec_id = b.vec_id
+      JOIN norms nx ON nx.vec_id = a.vec_id
+      JOIN norms ny ON ny.vec_id = b.vec_id
+    )
+    SELECT cell, vec_a, vec_b,
+           (floor(cos * 10000 + 0.5) / 10000) AS cosine
+    FROM scored
+    WHERE CAST(floor(cos * 1000000 + 0.5) AS BIGINT) >= {_SEM_THRESH_MICRO}
+    """,
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs: integer nearest-centroid
+    clustering (centroids = the deterministic vec_id % _CENTROID_MOD
+    sample, as everywhere in this module), then exact quantized-cosine
+    scoring of pairs WITHIN each cluster only; pairs at or above the
+    threshold are semantic duplicates (survivor = lower vec_id; the
+    paper keeps the vector farthest from the centroid — a one-line
+    ORDER BY swap on the same plan).
+
+    100 TB shape: the centroid table is corpus/_CENTROID_MOD rows —
+    broadcast for the assignment join; the pair stage is quadratic per
+    CLUSTER, and because k grows with the corpus (fixed sampling rate),
+    expected cluster size stays ~_CENTROID_MOD regardless of corpus
+    size — the SemDeDup argument. A degenerate clustering (one hot
+    cell) is the same failure mode as a hot label in
+    dedup_embedding_cosine, so the same hard guard applies: above
+    _SEM_CLUSTER_CAP rows in one cluster this raises rather than
+    building |cluster|² pairs. Distance uses ||x||² − 2x·y + ||y||²
+    with array dot products (no component explode — three broadcast-
+    joined integer dots per candidate)."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1_000_000 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("qa"),
+    ).localCheckpoint(eager=True)
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    cent = qv.filter(F.col("vec_id") % _CENTROID_MOD == 7).select(
+        F.col("vec_id").alias("cid"), F.col("qa").alias("ca")
+    )
+    dist = qv.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (
+            idot(F.col("qa"), F.col("qa"))
+            - F.lit(2) * idot(F.col("qa"), F.col("ca"))
+            + idot(F.col("ca"), F.col("ca"))
+        ).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    assign = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)
+    )
+    biggest = assign.groupBy("cid").count().agg(F.max("count")).first()[0] or 0
+    if biggest > _SEM_CLUSTER_CAP:
+        raise ValueError(
+            f"dedup_semantic_kmeans: largest cluster has {biggest} vectors "
+            f"(cap {_SEM_CLUSTER_CAP}); the within-cluster pair join would "
+            f"build ~{biggest * (biggest - 1) // 2:.0e} pairs. Increase the "
+            "centroid sampling rate (_CENTROID_MOD) or pre-shard the hot "
+            "cluster before pairing."
+        )
+    norms = qv.select("vec_id", idot(F.col("qa"), F.col("qa")).alias("nrm"))
+    a = assign.select(F.col("cid").alias("cell"), F.col("vec_id").alias("vec_a"))
+    b = assign.select(F.col("cid").alias("cell"), F.col("vec_id").alias("vec_b"))
+    pairs = a.join(b, "cell").where(F.col("vec_a") < F.col("vec_b"))
+    xa = qv.select(F.col("vec_id").alias("vec_a"), F.col("qa").alias("xqa"))
+    yb = qv.select(F.col("vec_id").alias("vec_b"), F.col("qa").alias("yqa"))
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    cos = idot(F.col("xqa"), F.col("yqa")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    scored = (
+        pairs.join(xa, "vec_a")
+        .join(yb, "vec_b")
+        .join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("cell", "vec_a", "vec_b", cos.alias("cos"))
+    )
+    return scored.where(
+        F.floor(F.col("cos") * 1_000_000 + F.lit(0.5)).cast("bigint")
+        >= _SEM_THRESH_MICRO
+    ).select(
+        "cell", "vec_a", "vec_b", round_half_up(F.col("cos"), 4).alias("cosine")
+    )

@@ -588,6 +588,142 @@ def dedup_corpus_segments_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_PIPE_LANGS = ("en", "fr", "es", "de")  # language gate (drops zh)
+_PIPE_MIN_TOKENS = 12
+
+
+@register(
+    "pretrain_corpus_pipeline",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source, lang, {_DUCK_TOKS} AS l FROM documents
+    ), gated AS (
+      SELECT doc_id, source, l FROM t
+      WHERE lang IN {_PIPE_LANGS!r} AND len(l) >= {_PIPE_MIN_TOKENS}
+    ), segs AS (
+      SELECT doc_id,
+             md5(array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' '))
+               AS h,
+             len(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}]) AS seg_len
+      FROM gated,
+           unnest(range(0, CAST(ceil(len(l) / {_SEG}.0) AS BIGINT))) AS s(s)
+    ), cnt AS (
+      SELECT h, count(*) AS c FROM segs GROUP BY h
+    ), cleaned AS (
+      SELECT s.doc_id,
+             CAST(sum(CASE WHEN c.c < 2 THEN s.seg_len ELSE 0 END) AS BIGINT)
+               AS clean_tokens
+      FROM segs s JOIN cnt c ON s.h = c.h
+      GROUP BY s.doc_id
+    ), per_doc AS (
+      SELECT g.source, g.doc_id, cl.clean_tokens,
+             CASE WHEN cl.clean_tokens >= 1
+                  THEN CAST(ceil(cl.clean_tokens / {_CHUNK_W}.0) AS BIGINT)
+                  ELSE 0 END AS n_chunks
+      FROM gated g JOIN cleaned cl ON g.doc_id = cl.doc_id
+    ), in_counts AS (
+      SELECT source, count(*) AS n_docs_in FROM t GROUP BY source
+    )
+    SELECT i.source,
+           i.n_docs_in,
+           CAST(coalesce(count(p.doc_id), 0) AS BIGINT) AS n_docs_gated,
+           CAST(coalesce(sum(CASE WHEN p.clean_tokens >= 1 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_docs_kept,
+           CAST(coalesce(sum(p.n_chunks), 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(sum(p.clean_tokens), 0) AS BIGINT)
+             AS n_tokens_packed
+    FROM in_counts i LEFT JOIN per_doc p ON i.source = p.source
+    GROUP BY i.source, i.n_docs_in
+    """,
+)
+def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining corpus construction in ONE Catalyst plan:
+    language + min-length gate → corpus-wide C4-style segment dedup →
+    fixed-width chunk accounting, rolled up per source. The composition
+    is the point: every stage is the same declarative operator the
+    standalone entries use (the reference's flagship is likewise an
+    end-to-end chain, example/main.py:59-137 — this is its curation-era
+    analog), so Catalyst fuses the gate into the scan, prunes columns,
+    and schedules the two corpus shuffles (segment count, per-doc
+    rollup) back to back.
+
+    100 TB shape: the gate is a pushed-down scan filter (cuts the
+    corpus BEFORE the first shuffle); everything downstream inherits
+    dedup_corpus_segments' fixed-width-key shuffles; the final rollup
+    is table-partition-sized (one row per source)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", "lang", tokenize_words_nonempty("text").alias("l")
+    )
+    gated = t.where(
+        F.col("lang").isin(*_PIPE_LANGS)
+        & (F.size("l") >= _PIPE_MIN_TOKENS)
+    ).select("doc_id", "source", "l")
+    seg_structs = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size("l") / F.lit(float(_SEG))).cast("int") - 1,
+        ),
+        lambda s: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG))).alias(
+                "seg_len"
+            ),
+        ),
+    )
+    segs = gated.select(
+        "doc_id", F.explode(seg_structs).alias("s")
+    ).select("doc_id", F.col("s.h").alias("h"), F.col("s.seg_len").alias("seg_len"))
+    cnt = segs.groupBy("h").agg(F.count("*").alias("c"))
+    cleaned = (
+        segs.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") < 2, F.col("seg_len")).otherwise(0))
+            .cast("bigint")
+            .alias("clean_tokens")
+        )
+    )
+    per_doc = gated.join(cleaned, "doc_id").select(
+        "source",
+        "doc_id",
+        "clean_tokens",
+        F.when(
+            F.col("clean_tokens") >= 1,
+            F.ceil(F.col("clean_tokens") / F.lit(float(_CHUNK_W))).cast(
+                "bigint"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_chunks"),
+    )
+    in_counts = t.groupBy("source").agg(F.count("*").alias("n_docs_in"))
+    return (
+        in_counts.join(per_doc, "source", "left")
+        .groupBy("source", "n_docs_in")
+        .agg(
+            F.coalesce(F.count("doc_id"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_gated"),
+            F.coalesce(
+                F.sum((F.col("clean_tokens") >= 1).cast("bigint")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.coalesce(F.sum("n_chunks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks"),
+            F.coalesce(F.sum("clean_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_packed"),
+        )
+    )
+
+
 # ---- winnowing ----------------------------------------------------------
 #
 # Schleimer/Wilkerson/Aiken 2003 ("Winnowing: Local Algorithms for

@@ -232,6 +232,40 @@ def main() -> None:
     }
     print(f"# curation amplified x{amp_rep}: {dt_cu:.1f}s", file=sys.stderr)
 
+    # pretrain_corpus_pipeline: the round-6 end-to-end curation chain
+    # (gate → corpus segment dedup → chunk accounting). Replica salt in
+    # the segment hash keeps replicas independent corpora (same
+    # convention as the minhash/prefix-filter salt), so dedup load
+    # scales linearly with rep.
+    from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import (
+        pipeline_from_docs,
+    )
+
+    docs_pipe = (
+        spark.range(amp_rep)
+        .repartition(cpus)
+        .select(F.col("id").alias("rep"))
+        .crossJoin(F.broadcast(docs.select("doc_id", "source", "lang", "text")))
+        .select(
+            (F.col("doc_id") * amp_rep + F.col("rep")).alias("doc_id"),
+            F.concat_ws("#", "source", "rep").alias("source"),
+            "lang",
+            "text",
+            F.col("rep").cast("string").alias("salt"),
+        )
+    )
+    t0 = time.perf_counter()
+    pipeline_from_docs(docs_pipe).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt_pp = time.perf_counter() - t0
+    amplified["pretrain_corpus_pipeline"] = {
+        "rep": amp_rep,
+        "sec": round(dt_pp, 3),
+        "text_mb_per_s": round(corpus_bytes * amp_rep / 1e6 / dt_pp, 2),
+    }
+    print(f"# pipeline amplified x{amp_rep}: {dt_pp:.1f}s", file=sys.stderr)
+
     print(
         json.dumps(
             {

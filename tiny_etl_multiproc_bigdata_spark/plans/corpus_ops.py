@@ -651,25 +651,44 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus BEFORE the first shuffle); everything downstream inherits
     dedup_corpus_segments' fixed-width-key shuffles; the final rollup
     is table-partition-sized (one row per source)."""
-    d = table(spark, sf_dir, "documents")
+    return pipeline_from_docs(table(spark, sf_dir, "documents"))
+
+
+def pipeline_from_docs(d: DataFrame) -> DataFrame:
+    """Parameterized core of pretrain_corpus_pipeline, shared with the
+    amplified bench: input is any (doc_id, source, lang, text[, salt])
+    frame. An optional ``salt`` column is folded into the segment hash
+    so bench replicas behave as independent corpora (segment collisions
+    stay within-replica — the minhash_pairs_from_docs convention)."""
+    salted = "salt" in d.columns
     t = d.select(
-        "doc_id", "source", "lang", tokenize_words_nonempty("text").alias("l")
+        "doc_id",
+        "source",
+        "lang",
+        tokenize_words_nonempty("text").alias("l"),
+        *([F.col("salt")] if salted else []),
     )
     gated = t.where(
         F.col("lang").isin(*_PIPE_LANGS)
         & (F.size("l") >= _PIPE_MIN_TOKENS)
-    ).select("doc_id", "source", "l")
+    ).select(
+        "doc_id", "source", "l", *([F.col("salt")] if salted else [])
+    )
+    def _seg_hash(s):
+        joined = F.array_join(
+            F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG)), " "
+        )
+        if salted:
+            joined = F.concat(F.col("salt"), F.lit("|"), joined)
+        return F.md5(joined)
+
     seg_structs = F.transform(
         F.sequence(
             F.lit(0),
             F.ceil(F.size("l") / F.lit(float(_SEG))).cast("int") - 1,
         ),
         lambda s: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG)), " "
-                )
-            ).alias("h"),
+            _seg_hash(s).alias("h"),
             F.size(F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG))).alias(
                 "seg_len"
             ),

@@ -57,6 +57,25 @@ def _tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.size("l") >= 1)
 
 
+def segment_hash_structs(l="l") -> F.Column:
+    """Array of (h, seg_len) structs — one per consecutive _SEG-token
+    segment of the token-array column ``l``. Shared by the batch
+    segment-dedup family and streaming_segment_dedup so both halves
+    hash identical segment boundaries."""
+    lc = F.col(l) if isinstance(l, str) else l
+    return F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(lc) / F.lit(float(_SEG))).cast("int") - 1
+        ),
+        lambda s: F.struct(
+            F.md5(
+                F.array_join(F.slice(lc, s * _SEG + 1, F.lit(_SEG)), " ")
+            ).alias("h"),
+            F.size(F.slice(lc, s * _SEG + 1, F.lit(_SEG))).alias("seg_len"),
+        ),
+    )
+
+
 @register(
     "dedup_corpus_segments",
     oracle=rf"""
@@ -99,24 +118,8 @@ def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     third fixed-width shuffle. No all-pairs stage exists at any scale.
     """
     toks = _tok_docs(spark, sf_dir)
-    seg_structs = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.ceil(F.size("l") / F.lit(float(_SEG))).cast("int") - 1,
-        ),
-        lambda s: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG)), " "
-                )
-            ).alias("h"),
-            F.size(
-                F.slice(F.col("l"), s * _SEG + 1, F.lit(_SEG))
-            ).alias("seg_len"),
-        ),
-    )
     segs = toks.select(
-        "doc_id", F.explode(seg_structs).alias("s")
+        "doc_id", F.explode(segment_hash_structs()).alias("s")
     ).select("doc_id", F.col("s.h").alias("h"), F.col("s.seg_len").alias("seg_len"))
     cnt = segs.groupBy("h").agg(F.count("*").alias("c"))
     return (

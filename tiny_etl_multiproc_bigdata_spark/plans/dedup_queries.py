@@ -823,12 +823,16 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
     folds into each shingle (the minhash_pairs_from_docs contract), so
     an N×-replicated corpus forms N independent token spaces and
     candidate pairs grow linearly, not quadratically."""
-    # Materialize the exploded shingle postings ONCE: sh feeds five
-    # independent subtrees (sizes, document frequencies, the prefix
-    # window input, and both verification sides) — without a barrier
-    # the tokenize→shingle→explode lineage re-executes per consumer,
-    # ~5 corpus passes at scale (the minhash_pairs_from_docs lesson,
-    # VERDICT r01 item 5; flagged again by the r05 review).
+    # Materialize the shingle ARRAYS once: the checkpointed array table
+    # feeds four independent subtrees (sizes, document frequencies, the
+    # prefix window input, and both verification sides) — without a
+    # barrier the tokenize→shingle lineage re-executes per consumer,
+    # ~4 corpus passes at scale (the minhash_pairs_from_docs lesson,
+    # VERDICT r01 item 5; flagged again by the r05 review). Arrays, not
+    # exploded postings, because sizes then come map-side (F.size — no
+    # groupBy shuffle) and verification intersects the two arrays per
+    # candidate pair directly (r6: replaces the cand×|doc| posting
+    # explode + count shuffle that dominated the amplified run).
     shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
         F.size("shingles") > 0
     )
@@ -839,10 +843,11 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
                 "shingles", lambda sh: F.concat_ws("|", sh, F.col("salt"))
             ),
         )
-    sh = shingled.select(
-        "doc_id", F.explode("shingles").alias("tok")
-    ).localCheckpoint(eager=True)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shingled = shingled.select("doc_id", "shingles").localCheckpoint(
+        eager=True
+    )
+    sh = shingled.select("doc_id", F.explode("shingles").alias("tok"))
+    sz = shingled.select("doc_id", F.size("shingles").alias("n"))
     dfr = sh.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
     prefix_len = (
@@ -872,26 +877,29 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
-    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("tok").alias("tok_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb_doc"))
-            & (F.col("tok_a") == F.col("tok_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    # verification: join each candidate pair to BOTH docs' shingle
+    # arrays and intersect map-side — |cand| rows total, vs the former
+    # posting-explode plan whose intermediate was |cand| × |doc| rows
+    # into a count shuffle. Shingles are distinct (sets), so
+    # |array_intersect| IS the exact Jaccard intersection size.
+    arr_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
-    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(jac >= F.lit(float(_PF_THETA_NUM) / _PF_THETA_DEN))
+    arr_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    paired = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
         .select(
-            "doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard")
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
         )
     )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return paired.filter(
+        jac >= F.lit(float(_PF_THETA_NUM) / _PF_THETA_DEN)
+    ).select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))

@@ -283,3 +283,121 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_discounted"], m["sum_qty"])],
         schema="n_rows bigint, n_discounted bigint, sum_qty double",
     )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'lineitem_quantity_range' AS rule,
+           (SELECT count(*) FROM lineitem) AS n_checked,
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity IS NULL
+               OR l_quantity < 1 OR l_quantity > 50) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_references_customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'lineitem_returnflag_domain',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_returnflag NOT IN ('A', 'N', 'R')
+               OR l_returnflag IS NULL)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation (the Deequ / expectations
+    pattern): a fixed rule book — range, referential integrity,
+    key uniqueness, accepted-values domain, positivity — evaluated as
+    one UNION of per-rule (checked, violations) counts. The analytics
+    engine's ingest gate: run after every load, alert on any
+    n_violations > 0.
+
+    100 TB shape: each rule is a full-scan AGGREGATE (no row-level
+    output), so map-side partial aggregation reduces every rule to one
+    fixed-width row; the referential check is a null-producing
+    broadcast-able join (customer keys ≪ orders rows at TPC-H ratios,
+    and Spark picks broadcast automatically under AQE); the uniqueness
+    check is count vs count_distinct, one shuffle of distinct keys.
+    Rules over the SAME table could further share one scan via a single
+    multi-aggregate select (the observe_pipeline_metrics trick) — kept
+    as separate unions here so each rule stays independently readable
+    and the oracle stays literal."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def rule(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
+        n_c = checked.agg(F.count("*").cast("bigint").alias("n_checked"))
+        n_v = violations.agg(
+            F.count("*").cast("bigint").alias("n_violations")
+        )
+        return (
+            n_c.crossJoin(n_v)
+            .select(
+                F.lit(name).alias("rule"), "n_checked", "n_violations"
+            )
+        )
+
+    quantity = rule(
+        "lineitem_quantity_range",
+        li,
+        li.where(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ),
+    )
+    referential = rule(
+        "orders_custkey_references_customer",
+        o,
+        o.join(
+            c.select("c_custkey"),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ),
+    )
+    unique_key = (
+        c.agg(
+            F.count("*").cast("bigint").alias("n_checked"),
+            (F.count("*") - F.count_distinct("c_custkey"))
+            .cast("bigint")
+            .alias("n_violations"),
+        ).select(
+            F.lit("customer_custkey_unique").alias("rule"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    domain = rule(
+        "lineitem_returnflag_domain",
+        li,
+        li.where(
+            ~F.col("l_returnflag").isin("A", "N", "R")
+            | F.col("l_returnflag").isNull()
+        ),
+    )
+    positive = rule(
+        "orders_totalprice_positive",
+        o,
+        o.where(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ),
+    )
+    return (
+        quantity.unionAll(referential)
+        .unionAll(unique_key)
+        .unionAll(domain)
+        .unionAll(positive)
+    )

@@ -596,3 +596,66 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dims"),
         )
     )
+
+
+def _register_ivf_recall_eval() -> None:
+    # Pull the two already-registered oracles and compose them as named
+    # CTEs (a CTE body may itself carry a WITH clause); importing
+    # ivf_kmeans here guarantees ann_ivf_multiprobe is registered
+    # regardless of plans-module import order.
+    from tiny_etl_multiproc_bigdata_spark.plans import ivf_kmeans
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    brute_sql = REGISTRY["ann_bruteforce_topk"].oracle
+    ivf_sql = REGISTRY["ann_ivf_multiprobe"].oracle
+
+    @register(
+        "ivf_recall_eval",
+        oracle=f"""
+        WITH brute AS ({brute_sql}),
+        ivf AS ({ivf_sql})
+        SELECT b.query_id,
+               count(*) AS n_exact,
+               CAST(count(i.candidate_id) AS BIGINT) AS n_hit,
+               (floor(CAST(count(i.candidate_id) AS DOUBLE) / count(*)
+                      * 10000 + 0.5) / 10000) AS recall_at_k
+        FROM brute b
+        LEFT JOIN ivf i ON i.query_id = b.query_id
+                       AND i.candidate_id = b.candidate_id
+        GROUP BY b.query_id
+        """,
+    )
+    def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN quality evaluation: per-query recall@k of the 2-probe
+        IVF index against exact brute-force cosine top-k — the
+        measurement loop that sizes nprobe/centroid-count before a
+        production index build (the vector twin of
+        minhash_recall_eval's band/row tuning). Composes the two
+        registered queries unchanged, so the eval measures EXACTLY what
+        the production entries run; both sides' rankings are integer-
+        quantized, making the recall a cross-engine-exact integer ratio.
+
+        100 TB shape: the eval runs on the (tiny) query sample — brute
+        force over the corpus is the expensive side and is exactly the
+        cost being amortized by the index; running it on a bounded
+        query set is the standard offline recall protocol."""
+        brute = ann_bruteforce_topk(spark, sf_dir).select(
+            "query_id", "candidate_id"
+        )
+        ivf = ivf_kmeans.ann_ivf_multiprobe(spark, sf_dir).select(
+            "query_id", "candidate_id", F.lit(1).alias("hit")
+        )
+        return (
+            brute.join(ivf, ["query_id", "candidate_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.count("hit").cast("bigint").alias("n_hit"),
+                round_half_up(
+                    F.count("hit").cast("double") / F.count("*"), 4
+                ).alias("recall_at_k"),
+            )
+        )
+
+
+_register_ivf_recall_eval()

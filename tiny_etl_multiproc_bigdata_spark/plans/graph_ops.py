@@ -266,3 +266,108 @@ def zorder_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({z}) >> {_Z_BITS} AS BIGINT) AS cluster",
         )
     )
+
+
+# ---- single-source shortest paths (fixed-iteration Bellman-Ford) --------
+#
+# The min-plus twin of pagerank_scaled's fixed-iteration pattern, and
+# strictly easier to make cross-engine-exact: relaxation is min over
+# integer sums — no division at all, so no quantization or offset-space
+# argument is needed. Reachable-set representation (absent = infinity)
+# sidesteps NULL-vs-sentinel drift between engines.
+
+_SSSP_ITERS = 4
+_SSSP_SOURCE = "c1"  # customer 1 — present at every fixture sf
+
+
+def _sssp_oracle() -> str:
+    head = f"""
+    WITH pairs AS (
+      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS snode,
+             CAST(min(l.l_quantity) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT cnode AS src, snode AS dst, w FROM pairs
+      UNION ALL
+      SELECT snode, cnode, w FROM pairs
+    ),
+    d0 AS (SELECT '{_SSSP_SOURCE}' AS node, CAST(0 AS BIGINT) AS dist)"""
+    steps = []
+    for k in range(1, _SSSP_ITERS + 1):
+        steps.append(
+            f""",
+    d{k} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM e JOIN d{k - 1} d ON d.node = e.src
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, dist FROM d{_SSSP_ITERS}"
+    )
+
+
+@register("sssp_bellman_ford", oracle=_sssp_oracle())
+def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths over the undirected customer↔
+    supplier trading graph (edge weight = the pair's minimum lineitem
+    quantity), {ITERS} Bellman-Ford relaxations from customer c1 as ONE
+    lazy Catalyst plan — reachable frontier only, so iteration k's
+    table is exactly the ≤k-hop ball around the source. Pure integer
+    min-plus algebra: bit-identical across engines and partitionings
+    with no quantization at all (contrast pagerank_scaled, which needs
+    the integer-division offset argument).
+
+    100 TB shape: per iteration one equi-join of the current distance
+    table against edges (both shuffle on node id — co-partitioned
+    across iterations under AQE) and a min-combine that is map-side
+    partial-agg'd. Frontier-only state keeps early iterations tiny on
+    high-diameter graphs; on low-diameter graphs it converges to the
+    component size, the same bound as any SSSP. Fixed iteration count =
+    bounded plan depth (the recursive-CTE alternative is
+    recursive_bfs_levels' shape, hops instead of weights)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "cnode"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "snode"
+            ),
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+    e = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w"
+        )
+    )
+    d = spark.createDataFrame(
+        [(_SSSP_SOURCE, 0)], "node string, dist long"
+    )
+    for _ in range(_SSSP_ITERS):
+        relaxed = e.join(d, e.src == d.node).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        d = (
+            d.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return d

@@ -551,3 +551,77 @@ def streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return _run_to_memory(top, spark, "stream_complete_topk", "complete")
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (schema from a batch
+    read), replayed with availableNow for bounded runs."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _register_streaming_segment_dedup() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import (
+        _DUCK_TOKS,
+        _SEG,
+        segment_hash_structs,
+    )
+
+    @register(
+        "streaming_segment_dedup",
+        oracle=rf"""
+        WITH t AS (
+          SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+        ), t2 AS (
+          SELECT doc_id, l FROM t WHERE len(l) >= 1
+        )
+        SELECT DISTINCT
+               md5(array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' '))
+                 AS h,
+               CAST(len(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}]) AS BIGINT)
+                 AS seg_len
+        FROM t2,
+             unnest(range(0, CAST(ceil(len(l) / {_SEG}.0) AS BIGINT))) AS s(s)
+        """,
+    )
+    def streaming_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The streaming half of the C4-style segment dedup: documents
+        arrive as a stream, segments are cut with EXACTLY the batch
+        family's boundaries (shared segment_hash_structs helper), and
+        first-seen segment hashes pass a stateful dropDuplicates — the
+        state store, keyed and hash-partitioned on the segment md5, IS
+        the distributed corpus dedup set (RocksDB-backed at cluster
+        scale; the reference's ConcurrentKeyBagSet under a lock is the
+        single-process version, commons.py:261-309). Projected to the
+        (h, seg_len) key set because WHICH doc first contributed a
+        segment is arrival-order dependent; the surviving key set is
+        not, so the entry carries a full value-hash oracle — unusual
+        for a streaming entry. Deliberately no watermark: corpus-level
+        dedup state is corpus-sized by definition; a retention-bounded
+        variant swaps in dropDuplicatesWithinWatermark unchanged."""
+        docs = _docs_stream(spark, sf_dir)
+        from tiny_etl_multiproc_bigdata_spark.functions.text import (
+            tokenize_words_nonempty,
+        )
+
+        segs = (
+            docs.select(tokenize_words_nonempty("text").alias("l"))
+            .where(F.size("l") >= 1)
+            .select(F.explode(segment_hash_structs()).alias("s"))
+            .select(
+                F.col("s.h").alias("h"),
+                F.col("s.seg_len").cast("bigint").alias("seg_len"),
+            )
+            .dropDuplicates(["h"])
+        )
+        return _run_to_memory(
+            segs, spark, "stream_segment_dedup", "append"
+        )
+
+
+_register_streaming_segment_dedup()

@@ -299,3 +299,14 @@ def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
     # rows), never shuffle the corpus against it
     plan = _plan(_q("dedup_semantic_kmeans", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    # a SQL UDF is macro expansion: no python eval node, no serialization
+    # boundary — the whole agg stays in WholeStageCodegen
+    plan = _plan(_q("sql_udf_suite", spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the function bodies appear EXPANDED inside the aggregate (macro
+    # semantics) — no opaque call node named after the UDF survives
+    assert "FLOOR(" in plan and "CASE WHEN" in plan, plan
+    assert "net_cents(" not in plan and "clamp_qty(" not in plan, plan

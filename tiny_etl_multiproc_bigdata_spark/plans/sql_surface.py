@@ -300,3 +300,56 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "sql_udf_suite",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN l_quantity > 30 THEN 30
+                         ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT)
+             AS sum_clamped_qty,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_net_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`):
+    a scalar clamp and a cents-quantizing net-price function defined IN
+    SQL and used from a query — the declarative replacement for the
+    reference's per-row Python lambdas (trans_values,
+    transformers.py:90-140): the body inlines into the Catalyst plan,
+    so unlike a Python UDF there is no serialization boundary, codegen
+    survives, and the optimizer sees through the call. The oracle
+    states the same expressions inline, which is exactly the claim —
+    a SQL UDF is macro expansion, not an execution engine.
+
+    Per-row quantization to integer cents BEFORE the sum keeps the
+    aggregate accumulation-order-free (repo convention); the per-row
+    double product is bit-identical across engines."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clamp_qty(q DOUBLE) "
+        "RETURNS BIGINT RETURN CASE WHEN q > 30 THEN CAST(30 AS BIGINT) "
+        "ELSE CAST(q AS BIGINT) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * (1 - d) * 100 + 0.5) AS BIGINT)"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_udf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(clamp_qty(l_quantity)) AS BIGINT)
+                 AS sum_clamped_qty,
+               CAST(sum(net_cents(l_extendedprice, l_discount)) AS BIGINT)
+                 AS sum_net_cents
+        FROM _udf_lineitem
+        GROUP BY l_returnflag
+        """
+    )

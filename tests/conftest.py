@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 
@@ -31,3 +32,23 @@ def duck():
     from compare import duck_connect
 
     return duck_connect(SF_DIR)
+
+
+@contextlib.contextmanager
+def confs(spark, **kv):
+    """Temporarily set Spark SQL confs (double-underscore = dot);
+    restores (or unsets) previous values on exit. Shared by the
+    skew/AQE and Bloom-pruning tests."""
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        old[key] = spark.conf.get(key, None)
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)

@@ -12,26 +12,10 @@ thresholds are cluster-tuning.
 
 from __future__ import annotations
 
-import contextlib
 
 from pyspark.sql import functions as F
 
-
-@contextlib.contextmanager
-def _confs(spark, **kv):
-    old = {}
-    for k, v in kv.items():
-        key = k.replace("__", ".")
-        old[key] = spark.conf.get(key, None)
-        spark.conf.set(key, v)
-    try:
-        yield
-    finally:
-        for key, v in old.items():
-            if v is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, v)
+from conftest import confs
 
 
 def test_bloom_filter_injected_and_result_unchanged(spark, sf_dir):
@@ -51,7 +35,7 @@ def test_bloom_filter_injected_and_result_unchanged(spark, sf_dir):
             )
         )
 
-    with _confs(
+    with confs(
         spark,
         **{
             "spark__sql__optimizer__runtime__bloomFilter__enabled": "true",
@@ -72,7 +56,7 @@ def test_bloom_filter_injected_and_result_unchanged(spark, sf_dir):
         )
         with_bloom = {tuple(r) for r in df.collect()}
 
-    with _confs(
+    with confs(
         spark,
         **{"spark__sql__optimizer__runtime__bloomFilter__enabled": "false"},
     ):

@@ -81,9 +81,11 @@ def test_compaction_bins_are_bounded_first_fit(spark, sf_dir):
         by_src.setdefault(r["source"], []).append(r)
     for src, bins in by_src.items():
         bins.sort(key=lambda r: r["bin_id"])
-        # bins are contiguous from 0 (start-offset binning can't skip a
-        # bin: offsets are a running sum)
-        assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+        # bin ids start at 0 and are unique-ascending; a single file
+        # LARGER than the target legitimately skips the bins it spans
+        # (no file starts inside them), so contiguity is NOT asserted
+        ids = [b["bin_id"] for b in bins]
+        assert ids[0] == 0 and ids == sorted(set(ids))
         for b in bins:
             # a bin holds files whose START offset is inside it, so its
             # bytes are < target + one max-sized straddling file
@@ -155,6 +157,24 @@ def _winnow_reference(text: str, k: int, w: int):
         off = max(i for i, h in enumerate(window) if h == mn)
         sel.add((j + off + 1, mn))  # 1-based pos, matching the engine
     return sel
+
+
+def test_winnowing_short_docs_select_nothing(spark):
+    """Docs shorter than w+k-1 chars can't hold one full window: the
+    helper must return no selections for them (matching the Python
+    reference) instead of crashing on a descending sequence() bound
+    (r6 review finding)."""
+    from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import (
+        winnow_fingerprints,
+    )
+
+    base = spark.createDataFrame(
+        [(1, ""), (2, "abc"), (3, "abcdefg"), (4, "long enough text here")],
+        "doc_id long, low string",
+    )
+    rows = winnow_fingerprints(base, rollup=False).collect()
+    assert {r["doc_id"] for r in rows} == {4}
+    assert winnow_fingerprints(base).count() == 1
 
 
 def test_winnowing_matches_python_reference(spark):

@@ -18,31 +18,15 @@ Measured numbers live in SCALE_NOTES.md §"Skew under amplification".
 
 from __future__ import annotations
 
-import contextlib
 import time
 
 from pyspark.sql import functions as F
 
+from conftest import confs
+
 N_ROWS = 10_000_000
 N_KEYS = 1_000
 N_SALT = 16
-
-
-@contextlib.contextmanager
-def _confs(spark, **kv):
-    old = {}
-    for k, v in kv.items():
-        key = k.replace("__", ".")
-        old[key] = spark.conf.get(key, None)
-        spark.conf.set(key, v)
-    try:
-        yield
-    finally:
-        for key, v in old.items():
-            if v is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, v)
 
 
 def _skewed_fact(spark):
@@ -91,7 +75,7 @@ def test_salted_join_beats_unsalted_under_skew(spark):
     0 in ONE reducer task; salted spreads them over N_SALT (key, salt)
     groups. Same answer, bounded max task — the wall-clock gap is the
     point."""
-    with _confs(
+    with confs(
         spark,
         spark__sql__adaptive__enabled="false",
         spark__sql__autoBroadcastJoinThreshold="-1",
@@ -124,7 +108,7 @@ def test_aqe_skew_join_split_activates(spark):
     cluster shuffles). The final adaptive plan must carry the
     ``skew=true`` marker on the sort-merge join — proof the runtime
     split actually fired, not just that the conf was set."""
-    with _confs(
+    with confs(
         spark,
         spark__sql__adaptive__enabled="true",
         spark__sql__autoBroadcastJoinThreshold="-1",

@@ -50,11 +50,19 @@ _CHUNK_S = 16  # chunk stride (tokens)
 _BIN_TARGET = 4000  # compaction target output size (chars)
 
 
-def _tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tok_docs(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
+    """Tokenized documents. ``checkpoint=True`` materializes the token
+    arrays once for entries that fan them into MULTIPLE corpus-scale
+    consumers — without the barrier each consumer re-runs the
+    scan+tokenize lineage (the minhash_pairs_from_docs lesson, VERDICT
+    r01 item 5). Single-consumer entries keep the lazy lineage."""
     d = table(spark, sf_dir, "documents")
-    return d.select(
+    t = d.select(
         "doc_id", tokenize_words_nonempty("text").alias("l")
     ).where(F.size("l") >= 1)
+    return t.localCheckpoint(eager=True) if checkpoint else t
 
 
 def segment_hash_structs(l="l") -> F.Column:
@@ -117,7 +125,7 @@ def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (co-partitioned — AQE coalesces), and the per-doc rollup is a
     third fixed-width shuffle. No all-pairs stage exists at any scale.
     """
-    toks = _tok_docs(spark, sf_dir)
+    toks = _tok_docs(spark, sf_dir, checkpoint=True)
     segs = toks.select(
         "doc_id", F.explode(segment_hash_structs()).alias("s")
     ).select("doc_id", F.col("s.h").alias("h"), F.col("s.seg_len").alias("seg_len"))
@@ -327,10 +335,12 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, term) tf join, so the only corpus-sized shuffles are the
     tf groupBy and the per-doc sum — both on fixed-width keys. The
     top-20 is TakeOrderedAndProject, no global sort."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokenize_words_nonempty("text")).alias("tok")
-    )
+    # token arrays materialized once: toks fans into THREE corpus-scale
+    # consumers (dl, df, tf) — the explode re-runs from memory, the
+    # scan+tokenize does not (r6 review finding, the prefix-filter
+    # barrier convention)
+    arr = _tok_docs(spark, sf_dir, checkpoint=True)
+    toks = arr.select("doc_id", F.explode("l").alias("tok"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -448,8 +458,9 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on its own key — the same deliberate-shuffle call as
     bigram_logprob_score (bigram vocab grows with corpus). Top-20 is
     TakeOrderedAndProject."""
-    d = table(spark, sf_dir, "documents")
-    docs = d.select(tokenize_words_nonempty("text").alias("l"))
+    # arrays checkpointed: docs fans into the unigram AND bigram
+    # aggregates (two corpus-scale consumers; r6 review finding)
+    docs = _tok_docs(spark, sf_dir, checkpoint=True).select("l")
     uni = docs.select(F.explode("l").alias("tok")).groupBy("tok").agg(
         F.count("*").alias("c")
     )
@@ -536,7 +547,7 @@ def dedup_corpus_segments_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
     intrinsic cost, and it is linear, one pass, with the order restored
     by an in-group array_sort on (seg_idx, seg) structs rather than a
     per-doc window sort."""
-    toks = _tok_docs(spark, sf_dir)
+    toks = _tok_docs(spark, sf_dir, checkpoint=True)
     seg_structs = F.transform(
         F.sequence(
             F.lit(0),
@@ -664,13 +675,17 @@ def pipeline_from_docs(d: DataFrame) -> DataFrame:
     so bench replicas behave as independent corpora (segment collisions
     stay within-replica — the minhash_pairs_from_docs convention)."""
     salted = "salt" in d.columns
+    # arrays checkpointed: t fans into the gate AND the per-source
+    # input counts, and gated's segment stage feeds two more consumers
+    # — without the barrier the scan+tokenize re-runs per subtree
+    # (r6 review finding)
     t = d.select(
         "doc_id",
         "source",
         "lang",
         tokenize_words_nonempty("text").alias("l"),
         *([F.col("salt")] if salted else []),
-    )
+    ).localCheckpoint(eager=True)
     gated = t.where(
         F.col("lang").isin(*_PIPE_LANGS)
         & (F.size("l") >= _PIPE_MIN_TOKENS)
@@ -833,6 +848,11 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
     (tests/test_corpus_ops.py). ``rollup=False`` returns the exploded
     (doc_id, pos, kgram_hash) selections — the join-able form a
     near-dup pass would self-join on kgram_hash."""
+    # docs too short to hold one full window select nothing (the Python
+    # reference returns the empty set for them); without this filter the
+    # sequence() bound goes DESCENDING and element_at reads out of
+    # range — a job-killing crash under ANSI mode (r6 review finding)
+    base = base.where(F.length("low") >= _WIN_K + _WIN_W - 1)
     # documents anywhere near the positional-encoding cap would corrupt
     # the tie order silently — fail loudly instead (fixture max is ~1e3)
     base = base.select(
@@ -851,7 +871,12 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
     enc = base.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), F.length("low") - (_WIN_K - 1)),
+            # upper bound clamped to >=1: sequence(1, n<1) would go
+            # DESCENDING through 0/negative positions (see sel below)
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("low") - (_WIN_K - 1), F.lit(1)),
+            ),
             lambda i: F.concat(
                 F.md5(F.col("low").substr(i, F.lit(_WIN_K))),
                 F.lit("#"),
@@ -859,16 +884,25 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
             ),
         ).alias("e"),
     )
+    # try_element_at, not element_at: the length pre-filter guarantees
+    # every index is in range for rows that SURVIVE it, but Spark's
+    # InferFiltersFromGenerate pushes an inferred size()>0 predicate
+    # BELOW that filter, so the array pipeline can be evaluated against
+    # short rows it would later drop — the expression must be total or
+    # ANSI mode kills the job on a 5-char doc (r6 review finding)
     sel = enc.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size("e") - (_WIN_W - 1)),
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("e") - (_WIN_W - 1), F.lit(1)),
+                ),
                 lambda j: F.least(
-                    F.element_at("e", j),
-                    F.element_at("e", j + 1),
-                    F.element_at("e", j + 2),
-                    F.element_at("e", j + 3),
+                    F.try_element_at("e", j),
+                    F.try_element_at("e", j + 1),
+                    F.try_element_at("e", j + 2),
+                    F.try_element_at("e", j + 3),
                 ),
             )
         ).alias("d"),

@@ -401,3 +401,68 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(domain)
         .unionAll(positive)
     )
+
+
+_ROLLUP_SPLIT = "1996-01-01"
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental aggregation via mergeable partial states — the
+    materialized-view maintenance pattern (and the exact twin of
+    hll_sketch_partition_merge's approx rollups): a historical BASE
+    partial-agg (orders before 1996-01-01) and a new-arrivals DELTA
+    partial-agg are computed independently, then MERGED
+    (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes) without
+    touching base rows again. The oracle aggregates the full table in
+    one pass — merge(partial(A), partial(B)) == agg(A ∪ B) is the
+    correctness claim, and it holds EXACTLY because every state is an
+    integer semigroup value (prices pre-quantized to cents per row).
+
+    100 TB shape: this is WHY nightly ingest doesn't re-scan history —
+    the base state is month-cardinality rows (kilobytes), only the
+    delta partition is scanned, and the merge is a fixed-width groupBy.
+    AVG-style states ride along as (sum, n) pairs; percentiles need the
+    t-digest entry's sketches instead."""
+    o = table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+
+    base = partial(o.where(F.col("d") < F.lit(_ROLLUP_SPLIT)))
+    delta = partial(o.where(F.col("d") >= F.lit(_ROLLUP_SPLIT)))
+    return (
+        base.unionAll(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+            F.min("min_cents").cast("bigint").alias("min_cents"),
+            F.max("max_cents").cast("bigint").alias("max_cents"),
+        )
+    )

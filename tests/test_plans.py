@@ -310,3 +310,31 @@ def test_sql_udf_inlines_into_codegen(spark, sf_dir):
     # semantics) — no opaque call node named after the UDF survives
     assert "FLOOR(" in plan and "CASE WHEN" in plan, plan
     assert "net_cents(" not in plan and "clamp_qty(" not in plan, plan
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """count/min/max over a parquet table can be answered from row-group
+    FOOTER statistics without decoding a single data page — at 100 TB
+    the difference between a metadata read and a full scan. Requires the
+    DSv2 parquet reader; results must equal the scan-based plan."""
+    from pyspark.sql import functions as F
+
+    from conftest import confs
+
+    def agg():
+        return spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+
+    baseline = agg().collect()
+    with confs(
+        spark,
+        spark__sql__sources__useV1SourceList="",
+        spark__sql__parquet__aggregatePushdown="true",
+    ):
+        df = agg()
+        plan = _plan(df)
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan, plan
+        assert df.collect() == baseline

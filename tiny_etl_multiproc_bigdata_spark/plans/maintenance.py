@@ -466,3 +466,99 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_cents").cast("bigint").alias("max_cents"),
         )
     )
+
+
+_PSI_BUCKET_W = 50_000.0  # equi-width price buckets
+_PSI_N_BUCKETS = 10
+
+
+@register(
+    "distribution_drift_psi",
+    ulp_sensitive=True,
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN CAST(floor(o_totalprice / {_PSI_BUCKET_W}) AS BIGINT)
+                       > {_PSI_N_BUCKETS - 1}
+                  THEN {_PSI_N_BUCKETS - 1}
+                  ELSE CAST(floor(o_totalprice / {_PSI_BUCKET_W}) AS BIGINT)
+             END AS bucket,
+             (o_orderdate < TIMESTAMP '1996-01-01') AS is_base
+      FROM orders
+    ), per_bucket AS (
+      SELECT b.b AS bucket,
+             CAST(coalesce(sum(CASE WHEN is_base THEN 1 END), 0) AS BIGINT)
+               AS n_base,
+             CAST(coalesce(sum(CASE WHEN NOT is_base THEN 1 END), 0)
+                  AS BIGINT) AS n_cur
+      FROM (SELECT unnest(range(0, {_PSI_N_BUCKETS})) AS b) b
+      LEFT JOIN binned ON binned.bucket = b.b
+      GROUP BY b.b
+    ), tot AS (
+      SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+             CAST(sum(n_cur) AS BIGINT) AS tc
+      FROM per_bucket
+    )
+    SELECT bucket, n_base, n_cur,
+           CAST(floor(
+             ((CAST(n_base + 1 AS DOUBLE) / (tb + {_PSI_N_BUCKETS}))
+              - (CAST(n_cur + 1 AS DOUBLE) / (tc + {_PSI_N_BUCKETS})))
+             * ln((CAST(n_base + 1 AS DOUBLE) / (tb + {_PSI_N_BUCKETS}))
+                  / (CAST(n_cur + 1 AS DOUBLE) / (tc + {_PSI_N_BUCKETS})))
+             * 100000000 + 0.5) AS BIGINT) AS psi_contrib_e8
+    FROM per_bucket, tot
+    """,
+)
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitoring — the standard
+    ML-ops check that a feature's distribution hasn't shifted between a
+    baseline window and the current one (PSI > 0.2 = retrain alarm).
+    Baseline = orders before 1996-01-01, current = after; equi-width
+    price buckets; Laplace-smoothed proportions ((n+1)/(N+B), so empty
+    buckets never hit ln(0)) keep every input an exact integer-derived
+    rational, and each bucket's (p−q)·ln(p/q) contribution is
+    micro-quantized to 1e-8 — summing the 10 bucket rows reproduces
+    total PSI with no accumulation-order hazard.
+
+    100 TB shape: one full-scan aggregate to {{bucket}}×{{window}}
+    counts (map-side combined, 20 cells), then constant-size
+    arithmetic — drift monitoring is free at any scale. The bucket
+    spine is generated, not derived, so structurally-empty buckets
+    still report (a silent missing bucket is itself drift signal)."""
+    o = table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(_PSI_BUCKET_W)).cast("bigint")
+    binned = o.select(
+        F.least(b, F.lit(_PSI_N_BUCKETS - 1)).alias("bucket"),
+        (F.col("o_orderdate") < F.lit("1996-01-01")).alias("is_base"),
+    )
+    spine = spark.range(_PSI_N_BUCKETS).select(F.col("id").alias("bucket"))
+    per_bucket = (
+        spine.join(binned, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_base"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_base"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_base"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    tot = per_bucket.agg(
+        F.sum("n_base").cast("bigint").alias("tb"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    nb = _PSI_N_BUCKETS
+    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + nb)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + nb)
+    return per_bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.floor((p - q) * F.log(p / q) * 100_000_000 + 0.5)
+        .cast("bigint")
+        .alias("psi_contrib_e8"),
+    )

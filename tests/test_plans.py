@@ -338,3 +338,8 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
         plan = _plan(df)
         assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan, plan
         assert df.collect() == baseline
+
+
+def test_span_corruption_zero_shuffle(spark, sf_dir):
+    plan = _plan(_q("span_corruption_targets", spark, sf_dir))
+    assert "Exchange" not in plan, f"per-row operator shuffles:\n{plan}"

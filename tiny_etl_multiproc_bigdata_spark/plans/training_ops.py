@@ -1010,3 +1010,210 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _WS_TOPK)
         .select("source", "doc_id", "wt", "rk")
     )
+
+
+_NEG_K = 4  # negatives per anchor
+_NEG_ANCHORS = 32  # bounded anchor set
+
+
+@register(
+    "negative_sampling_pairs",
+    oracle=f"""
+    WITH mx AS (
+      SELECT max(doc_id) AS m FROM documents
+    ), anchors AS (
+      SELECT doc_id AS anchor_id FROM documents
+      WHERE doc_id < {_NEG_ANCHORS}
+    ), probes AS (
+      SELECT a.anchor_id, i.i AS neg_idx,
+             CAST(('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR)
+                                       || '#' || CAST(i.i AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % (mx.m + 1) AS target
+      FROM anchors a, unnest(range(1, {_NEG_K + 1})) AS i(i), mx
+    ), snapped AS (
+      SELECT p.anchor_id, p.neg_idx,
+             min(d.doc_id) AS neg_doc_id
+      FROM probes p JOIN documents d ON d.doc_id >= p.target
+      GROUP BY p.anchor_id, p.neg_idx
+    )
+    SELECT anchor_id, CAST(neg_idx AS BIGINT) AS neg_idx, neg_doc_id
+    FROM snapped WHERE neg_doc_id <> anchor_id
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based negative sampling for contrastive
+    training pairs: each anchor document draws _NEG_K pseudo-random
+    negatives via md5(anchor#i) mod the id range, snapped to the next
+    EXISTING doc_id (ids need not be dense) — reproducible across
+    reruns, engines and partitionings, unlike rand()-based sampling
+    (the same argument as dataset_holdout_split). Self-collisions are
+    dropped rather than re-drawn, keeping the op one-pass (in
+    expectation K·(1−1/N) negatives survive; a re-draw loop would make
+    the plan data-dependent).
+
+    100 TB shape: the probe table is |anchors|·K rows — broadcast; the
+    >= snap is one corpus scan + a probe-keyed min groupBy (map-side
+    combined). No window over the full corpus, no dense-rank spine —
+    the id-space modulus makes the draw O(1) per probe. At trillion-row
+    scale the same snap runs against the sorted doc_id zone map, i.e.
+    partition pruning does the >= for free."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    anchors = d.where(F.col("doc_id") < _NEG_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    probes = (
+        anchors.crossJoin(
+            spark.range(1, _NEG_K + 1).select(F.col("id").alias("neg_idx"))
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "anchor_id",
+            "neg_idx",
+            (
+                md5_long(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit("#"),
+                        F.col("neg_idx").cast("string"),
+                    )
+                )
+                % (F.col("m") + 1)
+            ).alias("target"),
+        )
+    )
+    snapped = (
+        F.broadcast(probes)
+        .join(d, d.doc_id >= F.col("target"))
+        .groupBy("anchor_id", "neg_idx")
+        .agg(F.min("doc_id").alias("neg_doc_id"))
+    )
+    return snapped.where(F.col("neg_doc_id") != F.col("anchor_id")).select(
+        "anchor_id", F.col("neg_idx").cast("bigint").alias("neg_idx"), "neg_doc_id"
+    )
+
+
+_SPAN_LEN = 3  # tokens per corruption span
+_SPAN_EVERY = 5  # every 5th span is masked (20% corruption rate)
+
+
+@register(
+    "span_corruption_targets",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), t2 AS (
+      SELECT doc_id, l FROM t WHERE len(l) >= 1
+    ), rendered AS (
+      SELECT doc_id,
+             array_to_string(list_filter(list_transform(
+               range(1, len(l) + 1),
+               p -> CASE
+                 WHEN ((p - 1) // {_SPAN_LEN}) % {_SPAN_EVERY} <> 0 THEN l[p]
+                 WHEN (p - 1) % {_SPAN_LEN} = 0
+                   THEN '<extra_id_' ||
+                        CAST((p - 1) // ({_SPAN_LEN} * {_SPAN_EVERY})
+                             AS VARCHAR) || '>'
+                 ELSE NULL
+               END), x -> x IS NOT NULL), ' ') AS input_text,
+             array_to_string(list_filter(list_transform(
+               range(1, len(l) + 1),
+               p -> CASE
+                 WHEN ((p - 1) // {_SPAN_LEN}) % {_SPAN_EVERY} <> 0 THEN NULL
+                 WHEN (p - 1) % {_SPAN_LEN} = 0
+                   THEN '<extra_id_' ||
+                        CAST((p - 1) // ({_SPAN_LEN} * {_SPAN_EVERY})
+                             AS VARCHAR) || '>' || ' ' || l[p]
+                 ELSE l[p]
+               END), x -> x IS NOT NULL), ' ') AS target_text,
+             len(list_filter(range(1, len(l) + 1),
+                             p -> ((p - 1) // {_SPAN_LEN}) % {_SPAN_EVERY} = 0))
+               AS n_masked
+      FROM t2
+    )
+    SELECT doc_id,
+           CAST(n_masked AS BIGINT) AS n_masked_tokens,
+           md5(input_text) AS input_hash,
+           md5(target_text) AS target_hash
+    FROM rendered
+    """,
+)
+def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): every
+    {EVERY}th {LEN}-token span is replaced in the INPUT by a numbered
+    sentinel, and the TARGET is the sentinel-delimited concatenation of
+    the masked spans — the denoising objective's preprocessing pass,
+    here with a deterministic span schedule (position arithmetic)
+    instead of random sampling so the pair is reproducible and
+    oracle-checkable; a seeded-hash schedule slots into the same
+    expressions. Hashes of both renderings keep the registry row
+    compact; drop the md5s to emit the actual training pair.
+
+    100 TB shape: map-only — pure per-row array HOFs over the token
+    array, zero shuffles, the ideal Spark shape (same class as
+    chunk_sliding_tokens; plan-pinned zero-Exchange)."""
+    d = table(spark, sf_dir, "documents")
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        tokenize_words_nonempty,
+    )
+
+    t = d.select(
+        "doc_id", tokenize_words_nonempty("text").alias("l")
+    ).where(F.size("l") >= 1)
+    pos = F.sequence(F.lit(1), F.size("l"))
+
+    def span_idx(p):
+        return F.floor((p - 1) / F.lit(_SPAN_LEN)).cast("bigint")
+
+    def is_masked(p):
+        return span_idx(p) % _SPAN_EVERY == 0
+
+    def sentinel(p):
+        return F.concat(
+            F.lit("<extra_id_"),
+            F.floor((p - 1) / F.lit(_SPAN_LEN * _SPAN_EVERY))
+            .cast("bigint")
+            .cast("string"),
+            F.lit(">"),
+        )
+
+    def tok(p):
+        return F.element_at("l", p.cast("int"))
+
+    input_text = F.array_join(
+        F.filter(
+            F.transform(
+                pos,
+                lambda p: F.when(~is_masked(p), tok(p))
+                .when((p - 1) % _SPAN_LEN == 0, sentinel(p))
+                .otherwise(F.lit(None)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    target_text = F.array_join(
+        F.filter(
+            F.transform(
+                pos,
+                lambda p: F.when(~is_masked(p), F.lit(None))
+                .when(
+                    (p - 1) % _SPAN_LEN == 0,
+                    F.concat(sentinel(p), F.lit(" "), tok(p)),
+                )
+                .otherwise(tok(p)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    n_masked = F.size(F.filter(pos, lambda p: is_masked(p)))
+    return t.select(
+        "doc_id",
+        n_masked.cast("bigint").alias("n_masked_tokens"),
+        F.md5(input_text).alias("input_hash"),
+        F.md5(target_text).alias("target_hash"),
+    )

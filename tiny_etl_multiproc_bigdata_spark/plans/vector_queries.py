@@ -659,3 +659,207 @@ def _register_ivf_recall_eval() -> None:
 
 
 _register_ivf_recall_eval()
+
+
+def _register_pq_recall_eval() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    pq_sql = REGISTRY["pq_adc_topk"].oracle
+    l2 = (
+        "list_aggregate(list_transform(range(1, len({a}) + 1), "
+        "i -> (({a})[i]::DOUBLE - ({b})[i]::DOUBLE)"
+        " * (({a})[i]::DOUBLE - ({b})[i]::DOUBLE)), 'sum')"
+    )
+
+    @register(
+        "pq_recall_eval",
+        oracle=f"""
+        WITH pq AS ({pq_sql}),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), exact AS (
+          SELECT query_id, candidate_id FROM (
+            SELECT q.query_id, e.vec_id AS candidate_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY CAST(floor(
+                       {l2.format(a="q.qv", b="e.embedding::DOUBLE[]")}
+                       * 1000000 + 0.5) AS BIGINT) ASC,
+                       e.vec_id ASC) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+          ) WHERE rn <= {_TOP_K}
+        )
+        SELECT x.query_id,
+               count(*) AS n_exact,
+               CAST(count(p.candidate_id) AS BIGINT) AS n_hit,
+               (floor(CAST(count(p.candidate_id) AS DOUBLE) / count(*)
+                      * 10000 + 0.5) / 10000) AS recall_at_k
+        FROM exact x
+        LEFT JOIN pq p ON p.query_id = x.query_id
+                      AND p.candidate_id = x.candidate_id
+        GROUP BY x.query_id
+        """,
+    )
+    def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Compression-loss measurement for the PQ index: per-query
+        recall@k of ADC search over 4×3-bit codes against EXACT
+        integer-quantized L2 top-k on the raw vectors — the number that
+        decides codebook size before a 100 TB index build (the PQ twin
+        of ivf_recall_eval; both metrics are L2, so the gap measured is
+        pure quantization loss, not metric mismatch). Composes the
+        registered pq_adc_topk unchanged."""
+        e = table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+
+        def l2sq(a, b):
+            return F.aggregate(
+                F.zip_with(
+                    a,
+                    b,
+                    lambda x, y: (x.cast("double") - y.cast("double")) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.floor(
+                l2sq(F.col("qv"), F.col("embedding")) * 1_000_000 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .asc(),
+            F.asc("vec_id"),
+        )
+        exact = (
+            F.broadcast(q)
+            .join(e, F.col("vec_id") != F.col("query_id"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOP_K)
+            .select("query_id", F.col("vec_id").alias("candidate_id"))
+        )
+        pq = pq_adc_topk(spark, sf_dir).select(
+            "query_id", "candidate_id", F.lit(1).alias("hit")
+        )
+        return (
+            exact.join(pq, ["query_id", "candidate_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.count("hit").cast("bigint").alias("n_hit"),
+                round_half_up(
+                    F.count("hit").cast("double") / F.count("*"), 4
+                ).alias("recall_at_k"),
+            )
+        )
+
+
+_register_pq_recall_eval()
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+
+
+def _register_hybrid_search_rrf() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    bm25_sql = REGISTRY["bm25_doc_scores"].oracle
+    brute_sql = REGISTRY["ann_bruteforce_topk"].oracle
+
+    @register(
+        "hybrid_search_rrf",
+        oracle=f"""
+        WITH bm25 AS ({bm25_sql}),
+        lex AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC)
+                   AS r
+          FROM bm25
+        ), brute AS ({brute_sql}),
+        sem AS (
+          SELECT candidate_id AS doc_id, rn AS r
+          FROM brute WHERE query_id = 0
+        ), fused AS (
+          SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                 CAST(coalesce(l.r, 0) AS BIGINT) AS lex_rank,
+                 CAST(coalesce(s.r, 0) AS BIGINT) AS sem_rank,
+                 CAST(coalesce(CAST(floor(100000000.0 / ({_RRF_K} + l.r)
+                                          + 0.5) AS BIGINT), 0)
+                      + coalesce(CAST(floor(100000000.0 / ({_RRF_K} + s.r)
+                                            + 0.5) AS BIGINT), 0)
+                      AS BIGINT) AS rrf_e8
+          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank, rrf_e8
+        FROM fused
+        ORDER BY rrf_e8 DESC, doc_id ASC
+        LIMIT 10
+        """,
+    )
+    def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+        2009): fuse the lexical ranking (BM25 top-20) with the semantic
+        ranking (exact cosine top-10 for query vector 0) as
+        Σ 1/(k + rank) — the standard modern search stack's merge step,
+        score-scale-free by construction (ranks only, so BM25 scores
+        and cosines never need calibration against each other).
+        Contributions are micro-quantized per (doc, ranking) before the
+        sum, keeping fusion integer-exact cross-engine; both input
+        rankings are the registered entries unchanged.
+
+        100 TB shape: fusion operates on the top-k lists (tens of
+        rows), not the corpus — the expensive sides are the upstream
+        retrievals, already scale-audited; the full-outer merge and
+        re-sort are driver-trivial at any corpus size."""
+        from pyspark.sql import Window
+
+        from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import (
+            bm25_doc_scores,
+        )
+
+        lex = bm25_doc_scores(spark, sf_dir).select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+            )
+            .alias("r"),
+        )
+        sem = (
+            ann_bruteforce_topk(spark, sf_dir)
+            .where(F.col("query_id") == 0)
+            .select(F.col("candidate_id").alias("doc_id"), F.col("rn").alias("r"))
+        )
+
+        def contrib(r):
+            return F.floor(
+                F.lit(100_000_000.0) / (F.lit(_RRF_K) + r) + 0.5
+            ).cast("bigint")
+
+        fused = (
+            lex.select("doc_id", F.col("r").alias("lr"))
+            .join(
+                sem.select("doc_id", F.col("r").alias("sr")),
+                "doc_id",
+                "full_outer",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("lr", F.lit(0)).cast("bigint").alias("lex_rank"),
+                F.coalesce("sr", F.lit(0)).cast("bigint").alias("sem_rank"),
+                (
+                    F.coalesce(contrib(F.col("lr")), F.lit(0))
+                    + F.coalesce(contrib(F.col("sr")), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("rrf_e8"),
+            )
+        )
+        return fused.orderBy(F.desc("rrf_e8"), F.asc("doc_id")).limit(10)
+
+
+_register_hybrid_search_rrf()

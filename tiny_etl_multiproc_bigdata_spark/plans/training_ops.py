@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 # --------------------------------------------------------------------------
@@ -1216,4 +1217,148 @@ def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_masked.cast("bigint").alias("n_masked_tokens"),
         F.md5(input_text).alias("input_hash"),
         F.md5(target_text).alias("target_hash"),
+    )
+
+
+_VOCAB_TOP = 50  # closed vocabulary = top-50 corpus tokens
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok ASC
+        LIMIT {_VOCAB_TOP}
+      )
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           (floor(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) * 10000 + 0.5) / 10000)
+             AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: per-document out-of-vocabulary
+    rate against a closed top-{TOP} corpus vocabulary — the evaluation
+    every tokenizer/vocab decision runs before committing to a
+    pretraining corpus (high OOV = fertility blow-up downstream;
+    companion to tokenizer_fertility_by_lang). Deterministic vocabulary
+    cut on (count desc, token).
+
+    100 TB shape: the vocabulary is tiny by construction — broadcast
+    into the token stream (LEFT join against ~50 rows), so the only
+    corpus-scale shuffles are the count groupBy behind the cut and the
+    per-doc rollup."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        tokenize_words_nonempty,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize_words_nonempty("text")).alias("tok")
+    ).localCheckpoint(eager=True)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_TOP)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            round_half_up(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_BATCH_BUCKET_W = 16  # token-length bucket width
+_BATCH_MAX_BUCKET = 5  # lengths >= 80 share the top bucket
+_BATCH_SIZE = 8
+
+
+@register(
+    "length_bucket_batching",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), t2 AS (
+      SELECT doc_id, n_tokens,
+             least(CAST(floor(n_tokens / {_BATCH_BUCKET_W}.0) AS BIGINT),
+                   {_BATCH_MAX_BUCKET}) AS bucket
+      FROM t WHERE n_tokens >= 1
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(floor((row_number() OVER (PARTITION BY bucket
+                                          ORDER BY doc_id ASC) - 1)
+                      / {_BATCH_SIZE}.0) AS BIGINT) AS batch_id
+    FROM t2
+    """,
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment — the dynamic-batching pass
+    that keeps padding waste bounded: documents land in a token-length
+    bucket (width {W}, clamped), and each bucket is carved into
+    deterministic {B}-doc batches in doc_id order. Downstream, one
+    batch = one training micro-batch of near-equal lengths.
+
+    100 TB shape: one window per BUCKET (6 partitions of corpus/6 rows
+    each — partitioned, never a global sort). If a single bucket's
+    row_number chain ever became the bottleneck, the id-ordered batch
+    assignment decomposes per table-partition with a cumulative offset
+    (the two-pass distribution-rewrite recipe, plans/advanced.py)."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        tokenize_words_nonempty,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(tokenize_words_nonempty("text")).alias("n_tokens")
+    ).where(F.col("n_tokens") >= 1)
+    t = t.select(
+        "doc_id",
+        "n_tokens",
+        F.least(
+            F.floor(F.col("n_tokens") / F.lit(float(_BATCH_BUCKET_W))).cast(
+                "bigint"
+            ),
+            F.lit(_BATCH_MAX_BUCKET).cast("bigint"),
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.asc("doc_id"))
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.floor(
+            (F.row_number().over(w) - 1) / F.lit(float(_BATCH_SIZE))
+        )
+        .cast("bigint")
+        .alias("batch_id"),
     )

@@ -225,3 +225,66 @@ def _register_orc_roundtrip() -> None:
 
 
 _register_orc_roundtrip()
+
+
+def _register_partitioned_roundtrip() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "partitioned_write_prune_agg",
+        oracle="""
+        SELECT source,
+               count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE lang = 'en'
+        GROUP BY source
+        """,
+    )
+    def partitioned_write_prune_agg(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Hive-style partitioned write + partition-PRUNED read: stage
+        the documents table partitioned by ``lang``, read it back with
+        a lang filter that Spark satisfies by LISTING only the matching
+        directory (PartitionFilters in the scan — the pruning plan
+        shape is pinned in tests/test_partitioned_write.py), and aggregate. The oracle aggregates the
+        original parquet — the roundtrip plus pruning must be lossless.
+        At 100 TB this is the difference between scanning one language
+        partition and the whole corpus; the same mechanics drive
+        date-partitioned ingest layouts. Same staging discipline as
+        csv/orc roundtrips (fixed per-sf dir, flock, eager snapshot
+        under the lock)."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars", "lang"
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_partrt_{tag}")
+        data_dir = os.path.join(root, "data")
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                d.write.mode("overwrite").partitionBy("lang").parquet(
+                    data_dir
+                )
+                back = (
+                    spark.read.parquet(data_dir)
+                    .where(F.col("lang") == "en")
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return back.groupBy("source").agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+
+
+_register_partitioned_roundtrip()

@@ -288,3 +288,79 @@ def _register_partitioned_roundtrip() -> None:
 
 
 _register_partitioned_roundtrip()
+
+
+def _register_schema_evolution() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "schema_evolution_merge_read",
+        oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                               THEN o_orderpriority END) AS BIGINT)
+                 AS n_with_priority,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        """,
+    )
+    def schema_evolution_merge_read(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Schema evolution across file vintages: an old writer emitted
+        orders WITHOUT o_orderpriority (pre-1996 partition), a new
+        writer added the column — ``mergeSchema`` reconciles both
+        vintages in one scan, old files surfacing NULL for the added
+        column. The aggregate counts exactly the new-vintage rows as
+        priority-bearing, so the oracle (a CASE over the original
+        table) pins both the union semantics and the NULL-fill.
+        The lake-reality primitive every long-lived 100 TB table needs:
+        schema change must not require rewriting history. Same staging
+        discipline as the csv/orc/partitioned roundtrips."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_evort_{tag}")
+        data_dir = os.path.join(root, "data")
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                old = o.where(F.col("o_orderdate") < "1996-01-01").select(
+                    "o_orderkey", "cents"
+                )
+                new = o.where(F.col("o_orderdate") >= "1996-01-01").select(
+                    "o_orderkey", "cents", "o_orderpriority"
+                )
+                old.write.mode("overwrite").parquet(f"{data_dir}/v=1")
+                new.write.mode("overwrite").parquet(f"{data_dir}/v=2")
+                back = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(data_dir)
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return back.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("o_orderpriority").cast("bigint").alias(
+                "n_with_priority"
+            ),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+
+
+_register_schema_evolution()

@@ -248,3 +248,105 @@ def arrow_map_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_linenumber", "l_discount").mapInArrow(
         band, "l_orderkey long, l_linenumber int, discount_band long"
     )
+
+
+@register(
+    "cogroup_asof_pandas",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS t_us,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_us
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(floor(last_click_us / 1000000) AS BIGINT)
+             AS last_click_epoch,
+           CAST(floor((t_us - last_click_us) / 1000000) AS BIGINT)
+             AS secs_since_click
+    FROM marked
+    WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    """,
+)
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the one Arrow-UDF API shape the
+    pandas/Arrow quartet doesn't cover: TWO DataFrames grouped on the
+    same key arrive at one Python function as a pair of per-key pandas
+    frames. The canonical use is per-key ``pd.merge_asof`` (purchases ⨝
+    most-recent click at-or-before, per user), and the DuckDB oracle is
+    the same running-MAX window as the native ``asof_last_signup`` —
+    so the cogroup path is value-pinned against the declarative as-of
+    twin's semantics, including exact-timestamp ties (merge_asof's
+    allow_exact_matches ≡ the window's <=).
+
+    100 TB shape: cogroup shuffles BOTH sides once on the key into
+    co-located Arrow batches; per-group state is one user's clicks +
+    purchases. Prefer the native window twin when semantics allow —
+    this entry exists because real pipelines reach cogroup for logic
+    only pandas has (merge_asof tolerances, interpolation, model
+    scoring against per-key reference frames)."""
+    e = table(spark, sf_dir, "events")
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    ).alias("t_us")
+    base = e.select("user_id", "event_id", "event_type", t_us)
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "t_us"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "t_us"
+    )
+
+    def asof_merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        # ties on t_us collapse to the same time value, so sorting by
+        # t_us alone is deterministic for the OUTPUT even when click
+        # event_ids tie; purchases keep event_id for identity
+        if len(p) == 0 or len(c) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "event_id",
+                    "last_click_epoch",
+                    "secs_since_click",
+                ]
+            )
+        p = p.sort_values("t_us", kind="mergesort")
+        c = c.sort_values("t_us", kind="mergesort")
+        m = pd.merge_asof(
+            p,
+            c.rename(columns={"t_us": "click_us"}),
+            left_on="t_us",
+            right_on="click_us",
+            direction="backward",
+        )
+        m = m.dropna(subset=["click_us"])
+        out = pd.DataFrame(
+            {
+                "user_id": m["user_id_x"]
+                if "user_id_x" in m
+                else m["user_id"],
+                "event_id": m["event_id"],
+                "last_click_epoch": (m["click_us"] // 1_000_000).astype(
+                    "int64"
+                ),
+                "secs_since_click": (
+                    (m["t_us"] - m["click_us"]) // 1_000_000
+                ).astype("int64"),
+            }
+        )
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof_merge,
+            "user_id long, event_id long, last_click_epoch long, "
+            "secs_since_click long",
+        )
+    )

@@ -219,3 +219,35 @@ def test_listagg_guard_raises_on_oversized_group(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(advanced, "_LISTAGG_PAYLOAD_CAP", 1)
     with pytest.raises(ValueError, match="collect_set"):
         advanced.agg_listagg_ordered(spark, sf_dir)
+
+
+def test_cogroup_asof_includes_exact_timestamp_ties(spark):
+    """merge_asof's backward direction includes a click at EXACTLY the
+    purchase's timestamp (click_us <= t_us); the oracle's RANGE-frame
+    window has the same peer semantics. Pin the engine side on
+    constructed ties — the fixtures contain no duplicate (user, t_us)
+    pairs, so the sweep alone can't exercise this (r6 review finding)."""
+    from tiny_etl_multiproc_bigdata_spark.operators.grouped_pandas import (
+        cogroup_asof_from,
+    )
+
+    purchases = spark.createDataFrame(
+        [
+            (1, 10, 100_000_000),  # tied with a click at the same t_us
+            (1, 11, 50_000_000),  # no click at or before
+            (2, 20, 200_000_000),  # strictly-later than its click
+        ],
+        "user_id long, event_id long, t_us long",
+    )
+    clicks = spark.createDataFrame(
+        [(1, 100_000_000), (2, 150_000_000), (3, 1_000_000)],
+        "user_id long, t_us long",
+    )
+    rows = {
+        r["event_id"]: (r["last_click_epoch"], r["secs_since_click"])
+        for r in cogroup_asof_from(purchases, clicks).collect()
+    }
+    assert rows == {
+        10: (100, 0),  # exact tie matched, zero seconds since
+        20: (150, 50),
+    }

@@ -256,10 +256,12 @@ def arrow_map_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, event_id, event_type,
              epoch_us(ts) AS t_us,
+             -- default RANGE frame: PEERS at the same t_us are included,
+             -- matching merge_asof's click_us <= t_us semantics exactly
+             -- (a ROWS frame with an event_id tiebreak would exclude a
+             -- same-microsecond click ordered after the purchase)
              max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-               OVER (PARTITION BY user_id
-                     ORDER BY epoch_us(ts) ASC, event_id ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC)
                AS last_click_us
       FROM events
     )
@@ -301,6 +303,16 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = base.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "t_us"
     )
+    return cogroup_asof_from(purchases, clicks)
+
+
+def cogroup_asof_from(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Cogroup + per-key merge_asof core over (user_id, event_id, t_us)
+    purchases and (user_id, t_us) clicks — split out so the
+    exact-timestamp tie semantics are testable on constructed frames
+    (tests/test_operators.py). The UDF stays a local closure
+    (module-level functions of this package pickle by reference and
+    break under the external driver's session)."""
 
     def asof_merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
         # ties on t_us collapse to the same time value, so sorting by

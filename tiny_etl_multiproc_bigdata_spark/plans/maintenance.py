@@ -530,22 +530,23 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(b, F.lit(_PSI_N_BUCKETS - 1)).alias("bucket"),
         (F.col("o_orderdate") < F.lit("1996-01-01")).alias("is_base"),
     )
+    # aggregate the fact scan FIRST (map-side combinable, <=10 result
+    # rows), THEN join the bucket spine to the tiny aggregate — joining
+    # the spine to the raw rows would shuffle the whole table onto 10
+    # join keys before any combine (r6 review finding)
+    counts = binned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base"),
+        F.sum(F.when(~F.col("is_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
     spine = spark.range(_PSI_N_BUCKETS).select(F.col("id").alias("bucket"))
-    per_bucket = (
-        spine.join(binned, "bucket", "left")
-        .groupBy("bucket")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("is_base"), 1)), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("n_base"),
-            F.coalesce(
-                F.sum(F.when(~F.col("is_base"), 1)), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("n_cur"),
-        )
+    per_bucket = spine.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
     )
     tot = per_bucket.agg(
         F.sum("n_base").cast("bigint").alias("tb"),

@@ -1156,14 +1156,9 @@ def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: map-only — pure per-row array HOFs over the token
     array, zero shuffles, the ideal Spark shape (same class as
     chunk_sliding_tokens; plan-pinned zero-Exchange)."""
-    d = table(spark, sf_dir, "documents")
-    from tiny_etl_multiproc_bigdata_spark.functions.text import (
-        tokenize_words_nonempty,
-    )
+    from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import _tok_docs
 
-    t = d.select(
-        "doc_id", tokenize_words_nonempty("text").alias("l")
-    ).where(F.size("l") >= 1)
+    t = _tok_docs(spark, sf_dir)
     pos = F.sequence(F.lit(1), F.size("l"))
 
     def span_idx(p):
@@ -1261,14 +1256,13 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the token stream (LEFT join against ~50 rows), so the only
     corpus-scale shuffles are the count groupBy behind the cut and the
     per-doc rollup."""
-    from tiny_etl_multiproc_bigdata_spark.functions.text import (
-        tokenize_words_nonempty,
-    )
+    from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import _tok_docs
 
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokenize_words_nonempty("text")).alias("tok")
-    ).localCheckpoint(eager=True)
+    # checkpoint at ARRAY granularity, not post-explode: the token
+    # arrays are many times smaller in block storage and give the same
+    # single-scan guarantee (the bm25 convention; r6 review finding)
+    arr = _tok_docs(spark, sf_dir, checkpoint=True)
+    toks = arr.select("doc_id", F.explode("l").alias("tok"))
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("c"))

@@ -7,7 +7,7 @@ input split with no shuffle until the (small) aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
@@ -480,3 +480,82 @@ def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(cnt.cast("double") / n_chars, 4).alias(f"r_{name}")
         )
     return d.select(*cols)
+
+
+@register(
+    "preference_pairs_by_quality",
+    oracle=rf"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n_tokens,
+             greatest(length(text), 1)                            AS n_chars,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))      AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t IN ({_SW_SQL})))              AS sw_hits
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, {_QUALITY} AS q FROM feat
+    ), ranked AS (
+      SELECT doc_id, source, q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id ASC) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT a.source,
+           CAST(a.r AS BIGINT) AS pair_idx,
+           a.doc_id AS chosen_doc,
+           b.doc_id AS rejected_doc,
+           {duck_round("a.q - b.q", 4)} AS quality_margin
+    FROM ranked a
+    JOIN ranked b ON a.source = b.source AND b.r = a.n + 1 - a.r
+    WHERE a.r < a.n + 1 - a.r
+    """,
+)
+def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training
+    data: within each source, rank documents by the (4-dp-quantized)
+    quality score and pair best-with-worst inward (rank r vs rank
+    n+1−r) until the ranks meet — each pair is a (chosen, rejected)
+    example with its quality margin. The quantized score makes the
+    ranking — and therefore the pairing — cross-engine exact; ties
+    break on doc_id.
+
+    100 TB shape: one corpus scan for features, a per-source window
+    rank (partitioned — sources shard the corpus), and a self-join on
+    (source, mirrored rank) that shuffles only (id, rank, score)
+    triples, never text. Swap the heuristic score for a model-scored
+    column and the plan is a production RLHF-pair builder."""
+    d = table(spark, sf_dir, "documents")
+    scored = quality_from_docs(d).select("doc_id", "quality_score").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        F.col("quality_score").alias("q"),
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.r") == F.col("a.n") + 1 - F.col("a.r")),
+        )
+        .where(F.col("a.r") < F.col("a.n") + 1 - F.col("a.r"))
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.r").cast("bigint").alias("pair_idx"),
+            F.col("a.doc_id").alias("chosen_doc"),
+            F.col("b.doc_id").alias("rejected_doc"),
+            round_half_up(F.col("a.q") - F.col("b.q"), 4).alias(
+                "quality_margin"
+            ),
+        )
+    )

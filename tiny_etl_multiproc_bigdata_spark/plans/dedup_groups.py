@@ -244,3 +244,85 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("canonical"))
         .alias("keep_reason"),
     )
+
+
+def _survivors_by_quality_oracle() -> str:
+    # quality feature fragment shared with text_quality_score
+    # (text_queries.py constants) — composed onto the recursive CC CTEs
+    from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
+        _QUALITY,
+        _SW_SQL,
+    )
+
+    return (
+        _CC_GROUPS_CTES
+        + rf""", feat AS (
+  SELECT doc_id,
+         greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n_tokens,
+         greatest(length(text), 1)                            AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))      AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> t IN ({_SW_SQL})))              AS sw_hits
+  FROM documents
+), scored AS (
+  SELECT doc_id, {_QUALITY} AS q FROM feat
+), ranked AS (
+  SELECT g.group_id, g.doc_id, s.q,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY s.q DESC, g.doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY g.group_id) AS group_size
+  FROM groups g JOIN scored s ON s.doc_id = g.doc_id
+)
+SELECT group_id,
+       doc_id AS survivor_doc,
+       CAST(group_size AS BIGINT) AS group_size,
+       q AS survivor_quality
+FROM ranked WHERE rk = 1
+"""
+    )
+
+
+@register("dedup_survivors_by_quality", oracle=_survivors_by_quality_oracle())
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: each near-dup cluster keeps
+    its HIGHEST-quality member (4-dp-quantized heuristic score, doc_id
+    tiebreak) instead of the min-id canonical — what production dedup
+    actually wants: when five crawls of a page collide, keep the
+    cleanest rendering, not the lowest id. One row per cluster with the
+    survivor and the cluster size; compose with survivor_filter to
+    write the cleaned corpus.
+
+    100 TB shape: the cluster labels come from the bounded
+    label-propagation loop (duplicate members only — tiny next to the
+    corpus); quality scores join in on doc_id, and the per-cluster
+    argmax is a WindowGroupLimit-class partitioned rank over cluster-
+    member rows, never the full corpus."""
+    from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
+        quality_from_docs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    labels = _cc_labels(_near_dup_edges(spark, sf_dir))
+    scored = quality_from_docs(d).select(
+        "doc_id", F.col("quality_score").alias("q")
+    )
+    member_scores = labels.select("doc_id", "group_id").join(
+        scored, "doc_id"
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    return (
+        member_scores.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "group_size",
+            F.count("*").over(Window.partitionBy("group_id")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("survivor_doc"),
+            F.col("group_size").cast("bigint").alias("group_size"),
+            F.col("q").alias("survivor_quality"),
+        )
+    )

@@ -943,3 +943,76 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "segment_novelty_rate",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), t2 AS (
+      SELECT doc_id, l FROM t WHERE len(l) >= 1
+    ), segs AS (
+      SELECT doc_id,
+             md5(array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' '))
+               AS h
+      FROM t2,
+           unnest(range(0, CAST(ceil(len(l) / {_SEG}.0) AS BIGINT))) AS s(s)
+    ), corpus AS (
+      SELECT DISTINCT h FROM segs WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT doc_id, h FROM segs WHERE doc_id % 2 = 1
+    )
+    SELECT b.doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           (floor(CAST(sum(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) * 10000 + 0.5) / 10000)
+             AS novelty_rate
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    GROUP BY b.doc_id
+    """,
+)
+def segment_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot novelty measurement: how much of a new
+    crawl batch (odd doc_ids — the deterministic fixture split, as in
+    dedup_incremental_minhash) is content the existing corpus (even
+    doc_ids) has never seen, at segment granularity. Per batch doc:
+    segment count, segments absent from the corpus segment-hash set,
+    and the novelty rate — the continual-pretraining gate that decides
+    whether a snapshot is worth ingesting before any expensive
+    processing runs.
+
+    100 TB shape: batch segments anti-probe the corpus hash SET — at
+    scale the corpus side is a pre-built bucketed hash table (or a
+    Bloom pre-filter, tests/test_bloom_pruning.py shape) so the probe
+    is batch-sized work against corpus-sized state, exactly like
+    dedup_incremental_minhash's batch×corpus contract: never
+    corpus×corpus."""
+    toks = _tok_docs(spark, sf_dir, checkpoint=True)
+    segs = toks.select(
+        "doc_id", F.explode(segment_hash_structs()).alias("s")
+    ).select("doc_id", F.col("s.h").alias("h"))
+    corpus = (
+        segs.where(F.col("doc_id") % 2 == 0).select("h").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    batch = segs.where(F.col("doc_id") % 2 == 1)
+    return (
+        batch.join(corpus, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            round_half_up(
+                F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("novelty_rate"),
+        )
+    )

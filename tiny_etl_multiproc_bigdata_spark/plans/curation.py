@@ -279,3 +279,97 @@ def dataset_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+_CONTAM_N = 5  # contamination n-gram width (tokens)
+
+
+@register(
+    "contamination_ngram_score",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, g.g AS g
+      FROM t,
+           unnest(list_distinct(list_transform(
+             range(1, len(l) - {_CONTAM_N - 2}),
+             i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                      || l[i+3] || ' ' || l[i+4])))) AS g(g)
+      WHERE len(l) >= {_CONTAM_N}
+    ), evalset AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT tr.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN e.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_contaminated,
+           (floor(CAST(sum(CASE WHEN e.g IS NULL THEN 0 ELSE 1 END)
+                       AS DOUBLE) / count(*) * 10000 + 0.5) / 10000)
+             AS contamination_rate
+    FROM train tr LEFT JOIN evalset e ON tr.g = e.g
+    GROUP BY tr.doc_id
+    """,
+)
+def contamination_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED benchmark-contamination scoring (the GPT-3 appendix-C
+    method, vs decontaminate_eval_overlap's whole-document fingerprint
+    collision): per training document, the fraction of its distinct
+    {N}-token-gram set that appears anywhere in the eval split's gram
+    set — catches PARTIAL leakage (a quoted eval question inside an
+    otherwise-clean page) that whole-doc fingerprints miss. Same
+    deterministic doc_id % 97 eval split as the fingerprint entry;
+    grams are md5'd to fixed width before any join.
+
+    100 TB shape: the eval gram set is eval-corpus-sized (tiny) —
+    broadcast into the training gram stream; training grams never
+    shuffle. Per-doc distinct-gram sets are built with per-row array
+    HOFs; the only corpus shuffle is the per-doc rollup."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        tokenize_words_nonempty,
+        word_ngrams,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", tokenize_words_nonempty("text").alias("l")
+    ).where(F.size("l") >= _CONTAM_N)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_ngrams(F.col("l"), _CONTAM_N), lambda g: F.md5(g)
+                )
+            )
+        ).alias("g"),
+    ).localCheckpoint(eager=True)
+    evalset = (
+        grams.where(F.col("doc_id") % 97 == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.where(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(evalset), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            round_half_up(
+                F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("contamination_rate"),
+        )
+    )

@@ -371,3 +371,101 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
     return d
+
+
+# ---- k-core peeling (fixed iterations) ----------------------------------
+
+_KCORE_K = 8
+_KCORE_PEELS = 3
+
+
+def _kcore_oracle() -> str:
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode, cnode FROM pairs
+    ),
+    n0 AS (SELECT DISTINCT src AS node FROM e)"""
+    steps = []
+    for k in range(1, _KCORE_PEELS + 1):
+        steps.append(
+            f""",
+    n{k} AS (
+      SELECT e.src AS node
+      FROM e
+      JOIN n{k - 1} a ON a.node = e.src
+      JOIN n{k - 1} b ON b.node = e.dst
+      GROUP BY e.src
+      HAVING count(*) >= {_KCORE_K}
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node,
+           CAST(count(*) OVER () AS BIGINT) AS surviving_nodes
+    FROM n{_KCORE_PEELS}"""
+    )
+
+
+@register("kcore_fixed_peels", oracle=_kcore_oracle())
+def kcore_fixed_peels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling ({PEELS} fixed rounds,
+    k={K}): each round keeps only nodes with >= k neighbors among the
+    CURRENT survivors — after convergence the survivor set is exactly
+    the k-core (the standard dense-subgraph primitive for spam/bot
+    cluster detection and graph sparsification before expensive
+    analytics). Fixed rounds = bounded plan depth, same contract as
+    pagerank_scaled/sssp; purely integer degree counting, so the
+    chained-CTE oracle is bit-exact with no quantization.
+
+    100 TB shape: per round, one self-equi-join of the edge list
+    against the survivor set (both shuffle on node id, co-partitioned
+    round over round under AQE) and a map-side-combined degree count.
+    Edges leave the plan as soon as either endpoint is peeled — rounds
+    shrink monotonically."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "cnode"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "snode"
+            ),
+        )
+        .distinct()
+    )
+    e = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    for _ in range(_KCORE_PEELS):
+        a = nodes.select(F.col("node").alias("src"))
+        b = nodes.select(F.col("node").alias("dst"))
+        nodes = (
+            e.join(a, "src")
+            .join(b, "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+    from pyspark.sql import Window as W
+
+    return nodes.select(
+        "node", F.count("*").over(W.partitionBy()).cast("bigint").alias(
+            "surviving_nodes"
+        )
+    )

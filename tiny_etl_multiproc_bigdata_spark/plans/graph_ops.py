@@ -469,3 +469,124 @@ def kcore_fixed_peels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surviving_nodes"
         )
     )
+
+
+# ---- personalized PageRank ----------------------------------------------
+
+_PPR_SEED_MOD = 50  # seed set: customers with custkey % 50 == 7
+
+
+def _ppr_oracle() -> str:
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+                      o.o_custkey AS ck
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (
+      SELECT node, max(seed) AS seed FROM (
+        SELECT src AS node,
+               CASE WHEN ck % {_PPR_SEED_MOD} = 7 THEN 1 ELSE 0 END AS seed
+        FROM e
+        UNION ALL
+        SELECT dst, 0 FROM e
+      ) GROUP BY node
+    ),
+    outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    pr0 AS (
+      SELECT node, seed,
+             CAST(CASE WHEN seed = 1 THEN 1000000 ELSE 0 END AS BIGINT)
+               AS pr
+      FROM nodes
+    )"""
+    steps = []
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(
+            f""",
+    pr{k} AS (
+      SELECT n.node, n.seed,
+             CAST(CASE WHEN n.seed = 1 THEN {_PR_BASE} ELSE 0 END
+                  + (85 * COALESCE(sum(p.pr // od.d), 0)) // 100
+                  AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN outdeg od ON od.src = e.src
+      LEFT JOIN pr{k - 1} p ON p.node = e.src
+      GROUP BY n.node, n.seed
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, pr FROM pr{_PR_ITERS} WHERE pr > 0"
+    )
+
+
+@register("pagerank_personalized", oracle=_ppr_oracle())
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: identical integer recurrence to
+    pagerank_scaled except the teleport mass goes ONLY to the seed set
+    (customers with custkey % {MOD} == 7) — rank flows outward from the
+    seeds, scoring every node by proximity to them. The
+    similar-account / recommendation primitive (and, over a doc-link
+    graph, the seed-quality propagation used for corpus source scoring
+    à la Common Crawl's harmonic-centrality ranking). Zero-mass nodes
+    are filtered at the end, so the result is the seeds' forward
+    neighborhood — sparse even on a 100 TB graph.
+
+    Scale shape per iteration: identical to pagerank_scaled (the
+    teleport term is a per-row CASE, free); the only new cost is
+    carrying the 1-bit seed flag through the node table."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(
+            F.col("src").alias("node"),
+            (F.col("ck") % _PPR_SEED_MOD == 7).cast("int").alias("seed"),
+        )
+        .unionAll(
+            edges.select(F.col("dst").alias("node"), F.lit(0).alias("seed"))
+        )
+        .groupBy("node")
+        .agg(F.max("seed").alias("seed"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e2 = edges.select("src", "dst").join(outdeg, "src")
+    pr = nodes.select(
+        "node",
+        "seed",
+        F.when(F.col("seed") == 1, F.lit(_PR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e2.join(pr.select("node", "pr"), e2.src == F.col("node"))
+            .select(F.col("dst").alias("node"), F.expr("pr div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            "seed",
+            F.expr(
+                f"CAST(CASE WHEN seed = 1 THEN {_PR_BASE} ELSE 0 END"
+                " + (85 * coalesce(s, 0)) div 100 AS BIGINT)"
+            ).alias("pr"),
+        )
+    return pr.filter(F.col("pr") > 0).select("node", "pr")

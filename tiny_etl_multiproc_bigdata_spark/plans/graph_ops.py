@@ -590,3 +590,102 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr.filter(F.col("pr") > 0).select("node", "pr")
+
+
+# ---- HITS (hubs & authorities, fixed iterations, unnormalized) ----------
+
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    head = """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_suppkey AS auth
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hubs AS (SELECT DISTINCT hub FROM e),
+    auths AS (SELECT DISTINCT auth FROM e),
+    h0 AS (SELECT hub, CAST(1 AS BIGINT) AS s FROM hubs)"""
+    steps = []
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(
+            f""",
+    a{k} AS (
+      SELECT a.auth, CAST(COALESCE(sum(h.s), 0) AS BIGINT) AS s
+      FROM auths a
+      LEFT JOIN e ON e.auth = a.auth
+      LEFT JOIN h{k - 1} h ON h.hub = e.hub
+      GROUP BY a.auth
+    ),
+    h{k} AS (
+      SELECT hb.hub, CAST(COALESCE(sum(a.s), 0) AS BIGINT) AS s
+      FROM hubs hb
+      LEFT JOIN e ON e.hub = hb.hub
+      LEFT JOIN a{k} a ON a.auth = e.auth
+      GROUP BY hb.hub
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT 'h' || CAST(hub AS VARCHAR) AS node, s AS score FROM h{_HITS_ITERS}
+    UNION ALL
+    SELECT 'a' || CAST(auth AS VARCHAR), s FROM a{_HITS_ITERS}"""
+    )
+
+
+@register("hits_hub_authority", oracle=_hits_oracle())
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) over the bipartite customer→supplier graph,
+    {ITERS} fixed mutual-reinforcement rounds: auth(v) = Σ hub(u) over
+    in-edges, then hub(u) = Σ auth(v) over out-edges. UNNORMALIZED —
+    the per-round L2 normalization only rescales, so the integer sums
+    preserve the exact ranking while staying bit-exact cross-engine
+    with no quantization at all (degrees ~10, so {ITERS} rounds stay
+    far below 2^63; one more round than PageRank's scale would need a
+    DECIMAL(38,0) accumulator — the embedding_standardize recipe).
+
+    100 TB shape: each half-round is one equi-join + map-side-combined
+    sum, alternating shuffle keys between the two node columns —
+    co-partitioned across rounds per side under AQE."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("hub"), F.col("l_suppkey").alias("auth")
+        )
+        .distinct()
+    )
+    hubs = e.select("hub").distinct()
+    auths = e.select("auth").distinct()
+    h = hubs.withColumn("s", F.lit(1).cast("bigint"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = (
+            auths.join(e, "auth", "left")
+            .join(h.select("hub", F.col("s").alias("hs")), "hub", "left")
+            .groupBy("auth")
+            .agg(F.coalesce(F.sum("hs"), F.lit(0)).cast("bigint").alias("s"))
+        )
+        h = (
+            hubs.join(e, "hub", "left")
+            .join(a.select("auth", F.col("s").alias("as_")), "auth", "left")
+            .groupBy("hub")
+            .agg(F.coalesce(F.sum("as_"), F.lit(0)).cast("bigint").alias("s"))
+        )
+    return (
+        h.select(
+            F.concat(F.lit("h"), F.col("hub").cast("string")).alias("node"),
+            F.col("s").alias("score"),
+        )
+        .unionAll(
+            a.select(
+                F.concat(F.lit("a"), F.col("auth").cast("string")).alias(
+                    "node"
+                ),
+                F.col("s").alias("score"),
+            )
+        )
+    )

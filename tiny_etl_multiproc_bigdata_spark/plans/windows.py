@@ -467,3 +467,71 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prob"),
         )
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+               AS dow,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ), seasonal AS (
+      SELECT dow,
+             (floor(CAST(sum(n) AS DOUBLE) / count(*) * 10000 + 0.5)
+              / 10000) AS seasonal_mean
+      FROM daily GROUP BY dow
+    )
+    SELECT d.day, CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.n AS BIGINT) AS n,
+           s.seasonal_mean,
+           (floor((d.n - s.seasonal_mean) * 10000 + 0.5) / 10000)
+             AS residual
+    FROM daily d JOIN seasonal s ON d.dow = s.dow
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event volume:
+    seasonal component = mean count per day-of-week, residual = day −
+    seasonal — the first-line anomaly baseline for any metrics stream
+    (a spike is a residual, not a Monday). Day-of-week is computed as
+    epoch-days mod 7 (NOT each engine's dayofweek(), whose 0/1-based
+    Sunday conventions differ); the seasonal mean is 4-dp quantized
+    before the residual subtraction so both engines round identically.
+
+    100 TB shape: two fixed-width aggregates (daily counts — map-side
+    combined; 7-row seasonal means) and a broadcast join back onto
+    day-cardinality rows. Decomposition of a 100 TB event stream costs
+    one scan; the multiplicative/trend variants (STL) ride the same
+    plan with a window over the day spine."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("ts").cast("date").alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "dow",
+            (F.datediff(F.col("day"), F.lit("1970-01-01")) % 7).cast(
+                "bigint"
+            ),
+        )
+    )
+    seasonal = daily.groupBy("dow").agg(
+        round_half_up(
+            F.sum("n").cast("double") / F.count("*"), 4
+        ).alias("seasonal_mean")
+    )
+    return daily.join(F.broadcast(seasonal), "dow").select(
+        "day",
+        "dow",
+        F.col("n").cast("bigint").alias("n"),
+        "seasonal_mean",
+        round_half_up(
+            F.col("n") - F.col("seasonal_mean"), 4
+        ).alias("residual"),
+    )

@@ -1032,3 +1032,90 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+_BASKET_MIN_PAIRS = 3
+
+
+@register(
+    "basket_pair_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ), item_freq AS (
+      SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.c_ab AS BIGINT) AS pair_count,
+           (floor((CAST(p.c_ab AS DOUBLE) * n.n)
+                  / (CAST(fa.c AS DOUBLE) * fb.c) * 10000 + 0.5) / 10000)
+             AS lift
+    FROM pairs p
+    JOIN item_freq fa ON fa.l_partkey = p.part_a
+    JOIN item_freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n_orders n
+    WHERE p.c_ab >= {_BASKET_MIN_PAIRS}
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: for part pairs co-occurring in
+    >= {MIN} orders, lift = P(ab) / (P(a)·P(b)) — the retail twin of
+    pmi_collocations (lift is exp(PMI) on baskets instead of bigram
+    streams). Single-expression double ratio of exact integer counts,
+    4-dp quantized.
+
+    100 TB shape: the pair stage self-joins the order→item list ON THE
+    ORDER KEY, so fan-out is bounded by basket size squared (~7² for
+    TPC-H), never corpus²; item frequencies are part-cardinality and
+    broadcast into the scoring join. The min-support cut keeps the
+    output the interesting tail, and an Apriori-style frequent-item
+    pre-filter (join items to item_freq c >= MIN first) drops
+    singleton-heavy baskets before pairing at higher scales."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item_freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= _BASKET_MIN_PAIRS)
+    )
+    fa = item_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")
+    )
+    fb = item_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("bigint").alias("pair_count"),
+            round_half_up(
+                (F.col("c_ab").cast("double") * F.col("n"))
+                / (F.col("ca").cast("double") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+    )

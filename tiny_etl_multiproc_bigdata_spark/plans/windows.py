@@ -535,3 +535,93 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") - F.col("seasonal_mean"), 4
         ).alias("residual"),
     )
+
+
+_ATTR_WINDOW_S = 7 * 86400  # attribution lookback (seconds)
+
+
+@register(
+    "attribution_linear",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+      FROM events
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id, t_us AS pt
+      FROM ev WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel,
+             t_us AS tt
+      FROM ev WHERE event_type IN ('click', 'view')
+    ), credited AS (
+      SELECT p.purchase_id, t.channel,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tt <= p.pt
+       AND t.tt > p.pt - {_ATTR_WINDOW_S}::BIGINT * 1000000
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credited_touches,
+           (floor(CAST(sum(CAST(floor(1000000.0 / n_touches + 0.5)
+                                AS BIGINT)) AS DOUBLE)
+                  / 1000000 * 10000 + 0.5) / 10000)
+             AS attributed_conversions
+    FROM credited
+    GROUP BY channel
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click/view in the 7 days
+    before a purchase shares that conversion equally (credit = 1/n per
+    touch), rolled up per channel — the marketing-analytics allocation
+    the last-touch as-of entries (asof_last_signup) can't express.
+    Each touch's 1/n credit is micro-quantized to an INTEGER ppm
+    share BEFORE the channel sum (the repo's accumulation-order-free
+    convention), then the total converts back at 4 dp; the
+    per-purchase touch count is a purchase-partitioned window (bounded
+    by touches-per-user-week, never corpus-wide).
+
+    100 TB shape: the purchases⨝touches range join is user-keyed —
+    both sides shuffle once on user_id and the time predicate prunes
+    within co-located partitions (the range_join_bucketed recipe
+    applies verbatim if a power user's week explodes)."""
+    e = table(spark, sf_dir, "events")
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    ).alias("t_us")
+    ev = e.select("user_id", "event_id", "event_type", t_us)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_us").alias("pt"),
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("t_us").alias("tt"),
+    )
+    credited = purchases.join(touches, "user_id").where(
+        (F.col("tt") <= F.col("pt"))
+        & (
+            F.col("tt")
+            > F.col("pt")
+            - F.lit(_ATTR_WINDOW_S).cast("bigint") * F.lit(1_000_000)
+        )
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = credited.withColumn("n_touches", F.count("*").over(w))
+    return credited.groupBy("channel").agg(
+        F.count("*").cast("bigint").alias("n_credited_touches"),
+        round_half_up(
+            F.sum(
+                F.floor(F.lit(1_000_000.0) / F.col("n_touches") + 0.5).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / 1_000_000,
+            4,
+        ).alias("attributed_conversions"),
+    )

@@ -282,6 +282,11 @@ def dataset_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAM_N = 5  # contamination n-gram width (tokens)
+# the oracle's gram concatenation is GENERATED from _CONTAM_N so the
+# width knob cannot desynchronize oracle vs plan (r6 review finding)
+_DUCK_GRAM = " || ' ' || ".join(
+    "l[i]" if j == 0 else f"l[i+{j}]" for j in range(_CONTAM_N)
+)
 
 
 @register(
@@ -297,8 +302,7 @@ _CONTAM_N = 5  # contamination n-gram width (tokens)
       FROM t,
            unnest(list_distinct(list_transform(
              range(1, len(l) - {_CONTAM_N - 2}),
-             i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
-                      || l[i+3] || ' ' || l[i+4])))) AS g(g)
+             i -> md5({_DUCK_GRAM})))) AS g(g)
       WHERE len(l) >= {_CONTAM_N}
     ), evalset AS (
       SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0

@@ -251,19 +251,13 @@ def _survivors_by_quality_oracle() -> str:
     # (text_queries.py constants) — composed onto the recursive CC CTEs
     from tiny_etl_multiproc_bigdata_spark.plans.text_queries import (
         _QUALITY,
-        _SW_SQL,
+        feat_cte_sql,
     )
 
     return (
         _CC_GROUPS_CTES
         + rf""", feat AS (
-  SELECT doc_id,
-         greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n_tokens,
-         greatest(length(text), 1)                            AS n_chars,
-         len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))      AS n_punct,
-         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                         t -> t IN ({_SW_SQL})))              AS sw_hits
-  FROM documents
+  {feat_cte_sql()}
 ), scored AS (
   SELECT doc_id, {_QUALITY} AS q FROM feat
 ), ranked AS (

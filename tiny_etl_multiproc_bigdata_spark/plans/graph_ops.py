@@ -445,13 +445,23 @@ def kcore_fixed_peels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    # materialize the edge list once and each round's survivor set:
+    # every round references `nodes` TWICE (both join sides), so without
+    # a barrier the survivor lineage doubles per round — 2^PEELS copies
+    # of the edge-build subtree in the final plan (the _cc_labels
+    # lesson, dedup_groups.py; r6 review finding)
+    e = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("snode").alias("src"), F.col("cnode").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("src").alias("node")).distinct()
     for _ in range(_KCORE_PEELS):
+        nodes = nodes.localCheckpoint(eager=True)
         a = nodes.select(F.col("node").alias("src"))
         b = nodes.select(F.col("node").alias("dst"))
         nodes = (

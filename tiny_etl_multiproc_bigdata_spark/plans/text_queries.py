@@ -44,6 +44,21 @@ _QUALITY = duck_round(
 )
 
 
+def feat_cte_sql(extra: str = "") -> str:
+    """The quality FEATURE projection as a DuckDB SQL fragment — the
+    single source of truth for the three oracles that score documents
+    (text_quality_score, preference_pairs_by_quality,
+    dedup_survivors_by_quality); ``extra`` appends passthrough columns.
+    Twin of quality_from_docs' expression tree."""
+    return rf"""SELECT doc_id{extra},
+             greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n_tokens,
+             greatest(length(text), 1)                            AS n_chars,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))      AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t IN ({_SW_SQL})))              AS sw_hits
+      FROM documents"""
+
+
 @register(
     "text_token_count",
     oracle=rf"""
@@ -104,13 +119,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     oracle=rf"""
     WITH feat AS (
-      SELECT doc_id,
-             greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n_tokens,
-             greatest(length(text), 1)                            AS n_chars,
-             len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))      AS n_punct,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                             t -> t IN ({_SW_SQL})))              AS sw_hits
-      FROM documents
+      {feat_cte_sql()}
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT)                         AS n_tokens,
@@ -128,10 +137,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_from_docs(table(spark, sf_dir, "documents"))
 
 
-def quality_from_docs(d: DataFrame) -> DataFrame:
+def quality_from_docs(d: DataFrame, *extra_cols: str) -> DataFrame:
     """The quality projection over any (doc_id, text) DataFrame — split
     out so bench.py's amplified corpus_curation run and the curation
-    composition reuse the identical single-scan expression tree."""
+    composition reuse the identical single-scan expression tree.
+    ``extra_cols`` pass through unchanged (e.g. ``source``) so callers
+    never need a second scan + join to re-attach them."""
     n_tokens = F.greatest(F.size(tokenize_words(F.col("text"))), F.lit(1))
     n_chars = F.greatest(F.length("text"), F.lit(1))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
@@ -148,6 +159,7 @@ def quality_from_docs(d: DataFrame) -> DataFrame:
     )
     return d.select(
         "doc_id",
+        *extra_cols,
         n_tokens.cast("bigint").alias("n_tokens"),
         round_half_up(n_chars * F.lit(1.0) / n_tokens, 4).alias("mean_token_len"),
         round_half_up(punct_ratio, 4).alias("punct_ratio"),
@@ -486,13 +498,7 @@ def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "preference_pairs_by_quality",
     oracle=rf"""
     WITH feat AS (
-      SELECT doc_id, source,
-             greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n_tokens,
-             greatest(length(text), 1)                            AS n_chars,
-             len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))      AS n_punct,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                             t -> t IN ({_SW_SQL})))              AS sw_hits
-      FROM documents
+      {feat_cte_sql(", source")}
     ), scored AS (
       SELECT doc_id, source, {_QUALITY} AS q FROM feat
     ), ranked AS (
@@ -527,8 +533,10 @@ def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples, never text. Swap the heuristic score for a model-scored
     column and the plan is a production RLHF-pair builder."""
     d = table(spark, sf_dir, "documents")
-    scored = quality_from_docs(d).select("doc_id", "quality_score").join(
-        d.select("doc_id", "source"), "doc_id"
+    # source passes through the scoring projection — ONE corpus scan,
+    # no re-attach join (r6 review finding)
+    scored = quality_from_docs(d, "source").select(
+        "doc_id", "source", "quality_score"
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("quality_score"), F.asc("doc_id")

@@ -353,3 +353,100 @@ def sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "xml_roundtrip_extract",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML surface (Spark 4): render each order as an XML
+    document with ``to_xml``, parse it back with ``from_xml`` under an
+    explicit schema, and aggregate the EXTRACTED fields — the oracle
+    aggregates the original columns, so serialize→parse must be
+    lossless (the enterprise-ingest twin of json_roundtrip_structs;
+    price pre-quantized to integer cents so the text roundtrip carries
+    only exact types). Both directions are JVM expressions inside
+    whole-stage codegen — no files staged, no Python.
+
+    100 TB shape: map-only columnar work; the aggregate is the usual
+    partial+final hash agg. Real XML feeds swap to_xml for the raw
+    ingest column and keep the identical from_xml plan."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    xml = o.select(
+        F.to_xml(F.struct("o_orderkey", "o_orderpriority", "cents")).alias(
+            "doc"
+        )
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT"
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r.o_orderpriority").alias("o_orderpriority")).agg(
+        F.count("*").alias("n"),
+        F.sum("r.cents").cast("bigint").alias("total_cents"),
+    )
+
+
+@register(
+    "transpose_status_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS total_cents
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'n_orders' AS key,
+           (SELECT n_orders FROM base WHERE o_orderstatus = 'F') AS F,
+           (SELECT n_orders FROM base WHERE o_orderstatus = 'O') AS O,
+           (SELECT n_orders FROM base WHERE o_orderstatus = 'P') AS P
+    UNION ALL
+    SELECT 'total_cents',
+           (SELECT total_cents FROM base WHERE o_orderstatus = 'F'),
+           (SELECT total_cents FROM base WHERE o_orderstatus = 'O'),
+           (SELECT total_cents FROM base WHERE o_orderstatus = 'P')
+    """,
+)
+def transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0 API): flip a metrics-by-status
+    summary so metrics become rows and statuses become columns — the
+    report-shaping step after an aggregate, now a first-class operation
+    instead of a hand-written pivot. Values widen to DOUBLE (transpose
+    unifies the column type); counts and integer-cent sums are exactly
+    representable. The oracle states the transposed shape with scalar
+    subqueries per (metric, status) cell.
+
+    100 TB shape: transpose COLLECTS the frame to the driver to learn
+    the new column names — a summary-frame-only operation by contract
+    (3 statuses here); transposing corpus-sized data is the anti-
+    pattern, and the unpivot/pivot pair stays the distributed path."""
+    o = table(spark, sf_dir, "orders")
+    base = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("double")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return base.transpose()

@@ -1119,3 +1119,111 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_RFM_QS = (0.25, 0.5, 0.75)
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH ref AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS r FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                            (SELECT r FROM ref)) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), thr AS (
+      SELECT
+        list_transform(quantile_cont(recency_days,
+                                     [{", ".join(map(str, _RFM_QS))}]),
+                       x -> floor(x * 10000 + 0.5) / 10000) AS rq,
+        list_transform(quantile_cont(frequency,
+                                     [{", ".join(map(str, _RFM_QS))}]),
+                       x -> floor(x * 10000 + 0.5) / 10000) AS fq,
+        list_transform(quantile_cont(monetary_cents,
+                                     [{", ".join(map(str, _RFM_QS))}]),
+                       x -> floor(x * 10000 + 0.5) / 10000) AS mq
+      FROM per_cust
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(1 + len(list_filter(rq, t -> recency_days >= t))
+                AS BIGINT) AS r_bucket,
+           CAST(1 + len(list_filter(fq, t -> frequency >= t))
+                AS BIGINT) AS f_bucket,
+           CAST(1 + len(list_filter(mq, t -> monetary_cents >= t))
+                AS BIGINT) AS m_bucket
+    FROM per_cust, thr
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order,
+    against the dataset's own latest date), frequency (order count) and
+    monetary (lifetime cents), each quartile-bucketed 1–4 (1 = lowest
+    metric value; invert recency downstream for marketing's
+    1-is-recent reading). Buckets come from the two-pass
+    percentile-threshold recipe (quantile_bucketize), NOT a global
+    ntile window: pass 1 reduces customers to nine scalar thresholds,
+    pass 2 broadcasts them back and folds per row — no single-task
+    sort of the customer table at any scale. All three metrics are
+    exact integers, so only the interpolated thresholds need the 1e-4
+    micro-round guard."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("r"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("r"), F.col("last_d"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    qs = ", ".join(map(str, _RFM_QS))
+    thr = per_cust.agg(
+        F.expr(
+            f"transform(percentile(recency_days, array({qs})),"
+            " x -> floor(x * 10000 + 0.5) / 10000)"
+        ).alias("rq"),
+        F.expr(
+            f"transform(percentile(frequency, array({qs})),"
+            " x -> floor(x * 10000 + 0.5) / 10000)"
+        ).alias("fq"),
+        F.expr(
+            f"transform(percentile(monetary_cents, array({qs})),"
+            " x -> floor(x * 10000 + 0.5) / 10000)"
+        ).alias("mq"),
+    )
+
+    def bucket(arr, col):
+        return F.expr(
+            f"CAST(1 + aggregate({arr}, 0, (acc, t) -> acc + "
+            f"CASE WHEN {col} >= t THEN 1 ELSE 0 END) AS BIGINT)"
+        )
+
+    return per_cust.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        bucket("rq", "recency_days").alias("r_bucket"),
+        bucket("fq", "frequency").alias("f_bucket"),
+        bucket("mq", "monetary_cents").alias("m_bucket"),
+    )

@@ -783,6 +783,13 @@ _WIN_K = 5  # shingle width (chars)
 _WIN_W = 4  # window width (hashes)
 _WIN_POS_CAP = 999_999
 
+# window-minimum operand list generated from _WIN_W on BOTH engines so
+# tuning the knob can never desynchronize them (the _CONTAM_N /
+# _DUCK_GRAM lesson): oracle fragment here, engine lambda below
+_WIN_LEAST = "least(" + ", ".join(
+    f"e[j+{off}]" if off else "e[j]" for off in range(_WIN_W)
+) + ")"
+
 
 @register(
     "text_winnowing_fingerprint",
@@ -802,7 +809,7 @@ _WIN_POS_CAP = 999_999
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, len(e) - {_WIN_W - 1} + 1),
-               j -> least(e[j], e[j+1], e[j+2], e[j+3])
+               j -> {_WIN_LEAST}
              )) AS d
       FROM enc
     ), ordered AS (
@@ -899,10 +906,11 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
                     F.greatest(F.size("e") - (_WIN_W - 1), F.lit(1)),
                 ),
                 lambda j: F.least(
-                    F.try_element_at("e", j),
-                    F.try_element_at("e", j + 1),
-                    F.try_element_at("e", j + 2),
-                    F.try_element_at("e", j + 3),
+                    *[
+                        F.try_element_at("e", j + off) if off
+                        else F.try_element_at("e", j)
+                        for off in range(_WIN_W)
+                    ]
                 ),
             )
         ).alias("d"),

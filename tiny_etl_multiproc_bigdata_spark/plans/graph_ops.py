@@ -350,17 +350,27 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("l_quantity").cast("bigint").alias("w"))
     )
-    e = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
-    ).unionAll(
+    # materialize the edge list once and each round's distance table:
+    # every iteration references `d` twice (in `relaxed` and in the
+    # unionAll), so without a barrier the lineage doubles per round —
+    # ~2^ITERS copies of the lineitem-orders edge-build subtree in the
+    # final plan (the kcore_fixed_peels lesson, r6 review finding)
+    e = (
         pairs.select(
-            F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w"
+            F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
         )
+        .unionAll(
+            pairs.select(
+                F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     d = spark.createDataFrame(
         [(_SSSP_SOURCE, 0)], "node string, dist long"
     )
     for _ in range(_SSSP_ITERS):
+        d = d.localCheckpoint(eager=True)
         relaxed = e.join(d, e.src == d.node).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
@@ -615,7 +625,8 @@ def _hits_oracle() -> str:
     ),
     hubs AS (SELECT DISTINCT hub FROM e),
     auths AS (SELECT DISTINCT auth FROM e),
-    h0 AS (SELECT hub, CAST(1 AS BIGINT) AS s FROM hubs)"""
+    h0 AS (SELECT hub, CAST(1 AS BIGINT) AS s FROM hubs),
+    a0 AS (SELECT auth, CAST(0 AS BIGINT) AS s FROM auths)"""
     steps = []
     for k in range(1, _HITS_ITERS + 1):
         steps.append(
@@ -671,7 +682,9 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = e.select("hub").distinct()
     auths = e.select("auth").distinct()
     h = hubs.withColumn("s", F.lit(1).cast("bigint"))
-    a = None
+    # zero-score auth state so the final union is well-defined even if
+    # _HITS_ITERS is tuned to 0 (matches the oracle's a0 CTE semantics)
+    a = auths.withColumn("s", F.lit(0).cast("bigint"))
     for _ in range(_HITS_ITERS):
         a = (
             auths.join(e, "auth", "left")

@@ -43,3 +43,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each SQL-expressible query."""
     return _registry.oracle_sql()
+
+
+def query_metadata() -> dict[str, dict]:
+    """OPTIONAL driver extension (ignore if unrecognized): per-entry
+    comparison metadata — ``{"ulp_sensitive": bool, "has_oracle":
+    bool}``. ``ulp_sensitive`` entries quantize a transcendental
+    (log/log2) whose JVM-vs-libm agreement is exact only up to 1 ULP;
+    compare them float-exact or with 1-ulp slack rather than through a
+    fixed significant-digit normalization. The same dict is attached to
+    each ``queries()`` callable as ``fn.spark_graft_meta``."""
+    return _registry.query_metadata()

@@ -29,6 +29,27 @@ def test_entry_respects_sf_dir_env(spark, monkeypatch):
     )
 
 
+def test_query_metadata_contract():
+    """query_metadata() (VERDICT r06 item 7) must cover every queries()
+    entry, agree with the registry's ulp/oracle flags, and be mirrored
+    as an attribute on each callable."""
+    E = _entry_module()
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    q, o, m = E.queries(), E.oracle_sql(), E.query_metadata()
+    assert set(m) == set(q)
+    for name, meta in m.items():
+        assert meta == {
+            "ulp_sensitive": REGISTRY[name].ulp_sensitive,
+            "has_oracle": REGISTRY[name].oracle is not None,
+        }
+        assert meta["has_oracle"] == (name in o)
+        assert q[name].spark_graft_meta == meta
+    # the flag is load-bearing: the registry has both kinds of entry
+    assert any(v["ulp_sensitive"] for v in m.values())
+    assert any(not v["has_oracle"] for v in m.values())
+
+
 def test_entry_default_matches_registry_flagship(spark, monkeypatch):
     E = _entry_module()
     monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)

@@ -767,6 +767,12 @@ _RRF_K = 60  # standard reciprocal-rank-fusion damping constant
 def _register_hybrid_search_rrf() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
 
+    # import-order guard: composing bm25's oracle requires corpus_ops to
+    # have registered — true under registry._load_all(), but a consumer
+    # importing this module directly (a bench script, a REPL) would
+    # otherwise hit a KeyError that depends on import order
+    from tiny_etl_multiproc_bigdata_spark.plans import corpus_ops  # noqa: F401
+
     bm25_sql = REGISTRY["bm25_doc_scores"].oracle
     brute_sql = REGISTRY["ann_bruteforce_topk"].oracle
 

@@ -282,6 +282,123 @@ def main() -> None:
         corpus_bytes,
     )
 
+    # sf1 section (VERDICT r06 item 3): the ×16 amplification above
+    # replicates the same key spaces (replica independence via a salt
+    # column); distinct-key GROWTH — what actually sizes hash tables,
+    # shuffles and dedup state — needs a bigger fixture. benchgen builds
+    # a deterministic 10×-sf0.1 dataset whose orderkey/partkey/doc_id
+    # spaces grow 10× and whose document text is rotated through a
+    # per-replica bijective letter substitution, so the corpus-wide
+    # shingle/segment space genuinely grows ~10× (no salt column).
+    # Single-shot per topology: this section detects super-linear
+    # scaling (2×+ effects), not 10% deltas — the median-of-3 amplified
+    # section above is the fine-grained round-over-round comparator.
+    # Skipped below sf0.1 so the sf0.01 verify probe stays fast.
+    sf1: dict[str, dict[str, float]] = {}
+    if float(sf) >= 0.1:
+        from tiny_etl_multiproc_bigdata_spark.benchgen import ensure_sf1
+
+        sf1_dir = os.path.join(os.path.dirname(__file__), ".bench_sf1")
+        t0 = time.perf_counter()
+        ensure_sf1(spark, sf_dir, sf1_dir)
+        print(
+            f"# sf1 fixture ready in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+        def _dir_bytes(path: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+
+        li1_bytes = _dir_bytes(f"{sf1_dir}/lineitem.parquet")
+        docs1 = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+        docs1_bytes = docs1.select(
+            F.sum(F.length(F.col("text").cast("binary")))
+        ).collect()[0][0]
+
+        def timed_sf1(name: str, run, basis_key: str, basis_bytes: int) -> None:
+            # one untimed warm run first: the cold pass pays page-cache
+            # fill + fresh-schema codegen (~9s on q1 — larger than the
+            # warm query itself); the steady-state number is what
+            # detects super-linear scaling
+            run()
+            t0 = time.perf_counter()
+            run()
+            dt = time.perf_counter() - t0
+            sf1[name] = {
+                "sec": round(dt, 3),
+                basis_key: round(basis_bytes / 1e6 / dt, 2),
+            }
+            print(f"# sf1 {name}: {dt:.1f}s", file=sys.stderr)
+
+        li1 = lambda: spark.read.parquet(f"{sf1_dir}/lineitem.parquet")  # noqa: E731
+        timed_sf1(
+            "q1_pricing_summary",
+            lambda: q1_from_lineitem(li1())
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            "parquet_mb_per_s",
+            li1_bytes,
+        )
+        timed_sf1(
+            "q9_product_profit",
+            lambda: q9_from_tables(
+                li1(),
+                spark.read.parquet(f"{sf1_dir}/orders.parquet"),
+                spark.read.parquet(f"{sf1_dir}/supplier.parquet"),
+                spark.read.parquet(f"{sf1_dir}/nation.parquet"),
+                spark.read.parquet(f"{sf1_dir}/part.parquet"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            "parquet_mb_per_s",
+            li1_bytes,
+        )
+        d1 = docs1.select("doc_id", "text")
+        timed_sf1(
+            "dedup_minhash_lsh",
+            lambda: minhash_pairs_from_docs(d1)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            "text_mb_per_s",
+            docs1_bytes,
+        )
+        timed_sf1(
+            "dedup_jaccard_prefix_filter",
+            lambda: prefix_filter_pairs_from_docs(d1)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            "text_mb_per_s",
+            docs1_bytes,
+        )
+        timed_sf1(
+            "corpus_curation",
+            lambda: curation_from_docs(d1)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            "text_mb_per_s",
+            docs1_bytes,
+        )
+        timed_sf1(
+            "pretrain_corpus_pipeline",
+            lambda: pipeline_from_docs(
+                docs1.select("doc_id", "source", "lang", "text")
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            "text_mb_per_s",
+            docs1_bytes,
+        )
+
     # Streaming throughput (VERDICT r06 item 6): replay the fixtures
     # through the two load-bearing stateful topologies with availableNow
     # and report rows/s plus the state-store row count from the query's
@@ -391,6 +508,7 @@ def main() -> None:
                 "sf": float(sf),
                 "flagship_sustained_mb_per_s": round(mb_per_s, 2),
                 "amplified": amplified,
+                "sf1": sf1,
                 "streaming": streaming,
             }
         )

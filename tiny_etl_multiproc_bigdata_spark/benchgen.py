@@ -1,0 +1,123 @@
+"""Deterministic sf1-scale bench fixture, derived from the sf0.1 driver
+fixture (VERDICT r06 item 3).
+
+The ×16 in-memory amplification scales COMPUTE but replicates the same
+key spaces (replica independence comes from a salt column, so e.g. the
+shingle space is 16 disjoint copies of the same 1× space). What it
+cannot test is distinct-key GROWTH — shingle/segment/orderkey/partkey
+cardinality rising with input, which is what sizes hash tables, shuffle
+partitions, and dedup state at 100 TB. This module materializes a
+10×-sf0.1 ("sf1") fixture whose key spaces genuinely grow:
+
+- relational tables: every key column is remapped ``key*REP + r`` per
+  replica ``r`` — 10× distinct orders/parts/suppliers with referential
+  integrity preserved (lineitem, orders, supplier, part remap in
+  lockstep; nation/region are scale-invariant dimensions and copy
+  through).
+- documents: ``doc_id`` remaps the same way and the TEXT of replica
+  ``r`` is rotated through a bijective letter substitution
+  (``translate`` over the 10 highest-frequency English letters). A
+  bijection on characters is a bijection on tokens and on k-gram
+  shingles, so within-replica pairwise Jaccard/minhash structure —
+  including the fixture's planted near-dups — is preserved EXACTLY,
+  while replicas share (almost) no shingles with each other: the
+  corpus-wide shingle/segment space grows ~10× with no salt column.
+
+Generation is pure column arithmetic on the driver fixture (no RNG, no
+timestamps), so the output is bit-stable across runs; a ``_BENCH_OK``
+sentinel makes the cache idempotent. ~15 MB in, ~150 MB out, seconds to
+build — per-round bench runs reuse the cache.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REP = 10
+
+# the 10 most frequent English letters; replica r maps letter i to
+# letter (i + r) mod 10 — r=0 is the identity, so replica 0 IS sf0.1
+_ROT_SRC = "etaonisrhl"
+
+_KEY_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+}
+
+
+# Output files per table. The sf0.1 inputs are single small files, so
+# an explode-and-write would produce ONE output file with ONE giant row
+# group — and parquet scans parallelize by row group, so every sf1
+# read would be effectively single-threaded no matter how many splits
+# the scheduler cuts (observed: 18 of 19 q1 scan tasks empty, 14s
+# single-task decode). Repartitioning before write yields _N_FILES row
+# groups → full scan parallelism, the layout a real 100 TB table has.
+_N_FILES = 32
+
+
+def _replicate(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """rep× the rows, remapping every key column into a replica-disjoint
+    range. Explode of a 10-element literal array — map-only until the
+    final round-robin repartition that sets the output file count."""
+    out = df.select(
+        F.explode(F.array(*[F.lit(r) for r in range(REP)])).alias("_r"), "*"
+    )
+    for c in key_cols:
+        out = out.withColumn(c, F.col(c) * REP + F.col("_r"))
+    return out.repartition(_N_FILES)
+
+
+def _rotated_text(r_col, text_col):
+    """Apply the replica-indexed letter rotation. Built as a CASE over
+    the REP literal translate() variants: translate's mapping argument
+    must be foldable, and a 10-arm CASE on a tiny int is codegen-friendly."""
+    expr = None
+    for r in range(REP):
+        rot = _ROT_SRC[r:] + _ROT_SRC[:r]
+        branch = F.translate(text_col, _ROT_SRC, rot)
+        expr = (
+            F.when(r_col == r, branch)
+            if expr is None
+            else expr.when(r_col == r, branch)
+        )
+    return expr
+
+
+def ensure_sf1(spark: SparkSession, sf01_dir: str, out_dir: str) -> None:
+    """Materialize the sf1 fixture under out_dir if not already cached."""
+    sentinel = os.path.join(out_dir, "_BENCH_OK")
+    if os.path.exists(sentinel):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+
+    for name, keys in _KEY_COLS.items():
+        df = spark.read.parquet(f"{sf01_dir}/{name}.parquet")
+        _replicate(df, keys).drop("_r").write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+
+    for name in ("nation", "region"):
+        spark.read.parquet(f"{sf01_dir}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    rep_docs = _replicate(docs, ["doc_id"])
+    rep_docs = rep_docs.select(
+        "doc_id",
+        F.concat_ws("#", "source", F.col("_r").cast("string")).alias(
+            "source"
+        ),
+        *[c for c in docs.columns if c not in ("doc_id", "source", "text")],
+        _rotated_text(F.col("_r"), F.col("text")).alias("text"),
+    )
+    rep_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    with open(sentinel, "w") as f:
+        f.write("ok\n")

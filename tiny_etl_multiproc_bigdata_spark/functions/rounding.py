@@ -29,3 +29,24 @@ def round_half_up(col: Column, scale: int) -> Column:
 def duck_round(expr: str, scale: int) -> str:
     s = 10**scale
     return f"(floor(({expr}) * {s} + 0.5) / {s})"
+
+
+def exact_round(col: Column, scale: int = 0) -> Column:
+    """Built-in round() for operands EXACT at the rounded scale — a
+    representation normalization, not a float rounding decision.
+
+    Safe iff the operand is the double image of a decimal with ≤
+    ``scale`` fractional digits (cent-exact money columns, integer
+    quantities, DECIMAL(p,≤scale) partial sums cast to double below
+    2^53/10^scale). Such a double sits within ~1 ULP of k·10^-scale
+    while the nearest rounding boundary is 0.5·10^-scale away — ~10
+    orders of magnitude of margin — so Spark's BigDecimal HALF_UP and
+    DuckDB's libm round() cannot disagree. Computed ratios, averages,
+    percentiles, or raw float32 readings do NOT qualify: use
+    ``round_half_up`` + ``duck_round`` for those (see module header).
+
+    Calling this instead of F.round is the declaration that the
+    exactness argument above has been checked for the operand;
+    tests/test_rounding_lint.py rejects bare F.round in plan code so
+    the declaration can't be skipped silently (VERDICT r06 item 4)."""
+    return F.round(col, scale)

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
-from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+    duck_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -147,7 +151,7 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (DuckDB's min_by can't order by a struct)."""
     o = table(spark, sf_dir, "orders")
     key = (
-        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000)
+        exact_round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000)
         + F.col("o_orderkey")
     )
     return o.groupBy("o_orderstatus").agg(
@@ -205,7 +209,7 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("retailprice"),
         )
         .unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
-        .select("p_partkey", "measure", F.round("value", 4).alias("value"))
+        .select("p_partkey", "measure", exact_round("value", 4).alias("value"))
     )
 
 
@@ -338,26 +342,29 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_functions",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
-           round(list_max(embedding::DOUBLE[]), 4)                    AS max_component,
-           round(list_min(embedding::DOUBLE[]), 4)                    AS min_component,
-           len(list_filter(embedding::DOUBLE[], x -> x > 0))          AS n_positive,
-           round(embedding[1]::DOUBLE, 4)                             AS first_component
+           {duck_round("list_max(embedding::DOUBLE[])", 4)}  AS max_component,
+           {duck_round("list_min(embedding::DOUBLE[])", 4)}  AS min_component,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive,
+           {duck_round("embedding[1]::DOUBLE", 4)}           AS first_component
     FROM embeddings WHERE vec_id < 100
     """,
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding column: min/max,
-    lambda filter, positional access — all JVM-side."""
+    lambda filter, positional access — all JVM-side. Components are
+    arbitrary float32 (not exact at scale 4), so rounding uses the
+    engine-portable half-up formula, not built-in round() — the r07
+    rounding-sweep convention (functions/rounding.py)."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     emb = F.transform("embedding", lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.round(F.array_max(emb), 4).alias("max_component"),
-        F.round(F.array_min(emb), 4).alias("min_component"),
+        round_half_up(F.array_max(emb), 4).alias("max_component"),
+        round_half_up(F.array_min(emb), 4).alias("min_component"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
-        F.round(F.element_at(emb, 1), 4).alias("first_component"),
+        round_half_up(F.element_at(emb, 1), 4).alias("first_component"),
     )
 
 

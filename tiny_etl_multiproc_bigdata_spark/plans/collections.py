@@ -7,6 +7,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    duck_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -39,23 +43,25 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "posexplode_embedding",
-    oracle="""
+    oracle=f"""
     SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
-           round(embedding[i]::DOUBLE, 4) AS component
+           {duck_round("embedding[i]::DOUBLE", 4)} AS component
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
     WHERE vec_id < 20
     """,
 )
 def posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode: array → (position, value) rows — the wide→long
-    primitive for vector columns."""
+    primitive for vector columns. Components are arbitrary float32 (not
+    exact at scale 4), so rounding uses the engine-portable half-up
+    formula (functions/rounding.py), not built-in round()."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
     return e.select(
         "vec_id", F.posexplode(F.col("embedding"))
     ).select(
         "vec_id",
         F.col("pos").cast("int").alias("pos"),
-        F.round(F.col("col").cast("double"), 4).alias("component"),
+        round_half_up(F.col("col").cast("double"), 4).alias("component"),
     )
 
 

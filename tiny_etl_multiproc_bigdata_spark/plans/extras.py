@@ -9,6 +9,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -30,7 +33,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
         F.count_if(F.col("l_discount") == 0).alias("n_undiscounted"),
-        F.round(
+        exact_round(
             F.sum(
                 F.when(
                     F.col("l_tax") > 0.05,
@@ -110,12 +113,12 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     the safe union for evolving pipelines."""
     c = table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"),
-        F.round("c_acctbal", 2).alias("acctbal"),
+        exact_round("c_acctbal", 2).alias("acctbal"),
         F.lit("customer").alias("kind"),
     )
     s = table(spark, sf_dir, "supplier").select(
         F.lit("supplier").alias("kind"),  # different column order on purpose
-        F.round("s_acctbal", 2).alias("acctbal"),
+        exact_round("s_acctbal", 2).alias("acctbal"),
         F.col("s_nationkey").alias("nationkey"),
     )
     return c.unionByName(s).select("nationkey", "acctbal", "kind")
@@ -141,7 +144,7 @@ def null_handling_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("with_default"),
         F.nullif(F.col("event_type"), F.lit("error")).alias("non_error_type"),
         F.when(F.col("value").isNull(), F.lit(-1.0))
-        .otherwise(F.round("value", 2))
+        .otherwise(exact_round("value", 2))
         .alias("value_or_flag"),
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
     )

@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -63,7 +66,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("n"),
-        F.round(F.max("o_totalprice"), 2).alias("mx"),
+        exact_round(F.max("o_totalprice"), 2).alias("mx"),
     )
     m = F.create_map(
         F.lit("n_orders"), F.col("n"), F.lit("max_price"), F.col("mx")

@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
-from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -179,9 +182,11 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     return assigned.groupBy("cell").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.sum(F.col("dist").cast("decimal(30,8)")).cast("double"), 2).alias(
-            "inertia"
-        ),
+        # scale-8 sum rounded at 2 is NOT exact-at-scale — half-up
+        # formula (rows-only entry, but the helper contract holds)
+        round_half_up(
+            F.sum(F.col("dist").cast("decimal(30,8)")).cast("double"), 2
+        ).alias("inertia"),
     )
 
 

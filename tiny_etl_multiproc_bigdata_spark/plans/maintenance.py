@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
-from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 # Inserted rows get keys shifted far past the fixture key range.
@@ -70,7 +73,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = o.filter(F.col("o_orderkey") % 7 == 3).select(
         (F.col("o_orderkey") + _NEW_KEY_OFFSET).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
-        F.round(total_dec.cast("double"), 2).alias("o_totalprice"),
+        exact_round(total_dec.cast("double"), 2).alias("o_totalprice"),
     )
     b = o.alias("b")
     u = updates.alias("u")
@@ -79,7 +82,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("b.o_orderkey").alias("o_orderkey"),
         F.coalesce("u.status", "b.o_orderstatus").alias("o_orderstatus"),
-        F.round(
+        exact_round(
             F.coalesce(F.col("u.total"), F.col("b.o_totalprice").cast("decimal(18,2)"))
             .cast("double"),
             2,

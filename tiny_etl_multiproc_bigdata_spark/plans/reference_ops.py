@@ -23,6 +23,9 @@ from tiny_etl_multiproc_bigdata_spark.functions.text import (
     truncate_str,
 )
 from tiny_etl_multiproc_bigdata_spark.functions.text import ARABIC_DIACRITICS
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 # --------------------------------------------------------------------------
@@ -243,7 +246,7 @@ def p9_filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     commons.py:8,45-46): predicate filter, pushed to the parquet scan."""
     li = table(spark, sf_dir, "lineitem")
     return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
-        "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("quantity")
+        "l_orderkey", "l_linenumber", exact_round("l_quantity", 2).alias("quantity")
     )
 
 

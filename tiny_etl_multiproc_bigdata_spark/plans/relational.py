@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
-from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -33,8 +36,13 @@ def _dec(col, scale: int = 2):
 
 
 def _money(col) -> F.Column:
-    """Exact decimal → double, rounded to cents."""
-    return F.round(col.cast("double"), 2)
+    """Exact decimal → double, rounded to cents — via the engine-
+    portable half-up formula, because _money also receives scale-4/6
+    product sums (price×(1−disc)[×(1+tax)]) whose exact value CAN land
+    on a …xx50 half boundary where built-in round() diverges between
+    engines (r07 rounding sweep; oracle twins use the same floor form,
+    which is value-identical for the exact-cent scale-2 inputs)."""
+    return round_half_up(col.cast("double"), 2)
 
 
 # --------------------------------------------------------------------------
@@ -45,13 +53,13 @@ def _money(col) -> F.Column:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2)      AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
-                          * CAST(1 - l_discount AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
-                          * CAST(1 - l_discount AS DECIMAL(30,2))
-                          * CAST(1 + l_tax AS DECIMAL(30,2))) AS DOUBLE), 2)      AS sum_charge,
+           (floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100)      AS sum_qty,
+           (floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100) AS sum_base_price,
+           (floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
+                           * CAST(1 - l_discount AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100) AS sum_disc_price,
+           (floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
+                           * CAST(1 - l_discount AS DECIMAL(30,2))
+                           * CAST(1 + l_tax AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100)      AS sum_charge,
            (floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) AS avg_qty,
            (floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) AS avg_price,
            (floor(CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) AS avg_disc,
@@ -111,7 +119,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_spent
+           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100) AS total_spent
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) > 12
@@ -134,7 +142,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty
+           (floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -182,7 +190,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_sum_over_distinct",
     oracle="""
-    SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_distinct_price
+    SELECT (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100) AS sum_distinct_price
     FROM (SELECT DISTINCT o_custkey, o_totalprice FROM orders)
     """,
 )
@@ -205,8 +213,8 @@ def agg_sum_over_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o.o_orderkey,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
-                          * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue,
+           (floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -242,8 +250,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
-                          * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue
+           (floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -498,7 +506,7 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .select("o_orderkey", exact_round("o_totalprice", 2).alias("totalprice"))
     )
 
 
@@ -512,7 +520,7 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS BIGINT)  AS order_year,
            CAST(month(o_orderdate) AS BIGINT) AS order_month,
            count(*) AS n,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total
+           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) / 100) AS total
     FROM orders
     GROUP BY 1, 2
     """,
@@ -573,9 +581,14 @@ def json_extract_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE template for both engines — the literal duplicated twice would be
 # a silent-drift hazard (a predicate edited in only one copy can stay
 # green at small sf while the oracle no longer describes the query).
+# Rounding: the price×discount sum is exact at scale 4, so rounding it
+# at 2 can land exactly on a half boundary (…xx50) where built-in
+# round() diverges between engines — half-up floor form on both sides
+# (r07 rounding sweep; portable SQL, valid in Spark SQL and DuckDB).
 _Q6_SQL = """
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+    SELECT (floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  * 100 + 0.5) / 100)
              AS revenue,
            count(*) AS n_lines
     FROM {tbl}
@@ -762,7 +775,7 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "rnk",
             "o_custkey",
-            F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+            exact_round(F.col("revenue").cast("double"), 2).alias("revenue"),
             round_half_up(
                 F.col("cum_revenue").cast("double") / F.col("t").cast("double"), 4
             ).alias("cum_share"),

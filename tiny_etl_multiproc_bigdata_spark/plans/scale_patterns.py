@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 _N_SALT = 16
@@ -141,7 +144,7 @@ def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2).alias(
+        exact_round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2).alias(
             "total"
         ),
     )

@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
-from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 # --------------------------------------------------------------------------
@@ -75,7 +78,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            exact_round("o_totalprice", 2).alias("totalprice"),
             "rn",
         )
     )

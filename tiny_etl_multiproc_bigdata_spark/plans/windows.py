@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
-from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+    round_half_up,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -48,7 +51,7 @@ def window_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            exact_round("o_totalprice", 2).alias("totalprice"),
             "rn",
         )
     )
@@ -99,7 +102,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
+        exact_round(
             F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"),
             2,
         ).alias("running_total"),
@@ -122,9 +125,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.round("value", 2).alias("value"),
-        F.round(F.lag("value").over(w), 2).alias("prev_value"),
-        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        exact_round("value", 2).alias("value"),
+        exact_round(F.lag("value").over(w), 2).alias("prev_value"),
+        exact_round(F.lead("value").over(w), 2).alias("next_value"),
     )
 
 
@@ -147,7 +150,7 @@ def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("bucket")
     return e.groupBy(bucket, "event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias(
+        exact_round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias(
             "sum_value"
         ),
     )
@@ -179,7 +182,7 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(w, "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(
+            exact_round(
                 F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
             ).alias("sum_value"),
         )

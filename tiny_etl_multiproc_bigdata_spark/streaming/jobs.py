@@ -23,6 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -98,7 +101,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(
+            exact_round(
                 F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
             ).alias("sum_value"),
         )
@@ -211,7 +214,7 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count("*").alias("n"),
-        F.round(
+        exact_round(
             F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
         ).alias("sum_value"),
     )

@@ -476,6 +476,163 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- planted near-duplicate recall (VERDICT r06 item 5) -----------------
+#
+# minhash_recall_eval measures LSH quality against exact Jaccard on the
+# ORGANIC corpus; nothing measured recall against KNOWN near-dups. This
+# entry plants them: every _PLANT_MOD-th sufficiently long document gets
+# a truncated copy (its first ~90% of characters) under a disjoint id
+# range, and the metric is the fraction of planted (original, copy)
+# pairs recovered by (a) the minhash-LSH candidate path at the same
+# n_match >= 4 threshold production uses and (b) C4-style segment
+# dedup (>= 1 shared _SEG-token segment hash). The planted copies mirror
+# the embeddings fixture's planted-pair design (FIXTURES.md): ground
+# truth is constructed, deterministic, and scale-invariant, so the
+# metric is comparable across sf fixtures.
+
+_PLANT_OFFSET = 10_000_000  # copy ids — disjoint from any fixture sf
+_PLANT_MOD = 5  # plant a copy for every 5th doc
+_PLANT_MIN_CHARS = 60  # too-short docs make degenerate prefixes
+
+
+def _neardup_eval_oracle() -> str:
+    corpus = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET},
+         substr(text, 1, CAST(floor(length(text) * 0.9) AS INT))
+  FROM documents
+  WHERE doc_id % {_PLANT_MOD} = 0 AND length(text) >= {_PLANT_MIN_CHARS}
+),"""
+    # the shared minhash CTE chain, re-rooted at the planted corpus
+    mh_ctes = (
+        _MINHASH_PAIR_CTES.lstrip()
+        .removeprefix("WITH")
+        .replace("FROM documents", "FROM corpus")
+    )
+    from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import _SEG
+
+    return (
+        corpus
+        + mh_ctes
+        + f""",
+planted AS (
+  SELECT doc_id AS orig, doc_id + {_PLANT_OFFSET} AS copy FROM documents
+  WHERE doc_id % {_PLANT_MOD} = 0 AND length(text) >= {_PLANT_MIN_CHARS}
+), pred AS (
+  SELECT doc_a, doc_b FROM mh WHERE n_match >= 4
+), segs AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' ')) AS h
+  FROM toks, unnest(range(0, CAST(ceil(len(l) / {_SEG}.0) AS BIGINT))) AS s(s)
+), m AS (
+  SELECT (SELECT count(*) FROM planted) AS n_planted,
+         (SELECT count(*) FROM planted p
+          JOIN pred q ON q.doc_a = p.orig AND q.doc_b = p.copy) AS mh_detected,
+         (SELECT count(*) FROM pred) AS mh_pairs_total,
+         (SELECT count(DISTINCT p.orig) FROM planted p
+          JOIN segs a ON a.doc_id = p.orig
+          JOIN segs b ON b.doc_id = p.copy AND b.h = a.h) AS seg_detected
+)
+SELECT CAST(n_planted AS BIGINT)     AS n_planted,
+       CAST(mh_detected AS BIGINT)   AS mh_detected,
+       (floor(CAST(mh_detected AS DOUBLE) / n_planted * 10000 + 0.5) / 10000)
+         AS mh_recall,
+       CAST(mh_pairs_total AS BIGINT) AS mh_pairs_total,
+       CAST(seg_detected AS BIGINT)  AS seg_detected,
+       (floor(CAST(seg_detected AS DOUBLE) / n_planted * 10000 + 0.5) / 10000)
+         AS seg_recall
+FROM m
+"""
+    )
+
+
+@register("text_neardup_recall_eval", oracle=_neardup_eval_oracle())
+def text_neardup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the two production text-dedup paths against PLANTED
+    near-duplicates (see the block comment above for the protocol).
+
+    100 TB shape: the planted corpus is 1.2x the input (map-only
+    union), the minhash path is the production candidate pipeline
+    unchanged, and the segment check is one equi-join on (segment
+    hash, doc id) — both metrics come from batch-sized probe joins
+    against corpus-sized state, never an all-pairs comparison."""
+    from tiny_etl_multiproc_bigdata_spark.plans.corpus_ops import (
+        segment_hash_structs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    plantable = (F.col("doc_id") % _PLANT_MOD == 0) & (
+        F.length("text") >= _PLANT_MIN_CHARS
+    )
+    copies = d.filter(plantable).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.col("text")
+        .substr(F.lit(1), F.floor(F.length("text") * 0.9).cast("int"))
+        .alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(copies)
+    planted = d.filter(plantable).select(
+        F.col("doc_id").alias("orig"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("copy"),
+    )
+    # pred feeds two metric subtrees (planted hit-join + total count)
+    # and the candidate pipeline behind it is the expensive part —
+    # materialize once (the shingle/signature checkpoint convention)
+    pred = (
+        minhash_pairs_from_docs(corpus)
+        .filter(F.col("n_match") >= 4)
+        .localCheckpoint(eager=True)
+    )
+    mh_det = planted.join(
+        pred,
+        (pred.doc_a == planted.orig) & (pred.doc_b == planted.copy),
+    )
+    # segment hashes feed both sides of the (orig, copy) equi-join
+    segs = (
+        corpus.select(
+            "doc_id", tokenize_words_nonempty("text").alias("l")
+        )
+        .select("doc_id", F.explode(segment_hash_structs()).alias("s"))
+        .select("doc_id", F.col("s.h").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seg_det = (
+        planted.join(
+            segs.select(F.col("doc_id").alias("orig"), "h"), "orig"
+        )
+        .join(
+            segs.select(F.col("doc_id").alias("copy"), F.col("h").alias("h2")),
+            "copy",
+        )
+        .filter(F.col("h") == F.col("h2"))
+        .select("orig")
+        .distinct()
+    )
+    # four 1-row scalar aggregates cross-joined — one job, nothing on
+    # the driver (the maintenance.py scalar-aggregate convention)
+    return (
+        planted.agg(F.count("*").cast("bigint").alias("n_planted"))
+        .crossJoin(mh_det.agg(F.count("*").cast("bigint").alias("mh_detected")))
+        .crossJoin(pred.agg(F.count("*").cast("bigint").alias("mh_pairs_total")))
+        .crossJoin(seg_det.agg(F.count("*").cast("bigint").alias("seg_detected")))
+        .select(
+            "n_planted",
+            "mh_detected",
+            round_half_up(
+                F.col("mh_detected").cast("double") / F.col("n_planted"), 4
+            ).alias("mh_recall"),
+            "mh_pairs_total",
+            "seg_detected",
+            round_half_up(
+                F.col("seg_detected").cast("double") / F.col("n_planted"), 4
+            ).alias("seg_recall"),
+        )
+    )
+
+
 _N_SIM_BITS = 32
 
 

@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "hits_hub_authority",
     "text_winnowing_fingerprint",
     # -- (c) new in r07 (appended as built) --
+    "text_neardup_recall_eval",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -122,6 +122,127 @@ def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_strip",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), t1 AS (
+      SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 1
+    ), g AS (
+      SELECT doc_id, l, n,
+             CASE WHEN n >= 3
+                  THEN list_transform(range(1, n - 1),
+                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                  ELSE [] END AS grams
+      FROM t1
+    ), d AS (
+      SELECT doc_id, l, n,
+             [false, false] || list_transform(range(1, len(grams) + 1),
+               i -> list_position(grams, grams[i]) < i) AS dpad
+      FROM g
+    ), r AS (
+      SELECT doc_id, l, n,
+             list_transform(range(1, n + 1),
+               j -> coalesce(dpad[j], false)
+                 OR coalesce(dpad[j+1], false)
+                 OR coalesce(dpad[j+2], false)) AS rem
+      FROM d
+    ), k AS (
+      SELECT doc_id, n,
+             list_filter(list_transform(range(1, n + 1),
+                           j -> CASE WHEN NOT rem[j] THEN l[j] END),
+                         x -> x IS NOT NULL) AS kept,
+             len(list_filter(rem, x -> x)) AS n_removed
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)         AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           (floor(CAST(n_removed AS DOUBLE) / n * 10000 + 0.5) / 10000)
+             AS frac_removed,
+           md5(array_to_string(kept, ' ')) AS kept_hash
+    FROM k
+    """,
+)
+def text_repetition_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition REMOVAL (the transform twin of
+    repetition_quality_flags, which only scores): every duplicate
+    trigram occurrence — a trigram whose first occurrence is at an
+    earlier position — has its 3-token span removed, and the entry
+    reports per-doc removal stats plus the md5 of the surviving token
+    stream (so the oracle pins the exact cleaned text, not just the
+    counts).
+
+    100 TB shape: map-only — all array HOFs over the row's own tokens,
+    zero shuffles, zero state. The in-row duplicate scan is
+    O(n_grams²) via first-occurrence position lookup, fine for
+    document-sized n; a page-length-unbounded corpus would swap the
+    lookup for a per-row hash map inside one mapInPandas pass, same
+    semantics. Both engines build identical [first-occurrence?] masks
+    with 1-based positions, pad them, and OR the three covering spans
+    per token — pure integer/string ops, hash-exact."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", _toks().alias("l")).where(F.size("l") >= 1)
+    n = F.size("l")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at("l", i),
+                F.try_element_at("l", i + 1),
+                F.try_element_at("l", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("doc_id", "l", n.alias("n"), grams.alias("grams"))
+    dup = F.when(
+        F.size("grams") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("grams"), F.lit(1))),
+            lambda i: F.array_position(
+                F.col("grams"), F.try_element_at("grams", i)
+            )
+            < i,
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+    dd = g.select(
+        "doc_id",
+        "l",
+        "n",
+        F.concat(F.array(F.lit(False), F.lit(False)), dup).alias("dpad"),
+    )
+    rem = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda j: F.coalesce(F.try_element_at("dpad", j), F.lit(False))
+        | F.coalesce(F.try_element_at("dpad", j + 1), F.lit(False))
+        | F.coalesce(F.try_element_at("dpad", j + 2), F.lit(False)),
+    )
+    r = dd.select("doc_id", "l", "n", rem.alias("rem"))
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda j: F.when(
+                ~F.coalesce(F.try_element_at("rem", j), F.lit(False)),
+                F.try_element_at("l", j),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_removed = F.size(F.filter("rem", lambda x: x))
+    return r.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        n_removed.cast("bigint").alias("n_removed"),
+        round_half_up(
+            n_removed.cast("double") / F.col("n").cast("double"), 4
+        ).alias("frac_removed"),
+        F.md5(F.array_join(kept, " ")).alias("kept_hash"),
+    )
+
+
+@register(
     "unigram_logprob_score",
     ulp_sensitive=True,
     oracle=rf"""

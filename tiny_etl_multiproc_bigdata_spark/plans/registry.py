@@ -105,6 +105,10 @@ _PRIORITY: tuple[str, ...] = (
     "text_winnowing_fingerprint",
     # -- (c) new in r07 (appended as built) --
     "text_neardup_recall_eval",
+    "text_repetition_strip",
+    "anomaly_rolling_zscore",
+    "mix_weights_temperature",
+    "asof_tolerance_join",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

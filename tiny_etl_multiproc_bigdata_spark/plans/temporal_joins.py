@@ -138,3 +138,73 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("tb") / 1_000_000) - F.floor(F.col("ta") / 1_000_000)
         ).cast("bigint").alias("gap_s"),
     )
+
+
+_ASOF_TOL_S = 3600  # max allowed staleness of the matched left row
+
+
+@register(
+    "asof_tolerance_join",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS t_us,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_us
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(floor((t_us - last_click_us) / 1000000) AS BIGINT)
+             AS secs_since_click,
+           (t_us - last_click_us) <= CAST({_ASOF_TOL_S * 1_000_000} AS BIGINT)
+             AS within_tolerance
+    FROM marked
+    WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness tolerance (pandas merge_asof's
+    ``tolerance=`` semantics): each purchase gets its most recent click,
+    and matches older than _ASOF_TOL_S are flagged out-of-tolerance —
+    the guard that stops an as-of join from silently attributing to
+    arbitrarily stale context. Same zero-join running-window shape as
+    asof_last_signup (one shuffle on user_id); the tolerance is a
+    map-side predicate on the matched timestamp delta, so it adds
+    nothing to the shuffle or state."""
+    e = table(spark, sf_dir, "events")
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    ).alias("t_us")
+    marked = e.select("user_id", "event_id", "event_type", t_us)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t_us"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("t_us"))
+    ).over(w)
+    return (
+        marked.withColumn("last_click_us", last_click)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.floor((F.col("t_us") - F.col("last_click_us")) / 1_000_000)
+            .cast("bigint")
+            .alias("secs_since_click"),
+            (
+                (F.col("t_us") - F.col("last_click_us"))
+                # constant folded in Python: 3600e6 overflows INT32 if
+                # built as an int-literal product inside the engine
+                <= F.lit(_ASOF_TOL_S * 1_000_000).cast("bigint")
+            ).alias("within_tolerance"),
+        )
+    )

@@ -1359,3 +1359,87 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("batch_id"),
     )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent (UnifiedLM / multilingual-mix style)
+
+
+@register(
+    "mix_weights_temperature",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH t AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> ''))) AS n_tokens
+      FROM documents GROUP BY source
+    ), q AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(power(n_tokens, {_MIX_ALPHA}) * 1000000 + 0.5)
+                  AS BIGINT) AS qt
+      FROM t
+    ), tot AS (
+      SELECT sum(n_tokens) AS tot_tokens, sum(qt) AS tot_q FROM q
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT)   AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           (floor(CAST(n_tokens AS DOUBLE) / tot_tokens * 1000000 + 0.5)
+            / 1000000) AS raw_share,
+           (floor(CAST(qt AS DOUBLE) / tot_q * 1000000 + 0.5)
+            / 1000000) AS temp_weight
+    FROM q, tot
+    """,
+)
+def mix_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights: w_s ∝ (token count)^α
+    with α = _MIX_ALPHA — the standard upsampling curve that flattens the
+    natural source distribution toward uniform (α→0) without discarding
+    head-source data (α=1 keeps raw proportions). The registry row per
+    source carries both the raw share and the temperature weight, so
+    the sampler downstream is a weighted draw against temp_weight.
+
+    Cross-engine exactness: power() is the one transcendental — its
+    result is quantized to integer micro-units per source BEFORE the
+    normalizing sum (ulp_sensitive), after which both shares are single
+    divisions of identical exact integers.
+
+    100 TB shape: one partial+final agg over the corpus keyed by source
+    (map-side combine does ~all the work; source cardinality is tiny),
+    then a 1-row broadcast of the totals — the same scalar-aggregate
+    crossJoin convention as the curation thresholds."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        tokenize_words_nonempty,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokenize_words_nonempty("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    q = agg.withColumn(
+        "qt",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))
+            * 1_000_000
+            + 0.5
+        ).cast("bigint"),
+    )
+    tot = q.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("qt").cast("bigint").alias("tot_q"),
+    )
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        round_half_up(
+            F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6
+        ).alias("raw_share"),
+        round_half_up(
+            F.col("qt").cast("double") / F.col("tot_q"), 6
+        ).alias("temp_weight"),
+    )

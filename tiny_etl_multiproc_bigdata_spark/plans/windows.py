@@ -628,3 +628,81 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("attributed_conversions"),
     )
+
+
+@register(
+    "anomaly_rolling_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             count(value) OVER win AS k,
+             CAST(sum(CAST(value AS DECIMAL(30,2))) OVER win AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(value AS DECIMAL(30,2))
+                      * CAST(value AS DECIMAL(30,2))) OVER win AS DOUBLE)
+               AS sxx
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT user_id, event_id, value, k,
+             CASE WHEN k >= 3 AND value IS NOT NULL
+                       AND (sxx - sx * sx / k) / (k - 1) > 0
+                  THEN (value - sx / k)
+                       / sqrt((sxx - sx * sx / k) / (k - 1)) END AS z
+      FROM w
+    )
+    SELECT user_id, event_id, value,
+           CAST(k AS BIGINT) AS n_baseline,
+           (floor(z * 10000 + 0.5) / 10000) AS zscore,
+           coalesce(abs(z) > 3, false) AS is_anomaly
+    FROM z
+    """,
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user: each event's value
+    against the mean/std of its previous ≤6 values (trailing frame
+    excludes the current row — the leak-free formulation). Rows with
+    under 3 baseline points, a null value, or zero variance get a null
+    score and are never flagged.
+
+    Cross-engine exactness: the window mean/variance come from exact
+    DECIMAL power sums cast to double (the agg_moment_stats recipe per
+    window frame), so both engines divide and sqrt the IDENTICAL
+    doubles — sqrt is correctly rounded under IEEE-754, the var>0
+    guard decides NaN cases identically, and the final score rounds
+    via the portable half-up form.
+
+    100 TB shape: one shuffle on user_id, per-partition sort, single
+    pass — the standard bounded-frame window; the 6-row frame keeps
+    state O(1) per row. The streaming twin would be
+    applyInPandasWithState over the same power sums."""
+    e = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(30,2)")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-6, -1)
+    )
+    w = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("value").over(win).alias("k"),
+        F.sum(dec).over(win).cast("double").alias("sx"),
+        F.sum(dec * dec).over(win).cast("double").alias("sxx"),
+    )
+    k, sx, sxx = F.col("k"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / k) / (k - F.lit(1))
+    z = F.when(
+        (k >= 3) & F.col("value").isNotNull() & (var > 0),
+        (F.col("value") - sx / k) / F.sqrt(var),
+    )
+    return w.select(
+        "user_id",
+        "event_id",
+        "value",
+        k.cast("bigint").alias("n_baseline"),
+        round_half_up(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )

@@ -149,3 +149,43 @@ def test_hll_sketch_merge_matches_exact_within_bound(spark):
         f"merged HLL estimate {rows_a['ALL']} vs exact {exact} "
         f"(rel err {rel_err:.4f})"
     )
+
+
+def test_ddsketch_relative_error_bound(spark):
+    """ddsketch_quantiles HAS a full value-hash oracle (deterministic
+    buckets), but the hash only proves both engines compute the same
+    sketch — this pins that the sketch approximates the TRUTH: each
+    quantile estimate must sit within the DDSketch relative-error
+    bound of the exact interpolated quantile (γ bound (γ−1)/(γ+1)
+    ≈ 1%, doubled to absorb the rank-interpolation difference between
+    bucket-cumulative and quantile_cont definitions)."""
+    from tiny_etl_multiproc_bigdata_spark.plans.advanced import (
+        _DD_GAMMA,
+        ddsketch_quantiles,
+    )
+
+    est = {
+        r["event_type"]: r
+        for r in ddsketch_quantiles(spark, SF01).collect()
+    }
+    exact = (
+        spark.read.parquet(f"{SF01}/events.parquet")
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("q50"),
+            F.percentile("value", F.lit(0.9)).alias("q90"),
+            F.percentile("value", F.lit(0.99)).alias("q99"),
+        )
+        .collect()
+    )
+    tol = 2 * (_DD_GAMMA - 1) / (_DD_GAMMA + 1)
+    assert est, "no sketch rows"
+    for row in exact:
+        e = est[row["event_type"]]
+        for q in ("q50", "q90", "q99"):
+            rel = abs(e[f"{q}_est"] - row[q]) / row[q]
+            assert rel <= tol, (
+                f"{row['event_type']} {q}: est {e[f'{q}_est']} vs exact "
+                f"{row[q]} (rel {rel:.4f} > {tol:.4f})"
+            )

@@ -615,3 +615,135 @@ def bitmap_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+_DD_GAMMA = 1.02  # DDSketch relative-accuracy parameter (~2%)
+_DD_OFF = 100_000  # positive shift for floor-division of negative log buckets
+
+
+@register(
+    "ddsketch_quantiles",
+    ulp_sensitive=True,
+    oracle=f"""
+    WITH pos AS (
+      SELECT event_type, value,
+             CAST(floor(ln(value) * 1000000 + 0.5) AS BIGINT) AS lq,
+             CAST(floor(ln({_DD_GAMMA}) * 1000000 + 0.5) AS BIGINT) AS g
+      FROM events WHERE value > 0
+    ), b AS (
+      SELECT event_type,
+             CAST(floor((lq + {_DD_OFF} * g) / g) AS BIGINT) - {_DD_OFF}
+               AS bucket
+      FROM pos
+    ), counts AS (
+      SELECT event_type, bucket, count(*) AS c
+      FROM b GROUP BY event_type, bucket
+    ), cum AS (
+      SELECT event_type, bucket, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bucket ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cc,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM counts
+    ), picks AS (
+      SELECT event_type, max(n) AS n,
+             min(CASE WHEN cc >= (n + 1) // 2 THEN bucket END)      AS b50,
+             min(CASE WHEN cc >= (9 * n + 9) // 10 THEN bucket END) AS b90,
+             min(CASE WHEN cc >= (99 * n + 99) // 100 THEN bucket END) AS b99
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT)   AS n,
+           CAST(b50 AS BIGINT) AS b50,
+           CAST(b90 AS BIGINT) AS b90,
+           CAST(b99 AS BIGINT) AS b99,
+           (floor(power({_DD_GAMMA}, b50 + 1) * 2 / (1 + {_DD_GAMMA}) * 10000
+                  + 0.5) / 10000) AS q50_est,
+           (floor(power({_DD_GAMMA}, b90 + 1) * 2 / (1 + {_DD_GAMMA}) * 10000
+                  + 0.5) / 10000) AS q90_est,
+           (floor(power({_DD_GAMMA}, b99 + 1) * 2 / (1 + {_DD_GAMMA}) * 10000
+                  + 0.5) / 10000) AS q99_est
+    FROM picks
+    """,
+)
+def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style relative-error quantiles (q50/q90/q99 per event
+    type): log-γ bucket counts with γ = 1.02, quantiles read off the
+    cumulative bucket histogram, per-bucket estimate 2γ^b/(1+γ) —
+    relative error ≤ (γ−1)/(γ+1) ≈ 1% by construction.
+
+    Unlike the t-digest entry (rows-only: its centroids are
+    merge-order-dependent), DDSketch buckets are DETERMINISTIC — so
+    this sketch carries a full value-hash oracle while still being
+    mergeable: bucket counts are plain partial sums, so per-partition
+    (or per-day) sketches re-aggregate by addition without re-scanning,
+    the property that makes it the production quantile sketch at
+    100 TB (one map-side-combined agg over ~500 buckets per group, a
+    tiny window over bucket counts, nothing driver-side).
+
+    Cross-engine exactness: ln(value) and ln(γ) are micro-quantized to
+    integers BEFORE the bucket division (ulp_sensitive); the division
+    runs on positive-shifted integers so floor() agrees across the
+    engines' truncate-vs-floor semantics; quantile thresholds
+    ceil(q·n) are pure integer arithmetic; the final γ^b estimate is
+    one power() per group-bucket, quantized by the portable floor
+    form."""
+    e = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    lq = F.floor(F.log(F.col("value")) * 1_000_000 + 0.5).cast("bigint")
+    g = F.floor(F.log(F.lit(float(_DD_GAMMA))) * 1_000_000 + 0.5).cast(
+        "bigint"
+    )
+    bucket = (
+        F.floor((lq + F.lit(_DD_OFF).cast("bigint") * g) / g)
+        .cast("bigint")
+        - F.lit(_DD_OFF)
+    ).alias("bucket")
+    counts = e.select("event_type", bucket).groupBy(
+        "event_type", "bucket"
+    ).agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    n = F.col("n")
+
+    def pick(thresh):
+        return F.min(F.when(F.col("cc") >= thresh, F.col("bucket")))
+
+    picks = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(F.floor((n + 1) / 2).cast("bigint")).alias("b50"),
+        pick(F.floor((9 * n + 9) / 10).cast("bigint")).alias("b90"),
+        pick(F.floor((99 * n + 99) / 100).cast("bigint")).alias("b99"),
+    )
+
+    def est(bcol):
+        # floor-convention bucket b covers [γ^b, γ^(b+1)) — the matching
+        # midpoint estimator is 2γ^(b+1)/(1+γ) (the ceil-convention
+        # DDSketch paper form shifted by one)
+        return F.floor(
+            F.pow(F.lit(float(_DD_GAMMA)), bcol + F.lit(1))
+            * 2
+            / (1 + _DD_GAMMA)
+            * 10_000
+            + 0.5
+        ) / 10_000
+
+    return picks.select(
+        "event_type",
+        "n",
+        F.col("b50").cast("bigint").alias("b50"),
+        F.col("b90").cast("bigint").alias("b90"),
+        F.col("b99").cast("bigint").alias("b99"),
+        est(F.col("b50")).alias("q50_est"),
+        est(F.col("b90")).alias("q90_est"),
+        est(F.col("b99")).alias("q99_est"),
+    )

@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "anomaly_rolling_zscore",
     "mix_weights_temperature",
     "asof_tolerance_join",
+    "ddsketch_quantiles",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

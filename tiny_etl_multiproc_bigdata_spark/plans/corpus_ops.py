@@ -791,9 +791,9 @@ _WIN_LEAST = "least(" + ", ".join(
 ) + ")"
 
 
-@register(
-    "text_winnowing_fingerprint",
-    oracle=rf"""
+# winnowing CTE chain through the selected-hash set `sel(doc_id, d)` —
+# shared by the fingerprint rollup entry and the near-dup pair join
+_WIN_CTES = rf"""
     WITH t AS (
       SELECT doc_id, lower(text) AS low FROM documents
       WHERE length(lower(text)) >= {_WIN_K + _WIN_W - 1}
@@ -812,7 +812,13 @@ _WIN_LEAST = "least(" + ", ".join(
                j -> {_WIN_LEAST}
              )) AS d
       FROM enc
-    ), ordered AS (
+    )"""
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=_WIN_CTES
+    + rf""", ordered AS (
       SELECT doc_id,
              list_sort(list_transform(
                d,
@@ -935,6 +941,15 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
         ).alias("s"),
     )
     if not rollup:
+        # materialization barrier BEFORE the explode: Generate(explode)
+        # makes InferFiltersFromGenerate inject a size(s)>0 filter, and
+        # CollapseProject inlines the WHOLE enc→sel→ordered HOF chain
+        # into that filter — with `e` re-derived inside every least()
+        # element access, i.e. O(n²·w) md5 evaluations per document
+        # (measured: 20 docs took 30s). The checkpoint pins `s` as data
+        # so the inferred filter tests a materialized array. The rollup
+        # branch needs no barrier — it never generates.
+        ordered = ordered.localCheckpoint(eager=True)
         return ordered.select(
             "doc_id", F.explode("s").alias("pf")
         ).select(
@@ -950,6 +965,71 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
                 F.transform(F.col("s"), lambda x: F.substring(x, 7, 32)), ""
             )
         ).alias("fingerprint"),
+    )
+
+
+_WIN_DF_CAP = 10  # drop fingerprints selected by more than this many docs
+_WIN_MIN_SHARED = 2  # pair threshold: >= this many shared fingerprints
+
+
+@register(
+    "winnowing_neardup_pairs",
+    oracle=_WIN_CTES
+    + f""", h AS (
+      SELECT DISTINCT doc_id, substr(u.x, 1, 32) AS kh
+      FROM sel, unnest(d) AS u(x)
+    ), keepable AS (
+      SELECT kh FROM h GROUP BY kh HAVING count(*) <= {_WIN_DF_CAP}
+    ), hp AS (
+      SELECT h.doc_id, h.kh FROM h JOIN keepable USING (kh)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM hp a JOIN hp b ON a.kh = b.kh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_fingerprints
+    FROM pairs WHERE shared >= {_WIN_MIN_SHARED}
+    """,
+)
+def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-form consumer of the winnowing fingerprints (MOSS's
+    actual detection step): candidate near-dup pairs = documents
+    sharing ≥ _WIN_MIN_SHARED selected k-gram hashes, after dropping ubiquitous
+    fingerprints (selected by > _WIN_DF_CAP docs). By the winnowing
+    guarantee, any shared substring of ≥ w+k−1 chars forces a shared
+    selected hash, so every substantial overlap surfaces here.
+
+    100 TB shape: the same blocked self-join discipline as the shingle
+    dedup family — postings shuffle once on the fingerprint hash, the
+    df-cap bounds every posting list (max pairs per fingerprint =
+    CAP²), and winnowing's 2/(w+1) selection density means postings
+    are ~(w+1)/2 ≈ 2.5× smaller than the full k-gram posting table the naive
+    approach would join."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.lower("text").alias("low")).where(
+        F.length("low") >= _WIN_K + _WIN_W - 1
+    )
+    h = (
+        winnow_fingerprints(base, rollup=False)
+        .select("doc_id", F.col("kgram_hash").alias("kh"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the df-cap AND both join sides
+    )
+    keepable = (
+        h.groupBy("kh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WIN_DF_CAP)
+        .select("kh")
+    )
+    hp = h.join(keepable, "kh")
+    a = hp.select(F.col("doc_id").alias("doc_a"), "kh")
+    b = hp.select(F.col("doc_id").alias("doc_b"), "kh")
+    return (
+        a.join(b, "kh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= _WIN_MIN_SHARED)
     )
 
 

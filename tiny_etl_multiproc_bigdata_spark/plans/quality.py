@@ -603,3 +603,112 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll_bits"),
         )
     )
+
+
+# tertile fractions as shared DECIMAL LITERALS: both engines parse the
+# same 16-digit string to the same double (the rfm_segmentation
+# convention — never compute 1/3 separately per engine)
+_CCNET_QS = ("0.3333333333333333", "0.6666666666666666")
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), cnts AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS n FROM cnts
+    ), lp AS (
+      SELECT tok,
+             CAST(floor(-log2(CAST(c AS DOUBLE) / n) * 1000000 + 0.5)
+                  AS BIGINT) AS nll_microbits
+      FROM cnts, tot
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(sum(lp.nll_microbits) // count(*) AS BIGINT)
+               AS ppl_microbits
+      FROM toks t JOIN lp ON t.tok = lp.tok
+      GROUP BY t.doc_id
+    ), thr AS (
+      SELECT list_transform(
+               quantile_cont(ppl_microbits, [{", ".join(_CCNET_QS)}]),
+               x -> floor(x * 10000 + 0.5) / 10000) AS q
+      FROM scored
+    ), bucketed AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN s.ppl_microbits <= q[1] THEN 'head'
+                  WHEN s.ppl_microbits <= q[2] THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s
+      JOIN documents d ON d.doc_id = s.doc_id, thr
+    )
+    SELECT lang, bucket,
+           count(*) AS n_docs
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning: score every document with
+    the corpus unigram LM (integer microbits per token, the
+    unigram_logprob_score machinery), then split the corpus into
+    head / middle / tail at the score tertiles — the classic
+    quality-stratification that lets a pretraining mix oversample the
+    head and drop or downweight the tail, reported per language.
+
+    The per-doc score is an INTEGER (microbit sum floor-divided by
+    token count — positive operands, so truncating and flooring
+    division agree across engines), and the tertile thresholds come
+    from the two-pass percentile-broadcast recipe (rfm_segmentation) —
+    no global sort of the scored corpus at any scale.
+
+    100 TB shape: vocab-sized count agg broadcast back for scoring
+    (the LM), one per-doc agg, a 2-value threshold broadcast, and a
+    tiny (lang × 3) final agg — every stage map-side combined."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    cnts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = cnts.agg(F.sum("c").alias("n"))
+    lp = cnts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            -F.log2(F.col("c").cast("double") / F.col("n")) * 1_000_000 + 0.5
+        )
+        .cast("bigint")
+        .alias("nll_microbits"),
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            # positive operands, so floor of the double ratio equals the
+            # oracle's integer floor-division (both < 2^53, ratio exact
+            # enough that floor can't straddle an integer boundary)
+            F.floor(
+                F.sum("nll_microbits").cast("double") / F.count("*")
+            )
+            .cast("bigint")
+            .alias("ppl_microbits")
+        )
+    )
+    thr = scored.agg(
+        F.expr(
+            f"transform(percentile(ppl_microbits,"
+            f" array({', '.join(_CCNET_QS)})),"
+            " x -> floor(x * 10000 + 0.5) / 10000)"
+        ).alias("q")
+    )
+    bucket = (
+        F.when(F.col("ppl_microbits") <= F.element_at("q", 1), "head")
+        .when(F.col("ppl_microbits") <= F.element_at("q", 2), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

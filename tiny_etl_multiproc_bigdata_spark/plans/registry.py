@@ -110,6 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "mix_weights_temperature",
     "asof_tolerance_join",
     "ddsketch_quantiles",
+    "ccnet_perplexity_buckets",
+    "winnowing_neardup_pairs",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "ddsketch_quantiles",
     "ccnet_perplexity_buckets",
     "winnowing_neardup_pairs",
+    "embedding_power_iteration",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

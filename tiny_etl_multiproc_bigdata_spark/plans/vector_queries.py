@@ -869,3 +869,154 @@ def _register_hybrid_search_rrf() -> None:
 
 
 _register_hybrid_search_rrf()
+
+
+# ---- PCA top component via fixed power iterations (r07) -----------------
+
+_PCA_ITERS = 2
+_PCA_SCALE = 1_000_000  # micro-unit quantization for components and v
+
+
+def _pca_oracle() -> str:
+    head = f"""
+    WITH q0 AS (
+      SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+             CAST(floor(embedding[i]::DOUBLE * {_PCA_SCALE} + 0.5)
+                  AS BIGINT) AS y0
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ), nn AS (
+      SELECT count(DISTINCT vec_id) AS n FROM q0
+    ), dimsum AS (
+      SELECT i, sum(y0) AS s FROM q0 GROUP BY i
+    ), y AS (
+      SELECT q0.vec_id, q0.i,
+             CAST(nn.n * q0.y0 - dimsum.s AS BIGINT) AS y
+      FROM q0, nn JOIN dimsum ON dimsum.i = q0.i
+    ), v0 AS (
+      SELECT i, CAST({_PCA_SCALE} AS BIGINT) AS v FROM dimsum
+    )"""
+    steps = []
+    for k in range(1, _PCA_ITERS + 1):
+        steps.append(
+            f""",
+    s{k} AS (
+      SELECT y.vec_id, sum(y.y * v.v) AS s
+      FROM y JOIN v{k - 1} v ON v.i = y.i
+      GROUP BY y.vec_id
+    ), w{k} AS (
+      SELECT y.i, sum(CAST(y.y AS HUGEINT) * CAST(s.s AS HUGEINT)) AS w
+      FROM y JOIN s{k} s ON s.vec_id = y.vec_id
+      GROUP BY y.i
+    ), m{k} AS (
+      SELECT max(abs(w)) AS m FROM w{k}
+    ), v{k} AS (
+      SELECT i,
+             CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                        * {_PCA_SCALE} + 0.5) AS BIGINT) AS v
+      FROM w{k}, m{k}
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT CAST(i - 1 AS BIGINT) AS pos, v AS component_micro
+    FROM v{_PCA_ITERS}"""
+    )
+
+
+@register("embedding_power_iteration", oracle=_pca_oracle(), ulp_sensitive=True)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration on the (implicit) embedding
+    covariance — _PCA_ITERS exact rounds of v ← Yᵀ(Y v), renormalized
+    to integer micro-units by the max component each round. Y is the
+    CENTERED matrix kept exactly integral without a division:
+    y = n·q − Σq per dimension (q = micro-quantized component), which
+    scales mean-centering by n and leaves eigen-directions unchanged.
+    The whole computation is ONE lazy plan — like kmeans_fixed_iters,
+    nothing collects to the driver.
+
+    This is the PCA/Lanczos BUILDING BLOCK, verified exactly — not a
+    converged PC1 on this fixture: convergence goes as (λ2/λ1)^k and
+    the synthetic embeddings are near-isotropic (λ1/λ2 ≈ 1.013
+    measured), so no practical k isolates PC1 here. On real embedding
+    matrices (λ1/λ2 typically ≥ 2) the same plan converges in a few
+    rounds; more components = deflate and repeat, or block/Lanczos
+    with the identical two-contraction round. The oracle (and a numpy
+    twin in tests/test_power_iteration.py) pins every round
+    bit-exactly, which is the hard part — iteration count is a knob.
+
+    Numerics: every matrix product runs in exact integer arithmetic —
+    y·v fits int64 (|y| ≤ ~6e9, |v| ≤ 1e6, 64 dims → ≤ 4e17), the
+    second contraction runs in DECIMAL(38,0) / HUGEINT (≤ ~1e31). The
+    ONE engine-divergence point is the per-round renormalization,
+    which casts the exact decimal w and max|w| to double before the
+    half-up floor — correctly-rounded casts on both engines, but a
+    ratio landing within 1 ULP of a 0.5-micro boundary could round to
+    adjacent integers (ulp_sensitive; same class as the log-quantized
+    entries). Sign is deterministic: v₀ = +1 and YᵀY is PSD.
+
+    100 TB shape: per iteration one broadcast of the 64-row v, a
+    map-side-combined per-row dot product, and a 64-group contraction
+    — two narrow shuffles per round, state is 64 integers. This is the
+    standard distributed power iteration (the building block under
+    PCA whitening of embedding spaces)."""
+    e = table(spark, sf_dir, "embeddings")
+    q0 = (
+        e.select("vec_id", F.posexplode("embedding"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("bigint").alias("i"),
+            F.floor(F.col("col").cast("double") * _PCA_SCALE + 0.5)
+            .cast("bigint")
+            .alias("y0"),
+        )
+    )
+    nn = q0.agg(F.count_distinct("vec_id").cast("bigint").alias("n"))
+    dimsum = q0.groupBy("i").agg(F.sum("y0").cast("bigint").alias("s"))
+    y = (
+        q0.join(F.broadcast(dimsum), "i")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "vec_id",
+            "i",
+            (F.col("n") * F.col("y0") - F.col("s")).cast("bigint").alias("y"),
+        )
+        # feeds both contractions of every iteration — materialize once
+        .localCheckpoint(eager=True)
+    )
+    v = dimsum.select(
+        "i", F.lit(_PCA_SCALE).cast("bigint").alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        s = (
+            y.join(F.broadcast(v), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("y") * F.col("v")).cast("bigint").alias("s"))
+        )
+        w = (
+            y.join(s, "vec_id")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("y").cast("decimal(19,0)")
+                    * F.col("s").cast("decimal(19,0)")
+                ).alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.floor(
+                F.col("w").cast("double")
+                / F.col("m").cast("double")
+                * _PCA_SCALE
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    return v.select(
+        (F.col("i") - 1).cast("bigint").alias("pos"),
+        F.col("v").alias("component_micro"),
+    )

@@ -113,6 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     "ccnet_perplexity_buckets",
     "winnowing_neardup_pairs",
     "embedding_power_iteration",
+    "jsonl_roundtrip_agg",
+    "bpe_merge_train_steps",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

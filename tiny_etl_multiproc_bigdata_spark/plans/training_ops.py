@@ -1443,3 +1443,167 @@ def mix_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qt").cast("double") / F.col("tot_q"), 6
         ).alias("temp_weight"),
     )
+
+
+# ---- BPE merge training, fixed steps (r07) ------------------------------
+#
+# bpe_pair_counts computes ONE round's pair statistics; this entry runs
+# the actual training loop: _BPE_STEPS rounds of (count adjacent pairs
+# corpus-wide → pick the top pair → rewrite every document merging it),
+# entirely as one lazy plan. The corpus rewrite is the interesting
+# part: left-to-right non-overlapping pair merging is sequential within
+# a document, which defeats array HOFs — but encoding the token array
+# as a \x01-delimited string with DOUBLED interior separators makes one
+# replace() call implement exactly the greedy merge on BOTH engines
+# (each occurrence's trailing separator is not consumed by the match,
+# so adjacent occurrences chain, while a==b self-overlaps are broken
+# greedily — verified by construction for [a,b,a,b] and [x,x,x]).
+# Token text is whitespace-tokenized lowercase alnum (fixture), so \x01
+# and the '+' merge marker cannot collide with input bytes; a corpus
+# with arbitrary bytes would hash tokens first (same plan).
+
+_BPE_STEPS = 3
+_BPE_SEP = "\x01"
+
+
+def _bpe_oracle() -> str:
+    sep = "chr(1)"
+    dd = f"{sep} || {sep}"
+    head = rf"""
+    WITH d0 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> t <> '') AS l
+      FROM documents
+    )"""
+    steps = []
+    for k in range(1, _BPE_STEPS + 1):
+        prev = f"d{k - 1}"
+        steps.append(
+            f""",
+    p{k} AS (
+      SELECT l[i.i] AS a, l[i.i + 1] AS b, count(*) AS c
+      FROM {prev}, unnest(range(1, len(l))) AS i(i)
+      GROUP BY 1, 2
+    ), t{k} AS (
+      SELECT a, b, c FROM p{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ), d{k} AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(
+                   replace({sep} || array_to_string(l, {dd}) || {sep},
+                           {sep} || t.a || {dd} || t.b || {sep},
+                           {sep} || t.a || '+' || t.b || {sep}),
+                   chr(1)),
+                 {dd}),
+               x -> x <> '') AS l
+      FROM {prev}, t{k} t
+    ), s{k} AS (
+      SELECT {k} AS step, a AS token_a, b AS token_b,
+             CAST(c AS BIGINT) AS pair_count,
+             (SELECT CAST(sum(len(l)) AS BIGINT) FROM d{k}) AS tokens_after
+      FROM t{k}
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + "\n    "
+        + " UNION ALL ".join(
+            f"SELECT * FROM s{k}" for k in range(1, _BPE_STEPS + 1)
+        )
+    )
+
+
+@register("bpe_merge_train_steps", oracle=_bpe_oracle())
+def bpe_merge_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training, _BPE_STEPS rounds (see the block comment
+    above for the string-algebra merge). Output: one row per learned
+    merge rule — (step, token_a, token_b, pair_count, tokens_after) —
+    ties on pair count broken lexicographically so the learned
+    vocabulary is deterministic.
+
+    100 TB shape per round: pair counts are a map-side-combined agg to
+    a vocabulary²-bounded table; the top-1 pick is a TakeOrdered over
+    that table (never the corpus); the rewrite is map-only string
+    algebra with the 2-value rule broadcast. The corpus is
+    re-materialized per round (localCheckpoint) — the same
+    corpus-rewrite cost real BPE trainers pay per merge, and the
+    reason production tokenizers train on a sampled subset or use
+    pair-count deltas; both fit this plan shape."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        tokenize_words_nonempty,
+    )
+
+    sep, dd = _BPE_SEP, _BPE_SEP + _BPE_SEP
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_words_nonempty("text").alias("l")
+    )
+    step_rows = []
+    for k in range(1, _BPE_STEPS + 1):
+        d = d.localCheckpoint(eager=True)
+        pairs = (
+            d.select(
+                F.explode(
+                    F.when(
+                        F.size("l") >= 2,
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(F.size("l") - 1, F.lit(1)),
+                            ),
+                            lambda i: F.struct(
+                                F.try_element_at("l", i).alias("a"),
+                                F.try_element_at("l", i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<a:string,b:string>>"
+                        )
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count("*").alias("c"))
+        )
+        # the 1-row rule feeds the rewrite AND the step report — pin it
+        # so the corpus-wide pair agg doesn't re-run per consumer
+        top = (
+            pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merged_str = F.replace(
+            F.concat(F.lit(sep), F.array_join("l", dd), F.lit(sep)),
+            F.concat(
+                F.lit(sep), F.col("a"), F.lit(dd), F.col("b"), F.lit(sep)
+            ),
+            F.concat(
+                F.lit(sep), F.col("a"), F.lit("+"), F.col("b"), F.lit(sep)
+            ),
+        )
+        d = d.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            F.filter(
+                F.split(F.btrim(merged_str, F.lit(sep)), dd),
+                lambda x: x != "",
+            ).alias("l"),
+        )
+        tokens_after = d.agg(
+            F.sum(F.size("l")).cast("bigint").alias("tokens_after")
+        )
+        step_rows.append(
+            top.crossJoin(F.broadcast(tokens_after)).select(
+                F.lit(k).cast("int").alias("step"),
+                F.col("a").alias("token_a"),
+                F.col("b").alias("token_b"),
+                F.col("c").cast("bigint").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+    out = step_rows[0]
+    for s in step_rows[1:]:
+        out = out.unionAll(s)
+    return out

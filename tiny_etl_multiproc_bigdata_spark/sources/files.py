@@ -227,6 +227,95 @@ def _register_orc_roundtrip() -> None:
 _register_orc_roundtrip()
 
 
+def _register_jsonl_roundtrip() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "jsonl_roundtrip_agg",
+        oracle=r"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               md5(string_agg(text_hash, '' ORDER BY doc_id ASC))
+                 AS corpus_hash
+        FROM (
+          SELECT doc_id, lang, md5(text) AS text_hash,
+                 len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 t -> t <> '')) AS n_toks
+          FROM documents
+        )
+        GROUP BY lang
+        """,
+    )
+    def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """JSON-lines source/sink roundtrip — the interchange format of
+        every pretraining corpus pipeline (one JSON doc per line, the
+        WebText/C4/RedPajama convention). The documents table stages
+        through .write.json + .read.json and the rolled-up per-language
+        aggregate INCLUDES an order-insensitive corpus hash (md5 of the
+        doc-id-ordered per-doc text md5s), so the oracle proves the
+        text survived JSON escaping byte-exactly — newlines, quotes,
+        unicode and all — not just that row counts match. Same staging
+        discipline as csv/orc_roundtrip_agg: fixed per-sf dir,
+        exclusive flock, eager localCheckpoint under the lock.
+
+        100 TB shape: JSONL is splittable by line, so the read stays
+        partition-parallel; schema is explicit on read (never
+        inferSchema over a corpus — that is a full extra scan)."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_jsonrt_{tag}")
+        data_dir = os.path.join(root, "data")
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                d.write.mode("overwrite").json(data_dir)
+                back = spark.read.schema(
+                    "doc_id bigint, lang string, text string"
+                ).json(data_dir).localCheckpoint(eager=True)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        from tiny_etl_multiproc_bigdata_spark.functions.text import (
+            tokenize_words_nonempty,
+        )
+
+        per_doc = back.select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("text_hash"),
+            F.size(tokenize_words_nonempty("text")).alias("n_toks"),
+        )
+        return per_doc.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("doc_id"), F.col("text_hash"))
+                            )
+                        ),
+                        lambda s: s["text_hash"],
+                    ),
+                    "",
+                )
+            ).alias("corpus_hash"),
+        )
+
+
+_register_jsonl_roundtrip()
+
+
 def _register_partitioned_roundtrip() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_power_iteration",
     "jsonl_roundtrip_agg",
     "bpe_merge_train_steps",
+    "pandas_api_groupby",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -450,3 +450,54 @@ def transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
     return base.transpose()
+
+
+@register(
+    "pandas_api_groupby",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           CAST(max(length(c_name)) AS BIGINT) AS max_name_len
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-on-Spark API surface (``pyspark.pandas``): the same
+    groupby-aggregate expressed with the pandas idiom — ``psdf.groupby
+    (...).agg(...)`` — and converted back with ``.to_spark()``. The
+    point of the entry: the pandas API is a FRONT-END over Catalyst
+    (every op here compiles to the same exchange/hash-agg plan as the
+    DataFrame form — nothing executes in driver pandas), so
+    pandas-fluent users get distributed execution with zero rewrite.
+    Money is pre-quantized to integer cents on the Spark side before
+    entering the pandas API, keeping the cross-engine sum exact.
+
+    100 TB caveat, documented: the pandas API's default index
+    (``attach_distributed_sequence``) can force an extra exchange —
+    this entry never materializes an index (groupby-agg only), which
+    is the scale-safe subset."""
+    import pyspark.pandas as ps
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        F.length("c_name").alias("name_len"),
+    )
+    psdf = c.pandas_api()
+    out = psdf.groupby("c_mktsegment").agg(
+        n_customers=("cents", "count"),
+        acctbal_cents=("cents", "sum"),
+        max_name_len=("name_len", "max"),
+    )
+    sdf = out.reset_index().to_spark()
+    return sdf.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("acctbal_cents").cast("bigint").alias("acctbal_cents"),
+        F.col("max_name_len").cast("bigint").alias("max_name_len"),
+    )

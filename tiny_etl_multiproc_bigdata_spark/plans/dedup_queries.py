@@ -589,11 +589,16 @@ def text_neardup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred,
         (pred.doc_a == planted.orig) & (pred.doc_b == planted.copy),
     )
-    # segment hashes feed both sides of the (orig, copy) equi-join
+    # segment hashes feed both sides of the (orig, copy) equi-join.
+    # size >= 1 guard (the dedup_corpus_segments convention): a
+    # zero-token doc would otherwise hit sequence(0,-1) DESCENDING in
+    # segment_hash_structs and emit an md5("") segment row the
+    # oracle's range(0, 0) never produces (r07 review finding)
     segs = (
         corpus.select(
             "doc_id", tokenize_words_nonempty("text").alias("l")
         )
+        .where(F.size("l") >= 1)
         .select("doc_id", F.explode(segment_hash_structs()).alias("s"))
         .select("doc_id", F.col("s.h").alias("h"))
         .distinct()

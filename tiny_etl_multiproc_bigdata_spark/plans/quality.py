@@ -242,10 +242,11 @@ def text_repetition_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "unigram_logprob_score",
-    ulp_sensitive=True,
-    oracle=rf"""
+# corpus unigram-LM CTE chain through lp(tok, nll_microbits) — ONE
+# source of truth for unigram_logprob_score and ccnet_perplexity_buckets
+# (r07 review: the chain was duplicated in both entries' plans AND
+# oracles; a fix applied to one copy would silently desynchronize them)
+_DUCK_LM_CTES = rf"""
     WITH toks AS (
       SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
     ), cnts AS (
@@ -257,7 +258,33 @@ def text_repetition_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(-log2(CAST(c AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT)
                AS nll_microbits
       FROM cnts, tot
+    )"""
+
+
+def _unigram_lm_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, tok, nll_microbits) stream: corpus token counts →
+    vocab-sized NLL table (micro-quantized BEFORE any per-doc sum) →
+    broadcast back onto the token stream. The engine twin of
+    _DUCK_LM_CTES."""
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    cnts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = cnts.agg(F.sum("c").alias("n"))
+    lp = cnts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            -F.log2(F.col("c").cast("double") / F.col("n")) * 1_000_000 + 0.5
+        )
+        .cast("bigint")
+        .alias("nll_microbits"),
     )
+    return toks.join(F.broadcast(lp), "tok")
+
+
+@register(
+    "unigram_logprob_score",
+    ulp_sensitive=True,
+    oracle=_DUCK_LM_CTES
+    + rf"""
     SELECT t.doc_id,
            count(*) AS n_tokens,
            (floor(CAST(sum(lp.nll_microbits) AS DOUBLE) / count(*)
@@ -287,19 +314,8 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-microbit (1e-6 bits/token) tolerance rather than chasing libm —
     the quantization exists to bound exactly this class of drift."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
-    cnts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    tot = cnts.agg(F.sum("c").alias("n"))
-    lp = cnts.crossJoin(F.broadcast(tot)).select(
-        "tok",
-        F.floor(
-            -F.log2(F.col("c").cast("double") / F.col("n")) * 1_000_000 + 0.5
-        )
-        .cast("bigint")
-        .alias("nll_microbits"),
-    )
     return (
-        toks.join(F.broadcast(lp), "tok")
+        _unigram_lm_scored(d)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -614,19 +630,8 @@ _CCNET_QS = ("0.3333333333333333", "0.6666666666666666")
 @register(
     "ccnet_perplexity_buckets",
     ulp_sensitive=True,
-    oracle=rf"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
-    ), cnts AS (
-      SELECT tok, count(*) AS c FROM toks GROUP BY tok
-    ), tot AS (
-      SELECT sum(c) AS n FROM cnts
-    ), lp AS (
-      SELECT tok,
-             CAST(floor(-log2(CAST(c AS DOUBLE) / n) * 1000000 + 0.5)
-                  AS BIGINT) AS nll_microbits
-      FROM cnts, tot
-    ), scored AS (
+    oracle=_DUCK_LM_CTES
+    + rf""", scored AS (
       SELECT t.doc_id,
              CAST(sum(lp.nll_microbits) // count(*) AS BIGINT)
                AS ppl_microbits
@@ -668,19 +673,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the LM), one per-doc agg, a 2-value threshold broadcast, and a
     tiny (lang × 3) final agg — every stage map-side combined."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
-    cnts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    tot = cnts.agg(F.sum("c").alias("n"))
-    lp = cnts.crossJoin(F.broadcast(tot)).select(
-        "tok",
-        F.floor(
-            -F.log2(F.col("c").cast("double") / F.col("n")) * 1_000_000 + 0.5
-        )
-        .cast("bigint")
-        .alias("nll_microbits"),
-    )
     scored = (
-        toks.join(F.broadcast(lp), "tok")
+        _unigram_lm_scored(d)
         .groupBy("doc_id")
         .agg(
             # positive operands, so floor of the double ratio equals the

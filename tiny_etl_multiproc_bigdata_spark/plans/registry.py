@@ -103,6 +103,19 @@ _PRIORITY: tuple[str, ...] = (
     "sssp_bellman_ford",
     "hits_hub_authority",
     "text_winnowing_fingerprint",
+    # rounding-sweep value changes (half-up floor form on both engines;
+    # re-queued per the changed-code hygiene even though local sweeps
+    # passed at sf0.01 AND sf0.1 post-change)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "sql_q6_forecast",
+    "agg_having",
+    "agg_rollup",
+    "agg_sum_over_distinct",
+    "date_functions",
+    "array_functions",
+    "posexplode_embedding",
     # -- (c) new in r07 (appended as built) --
     "text_neardup_recall_eval",
     "text_repetition_strip",

@@ -57,3 +57,103 @@ def test_streaming_dedup(spark, sf_dir):
     )
     assert out.count() == n_keys
     assert out.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_streaming_anomaly_zscore_tail_carries_across_batches(spark, tmp_path):
+    """Two-micro-batch replay: the events fixture is split at its median
+    timestamp into two files streamed with maxFilesPerTrigger=1, so the
+    second batch's early rows can only score correctly if the <=6-value
+    tail really carried through the state store. The union of the two
+    update emissions must equal the batch window plan row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+    from tiny_etl_multiproc_bigdata_spark.plans.windows import (
+        anomaly_rolling_zscore,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")
+    ).collect()[0]["m"]
+    stage = str(tmp_path / "events_split")
+    os.makedirs(stage, exist_ok=True)
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage + "/f1.dir")
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage + "/f2.dir")
+    # one file per batch, mtime order = time order
+    import glob
+    import shutil
+    import time
+
+    f1 = glob.glob(stage + "/f1.dir/part-*.parquet")[0]
+    f2 = glob.glob(stage + "/f2.dir/part-*.parquet")[0]
+    shutil.copy(f1, stage + "/a_early.parquet")
+    shutil.copy(f2, stage + "/b_late.parquet")
+    now = time.time()
+    os.utime(stage + "/a_early.parquet", (now - 100, now - 100))
+    os.utime(stage + "/b_late.parquet", (now, now))
+    shutil.rmtree(stage + "/f1.dir")
+    shutil.rmtree(stage + "/f2.dir")
+
+    # run the registry entry against the split dir: _events_stream
+    # reads pathGlobFilter="events.parquet", so drive the same scoring
+    # via a locally-built stream over the split files instead
+    import tiny_etl_multiproc_bigdata_spark.operators.grouped_pandas as gp
+
+    schema = spark.read.parquet(stage).schema
+    orig = gp.__dict__  # noqa: F841  (documentation: uses same module fn)
+    from pyspark.sql.streaming.state import GroupState  # noqa: F401
+
+    # reuse the registered callable but with a monkeypatched source:
+    # simplest faithful route — run the registered entry code path by
+    # temporarily pointing _events_stream at the split directory
+    import tiny_etl_multiproc_bigdata_spark.streaming.jobs as jobs
+
+    real_stream = jobs._events_stream
+
+    def split_stream(spark_, _sf_dir):
+        from pyspark.sql.types import LongType, TimestampType
+
+        raw = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        # same ts normalization as the real _events_stream: watermarks
+        # need TIMESTAMP (with local tz)
+        if isinstance(schema["ts"].dataType, LongType):
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if isinstance(schema["ts"].dataType, TimestampType):
+            return raw
+        epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
+            "bigint"
+        ) + F.date_format("ts", "SSSSSS").cast("bigint")
+        return raw.withColumn("ts", F.timestamp_micros(epoch_us))
+
+    jobs._events_stream = split_stream
+    try:
+        got = (
+            REGISTRY["streaming_anomaly_zscore"]
+            .fn(spark, sf_dir)
+            .collect()
+        )
+    finally:
+        jobs._events_stream = real_stream
+
+    want = anomaly_rolling_zscore(spark, sf_dir).collect()
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    got_m = {key(r): (r["n_baseline"], r["zscore"], r["is_anomaly"]) for r in got}
+    want_m = {key(r): (r["n_baseline"], r["zscore"], r["is_anomaly"]) for r in want}
+    assert len(got_m) == len(want_m) == len(want)
+    assert got_m == want_m

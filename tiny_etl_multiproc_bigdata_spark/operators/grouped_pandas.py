@@ -362,3 +362,133 @@ def cogroup_asof_from(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
             "secs_since_click long",
         )
     )
+
+
+def _register_streaming_anomaly_zscore() -> None:
+    # import-order guard: reuse the batch twin's oracle verbatim — the
+    # two entries MUST stay value-identical (same trailing-6 frame,
+    # same power-sum double arithmetic, same rounding)
+    from tiny_etl_multiproc_bigdata_spark.plans import windows  # noqa: F401
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    zscore_oracle = REGISTRY["anomaly_rolling_zscore"].oracle
+
+    @register("streaming_anomaly_zscore", oracle=zscore_oracle)
+    def streaming_anomaly_zscore(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Stateful-streaming twin of anomaly_rolling_zscore via
+        applyInPandasWithState: per user, each event is scored against
+        the mean/std of its previous ≤6 values, with the ≤6-element
+        value tail carried in the state store so a later micro-batch
+        continues the trailing window exactly where the previous one
+        ended (the state is the window, nothing else). Bounded
+        availableNow replay in one batch ⇒ output equals the batch
+        window plan, so this STATEFUL entry carries the full
+        value-hash oracle — shared verbatim with the batch twin.
+
+        Exactness: values quantize to integer cents (half away from
+        zero, the DECIMAL(30,2) cast), trailing sums are integer, and
+        the mean/var/sqrt run in IEEE doubles identical to both
+        engines' arithmetic; NaN/short/zero-variance cases emit SQL
+        NULL via a nullable Float64 extension array (plain float64
+        NaN would reach Spark as NaN, not NULL)."""
+        import numpy as np
+
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+
+        from tiny_etl_multiproc_bigdata_spark.streaming.jobs import (
+            _events_stream,
+            _run_to_memory,
+        )
+
+        _WIN = 6
+
+        def score(key, pdf_iter, state: GroupState):
+            # state: the ≤6 most recent cent values, nulls as the
+            # int64-min sentinel (state arrays can't hold SQL NULLs)
+            SENT = -(2**63)
+            tail = list(state.get[0]) if state.exists else []
+            frames = []
+            for pdf in pdf_iter:
+                frames.append(pdf)
+            pdf = pd.concat(frames).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            v = pdf["value"].to_numpy(dtype="float64")
+            valid = ~np.isnan(v)
+            cents = np.where(
+                valid, np.sign(v) * np.floor(np.abs(v) * 100 + 0.5), 0
+            ).astype("int64")
+            # prepend the carried tail
+            t_c = np.array(
+                [0 if t == SENT else t for t in tail], dtype="int64"
+            )
+            t_v = np.array([t != SENT for t in tail], dtype=bool)
+            c_all = np.concatenate([t_c, cents])
+            m_all = np.concatenate([t_v, valid])
+            off = len(tail)
+            n = len(v)
+            zs = np.full(n, np.nan)
+            ks = np.zeros(n, dtype="int64")
+            for j in range(n):
+                lo = max(0, off + j - _WIN)
+                w_c = c_all[lo : off + j]
+                w_m = m_all[lo : off + j]
+                k = int(w_m.sum())
+                ks[j] = k
+                if k >= 3 and valid[j]:
+                    S = int(w_c[w_m].sum())
+                    T = int((w_c[w_m].astype(object) ** 2).sum())
+                    sx = float(S) / 100.0
+                    sxx = float(T) / 10000.0
+                    var = (sxx - sx * sx / k) / (k - 1)
+                    if var > 0:
+                        zs[j] = (v[j] - sx / k) / np.sqrt(var)
+            new_tail = [
+                int(c_all[i]) if m_all[i] else SENT
+                for i in range(max(0, off + n - _WIN), off + n)
+            ]
+            state.update((new_tail,))
+            z_round = np.floor(zs * 10000 + 0.5) / 10000
+            zcol = pd.array(
+                [None if np.isnan(z) else z for z in z_round],
+                dtype="Float64",
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "value": pdf["value"].to_numpy(),
+                    "n_baseline": ks,
+                    "zscore": zcol,
+                    "is_anomaly": [
+                        (not np.isnan(z)) and abs(z) > 3 for z in zs
+                    ],
+                }
+            )
+
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id", "event_id", "value", "ts"
+        )
+        out = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                score,
+                outputStructType=(
+                    "user_id long, event_id long, value double, "
+                    "n_baseline long, zscore double, is_anomaly boolean"
+                ),
+                stateStructType="tail array<long>",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        return _run_to_memory(out, spark, "stream_anomaly_zscore", "update")
+
+
+_register_streaming_anomaly_zscore()

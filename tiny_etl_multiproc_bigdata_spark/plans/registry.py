@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "jsonl_roundtrip_agg",
     "bpe_merge_train_steps",
     "pandas_api_groupby",
+    "streaming_anomaly_zscore",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

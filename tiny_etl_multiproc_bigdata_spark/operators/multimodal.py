@@ -183,3 +183,142 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(sample_batches, FRAME_SCHEMA)
+
+
+_N_FEATURES = 8
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features_csv", StringType()),
+        StructField("feat_l1", LongType()),
+    ]
+)
+
+
+def _duck_feat(i: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(text || '|f{i}'), 1, 15)) AS BIGINT)"
+        f" % 2001 - 1000)"
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+    SELECT doc_id,
+           {" || ',' || ".join(f"CAST({_duck_feat(i)} AS VARCHAR)" for i in range(_N_FEATURES))}
+             AS features_csv,
+           CAST({" + ".join(f"abs({_duck_feat(i)})" for i in range(_N_FEATURES))}
+                AS BIGINT) AS feat_l1
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: every binary payload maps to a
+    fixed-width embedding through Arrow-batched mapInPandas — the
+    CLIP/encoder slot of a multimodal curation pipeline. The extractor
+    here is a deterministic md5-derived fake (component i =
+    md5(payload||'|f'||i) reduced to a small signed int), which keeps
+    the whole path — batch shape, schema, partition parallelism — real
+    AND value-hash-verifiable cross-engine; a real encoder swaps into
+    the same batch function with the feature array written as
+    list<float> instead. Features are emitted comma-joined (the
+    agg_collect_set convention: the verifier's canonicalizer can't
+    hash list cells) plus an integer L1 norm.
+
+    100 TB shape: map-only Arrow batches; at real scale the batch
+    function holds the model and `maxRecordsPerBatch` bounds activation
+    memory — the plumbing is identical."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # local closure: pickled by value, workers don't need the package
+        import hashlib
+
+        import pandas as _pd
+
+        def feats(payload: bytes) -> list[int]:
+            out = []
+            for i in range(8):
+                h = hashlib.md5(payload + f"|f{i}".encode()).hexdigest()
+                out.append(int(h[:15], 16) % 2001 - 1000)
+            return out
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features_csv": [
+                        ",".join(str(x) for x in r) for r in rows
+                    ],
+                    "feat_l1": [sum(abs(x) for x in r) for r in rows],
+                }
+            )
+
+    return payloads.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+_RESIZE_TARGET = 224
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle=f"""
+    SELECT doc_id,
+           w, h,
+           CAST(greatest(w * s // 1000000, 1) AS BIGINT) AS target_w,
+           CAST(greatest(h * s // 1000000, 1) AS BIGINT) AS target_h,
+           CAST(greatest(w * s // 1000000, 1)
+                * greatest(h * s // 1000000, 1) * 3 AS BIGINT)
+             AS rgb_bytes
+    FROM (
+      SELECT doc_id, w, h,
+             least({_RESIZE_TARGET} * 1000000 // w,
+                   {_RESIZE_TARGET} * 1000000 // h) AS s
+      FROM (
+        SELECT doc_id,
+               greatest(octet_length(encode(text)) % 640, 1) AS w,
+               greatest(octet_length(encode(text)) % 480, 1) AS h
+        FROM documents
+      )
+    )
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: aspect-ratio-preserving fit of each (stub-
+    decoded) image into a 224×224 box, all in integer micro-scale
+    arithmetic (positive operands, so Spark's truncating div equals
+    DuckDB's floor div), plus the decoded RGB byte budget — the number
+    that sizes Arrow batches for the actual pixel pass. The pixel
+    resample itself lives in the decode stub's slot (no imaging libs
+    in-container); the PLAN — dims, scale, memory — is the Catalyst-
+    side math a media pipeline runs before any decoder, and that part
+    is real and oracle-checked. Map-only, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    nb = F.length(F.col("text").cast("binary"))
+    w = F.greatest(nb % 640, F.lit(1)).cast("bigint")
+    h = F.greatest(nb % 480, F.lit(1)).cast("bigint")
+    base = d.select("doc_id", w.alias("w"), h.alias("h"))
+    s = F.least(
+        F.floor(F.lit(_RESIZE_TARGET * 1_000_000) / F.col("w")),
+        F.floor(F.lit(_RESIZE_TARGET * 1_000_000) / F.col("h")),
+    ).cast("bigint")
+    planned = base.select("doc_id", "w", "h", s.alias("s"))
+    tw = F.greatest(
+        F.floor(F.col("w") * F.col("s") / 1_000_000), F.lit(1)
+    ).cast("bigint")
+    th = F.greatest(
+        F.floor(F.col("h") * F.col("s") / 1_000_000), F.lit(1)
+    ).cast("bigint")
+    return planned.select(
+        "doc_id",
+        "w",
+        "h",
+        tw.alias("target_w"),
+        th.alias("target_h"),
+        (tw * th * 3).cast("bigint").alias("rgb_bytes"),
+    )

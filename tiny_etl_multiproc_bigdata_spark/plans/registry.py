@@ -130,6 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_merge_train_steps",
     "pandas_api_groupby",
     "streaming_anomaly_zscore",
+    "multimodal_feature_extract",
+    "multimodal_resize_plan",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

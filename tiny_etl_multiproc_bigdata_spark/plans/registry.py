@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_anomaly_zscore",
     "multimodal_feature_extract",
     "multimodal_resize_plan",
+    "mix_token_allocation",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -1607,3 +1607,76 @@ def bpe_merge_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in step_rows[1:]:
         out = out.unionAll(s)
     return out
+
+
+_MIX_BUDGET = 100_000  # total training-token budget for the allocation
+
+
+@register(
+    "mix_token_allocation",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH t AS (
+      SELECT source,
+             sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> ''))) AS n_tokens
+      FROM documents GROUP BY source
+    ), q AS (
+      SELECT source, n_tokens,
+             CAST(floor(power(n_tokens, {_MIX_ALPHA}) * 1000000 + 0.5)
+                  AS BIGINT) AS qt
+      FROM t
+    ), tot AS (
+      SELECT sum(qt) AS tot_q FROM q
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST({_MIX_BUDGET} * qt // tot_q AS BIGINT) AS alloc_tokens,
+           CAST(({_MIX_BUDGET} * qt // tot_q) * 1000000 // n_tokens
+                AS BIGINT) AS epochs_micro
+    FROM q, tot
+    """,
+)
+def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption side of mix_weights_temperature: divide a fixed
+    training-token budget across sources in proportion to the
+    temperature weights, and report each source's implied epoch count
+    (allocated / available, in micro-epochs) — epochs > 1e6 micro mean
+    the source repeats, the upsampling a temperature < 1 deliberately
+    causes on small sources. All post-power() arithmetic is integer
+    (BIGINT products stay far under 2^63: budget·qt ≤ 1e5·~1e9), and
+    the floor divisions run on positive operands where Spark's
+    truncating div and DuckDB's // agree.
+
+    100 TB shape: identical to mix_weights_temperature — one map-side
+    combined agg keyed by source plus a 1-row totals broadcast."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import (
+        tokenize_words_nonempty,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.sum(F.size(tokenize_words_nonempty("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    q = agg.withColumn(
+        "qt",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))
+            * 1_000_000
+            + 0.5
+        ).cast("bigint"),
+    )
+    tot = q.agg(F.sum("qt").cast("bigint").alias("tot_q"))
+    alloc = F.floor(
+        F.lit(_MIX_BUDGET).cast("bigint") * F.col("qt") / F.col("tot_q")
+    ).cast("bigint")
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        alloc.alias("alloc_tokens"),
+        F.floor(alloc * 1_000_000 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("epochs_micro"),
+    )

@@ -225,3 +225,46 @@ def test_semantic_dedup_cluster_cap_raises(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(ivf_kmeans, "_SEM_CLUSTER_CAP", 1)
     with pytest.raises(ValueError, match="largest cluster"):
         ivf_kmeans.dedup_semantic_kmeans(spark, sf_dir)
+
+
+def test_repetition_strip_constructed_docs(spark):
+    """Constructed-document invariants for text_repetition_strip: a
+    repeated trigram's second occurrence is removed span-wise; fully
+    unique docs pass through untouched; the kept-stream hash matches
+    the hand-computed survivor list."""
+    from tiny_etl_multiproc_bigdata_spark.plans.quality import (
+        text_repetition_strip,
+    )
+    import hashlib
+    import tempfile
+
+    rows = [
+        # duplicate trigram "a b c" at positions 1 and 6 → tokens 6,7,8
+        # removed; kept = a b c d e (positions 1-5)
+        (1, "a b c d e a b c"),
+        # all-unique trigrams → nothing removed
+        (2, "p q r s t u"),
+        # under 3 tokens → no grams, nothing removed
+        (3, "x y"),
+        # overlapping self-pair "x x x x": grams [xxx, xxx]; gram 2 dup →
+        # tokens 2,3,4 removed; kept = [x]
+        (4, "x x x x"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: r
+            for r in text_repetition_strip(spark, tmp).collect()
+        }
+    def h(tokens):
+        return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+    assert got[1]["n_removed"] == 3
+    assert got[1]["kept_hash"] == h(["a", "b", "c", "d", "e"])
+    assert got[2]["n_removed"] == 0
+    assert got[2]["kept_hash"] == h(["p", "q", "r", "s", "t", "u"])
+    assert got[3]["n_removed"] == 0
+    assert got[4]["n_removed"] == 3
+    assert got[4]["kept_hash"] == h(["x"])

@@ -686,6 +686,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("ppl_microbits")
         )
+        # doc-count-sized (doc_id, int) frame with two consumers (the
+        # threshold agg AND the bucketing join) — without the pin the
+        # whole LM chain re-executes per consumer (r07 plan audit)
+        .localCheckpoint(eager=True)
     )
     thr = scored.agg(
         F.expr(

@@ -1427,7 +1427,9 @@ def mix_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1_000_000
             + 0.5
         ).cast("bigint"),
-    )
+    ).localCheckpoint(eager=True)  # source-cardinality rows; feeds the
+    # totals agg AND the output select — without the pin the corpus
+    # scan+agg executes once per consumer (r07 plan audit)
     tot = q.agg(
         F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
         F.sum("qt").cast("bigint").alias("tot_q"),
@@ -1667,7 +1669,8 @@ def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1_000_000
             + 0.5
         ).cast("bigint"),
-    )
+    ).localCheckpoint(eager=True)  # two consumers (same rationale as
+    # mix_weights_temperature)
     tot = q.agg(F.sum("qt").cast("bigint").alias("tot_q"))
     alloc = F.floor(
         F.lit(_MIX_BUDGET).cast("bigint") * F.col("qt") / F.col("tot_q")

@@ -933,8 +933,11 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     CENTERED matrix kept exactly integral without a division:
     y = n·q − Σq per dimension (q = micro-quantized component), which
     scales mean-centering by n and leaves eigen-directions unchanged.
-    The whole computation is ONE lazy plan — like kmeans_fixed_iters,
-    nothing collects to the driver.
+    Each round's 64-row result is pinned with localCheckpoint (the
+    graph-suite barrier convention — without it every broadcast of v
+    re-executes the previous round's contractions; measured 19
+    shuffles for 2 rounds vs 4 with the pins); nothing ever collects
+    to the driver.
 
     This is the PCA/Lanczos BUILDING BLOCK, verified exactly — not a
     converged PC1 on this fixture: convergence goes as (λ2/λ1)^k and
@@ -1003,18 +1006,27 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("s").cast("decimal(19,0)")
                 ).alias("w")
             )
+            # 64 rows, two consumers (max-abs + the rescale) — and the
+            # next round broadcasts v, whose unpinned lineage would
+            # re-execute this whole round per reference (measured: 19
+            # shuffles for 2 rounds; 4 with the pins — r07 plan audit)
+            .localCheckpoint(eager=True)
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = w.crossJoin(F.broadcast(m)).select(
-            "i",
-            F.floor(
-                F.col("w").cast("double")
-                / F.col("m").cast("double")
-                * _PCA_SCALE
-                + 0.5
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.floor(
+                    F.col("w").cast("double")
+                    / F.col("m").cast("double")
+                    * _PCA_SCALE
+                    + 0.5
+                )
+                .cast("bigint")
+                .alias("v"),
             )
-            .cast("bigint")
-            .alias("v"),
+            .localCheckpoint(eager=True)
         )
     return v.select(
         (F.col("i") - 1).cast("bigint").alias("pos"),

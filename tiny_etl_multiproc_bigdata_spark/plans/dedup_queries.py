@@ -1065,3 +1065,122 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
     return paired.filter(
         jac >= F.lit(float(_PF_THETA_NUM) / _PF_THETA_DEN)
     ).select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
+
+
+# ---- incremental embedding dedup (nightly batch vs corpus, r07) ---------
+
+_INC_EMB_THRESH_MICRO = 300_000  # cosine >= 0.30 flags a batch vector
+# as near-dup. Calibrated against the CROSS-parity cosine distribution
+# (the fixture's planted near-dup pairs do not straddle the odd/even
+# batch split, so the 0.40 SemDeDup threshold would never fire here):
+# 0.30 flags 10/250 (sf0.001, max 0.44), 10/250 (sf0.01, max 0.35),
+# 132/1000 (sf0.1) — both flag outcomes exercised at every sf
+
+
+def _dedup_incremental_embedding_oracle() -> str:
+    from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import (
+        _DUCK_COS,
+        _duck_bucket,
+    )
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_duck_bucket('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    ), corpus AS (
+      SELECT * FROM v WHERE vec_id % 2 = 0
+    ), batch AS (
+      SELECT * FROM v WHERE vec_id % 2 = 1
+    ), pairs AS (
+      SELECT b.vec_id, c.vec_id AS match_id,
+             {_DUCK_COS.format(a="b.emb", b="c.emb")} AS cos
+      FROM batch b JOIN corpus c ON c.bucket = b.bucket
+    ), top1 AS (
+      SELECT vec_id, match_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
+                                         match_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT b.vec_id,
+           t.match_id,
+           (floor(t.cos * 10000 + 0.5) / 10000) AS cosine,
+           coalesce(CAST(floor(t.cos * 1000000 + 0.5) AS BIGINT)
+                    >= {_INC_EMB_THRESH_MICRO}, false) AS is_near_dup
+    FROM batch b
+    LEFT JOIN top1 t ON t.vec_id = b.vec_id AND t.rn = 1
+    """
+
+
+@register(
+    "dedup_incremental_embedding",
+    oracle=_dedup_incremental_embedding_oracle(),
+)
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-ingest shape for EMBEDDING near-dup (the vector twin
+    of dedup_incremental_minhash): a new batch (vec_id odd) is checked
+    against the standing corpus (vec_id even) inside shared LSH
+    buckets — batch×corpus within buckets, never corpus×corpus. Each
+    batch vector reports its best corpus match and whether it clears
+    the near-dup threshold (integer micro-cosine comparison, so the
+    flag is engine-exact); bucketless/matchless vectors surface as
+    novel with a NULL match.
+
+    100 TB shape: the corpus side is the big one — it shuffles once on
+    the bucket key and can stay bucket-partitioned on disk between
+    nightly runs; the batch side is ingest-sized. Bucket population
+    (corpus/2^planes) bounds every join group, and more planes shrink
+    it — the same lever as dedup_embedding_lsh."""
+    from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import _bucket
+
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
+    ).localCheckpoint(eager=True)  # 8 hyperplane dot products run once
+    corpus = bucketed.filter(F.col("vec_id") % 2 == 0)
+    batch = bucketed.filter(F.col("vec_id") % 2 == 1)
+    c = corpus.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    pairs = batch.join(c, "bucket").select(
+        "vec_id",
+        "match_id",
+        cosine_similarity(F.col("embedding"), F.col("c_emb")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.floor(F.col("cos") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .desc(),
+        F.asc("match_id"),
+    )
+    top1 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "match_id",
+            round_half_up(F.col("cos"), 4).alias("cosine"),
+            (
+                F.floor(F.col("cos") * 1_000_000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                >= _INC_EMB_THRESH_MICRO
+            ).alias("is_near_dup"),
+        )
+    )
+    return (
+        batch.select("vec_id")
+        .join(top1, "vec_id", "left")
+        .select(
+            "vec_id",
+            "match_id",
+            "cosine",
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+        )
+    )

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_feature_extract",
     "multimodal_resize_plan",
     "mix_token_allocation",
+    "dedup_incremental_embedding",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -744,6 +744,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
         .drop("df")
+        # three consumers (sizes + both self-join sides) — pin the
+        # df-capped posting table once (r07 plan audit: 4 scans without)
+        .localCheckpoint(eager=True)
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ex.alias("a")

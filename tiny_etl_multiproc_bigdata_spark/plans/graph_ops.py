@@ -83,15 +83,23 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # materialization barriers (r07 plan audit: 28 parquet scans —
+    # every per-iteration reference of nodes/e2 re-executed the
+    # lineitem-orders edge build; the kcore/sssp convention applied):
+    # edges once, the node table and degree-annotated edges once, the
+    # rank table per iteration
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    e2 = edges.join(outdeg, "src")
+    e2 = edges.join(outdeg, "src").localCheckpoint(eager=True)
     pr = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("bigint"))
     for _ in range(_PR_ITERS):
+        pr = pr.localCheckpoint(eager=True)
         contrib = (
             e2.join(pr, e2.src == pr.node)
             .select(F.col("dst").alias("node"), F.expr("pr div d").alias("c"))
@@ -192,7 +200,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     check); equality of both orderings on the fixture graph is pinned
     in pytest."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("_tri_customer")
-    e = _oriented_edges(spark.sql(_TRI_EDGES_TMPL.format(cust="_tri_customer")))
+    # pin the canonical edge list (referenced 3x inside the orientation:
+    # both degree halves + the join input) and the oriented result
+    # (three wedge-join sides) — r07 plan audit measured 45 customer
+    # scans without the barriers
+    canon = spark.sql(
+        _TRI_EDGES_TMPL.format(cust="_tri_customer")
+    ).localCheckpoint(eager=True)
+    e = _oriented_edges(canon).localCheckpoint(eager=True)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -584,8 +599,15 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.max("seed").alias("seed"))
     )
+    # same barriers as pagerank_scaled (r07 plan audit)
+    edges = edges.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    e2 = edges.select("src", "dst").join(outdeg, "src")
+    e2 = (
+        edges.select("src", "dst")
+        .join(outdeg, "src")
+        .localCheckpoint(eager=True)
+    )
     pr = nodes.select(
         "node",
         "seed",
@@ -595,6 +617,7 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pr"),
     )
     for _ in range(_PR_ITERS):
+        pr = pr.localCheckpoint(eager=True)
         contrib = (
             e2.join(pr.select("node", "pr"), e2.src == F.col("node"))
             .select(F.col("dst").alias("node"), F.expr("pr div d").alias("c"))
@@ -679,19 +702,26 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hubs = e.select("hub").distinct()
-    auths = e.select("auth").distinct()
+    # materialization barriers (r07 plan audit: 32 parquet scans —
+    # h references a's whole lineage and vice versa each half-round,
+    # and the final union embeds both): edge list + node sets once,
+    # both score tables per half-round
+    e = e.localCheckpoint(eager=True)
+    hubs = e.select("hub").distinct().localCheckpoint(eager=True)
+    auths = e.select("auth").distinct().localCheckpoint(eager=True)
     h = hubs.withColumn("s", F.lit(1).cast("bigint"))
     # zero-score auth state so the final union is well-defined even if
     # _HITS_ITERS is tuned to 0 (matches the oracle's a0 CTE semantics)
     a = auths.withColumn("s", F.lit(0).cast("bigint"))
     for _ in range(_HITS_ITERS):
+        h = h.localCheckpoint(eager=True)
         a = (
             auths.join(e, "auth", "left")
             .join(h.select("hub", F.col("s").alias("hs")), "hub", "left")
             .groupBy("auth")
             .agg(F.coalesce(F.sum("hs"), F.lit(0)).cast("bigint").alias("s"))
         )
+        a = a.localCheckpoint(eager=True)
         h = (
             hubs.join(e, "hub", "left")
             .join(a.select("auth", F.col("s").alias("as_")), "auth", "left")

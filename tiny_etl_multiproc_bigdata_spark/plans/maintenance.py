@@ -333,77 +333,84 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able join (customer keys ≪ orders rows at TPC-H ratios,
     and Spark picks broadcast automatically under AQE); the uniqueness
     check is count vs count_distinct, one shuffle of distinct keys.
-    Rules over the SAME table could further share one scan via a single
-    multi-aggregate select (the observe_pipeline_metrics trick) — kept
-    as separate unions here so each rule stays independently readable
-    and the oracle stays literal."""
+    Rules over the SAME table share ONE scan via conditional
+    aggregates (the observe_pipeline_metrics trick; r07 plan audit —
+    the one-rule-one-union form scanned its inputs 10 times): lineitem
+    rules ride one scan, both orders rules ride one scan through the
+    broadcast referential join (the anti-join becomes a
+    count-where-unmatched over the same join), customer's uniqueness
+    check is its own scan. The oracle stays the literal per-rule
+    form."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
 
-    def rule(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
-        n_c = checked.agg(F.count("*").cast("bigint").alias("n_checked"))
-        n_v = violations.agg(
-            F.count("*").cast("bigint").alias("n_violations")
-        )
-        return (
-            n_c.crossJoin(n_v)
-            .select(
-                F.lit(name).alias("rule"), "n_checked", "n_violations"
-            )
-        )
+    def rows(agg: DataFrame, *rules: tuple[str, str]) -> DataFrame:
+        return agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("rule"),
+                            F.col("n").alias("n_checked"),
+                            F.col(vcol).alias("n_violations"),
+                        )
+                        for name, vcol in rules
+                    ]
+                )
+            ).alias("r")
+        ).select("r.rule", "r.n_checked", "r.n_violations")
 
-    quantity = rule(
-        "lineitem_quantity_range",
-        li,
-        li.where(
-            F.col("l_quantity").isNull()
-            | (F.col("l_quantity") < 1)
-            | (F.col("l_quantity") > 50)
-        ),
-    )
-    referential = rule(
-        "orders_custkey_references_customer",
-        o,
-        o.join(
-            c.select("c_custkey"),
-            o.o_custkey == F.col("c_custkey"),
-            "left_anti",
-        ),
-    )
-    unique_key = (
-        c.agg(
-            F.count("*").cast("bigint").alias("n_checked"),
-            (F.count("*") - F.count_distinct("c_custkey"))
+    li_rows = rows(
+        li.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_if(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+            )
             .cast("bigint")
-            .alias("n_violations"),
-        ).select(
-            F.lit("customer_custkey_unique").alias("rule"),
-            "n_checked",
-            "n_violations",
-        )
-    )
-    domain = rule(
-        "lineitem_returnflag_domain",
-        li,
-        li.where(
-            ~F.col("l_returnflag").isin("A", "N", "R")
-            | F.col("l_returnflag").isNull()
+            .alias("qv"),
+            F.count_if(
+                ~F.col("l_returnflag").isin("A", "N", "R")
+                | F.col("l_returnflag").isNull()
+            )
+            .cast("bigint")
+            .alias("fv"),
         ),
+        ("lineitem_quantity_range", "qv"),
+        ("lineitem_returnflag_domain", "fv"),
     )
-    positive = rule(
-        "orders_totalprice_positive",
-        o,
-        o.where(
-            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    o_rows = rows(
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left",
+        ).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_if(F.col("c_custkey").isNull())
+            .cast("bigint")
+            .alias("rv"),
+            F.count_if(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+            )
+            .cast("bigint")
+            .alias("pv"),
         ),
+        ("orders_custkey_references_customer", "rv"),
+        ("orders_totalprice_positive", "pv"),
     )
-    return (
-        quantity.unionAll(referential)
-        .unionAll(unique_key)
-        .unionAll(domain)
-        .unionAll(positive)
+    c_rows = c.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.count_distinct("c_custkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit("customer_custkey_unique").alias("rule"),
+        "n_checked",
+        "n_violations",
     )
+    return li_rows.unionAll(o_rows).unionAll(c_rows)
 
 
 _ROLLUP_SPLIT = "1996-01-01"

@@ -116,6 +116,17 @@ _PRIORITY: tuple[str, ...] = (
     "date_functions",
     "array_functions",
     "posexplode_embedding",
+    # multi-consumer re-execution fixes from the r07 plan audit
+    # (values unchanged; re-queued per the changed-code hygiene)
+    "pagerank_scaled",
+    "pagerank_personalized",
+    "triangle_count",
+    "data_quality_checks",
+    "basket_pair_lift",
+    "dedup_ngram_jaccard",
+    "rfm_segmentation",
+    "tfidf_topk_terms",
+    "sketch_count_min_topk",
     # -- (c) new in r07 (appended as built) --
     "text_neardup_recall_eval",
     "text_repetition_strip",

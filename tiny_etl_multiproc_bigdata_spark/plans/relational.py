@@ -1093,7 +1093,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter (join items to item_freq c >= MIN first) drops
     singleton-heavy baskets before pairing at higher scales."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers (n_orders, item_freq, both pair sides) — pin the
+    # distinct basket-item table once (r07 plan audit: 5 scans without)
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_orders = items.agg(
         F.count_distinct("l_orderkey").cast("bigint").alias("n")
     )
@@ -1209,6 +1215,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
+    # two consumers (threshold agg + the bucketing select) — pin the
+    # customer-cardinality metric table once (r07 plan audit)
+    per_cust = per_cust.localCheckpoint(eager=True)
     qs = ", ".join(map(str, _RFM_QS))
     thr = per_cust.agg(
         F.expr(

@@ -542,6 +542,10 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .select("doc_id", F.lower("token").alias("term"))
     )
+    # toks feeds tf AND df — pin the exploded term stream once (r07
+    # plan audit: 3 scans without); n comes off the pinned tf table
+    # (distinct doc_ids) so the base table is scanned exactly once
+    toks = toks.localCheckpoint(eager=True)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
@@ -756,7 +760,14 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .select(F.lower("token").alias("term"))
     )
-    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # tc feeds both sketch rows AND the exact top-k; hashed feeds the
+    # sketch agg AND the probe join — pin both vocab-sized tables (r07
+    # plan audit: 5 scans without)
+    tc = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     hashed = None
     for j in range(_CMS_ROWS):
         h = tc.select(
@@ -768,6 +779,7 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
         hashed = h if hashed is None else hashed.unionByName(h)
+    hashed = hashed.localCheckpoint(eager=True)
     sketch = hashed.groupBy("j", "bucket").agg(F.sum("cnt").alias("bucket_count"))
     top = tc.orderBy(F.desc("cnt"), F.asc("term")).limit(10).select(
         "term", F.col("cnt").alias("true_count")

@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_resize_plan",
     "mix_token_allocation",
     "dedup_incremental_embedding",
+    "interval_coverage_union",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -706,3 +706,85 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(z, 4).alias("zscore"),
         F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
     )
+
+
+_COV_WIN_S = 1800  # each event covers [ts, ts + 30 min)
+
+
+@register(
+    "interval_coverage_union",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+    ), flagged AS (
+      SELECT user_id, t_us,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                       OR t_us - lag(t_us) OVER w > {_COV_WIN_S} * 1000000
+                  THEN 1 ELSE 0 END AS new_island
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)
+    ), islands AS (
+      SELECT user_id, t_us,
+             sum(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY t_us ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island_id
+      FROM flagged
+    ), per_island AS (
+      SELECT user_id, island_id,
+             max(t_us) - min(t_us) + {_COV_WIN_S} * 1000000 AS cov_us
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(cov_us) // 1000000 AS BIGINT) AS covered_seconds
+    FROM per_island GROUP BY user_id
+    """,
+)
+def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user: each event covers
+    [ts, ts+30 min); overlapping intervals merge (gaps-and-islands on
+    the 30-minute gap), and the entry reports merged-interval count
+    and total covered seconds — the utilization/SLA measure that
+    sessionize_events' session COUNT does not give you. Pure integer
+    epoch-microsecond arithmetic end to end (positive floor division),
+    so the result is engine-exact with no rounding at all.
+
+    100 TB shape: the standard two-window gaps-and-islands — one
+    shuffle on user_id, per-partition sort shared by both windows
+    (Catalyst plans them in a single WindowExec), then a partial-agg'd
+    rollup on (user, island)."""
+    e = table(spark, sf_dir, "events")
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    ).alias("t_us")
+    base = e.select("user_id", "event_id", t_us)
+    w = Window.partitionBy("user_id").orderBy(F.asc("t_us"), F.asc("event_id"))
+    gap = F.col("t_us") - F.lag("t_us").over(w)
+    flagged = base.select(
+        "user_id",
+        "t_us",
+        F.when(
+            gap.isNull() | (gap > _COV_WIN_S * 1_000_000), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "t_us", F.sum("new_island").over(wc).alias("island_id")
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (
+            F.max("t_us") - F.min("t_us") + F.lit(_COV_WIN_S * 1_000_000)
+        ).alias("cov_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.floor(F.sum("cov_us") / 1_000_000)
+        .cast("bigint")
+        .alias("covered_seconds"),
+    )

@@ -59,3 +59,30 @@ def test_entry_default_matches_registry_flagship(spark, monkeypatch):
     a = E.entry(spark).collect()
     b = q["flagship_words"](spark, "/root/testdata/sf0.01").collect()
     assert sorted(a) == sorted(b)
+
+
+def test_driver_sweep_priority_contract():
+    """The external driver samples a capped prefix of queries() —
+    ordering IS the re-queue mechanism. Pin the r07 contract: the three
+    never-driver-checked entries lead, every _PRIORITY entry precedes
+    every already-green _CHECKED entry, and _PRIORITY names all exist."""
+    E = _entry_module()
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        _CHECKED,
+        _PRIORITY,
+        REGISTRY,
+    )
+
+    names = list(E.queries())
+    assert names[:3] == [
+        "partitioned_write_prune_agg",
+        "schema_evolution_merge_read",
+        "streaming_segment_dedup",
+    ]
+    assert set(_PRIORITY) <= set(REGISTRY), (
+        set(_PRIORITY) - set(REGISTRY)
+    )
+    last_priority = max(names.index(n) for n in _PRIORITY)
+    checked_only = set(_CHECKED) - set(_PRIORITY)
+    first_checked = min(names.index(n) for n in checked_only)
+    assert last_priority < first_checked

@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "mix_token_allocation",
     "dedup_incremental_embedding",
     "interval_coverage_union",
+    "scd2_point_in_time_join",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

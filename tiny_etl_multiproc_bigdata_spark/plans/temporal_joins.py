@@ -208,3 +208,117 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tolerance"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH np AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ), flagged AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC)
+               AS prev_type
+      FROM np
+    ), changes AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us
+      FROM flagged
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ), vers AS (
+      SELECT user_id, state, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from_us ASC, state ASC)
+               AS valid_to_us
+      FROM changes
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id,
+           coalesce(v.state, 'none') AS state_at_purchase,
+           v.valid_from_us
+    FROM p
+    LEFT JOIN vers v
+      ON v.user_id = p.user_id
+     AND v.valid_from_us <= p.pt
+     AND (v.valid_to_us IS NULL OR p.pt < v.valid_to_us)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension (the temporal
+    warehouse primitive consuming scd2_intervals' output shape): each
+    purchase event retrieves the activity-state version valid AT its
+    timestamp. The dimension is the SCD2 chain over the user's
+    non-purchase events; a purchase before any version reports 'none'.
+
+    Plan shape: ZERO joins — dimension-version starts and purchases
+    union into one tagged stream per user, and a running
+    last-non-null-state window answers every lookup (dim rows sort
+    before purchases at equal timestamps, and equal-timestamp version
+    changes sort by state, matching the interval chain's
+    (valid_from, state) ordering exactly). The oracle is the NAIVE
+    interval BETWEEN join, so the window formulation is proven
+    equivalent — the asof_last_signup argument, now over versioned
+    state instead of a single marker event. One shuffle on user_id at
+    any scale; the interval join it replaces is O(|facts|·|versions|)
+    per user under skew."""
+    e = table(spark, sf_dir, "events")
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    ).alias("t_us")
+    base = e.select("user_id", "event_id", "event_type", t_us)
+    np_ = base.filter(F.col("event_type") != "purchase")
+    wlag = Window.partitionBy("user_id").orderBy(
+        F.asc("t_us"), F.asc("event_id")
+    )
+    changes = (
+        np_.withColumn("prev_type", F.lag("event_type").over(wlag))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "t_us",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("bigint").alias("purchase_id"),
+        )
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(None).cast("string").alias("state"),
+        "t_us",
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.asc("t_us"),
+            F.asc("tag"),
+            F.asc("state"),
+            F.asc("purchase_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = changes.unionAll(purchases).select(
+        "user_id",
+        "purchase_id",
+        "tag",
+        F.last("state", ignorenulls=True).over(wrun).alias("cur_state"),
+        F.last(
+            F.when(F.col("tag") == 0, F.col("t_us")), ignorenulls=True
+        )
+        .over(wrun)
+        .alias("valid_from_us"),
+    )
+    return tagged.filter(F.col("tag") == 1).select(
+        "user_id",
+        "purchase_id",
+        F.coalesce("cur_state", F.lit("none")).alias("state_at_purchase"),
+        "valid_from_us",
+    )

@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_embedding",
     "interval_coverage_union",
     "scd2_point_in_time_join",
+    "window_ntile_buckets",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

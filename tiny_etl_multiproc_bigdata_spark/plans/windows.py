@@ -788,3 +788,42 @@ def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("covered_seconds"),
     )
+
+
+@register(
+    "window_ntile_buckets",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                             AS BIGINT) DESC,
+                                        o_orderkey ASC) AS BIGINT)
+             AS price_quartile
+    FROM orders
+    """,
+)
+def window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) price quartiles per order status — the last previously
+    uncovered standard window function. Both engines implement the SQL
+    ntile rule (the first n mod k buckets take one extra row) over the
+    SAME deterministic total order (integer cents desc, key asc), so
+    bucket assignments are engine-exact with no rounding.
+
+    Scale caveat, by design: ntile needs a full sort of each partition
+    — fine when the partition key has real cardinality, but on few fat
+    groups (as here: 3 statuses) the per-partition sort serializes.
+    The production substitute at that shape is the two-pass
+    percentile-threshold recipe (rfm_segmentation /
+    ccnet_perplexity_buckets), which this registry carries — this
+    entry exists to cover the API and to document exactly that
+    trade-off."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").desc(),
+        F.asc("o_orderkey"),
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+    )

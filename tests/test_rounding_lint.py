@@ -68,6 +68,11 @@ _EXACT_AT_SCALE_OK = {
     # rounded at >= their scale
     "p9_filter_rows",
     "unpivot_part_measures",
+    # cent-exact p_retailprice * 100 rounded at 0 (integer cents)
+    "skyline_pareto_parts",
+    # cent-exact events.value * 100 rounded at 0 (integer cents)
+    "rolling_median_exact",
+    "cusum_changepoint",
 }
 
 _BARE_ROUND = re.compile(r"(?<![a-zA-Z_.])round\s*\(")

@@ -742,3 +742,100 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---- label propagation communities ---------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode, cnode FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)"""
+    steps = []
+    for k in range(1, _LPA_ITERS + 1):
+        steps.append(
+            f""",
+    c{k} AS (
+      SELECT e.dst AS node, p.lbl, count(*) AS cnt
+      FROM e JOIN l{k - 1} p ON p.node = e.src
+      GROUP BY e.dst, p.lbl
+    ),
+    l{k} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, lbl AS community FROM l{_LPA_ITERS}"
+    )
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the undirected customer↔supplier purchase graph,
+    {ITERS} fixed rounds, made DETERMINISTIC: each node adopts the
+    most frequent neighbor label with ties broken by smallest label —
+    classic LPA is order-dependent, so the tie rule is what makes the
+    result bit-exact cross-engine and run-over-run. Labels start as
+    the node id itself. Reference scope comparison: the reference
+    engine has no graph tier at all (SURVEY §2.5); this completes the
+    community-structure member of the suite beside components
+    (dedup_cc_groups), PageRank, HITS, k-core.
+
+    100 TB shape: one round = equi-join of the edge list against the
+    |V|-row label table (shuffle on node id, co-partitioned round over
+    round under AQE) + a partially-aggregated (node,label) count + a
+    partial-agg argmax via min(struct(-cnt, lbl)) — NO per-node sort
+    and no window: the argmax folds map-side, so the second shuffle
+    moves at most one candidate struct per (node,label) group. Label
+    table and edge list localCheckpointed per round (the kcore/sssp
+    lineage-doubling convention)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+        )
+        .distinct()
+    )
+    e = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    lbl = e.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
+    for _ in range(_LPA_ITERS):
+        lbl = lbl.localCheckpoint(eager=True)
+        counts = (
+            e.join(lbl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax(count) with smallest-label tie break as a partial-agg
+        # min over (-cnt, lbl) structs — orderable, combiner-friendly
+        lbl = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))).alias("m")
+        ).select("node", F.col("m.lbl").alias("lbl"))
+    return lbl.select("node", F.col("lbl").alias("community"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.functions.text import (
     tokenize_words_nonempty,
@@ -709,4 +710,160 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", bucket.alias("bucket"))
         .groupBy("lang", "bucket")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+# ---- hashed linear quality classifier ------------------------------------
+
+_HLC_B = 256  # hashed feature space (hashing trick, md5 mod B)
+
+# 60-bit md5 integer of an arbitrary SQL string expression — DuckDB twin
+# of functions/hashing.md5_long
+_DUCK_MD5 = "CAST(('0x' || substr(md5({0}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "hashed_linear_classifier",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             ({_DUCK_MD5.format("'w|' || CAST(" + _DUCK_MD5.format("tok") + f" % {_HLC_B} AS VARCHAR)")}) % 101 - 50 AS w
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(sum(w) AS BIGINT) AS logit,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           sum(w) > 0 AS keep
+    FROM feat GROUP BY doc_id
+    """,
+)
+def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-shaped linear document classifier over HASHED bag-of-
+    words features (Joulin et al. 2016 / Weinberger's hashing trick):
+    token → md5 bucket (mod {B}), bucket → a fixed md5-derived integer
+    weight in [-50, 50], document logit = Σ token weights, keep = logit
+    > 0. The md5-derived weights stand in for a trained coefficient
+    vector — the PLAN is the deliverable: scoring is a pure per-row
+    expression chain (no vocabulary dictionary, no weight-table join —
+    the weight is COMPUTED from the bucket id), so inference is
+    map-only up to the single per-doc sum.
+
+    100 TB shape: one corpus scan, one partially-aggregated groupBy
+    doc_id; memory is O(1) per token regardless of vocabulary growth —
+    the same property that makes the hashing trick the standard for
+    web-scale quality classifiers. Integer weights ⇒ bit-exact."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    bucket = md5_long(F.col("tok")) % _HLC_B
+    w = (
+        md5_long(F.concat(F.lit("w|"), bucket.cast("string"))) % 101 - 50
+    )
+    return (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").cast("bigint").alias("logit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "logit", "n_tokens", (F.col("logit") > 0).alias("keep")
+        )
+    )
+
+
+# ---- DSIR importance weighting -------------------------------------------
+
+_DSIR_B = 256  # hashed n-gram feature buckets
+_DSIR_TARGET = "src0"  # in-domain proxy: one source as the target corpus
+
+
+@register(
+    "dsir_importance_weights",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             ({_DUCK_MD5.format("tok")}) % {_DSIR_B} AS b
+      FROM (SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok
+            FROM documents)
+    ), cnts AS (
+      SELECT b,
+             count(*) AS raw_c,
+             count(*) FILTER (source = '{_DSIR_TARGET}') AS tgt_c
+      FROM toks GROUP BY b
+    ), tots AS (
+      SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM cnts
+    ), wt AS (
+      SELECT b,
+             CAST(floor(log2(
+                 (CAST(tgt_c + 1 AS DOUBLE) / (tgt_n + {_DSIR_B}))
+               / (CAST(raw_c + 1 AS DOUBLE) / (raw_n + {_DSIR_B}))
+             ) * 1000000 + 0.5) AS BIGINT) AS w
+      FROM cnts, tots
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wt.w) AS BIGINT) AS dsir_microbits,
+           sum(wt.w) > 0 AS target_like
+    FROM toks t JOIN wt ON t.b = wt.b
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): estimate target and
+    raw unigram distributions over a HASHED feature space ({B} md5
+    buckets, Laplace-smoothed), then weight each document by its total
+    log-likelihood ratio Σ_tokens log2(p̂_target(b)/p̂_raw(b)) — docs
+    resembling the target domain (here: source '{TGT}' as the
+    in-domain proxy) score positive. Per-bucket log-ratios are
+    quantized to integer microbits BEFORE the per-doc sum, so
+    aggregation order cannot flip results (ulp_sensitive: the log2
+    input itself carries the standard 1-ULP JVM-vs-libm tolerance).
+
+    100 TB shape: ONE corpus pass builds BOTH distributions (a single
+    groupBy with a filtered count — the target is a subset of raw, so
+    no second scan), the weight table is a fixed {B}-row broadcast, and
+    scoring is one more pass + a partially-aggregated per-doc sum. The
+    feature space never grows with the vocabulary — that is the point
+    of DSIR's hashed n-grams at web scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(_toks()).alias("tok")
+    ).select("doc_id", "source", (md5_long(F.col("tok")) % _DSIR_B).alias("b"))
+    cnts = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count_if(F.col("source") == _DSIR_TARGET).alias("tgt_c"),
+    )
+    tots = cnts.agg(
+        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
+    )
+    wt = cnts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.floor(
+            F.log2(
+                ((F.col("tgt_c") + 1).cast("double") / (F.col("tgt_n") + _DSIR_B))
+                / ((F.col("raw_c") + 1).cast("double") / (F.col("raw_n") + _DSIR_B))
+            )
+            * 1_000_000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    return (
+        toks.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("dsir_microbits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_microbits",
+            (F.col("dsir_microbits") > 0).alias("target_like"),
+        )
     )

@@ -827,3 +827,209 @@ def window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
     )
+
+
+# ---- skyline / Pareto frontier -------------------------------------------
+
+_SKY_BUCKETS = 32
+
+
+@register(
+    "skyline_pareto_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p.p_partkey, p.price_cents, p.p_size
+    FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+        AND (q.price_cents < p.price_cents OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts: minimize price, maximize
+    size — a part survives iff no other part is at-least-as-good on
+    both axes and strictly better on one (Börzsönyi et al., ICDE'01).
+    The oracle is the quadratic NOT EXISTS definition; the engine is
+    the two-phase distributed sweep, exact by dominance transitivity.
+
+    100 TB shape: phase 1 computes a LOCAL skyline per hash bucket —
+    sort each bucket by price and keep rows whose size beats the
+    running max (two RANGE-frame window maxes distinguish the
+    strictly-cheaper from the tied-price case, so duplicate points
+    and price ties follow the strict-dominance rule exactly). Any
+    globally non-dominated row is locally non-dominated, so phase 1
+    never drops a skyline member while shrinking n to ~frontier-size
+    per bucket. Phase 2 re-runs the same sweep globally over the tiny
+    candidate union — the only single-partition sort touches
+    |buckets| x |local frontier| rows, not the table. Prices compare
+    as exact integer cents (cent-exact stored doubles)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        exact_round(F.col("p_retailprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+
+    def sweep(df: DataFrame, bucketed: bool) -> DataFrame:
+        part_cols = ["bucket"] if bucketed else []
+        base = Window.partitionBy(*part_cols).orderBy("price_cents")
+        m_lt = F.max("p_size").over(
+            base.rangeBetween(Window.unboundedPreceding, -1)
+        )
+        m_le = F.max("p_size").over(
+            base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("dominated",
+                          (F.coalesce(m_lt, F.lit(-1)) >= F.col("p_size"))
+                          | (m_le > F.col("p_size")))
+            .filter(~F.col("dominated"))
+            .drop("dominated")
+        )
+
+    local = sweep(
+        p.withColumn("bucket", F.pmod(F.hash("p_partkey"), F.lit(_SKY_BUCKETS))),
+        bucketed=True,
+    ).drop("bucket")
+    return sweep(local, bucketed=False)
+
+
+# ---- exact rolling median ------------------------------------------------
+
+
+@register(
+    "rolling_median_exact",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(median(cents) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS med_cents
+    FROM v
+    """,
+)
+def rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-window median (7 rows) of event value per user —
+    the robust-statistics twin of window_running_sum; medians resist
+    the outliers that EWMA/mean smoothers follow. Spark has no holistic
+    median window aggregate, so the engine collects the BOUNDED frame
+    into an array (<= 7 elements — constant memory per row, unlike an
+    unbounded collect) and takes the middle of array_sort; even counts
+    average the two middles, matching DuckDB's interpolating median
+    bit-exactly because integer-cent midpoints are dyadic rationals.
+
+    100 TB shape: one shuffle on user_id (the window partition key);
+    the frame bound keeps per-row state at 7 values regardless of user
+    history length. The tiebroken ORDER BY (ts, event_id) makes the
+    ROWS frame — and hence the median — deterministic under ts ties."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(vals)
+    lo = ((n + 1) / 2).cast("int")  # n odd: the middle; n even: lower middle
+    hi = (n / 2 + 1).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(vals, lo).cast("double")
+    ).otherwise((F.element_at(vals, lo) + F.element_at(vals, hi)) / 2.0)
+    return e.select("user_id", "event_id", med.alias("med_cents"))
+
+
+# ---- CUSUM change-point --------------------------------------------------
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    c AS (
+      SELECT event_type, day,
+             (count(*) OVER (PARTITION BY event_type))
+               * (sum(x) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING))
+             - (row_number() OVER (PARTITION BY event_type ORDER BY day))
+               * (sum(x) OVER (PARTITION BY event_type)) AS cusum
+      FROM daily
+    )
+    SELECT event_type, day AS change_day, CAST(cusum AS BIGINT) AS cusum_stat
+    FROM (
+      SELECT event_type, day, cusum,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY abs(cusum) DESC, day ASC
+             ) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM single change-point estimate per event_type over the
+    daily revenue series (Page 1954 / Pettitt-style location): the day
+    maximizing |n·S_t − t·S_n| — the scaled form of the cumulative
+    deviation from the mean Σ(x_i − x̄), kept in pure INTEGER cents so
+    both engines agree bit-exactly with no float mean. Ties broken to
+    the earliest day.
+
+    100 TB shape: the heavy input reduces to |types| x |days| rows via
+    one partially-aggregated groupBy before any window touches it; the
+    per-type running sums then act on tiny ordered series, and the
+    final argmax folds map-side via min(struct). No global sort, no
+    per-event window."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(exact_round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    c = daily.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(wp)
+            * F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(wo) * F.sum("x").over(wp)
+        ).alias("cusum"),
+    )
+    pick = c.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("cusum"))).alias("na"),
+                F.col("day"),
+                F.col("cusum"),
+            )
+        ).alias("m")
+    )
+    return pick.select(
+        "event_type",
+        F.col("m.day").alias("change_day"),
+        F.col("m.cusum").cast("bigint").alias("cusum_stat"),
+    )

@@ -492,3 +492,93 @@ def _register_streaming_anomaly_zscore() -> None:
 
 
 _register_streaming_anomaly_zscore()
+
+
+def _register_streaming_cusum_alert() -> None:
+    # import-order guard: share the batch twin's oracle verbatim — the
+    # two entries MUST stay value-identical (same k/h constants, same
+    # integer recurrence)
+    from tiny_etl_multiproc_bigdata_spark.plans import windows
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    cusum_oracle = REGISTRY["cusum_alert_path"].oracle
+
+    @register("streaming_cusum_alert", oracle=cusum_oracle)
+    def streaming_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stateful-streaming twin of cusum_alert_path via
+        applyInPandasWithState: per event_type, the one-sided CUSUM
+        g_t = max(0, g_{t-1} + x_t − k) advances event by event with
+        TWO integers of carried state — (running sum S, running min of
+        S) — exactly the closed form the batch entry computes with
+        stacked windows. Bounded availableNow replay in one micro-batch
+        ⇒ output equals the batch plan, so this stateful entry carries
+        the full value-hash oracle, shared verbatim with the batch
+        twin.
+
+        100 TB shape: O(1) state per monitored series regardless of
+        stream length (contrast the z-score twin's ≤6-value tail) —
+        the state store stays series-count-sized forever; this is the
+        canonical "detector as two accumulators" pattern that makes
+        CUSUM deployable on unbounded streams."""
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+
+        from tiny_etl_multiproc_bigdata_spark.streaming.jobs import (
+            _events_stream,
+            _run_to_memory,
+        )
+
+        K = windows._CUSUM_K
+        H = windows._CUSUM_H
+
+        def advance(key, pdf_iter, state: GroupState):
+            s_run, s_min = state.get if state.exists else (0, 0)
+            frames = [pdf for pdf in pdf_iter]
+            pdf = pd.concat(frames).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            v = pdf["value"].to_numpy(dtype="float64")
+            import numpy as np
+
+            cents = (
+                np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
+            ).astype("int64")
+            n = len(v)
+            gs = np.zeros(n, dtype="int64")
+            for j in range(n):
+                s_run += int(cents[j]) - K
+                s_min = min(s_min, s_run)
+                gs[j] = s_run - min(0, s_min)
+            state.update((s_run, s_min))
+            yield pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "g": gs,
+                    "alert": gs > H,
+                }
+            )
+
+        ev = _events_stream(spark, sf_dir).select(
+            "event_type", "event_id", "value", "ts"
+        )
+        out = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                advance,
+                outputStructType=(
+                    "event_type string, event_id long, g long, "
+                    "alert boolean"
+                ),
+                stateStructType="s_run long, s_min long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        return _run_to_memory(out, spark, "stream_cusum_alert", "update")
+
+
+_register_streaming_cusum_alert()

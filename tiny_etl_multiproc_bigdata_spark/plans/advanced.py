@@ -747,3 +747,175 @@ def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(F.col("b90")).alias("q90_est"),
         est(F.col("b99")).alias("q99_est"),
     )
+
+
+# ---- grouped OLS trend regression ----------------------------------------
+
+_OLS_EPOCH = "2024-01-01"  # x origin: keeps day indices 0..~60, sums tiny
+
+
+@register(
+    "grouped_ols_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '{_OLS_EPOCH}' AS BIGINT) AS x,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           (floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 10000 + 0.5) / 10000)
+             AS slope_cents_per_day,
+           (floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 100 + 0.5) / 100)
+             AS intercept_cents
+    FROM s
+    """,
+)
+def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: regress daily revenue
+    (integer cents) on the day index for each event_type — the
+    workhorse "is this metric drifting" query. Slope and intercept are
+    each ONE division of two exact integer cross-sums (n·Σxy − Σx·Σy
+    over n·Σx² − (Σx)², closed-form OLS), so there is no iterative
+    fitting and no float accumulation: both engines divide the same
+    two integers and IEEE division is correctly rounded — bit-exact
+    without any tolerance flag. The day index is rebased to the
+    fixture epoch so x stays tiny and the cross-sums stay far from
+    64-bit range at any fixture scale.
+
+    100 TB shape: the raw table collapses to |groups| x |days| rows in
+    one partially-aggregated pass; the regression itself runs on that
+    tiny summary. This is the pattern for ANY closed-form sufficient-
+    statistics model at scale — never feed raw rows to the fit."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(exact_round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).select(
+        "event_type",
+        F.datediff("day", F.lit(_OLS_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        round_half_up(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / denom,
+            4,
+        ).alias("slope_cents_per_day"),
+        round_half_up(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / denom,
+            2,
+        ).alias("intercept_cents"),
+    )
+
+
+# ---- Welch's t-test (A/B experiment readout) -----------------------------
+
+
+@register(
+    "welch_t_test_ab",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, user_id % 2 AS cohort,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) FILTER (cohort = 0) AS na,
+             sum(y)   FILTER (cohort = 0) AS sa,
+             sum(y*y) FILTER (cohort = 0) AS qa,
+             count(*) FILTER (cohort = 1) AS nb,
+             sum(y)   FILTER (cohort = 1) AS sb,
+             sum(y*y) FILTER (cohort = 1) AS qb
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           (floor((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb) * 100 + 0.5)
+             / 100) AS mean_diff_cents,
+           (floor(
+             (CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
+             / sqrt(
+                 (CAST(na*qa - sa*sa AS DOUBLE) / na / (na-1)) / na
+               + (CAST(nb*qb - sb*sb AS DOUBLE) / nb / (nb-1)) / nb
+             ) * 10000 + 0.5) / 10000) AS t_stat
+    FROM s
+    """,
+)
+def welch_t_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event_type between two user
+    cohorts (user_id parity as the deterministic A/B assignment) — the
+    standard experiment readout. Means and variances come from exact
+    integer sufficient statistics (n, Σy, Σy² in cents), so the only
+    float work is a fixed expression tree of IEEE divisions and ONE
+    sqrt — all correctly-rounded operations on identical operands,
+    hence bit-exact cross-engine with no tolerance flag (contrast the
+    log-based entries, which need ulp_sensitive: libm log is NOT
+    correctly rounded but IEEE-754 sqrt is).
+
+    100 TB shape: one partially-aggregated pass over the fact table
+    produces six numbers per group; the test statistic is computed on
+    the |groups|-row summary. Cohort assignment is a pure expression —
+    no user-table join."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count_if(F.col("cohort") == 0).alias("na"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("y"))).alias("sa"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("y") * F.col("y"))).alias("qa"),
+        F.count_if(F.col("cohort") == 1).alias("nb"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("y"))).alias("sb"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("y") * F.col("y"))).alias("qb"),
+    )
+    mean_a = F.col("sa").cast("double") / F.col("na")
+    mean_b = F.col("sb").cast("double") / F.col("nb")
+    var_a = (
+        (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")).cast("double")
+        / F.col("na")
+        / (F.col("na") - 1)
+    )
+    var_b = (
+        (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).cast("double")
+        / F.col("nb")
+        / (F.col("nb") - 1)
+    )
+    return s.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        round_half_up(mean_a - mean_b, 2).alias("mean_diff_cents"),
+        round_half_up(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("na") + var_b / F.col("nb")),
+            4,
+        ).alias("t_stat"),
+    )

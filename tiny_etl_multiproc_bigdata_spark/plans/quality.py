@@ -867,3 +867,140 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dsir_microbits") > 0).alias("target_like"),
         )
     )
+
+
+# ---- stupid-backoff bigram LM scoring ------------------------------------
+
+
+@register(
+    "stupid_backoff_score",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), train_uni AS (
+      SELECT tok, count(*) AS cu
+      FROM (SELECT unnest(l) AS tok FROM toks WHERE doc_id % 2 = 0)
+      GROUP BY tok
+    ), uni_tot AS (
+      SELECT sum(cu) AS n, count(*) AS v FROM train_uni
+    ), train_bg AS (
+      SELECT bg, count(*) AS c2
+      FROM (SELECT unnest(list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i+1])) AS bg
+            FROM toks WHERE doc_id % 2 = 0 AND len(l) >= 2)
+      GROUP BY bg
+    ), train_w1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      FROM train_bg GROUP BY 1
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i+1])) AS bg
+      FROM toks WHERE len(l) >= 2
+    ), scored AS (
+      SELECT p.doc_id,
+             b.c2 IS NULL AS backoff,
+             CAST(floor(-log2(
+               CASE WHEN b.c2 IS NOT NULL
+                    THEN CAST(b.c2 AS DOUBLE) / w.c1
+                    ELSE 0.4 * (COALESCE(u.cu, 0) + 1)
+                         / CAST(t.n + t.v AS DOUBLE)
+               END) * 1000000 + 0.5) AS BIGINT) AS nll_microbits
+      FROM pairs p
+      LEFT JOIN train_bg b ON p.bg = b.bg
+      LEFT JOIN train_w1 w ON split_part(p.bg, ' ', 1) = w.w1
+      LEFT JOIN train_uni u ON split_part(p.bg, ' ', 2) = u.tok
+      CROSS JOIN uni_tot t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(*) FILTER (backoff) AS BIGINT) AS n_backoff,
+           (floor(CAST(sum(nll_microbits) AS DOUBLE) / count(*)
+                  / 1000000 * 10000 + 0.5) / 10000) AS avg_nll_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): the LM trains on HALF
+    the corpus (even doc_ids) and scores ALL documents, so unseen
+    bigrams genuinely hit the backoff path — score = c(w1w2)/c(w1)
+    when the bigram was seen in training, else 0.4 · P̂_uni(w2) with a
+    Laplace-smoothed trained unigram (the non-normalized backoff that
+    made web-scale LMs practical: no discounting pass, every quantity
+    a ratio of counts). Per-pair -log2 scores quantize to integer
+    microbits before the per-doc mean (ulp_sensitive log, as with the
+    other LM entries); n_backoff per doc is an exact integer audit of
+    how often the model fell through.
+
+    100 TB shape: bigram lookups are a shuffle equi-join on the bigram
+    key (vocabulary grows with the corpus — the bigram_logprob_score
+    contrast, deliberately); the unigram table and its 1-row totals
+    broadcast. Train/score separation costs nothing extra: the
+    training counts are filtered aggregates of the same single
+    tokenized pass, localCheckpointed once for the fan-out."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _toks().alias("l")).localCheckpoint(eager=True)
+    train_toks = toks.filter(F.col("doc_id") % 2 == 0)
+    uni = (
+        train_toks.select(F.explode("l").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=True)
+    )
+    uni_tot = uni.agg(
+        F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    bg_train = (
+        train_toks.filter(F.size("l") >= 2)
+        .select(F.explode(word_ngrams(F.col("l"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    w1_train = bg_train.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c2").cast("bigint").alias("c1"))
+    pairs = (
+        toks.filter(F.size("l") >= 2)
+        .select("doc_id", F.explode(word_ngrams(F.col("l"), 2)).alias("bg"))
+    )
+    score = F.when(
+        F.col("c2").isNotNull(),
+        F.col("c2").cast("double") / F.col("c1"),
+    ).otherwise(
+        0.4 * (F.coalesce(F.col("cu"), F.lit(0)) + 1)
+        / (F.col("n") + F.col("v")).cast("double")
+    )
+    scored = (
+        pairs.join(bg_train, "bg", "left")
+        .join(
+            w1_train,
+            F.split(F.col("bg"), " ").getItem(0) == F.col("w1"),
+            "left",
+        )
+        .join(
+            F.broadcast(uni),
+            F.split(F.col("bg"), " ").getItem(1) == F.col("tok"),
+            "left",
+        )
+        .crossJoin(F.broadcast(uni_tot))
+        .select(
+            "doc_id",
+            F.col("c2").isNull().alias("backoff"),
+            F.floor(-F.log2(score) * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("nll_microbits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.count_if(F.col("backoff")).cast("bigint").alias("n_backoff"),
+        round_half_up(
+            F.sum("nll_microbits").cast("double") / F.count(F.lit(1)) / 1_000_000,
+            4,
+        ).alias("avg_nll_bits"),
+    )

@@ -1033,3 +1033,83 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.day").alias("change_day"),
         F.col("m.cusum").cast("bigint").alias("cusum_stat"),
     )
+
+
+# ---- online CUSUM alert path ---------------------------------------------
+
+# one-sided CUSUM parameters (integer cents): reference slightly above
+# the series mean so the statistic resets often; threshold tuned to the
+# fixture's value scale so alerts fire but stay rare
+_CUSUM_K = 5500
+_CUSUM_H = 20000
+
+# shared verbatim by the streaming twin (streaming_cusum_alert) — the
+# two entries MUST stay value-identical
+CUSUM_ALERT_ORACLE = f"""
+    WITH v AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) - {_CUSUM_K} AS d
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, event_id, ts,
+             sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM v
+    )
+    SELECT event_type, event_id,
+           CAST(s - least(0, min(s) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+             AS g,
+           (s - least(0, min(s) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > {_CUSUM_H}
+             AS alert
+    FROM s
+    """
+
+
+@register("cusum_alert_path", oracle=CUSUM_ALERT_ORACLE)
+def cusum_alert_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online one-sided CUSUM alerting (Page 1954) over each
+    event_type's value stream: g_t = max(0, g_{{t-1}} + x_t − k),
+    alert when g_t crosses h — the sequential drift detector behind
+    SPC dashboards and data-quality monitors. The nonlinear recurrence
+    is NOT a window aggregate, but its closed form IS:
+    g_t = S_t − min(0, min_{{j≤t}} S_j) with S the running sum of
+    (x_t − k) — two stacked windows, all integer cents, bit-exact.
+
+    100 TB shape: the window partition key is the monitored series id;
+    state per series is O(1) in the streaming twin, and a deployment
+    monitors many series (type × region × tier), so parallelism comes
+    from series count. For few-series/many-rows inputs the right move
+    is pre-aggregating to a time grain first (the cusum_changepoint
+    entry's shape) — documented here as the substitution, same
+    caveat class as window_ntile_buckets."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (
+            exact_round(F.col("value") * 100, 0).cast("bigint") - _CUSUM_K
+        ).alias("d"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = v.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum("d").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+    )
+    # stacked window over the SAME (ts, event_id) ordering — Catalyst
+    # reuses the one sort+shuffle for both window operators
+    wmin = wo.rowsBetween(Window.unboundedPreceding, 0)
+    g = F.col("s") - F.least(F.lit(0).cast("bigint"), F.min("s").over(wmin))
+    return s.select(
+        "event_type",
+        "event_id",
+        g.cast("bigint").alias("g"),
+        (g > _CUSUM_H).alias("alert"),
+    )

@@ -1032,3 +1032,99 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") - 1).cast("bigint").alias("pos"),
         F.col("v").alias("component_micro"),
     )
+
+
+# ---- mutual nearest neighbors (embedding alignment) ----------------------
+
+
+def _mnn_oracle() -> str:
+    cos = _DUCK_COS.format(a="a.emb", b="b.emb")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_duck_bucket("embedding::DOUBLE[]")} AS bucket,
+             vec_id % 2 AS side
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(floor(({cos}) * 1000000 + 0.5) AS BIGINT) AS cm,
+             ({cos}) AS cos
+      FROM v a JOIN v b ON a.bucket = b.bucket
+      WHERE a.side = 0 AND b.side = 1
+    ),
+    nna AS (
+      SELECT a_id, b_id, cos FROM (
+        SELECT a_id, b_id, cos,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY cm DESC, b_id ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    ),
+    nnb AS (
+      SELECT a_id, b_id FROM (
+        SELECT a_id, b_id,
+               row_number() OVER (PARTITION BY b_id
+                                  ORDER BY cm DESC, a_id ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    )
+    SELECT nna.a_id, nna.b_id,
+           (floor(nna.cos * 10000 + 0.5) / 10000) AS cosine
+    FROM nna JOIN nnb ON nna.a_id = nnb.a_id AND nna.b_id = nnb.b_id
+    """
+
+
+@register("mutual_nn_pairs", oracle=_mnn_oracle())
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor alignment between two embedding
+    collections (even vs odd vec_ids as the two sides): a pair (a, b)
+    survives iff b is a's nearest cross-side neighbor AND a is b's —
+    the reciprocal-best-match criterion used for bitext mining
+    (Artetxe & Schwenk 2019), cross-lingual dictionary induction, and
+    batch-effect integration, where one-directional NN is known to
+    hallucinate hubs. Candidates come from shared random-hyperplane
+    LSH buckets (the dedup_embedding_lsh blocking — never all-pairs),
+    and both argmaxes rank on the SAME micro-quantized integer cosine
+    with id tie-breaks, so the mutual join is bit-deterministic.
+
+    100 TB shape: bucket population averages n/2^planes and the pair
+    stage is bucket-local; the two argmaxes are partial-agg
+    min(struct) folds (no per-key sort), keyed by each side's id; the
+    final mutuality check is an equi-join of two NN tables each at
+    most one row per vector. Pairs are localCheckpointed once —
+    both argmaxes read the same materialized candidate set."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        _bucket(F.col("embedding").cast("array<double>")).alias("bucket"),
+        (F.col("vec_id") % 2).alias("side"),
+    ).localCheckpoint(eager=True)  # 8 hyperplane dot products run once
+    a = e.filter(F.col("side") == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "bucket"
+    )
+    b = e.filter(F.col("side") == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), "bucket"
+    )
+    cos = cosine_similarity(F.col("a_emb"), F.col("b_emb"))
+    pairs = (
+        a.join(b, "bucket")
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(cos * 1_000_000 + F.lit(0.5)).cast("bigint").alias("cm"),
+            cos.alias("cos"),
+        )
+        .localCheckpoint(eager=True)  # feeds BOTH argmax folds
+    )
+    nna = pairs.groupBy("a_id").agg(
+        F.min(
+            F.struct((-F.col("cm")).alias("nc"), F.col("b_id"), F.col("cos"))
+        ).alias("m")
+    ).select("a_id", F.col("m.b_id").alias("b_id"), F.col("m.cos").alias("cos"))
+    nnb = pairs.groupBy("b_id").agg(
+        F.min(F.struct((-F.col("cm")).alias("nc"), F.col("a_id"))).alias("m")
+    ).select(F.col("m.a_id").alias("a_id"), F.col("b_id").alias("b_id"))
+    return nna.join(nnb, ["a_id", "b_id"]).select(
+        "a_id", "b_id", round_half_up(F.col("cos"), 4).alias("cosine")
+    )

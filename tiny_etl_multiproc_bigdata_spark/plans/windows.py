@@ -1113,3 +1113,88 @@ def cusum_alert_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.cast("bigint").alias("g"),
         (g > _CUSUM_H).alias("alert"),
     )
+
+
+# ---- held-out Markov next-event evaluation -------------------------------
+
+
+@register(
+    "markov_next_event_eval",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ),
+    train AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL AND user_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT prev_type, next_type AS predicted FROM (
+        SELECT prev_type, next_type,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, next_type ASC) AS rn
+        FROM train
+      ) WHERE rn = 1
+    )
+    SELECT s.prev_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(*) FILTER (s.event_type = m.predicted) AS BIGINT)
+             AS n_correct,
+           (floor(CAST(count(*) FILTER (s.event_type = m.predicted) AS DOUBLE)
+                  / count(*) * 10000 + 0.5) / 10000) AS accuracy
+    FROM seq s JOIN model m ON s.prev_type = m.prev_type
+    WHERE s.user_id % 2 = 1
+    GROUP BY s.prev_type
+    """,
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order Markov next-event model:
+    TRAIN the argmax-next-state predictor on even user_ids (most
+    frequent successor per state, smallest-label tie break — the
+    deterministic rule again), then score it on odd users' transitions
+    and report per-state accuracy. This is the model-eval pattern the
+    transition matrix (event_transition_matrix) feeds in production:
+    fit on one cohort, measure on a disjoint one, never leak.
+
+    100 TB shape: one user-partitioned lag pass produces ALL
+    transitions; train counts and the |states|-row argmax model are
+    tiny and broadcast back onto the held-out stream; accuracy is a
+    partially-aggregated filtered count plus one division. The
+    train/eval split is a pure expression on the partition key — zero
+    extra passes."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    seq = seq.localCheckpoint(eager=True)  # feeds train AND eval
+    train = (
+        seq.filter(F.col("user_id") % 2 == 0)
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = train.groupBy("prev_type").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("nn"), F.col("next_type"))
+        ).alias("m")
+    ).select("prev_type", F.col("m.next_type").alias("predicted"))
+    ev = seq.filter(F.col("user_id") % 2 == 1).join(
+        F.broadcast(model), "prev_type"
+    )
+    return ev.groupBy("prev_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.count_if(F.col("event_type") == F.col("predicted"))
+        .cast("bigint")
+        .alias("n_correct"),
+        round_half_up(
+            F.count_if(F.col("event_type") == F.col("predicted")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("accuracy"),
+    )

@@ -343,3 +343,106 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
 def test_span_corruption_zero_shuffle(spark, sf_dir):
     plan = _plan(_q("span_corruption_targets", spark, sf_dir))
     assert "Exchange" not in plan, f"per-row operator shuffles:\n{plan}"
+
+
+def test_skyline_sweep_equals_quadratic_definition(spark, tmp_path):
+    """The two-phase skyline sweep must implement strict dominance
+    exactly on adversarial inputs the fixture may not contain:
+    duplicate points (both survive — neither strictly dominates),
+    price ties with different sizes (bigger size kills smaller), and
+    a dominated-in-one-axis-only point. Reference = the quadratic
+    NOT EXISTS definition evaluated in Spark on the same rows."""
+    from pyspark.sql import functions as F
+
+    from tiny_etl_multiproc_bigdata_spark.plans.windows import (
+        skyline_pareto_parts,
+    )
+
+    rows = [
+        # (partkey, price, size)
+        (1, 900.00, 10),
+        (2, 900.00, 10),   # duplicate of 1 — both survive
+        (3, 900.00, 7),    # tied price, smaller size — dominated by 1
+        (4, 905.00, 12),
+        (5, 905.00, 12),   # duplicate of 4
+        (6, 910.00, 12),   # same size as 4, pricier — dominated
+        (7, 895.00, 3),    # cheapest overall — survives
+        (8, 990.00, 50),   # biggest overall — survives
+        (9, 991.00, 49),   # dominated by 8 on both axes
+        (10, 903.00, 11),
+    ]
+    df = spark.createDataFrame(
+        [(k, "n", "b", "t", s, p) for (k, p, s) in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    got = {
+        (r["p_partkey"], r["price_cents"], r["p_size"])
+        for r in skyline_pareto_parts(spark, str(tmp_path)).collect()
+    }
+    p = spark.createDataFrame(
+        [(k, int(round(pr * 100)), s) for (k, pr, s) in rows],
+        "k long, pc long, sz long",
+    )
+    p.createOrReplaceTempView("sky_ref")
+    want = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT p.k, p.pc, p.sz FROM sky_ref p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM sky_ref q
+              WHERE q.pc <= p.pc AND q.sz >= p.sz
+                AND (q.pc < p.pc OR q.sz > p.sz)
+            )
+            """
+        ).collect()
+    }
+    assert got == want
+    # 10=(903,11) survives: nothing at price <= 903 has size >= 11
+    assert {k for (k, _, _) in got} == {1, 2, 4, 5, 7, 8, 10}
+
+
+def test_rolling_median_frame_parity(spark, tmp_path):
+    """Odd and even frame sizes of rolling_median_exact pinned on a
+    constructed series: medians of the growing 1..7-row trailing frame
+    over values [10, 20, 40, 30, 50, 60, 70, 80] cents."""
+    import datetime
+
+    from tiny_etl_multiproc_bigdata_spark.plans.windows import (
+        rolling_median_exact,
+    )
+
+    vals = [0.10, 0.20, 0.40, 0.30, 0.50, 0.60, 0.70, 0.80]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r["event_id"]: r["med_cents"]
+        for r in rolling_median_exact(spark, str(tmp_path)).collect()
+    }
+    # frames: [10] [10,20] [10,20,40] [10,20,30,40] [10..50]
+    #         [10..60] [10..70 full 7] [20..80 sliding]
+    want = {
+        0: 10.0,
+        1: 15.0,
+        2: 20.0,
+        3: 25.0,
+        4: 30.0,
+        5: 35.0,
+        6: 40.0,
+        7: 50.0,
+    }
+    assert got == want

@@ -157,3 +157,85 @@ def test_streaming_anomaly_zscore_tail_carries_across_batches(spark, tmp_path):
     want_m = {key(r): (r["n_baseline"], r["zscore"], r["is_anomaly"]) for r in want}
     assert len(got_m) == len(want_m) == len(want)
     assert got_m == want_m
+
+
+def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
+    """Two-micro-batch replay for streaming_cusum_alert: the events
+    fixture splits at its median timestamp into two files streamed with
+    maxFilesPerTrigger=1. The CUSUM statistic is a prefix recurrence —
+    every row of the second batch is wrong unless (S, min S) really
+    carried through the state store. Union of update emissions must
+    equal the batch closed form row-for-row."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+    from tiny_etl_multiproc_bigdata_spark.plans.windows import cusum_alert_path
+
+    _load_all()  # the streaming twin registers from operators.grouped_pandas
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    stage = str(tmp_path / "events_split")
+    os.makedirs(stage, exist_ok=True)
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage + "/f1.dir")
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage + "/f2.dir")
+    f1 = glob.glob(stage + "/f1.dir/part-*.parquet")[0]
+    f2 = glob.glob(stage + "/f2.dir/part-*.parquet")[0]
+    shutil.copy(f1, stage + "/a_early.parquet")
+    shutil.copy(f2, stage + "/b_late.parquet")
+    now = time.time()
+    os.utime(stage + "/a_early.parquet", (now - 100, now - 100))
+    os.utime(stage + "/b_late.parquet", (now, now))
+    shutil.rmtree(stage + "/f1.dir")
+    shutil.rmtree(stage + "/f2.dir")
+
+    import tiny_etl_multiproc_bigdata_spark.streaming.jobs as jobs
+
+    schema = spark.read.parquet(stage).schema
+    real_stream = jobs._events_stream
+
+    def split_stream(spark_, _sf_dir):
+        from pyspark.sql.types import LongType, TimestampType
+
+        raw = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        if isinstance(schema["ts"].dataType, LongType):
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if isinstance(schema["ts"].dataType, TimestampType):
+            return raw
+        epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
+            "bigint"
+        ) + F.date_format("ts", "SSSSSS").cast("bigint")
+        return raw.withColumn("ts", F.timestamp_micros(epoch_us))
+
+    jobs._events_stream = split_stream
+    try:
+        got = REGISTRY["streaming_cusum_alert"].fn(spark, sf_dir).collect()
+    finally:
+        jobs._events_stream = real_stream
+
+    want = cusum_alert_path(spark, sf_dir).collect()
+    key = lambda r: (r["event_type"], r["event_id"])  # noqa: E731
+    got_m = {key(r): (r["g"], r["alert"]) for r in got}
+    want_m = {key(r): (r["g"], r["alert"]) for r in want}
+    assert len(got_m) == len(want_m) == len(want)
+    assert got_m == want_m

@@ -919,3 +919,261 @@ def welch_t_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_stat"),
     )
+
+
+# ---- decision-stump split search -----------------------------------------
+
+
+@register(
+    "decision_stump_split",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    per_h AS (
+      SELECT event_type, h, count(*) AS nh, sum(y) AS sh
+      FROM v GROUP BY event_type, h
+    ),
+    cum AS (
+      SELECT event_type, h,
+             CAST(sum(nh) OVER wc AS DECIMAL(38,0)) AS nl,
+             CAST(sum(sh) OVER wc AS DECIMAL(38,0)) AS sl,
+             CAST(sum(nh) OVER wt AS DECIMAL(38,0)) AS n,
+             CAST(sum(sh) OVER wt AS DECIMAL(38,0)) AS s
+      FROM per_h
+      WINDOW wc AS (PARTITION BY event_type ORDER BY h
+                    ROWS UNBOUNDED PRECEDING),
+             wt AS (PARTITION BY event_type)
+    ),
+    gains AS (
+      SELECT event_type, h,
+             CAST(nl AS BIGINT) AS n_left,
+             CAST(n - nl AS BIGINT) AS n_right,
+             floor((CAST(sl * sl * (n - nl) + (s - sl) * (s - sl) * nl
+                         AS DOUBLE)
+                    / CAST(nl * (n - nl) AS DOUBLE)
+                    - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 100 + 0.5) AS gain_q
+      FROM cum WHERE nl < n
+    )
+    SELECT event_type, h AS split_hour, n_left, n_right,
+           CAST(gain_q AS BIGINT) AS sse_reduction_q
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gain_q DESC, h ASC) AS rn
+      FROM gains
+    ) WHERE rn = 1
+    """,
+)
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split search as pure SQL aggregates: for each
+    event_type, find the hour-of-day threshold h* that best splits the
+    value series by SSE reduction — the inner loop of CART/GBDT
+    training, evaluated for ALL candidate splits from ONE pass of
+    sufficient statistics (n, Σy, Σy² per hour, then prefix sums give
+    every split's left/right stats — no per-candidate re-scan). The
+    variance-reduction objective simplifies to sL²/nL + sR²/nR − s²/n
+    (the Σy² terms cancel), computed from exact DECIMAL(38,0) prefix
+    sums with only IEEE divisions at the end; gains quantize at 1e-2
+    before the deterministic (gain DESC, h ASC) argmax.
+
+    100 TB shape: the fact table reduces to |groups| × 24 sufficient-
+    statistic rows before any window; split search cost is independent
+    of row count — the property that makes distributed GBDT histogram
+    training (LightGBM-style) work."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("h"),
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    per_h = v.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("y").alias("sh"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    dec = "decimal(38,0)"
+    cum = per_h.select(
+        "event_type",
+        "h",
+        F.sum("nh").over(wc).cast(dec).alias("nl"),
+        F.sum("sh").over(wc).cast(dec).alias("sl"),
+        F.sum("nh").over(wt).cast(dec).alias("n"),
+        F.sum("sh").over(wt).cast(dec).alias("s"),
+    ).filter(F.col("nl") < F.col("n"))
+    nr = F.col("n") - F.col("nl")
+    sr = F.col("s") - F.col("sl")
+    gain = (
+        (F.col("sl") * F.col("sl") * nr + sr * sr * F.col("nl")).cast("double")
+        / (F.col("nl") * nr).cast("double")
+        - (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+    )
+    gains = cum.select(
+        "event_type",
+        "h",
+        F.col("nl").cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        F.floor(gain * 100 + F.lit(0.5)).alias("gain_q"),
+    )
+    pick = gains.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.col("gain_q")).alias("ng"),
+                F.col("h"),
+                F.col("n_left"),
+                F.col("n_right"),
+                F.col("gain_q"),
+            )
+        ).alias("m")
+    )
+    return pick.select(
+        "event_type",
+        F.col("m.h").alias("split_hour"),
+        F.col("m.n_left").alias("n_left"),
+        F.col("m.n_right").alias("n_right"),
+        F.col("m.gain_q").cast("bigint").alias("sse_reduction_q"),
+    )
+
+
+# ---- Kaplan-Meier survival curve -----------------------------------------
+
+_KM_CENSOR_DAYS = 7  # users last seen in the final week are censored
+_KM_NEG_INF = -(10**12)  # "-infinity" microbits: exp(-1e6) underflows to 0.0
+
+
+@register(
+    "kaplan_meier_retention",
+    ulp_sensitive=True,
+    oracle=f"""
+    WITH w AS (SELECT max(ts) AS w_end FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(CAST(max(ts) AS DATE) - CAST(min(ts) AS DATE) AS BIGINT)
+               AS dur,
+             max(ts) > (SELECT w_end FROM w) - INTERVAL {_KM_CENSOR_DAYS} DAY
+               AS censored
+      FROM events GROUP BY user_id
+    ),
+    by_dur AS (
+      SELECT dur,
+             count(*) AS n_total,
+             count(*) FILTER (NOT censored) AS n_events,
+             count(*) FILTER (censored) AS n_censored
+      FROM per_user GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, n_events, n_censored,
+             CAST(sum(n_total) OVER () AS BIGINT)
+             - CAST(COALESCE(sum(n_total) OVER (
+                 ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+      FROM by_dur
+    ),
+    f AS (
+      SELECT dur, n_at_risk, n_events, n_censored,
+             CASE WHEN n_events = 0 THEN 0
+                  WHEN n_events = n_at_risk THEN {_KM_NEG_INF}
+                  ELSE CAST(floor(ln(1 - CAST(n_events AS DOUBLE) / n_at_risk)
+                                  * 1000000 + 0.5) AS BIGINT)
+             END AS lf_micro
+      FROM risk
+    )
+    SELECT dur AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST(sum(lf_micro) OVER (ORDER BY dur
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS log_survival_micro,
+           (floor(exp(CAST(sum(lf_micro) OVER (ORDER BY dur
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000)
+                  * 10000 + 0.5) / 10000) AS km_survival
+    FROM f
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (first event →
+    last event, in days), with right-censoring for users still active
+    in the observation window's final {CD} days — the retention
+    curve product-limit estimator (Kaplan & Meier 1958). Each hazard
+    factor ln(1 − d_i/n_i) quantizes to integer microbits before the
+    cumulative sum, so the log-survival column is an EXACT integer at
+    every duration (ulp on the ln input only); the probability column
+    re-exponentiates for readability, with an explicit −∞ sentinel
+    when the risk set empties (exp underflows to exactly 0.0 in both
+    engines).
+
+    100 TB shape: per-user lifetimes are one partially-aggregated
+    groupBy; the curve itself lives on the |distinct durations| rows
+    (bounded by the observation window in days), so every window here
+    orders a duration-sized series, never the fact table."""
+    e = table(spark, sf_dir, "events")
+    w_end = e.agg(F.max("ts").alias("w_end"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(w_end))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+            .cast("bigint")
+            .alias("dur"),
+            (
+                F.col("last_ts")
+                > F.col("w_end") - F.expr(f"INTERVAL {_KM_CENSOR_DAYS} DAY")
+            ).alias("censored"),
+        )
+    )
+    by_dur = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(~F.col("censored")).alias("n_events"),
+        F.count_if(F.col("censored")).alias("n_censored"),
+    )
+    wt = Window.partitionBy()
+    wp = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_dur.select(
+        "dur",
+        "n_events",
+        "n_censored",
+        (
+            F.sum("n_total").over(wt)
+            - F.coalesce(F.sum("n_total").over(wp), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    lf = (
+        F.when(F.col("n_events") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("n_events") == F.col("n_at_risk"),
+            F.lit(_KM_NEG_INF).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                F.log(
+                    1 - F.col("n_events").cast("double") / F.col("n_at_risk")
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    f = risk.withColumn("lf_micro", lf)
+    cum = F.sum("lf_micro").over(wc).cast("bigint")
+    return f.select(
+        F.col("dur").alias("duration_days"),
+        "n_at_risk",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        cum.alias("log_survival_micro"),
+        round_half_up(F.exp(cum.cast("double") / 1_000_000), 4).alias(
+            "km_survival"
+        ),
+    )

@@ -1104,3 +1104,135 @@ def segment_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# ---- NDCG@10 ranking-quality evaluation ----------------------------------
+
+_NDCG_K = 10
+
+
+def _register_ndcg_eval() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    bm_sql = REGISTRY["bm25_doc_scores"].oracle
+
+    # graded relevance: how many of the query's terms the doc contains
+    # (0..N_QUERY_TERMS). The query-term CTE repeats bm25's top-df
+    # selection GENERATED from the same module constants, so tuning
+    # _N_QUERY_TERMS moves both entries together.
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), qterms AS (
+      SELECT tok FROM df ORDER BY df DESC, tok ASC LIMIT {_N_QUERY_TERMS}
+    ), grades AS (
+      SELECT t.doc_id, CAST(count(DISTINCT t.tok) AS BIGINT) AS grade
+      FROM toks t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id
+    ), bm AS ({bm_sql}),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS r
+      FROM bm
+    ), dcg AS (
+      SELECT CAST(sum(CAST(floor(
+               CAST(COALESCE(g.grade, 0) AS DOUBLE) / log2(rk.r + 1)
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_micro
+      FROM ranked rk LEFT JOIN grades g ON rk.doc_id = g.doc_id
+      WHERE rk.r <= {_NDCG_K}
+    ), ideal AS (
+      SELECT grade,
+             row_number() OVER (ORDER BY grade DESC, doc_id ASC) AS r
+      FROM grades
+    ), idcg AS (
+      SELECT CAST(sum(CAST(floor(
+               CAST(grade AS DOUBLE) / log2(r + 1) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS idcg_micro
+      FROM ideal WHERE r <= {_NDCG_K}
+    )
+    SELECT dcg_micro, idcg_micro,
+           {duck_round("CAST(dcg_micro AS DOUBLE) / idcg_micro", 4)}
+             AS ndcg_at_k
+    FROM dcg, idcg
+    """
+
+    @register("ndcg_ranking_eval", ulp_sensitive=True, oracle=oracle)
+    def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """NDCG@{K} of the BM25 ranking (Järvelin & Kekäläinen 2002)
+        against graded relevance = how many of the query's terms each
+        document contains — the standard offline ranking-quality
+        protocol, completing the retrieval-eval tier beside the ANN
+        recall entries (which this mirrors by COMPOSING the registered
+        bm25_doc_scores entry unchanged). Per-rank gains grade/log2(r+1)
+        quantize to integer micro-units before both sums (ulp log2);
+        NDCG is then one exact integer ratio.
+
+        100 TB shape: the ranked list is K rows; the only corpus-scale
+        work is the grade table (one partially-aggregated semi-join of
+        the token stream against the broadcast query terms) and the
+        ideal-ordering top-K, which is TakeOrdered — no global sort."""
+        from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+            REGISTRY as _R,
+        )
+
+        bm = _R["bm25_doc_scores"].fn(spark, sf_dir)
+        arr = _tok_docs(spark, sf_dir, checkpoint=True)
+        toks = arr.select("doc_id", F.explode("l").alias("tok"))
+        df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+        qterms = (
+            df_.orderBy(F.desc("df"), F.asc("tok"))
+            .limit(_N_QUERY_TERMS)
+            .select("tok")
+        )
+        grades = (
+            toks.join(F.broadcast(qterms), "tok")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("tok").cast("bigint").alias("grade"))
+            .localCheckpoint(eager=True)  # feeds DCG join AND ideal top-K
+        )
+        wr = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        ranked = (
+            bm.withColumn("r", F.row_number().over(wr))
+            .filter(F.col("r") <= _NDCG_K)
+            .join(grades, "doc_id", "left")
+        )
+        gain = (
+            F.floor(
+                F.coalesce(F.col("grade"), F.lit(0)).cast("double")
+                / F.log2(F.col("r") + 1)
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+        )
+        dcg = ranked.agg(F.sum(gain).cast("bigint").alias("dcg_micro"))
+        # TakeOrderedAndProject shrinks the corpus-sized grade table to
+        # K rows BEFORE the rank window touches it (orderBy+limit, not
+        # a rank-filtered global window)
+        topk = grades.orderBy(F.desc("grade"), F.asc("doc_id")).limit(_NDCG_K)
+        wi = Window.orderBy(F.desc("grade"), F.asc("doc_id"))
+        ideal = topk.withColumn("r", F.row_number().over(wi))
+        igain = (
+            F.floor(
+                F.col("grade").cast("double") / F.log2(F.col("r") + 1)
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+        )
+        idcg = ideal.agg(F.sum(igain).cast("bigint").alias("idcg_micro"))
+        return (
+            dcg.crossJoin(F.broadcast(idcg))
+            .select(
+                "dcg_micro",
+                "idcg_micro",
+                round_half_up(
+                    F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 4
+                ).alias("ndcg_at_k"),
+            )
+        )
+
+
+_register_ndcg_eval()

@@ -446,3 +446,52 @@ def test_rolling_median_frame_parity(spark, tmp_path):
         7: 50.0,
     }
     assert got == want
+
+
+def test_hilbert_curve_is_space_filling():
+    """Exhaustive proof over the full 256x256 key grid (via DuckDB on
+    the SAME generated round fragments the engine chains): the xy2d
+    transform is a bijection onto 0..65535 and every consecutive pair
+    of keys is grid-adjacent — the defining Hilbert property, which a
+    mis-rotated variant (the classic xy2d bug class) breaks
+    immediately. Engine ≡ oracle is separately pinned by the
+    correctness sweep, so validating the oracle validates both."""
+    import duckdb
+
+    from tiny_etl_multiproc_bigdata_spark.plans.graph_ops import (
+        _H_BITS,
+        _H_N,
+        _hilbert_round_exprs,
+        _hilbert_steps,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE grid AS SELECT a.i AS x0, b.i AS y0 "
+        f"FROM range(0,{_H_N}) a(i), range(0,{_H_N}) b(i)"
+    )
+    ctes = [
+        "h0 AS (SELECT x0 AS gx, y0 AS gy, CAST(x0 AS BIGINT) AS x, "
+        "CAST(y0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM grid)"
+    ]
+    for k, s in enumerate(_hilbert_steps(), start=1):
+        nx, ny, nd = _hilbert_round_exprs(s)
+        ctes.append(
+            f"h{k} AS (SELECT gx, gy, CAST({nx} AS BIGINT) AS x, "
+            f"CAST({ny} AS BIGINT) AS y, CAST({nd} AS BIGINT) AS d "
+            f"FROM h{k - 1})"
+        )
+    con.execute(
+        "CREATE TABLE hk AS WITH "
+        + ",\n".join(ctes)
+        + f" SELECT gx, gy, d FROM h{_H_BITS}"
+    )
+    n, dmin, dmax, nd_ = con.execute(
+        "SELECT count(*), min(d), max(d), count(DISTINCT d) FROM hk"
+    ).fetchone()
+    assert (n, dmin, dmax, nd_) == (_H_N * _H_N, 0, _H_N * _H_N - 1, _H_N * _H_N)
+    bad = con.execute(
+        """SELECT count(*) FROM hk a JOIN hk b ON b.d = a.d + 1
+           WHERE abs(a.gx - b.gx) + abs(a.gy - b.gy) <> 1"""
+    ).fetchone()[0]
+    assert bad == 0

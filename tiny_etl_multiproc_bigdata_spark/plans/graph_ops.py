@@ -839,3 +839,102 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))).alias("m")
         ).select("node", F.col("m.lbl").alias("lbl"))
     return lbl.select("node", F.col("lbl").alias("community"))
+
+
+# ---- Hilbert-curve clustering keys ---------------------------------------
+
+_H_BITS = 8  # 256 x 256 grid, same key space as zorder_cluster_assign
+_H_N = 1 << _H_BITS
+
+
+def _hilbert_round_exprs(s: int) -> tuple[str, str, str]:
+    """One xy2d round (grid step s) as portable SQL over columns
+    (x, y, d): returns (new_x, new_y, new_d) expressions. The quadrant
+    index (3·rx) XOR ry is rewritten as 3·rx + ry − 2·rx·ry (identical
+    on {{0,1}}²) because DuckDB spells XOR differently from Spark SQL —
+    pure arithmetic is the only dialect both parse verbatim. ONE
+    generator feeds engine and oracle, the zorder/_interleave_expr
+    convention."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    nd = f"d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    nx = (
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+        f"THEN {_H_N - 1} - y ELSE y END) ELSE x END"
+    )
+    ny = (
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+        f"THEN {_H_N - 1} - x ELSE x END) ELSE y END"
+    )
+    return nx, ny, nd
+
+
+def _hilbert_steps() -> list[int]:
+    return [1 << i for i in range(_H_BITS - 1, -1, -1)]
+
+
+def _hilbert_oracle() -> str:
+    head = """
+    WITH h0 AS (
+      SELECT event_id,
+             CAST(user_id & 255 AS BIGINT) AS x,
+             CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) & 255 AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM events
+    )"""
+    ctes = []
+    for k, s in enumerate(_hilbert_steps(), start=1):
+        nx, ny, nd = _hilbert_round_exprs(s)
+        ctes.append(
+            f""",
+    h{k} AS (
+      SELECT event_id, CAST({nx} AS BIGINT) AS x,
+             CAST({ny} AS BIGINT) AS y, CAST({nd} AS BIGINT) AS d
+      FROM h{k - 1}
+    )"""
+        )
+    return (
+        head
+        + "".join(ctes)
+        + f"""
+    SELECT event_id, d AS hvalue,
+           CAST(d >> {_H_BITS} AS BIGINT) AS cluster
+    FROM h{_H_BITS}"""
+    )
+
+
+@register("hilbert_cluster_assign", oracle=_hilbert_oracle())
+def hilbert_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys over (user, day) — the
+    locality-preserving space-filling curve behind modern lakehouse
+    clustering (better neighborhood preservation than the Morton keys
+    of zorder_cluster_assign, which this entry twins: same 8-bit key
+    space, same cluster = top-bits file assignment, so the two layouts
+    are directly comparable). The xy2d transform unrolls its
+    {BITS} rounds as one expression chain per row — map-only, zero
+    shuffle; each round's (x, y, d) update is generated from ONE
+    Python function into both the engine's selectExpr chain and the
+    oracle's CTE chain, so the two cannot drift. The space-filling
+    property (consecutive keys are grid-adjacent) is pinned
+    exhaustively in tests/test_plans.py."""
+    e = table(spark, sf_dir, "events")
+    df = e.selectExpr(
+        "event_id",
+        "CAST(user_id & 255 AS BIGINT) AS x",
+        "CAST(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) & 255"
+        " AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    for s in _hilbert_steps():
+        nx, ny, nd = _hilbert_round_exprs(s)
+        df = df.selectExpr(
+            "event_id",
+            f"CAST({nx} AS BIGINT) AS x",
+            f"CAST({ny} AS BIGINT) AS y",
+            f"CAST({nd} AS BIGINT) AS d",
+        )
+    return df.selectExpr(
+        "event_id",
+        "d AS hvalue",
+        f"CAST(d >> {_H_BITS} AS BIGINT) AS cluster",
+    )

@@ -573,3 +573,121 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("psi_contrib_e8"),
     )
+
+
+# ---- privacy: k-anonymity / l-diversity audit ----------------------------
+
+_KANON_K = 5
+_LDIV_L = 3
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                AS BIGINT) AS l_diversity,
+           count(*) >= {_KANON_K} AS k_ok,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+             >= {_LDIV_L} AS l_ok
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit per quasi-identifier group (Sweeney 2002 /
+    Machanavajjhala 2007): k-anonymity = every (nationkey, mktsegment)
+    equivalence class must hold >= {K} records, l-diversity = each
+    class must span >= {L} distinct sensitive values (here the
+    thousand-dollar account-balance band). Groups failing either flag
+    are what a release pipeline must suppress or generalize — this
+    entry is the decision table that drives that, a mandatory
+    pre-release step for any user-derived training corpus.
+
+    100 TB shape: one partially-aggregated groupBy on the QI columns;
+    the distinct-sensitive count is the only shuffle-heavy part and is
+    a standard two-level aggregate. Output is |QI classes| rows."""
+    c = table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.count_distinct(band).cast("bigint").alias("l_diversity"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "l_diversity",
+        (F.col("k") >= _KANON_K).alias("k_ok"),
+        (F.col("l_diversity") >= _LDIV_L).alias("l_ok"),
+    )
+
+
+# ---- incremental join-view maintenance -----------------------------------
+
+
+@register(
+    "incremental_join_view",
+    oracle="""
+    SELECT o.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate JOIN view (per-customer
+    item count + quantity over orders⋈lineitem) under inserts to BOTH
+    base tables — the delta rule V_new = V_old ⊕ agg(ΔA⋈B ∪ A⋈ΔB ∪
+    ΔA⋈ΔB), the algebra under every materialized-view refresh and
+    streaming join maintenance engine (DBSP/Materialize-style). The
+    entry SIMULATES the increment by splitting each fixture table into
+    an old snapshot and a delta batch (orders: custkey%10==0 arrives
+    late; lineitem: suppkey%7==0 arrives late), runs the three delta
+    joins plus the old view, and merges by summing partials. The
+    oracle is the full recompute over the complete tables — equality
+    IS the correctness theorem for the delta rule.
+
+    100 TB shape: the point of the pattern — each refresh joins
+    delta-sized inputs against the standing side instead of
+    recomputing A⋈B; the merge is a partial-agg union (count/sum are
+    abelian-group aggregates, so ⊕ is just +). The standing sides
+    are localCheckpointed once; at warehouse scale they'd be the
+    materialized base relations."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = o.localCheckpoint(eager=True)
+    li = li.localCheckpoint(eager=True)
+    a_old = o.filter(F.col("o_custkey") % 10 != 0)
+    a_del = o.filter(F.col("o_custkey") % 10 == 0)
+    b_old = li.filter(F.col("l_suppkey") % 7 != 0)
+    b_del = li.filter(F.col("l_suppkey") % 7 == 0)
+
+    def agg_join(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+            )
+        )
+
+    v_old = agg_join(a_old, b_old)
+    deltas = (
+        agg_join(a_del, b_old)
+        .unionAll(agg_join(a_old, b_del))
+        .unionAll(agg_join(a_del, b_del))
+    )
+    return (
+        v_old.unionAll(deltas)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("total_qty").cast("bigint").alias("total_qty"),
+        )
+    )

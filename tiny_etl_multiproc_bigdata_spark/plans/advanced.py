@@ -1177,3 +1177,241 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "km_survival"
         ),
     )
+
+
+# ---- causal inference: caliper matching + diff-in-differences ------------
+
+_MATCH_CALIPER = 500  # cents: max covariate distance for a valid match
+
+
+@register(
+    "caliper_nearest_match",
+    oracle=f"""
+    WITH u AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+             c_custkey % 2 = 1 AS treated
+      FROM customer
+    ),
+    tagged AS (
+      SELECT k, seg, bal, treated,
+             min(CASE WHEN NOT treated
+                      THEN struct_pack(nb := -bal, ck := k) END)
+               OVER (PARTITION BY seg ORDER BY bal
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS prev_c,
+             min(CASE WHEN NOT treated
+                      THEN struct_pack(b := bal, ck := k) END)
+               OVER (PARTITION BY seg ORDER BY bal
+                     RANGE BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS next_c
+      FROM u
+    ),
+    scored AS (
+      SELECT k, seg, bal,
+             bal - (-(prev_c.nb)) AS d_prev, prev_c.ck AS prev_k,
+             (next_c.b) - bal AS d_next, next_c.ck AS next_k
+      FROM tagged WHERE treated
+    )
+    SELECT k AS treated_key, seg AS segment,
+           CASE WHEN best_d IS NOT NULL AND best_d <= {_MATCH_CALIPER}
+                THEN best_k END AS control_key,
+           CASE WHEN best_d IS NOT NULL AND best_d <= {_MATCH_CALIPER}
+                THEN best_d END AS distance_cents,
+           COALESCE(best_d <= {_MATCH_CALIPER}, false) AS matched
+    FROM (
+      SELECT k, seg,
+             CASE WHEN d_prev IS NULL THEN d_next
+                  WHEN d_next IS NULL THEN d_prev
+                  WHEN d_prev <= d_next THEN d_prev ELSE d_next END AS best_d,
+             CASE WHEN d_prev IS NULL THEN next_k
+                  WHEN d_next IS NULL THEN prev_k
+                  WHEN d_prev <= d_next THEN prev_k ELSE next_k END AS best_k
+      FROM scored
+    )
+    """,
+)
+def caliper_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor covariate matching with a caliper (the
+    propensity-matching workhorse, Rosenbaum & Rubin 1985): every
+    treated customer (odd custkey) is matched, WITHIN ITS MARKET
+    SEGMENT (exact-match stratification), to the control customer
+    whose account balance is closest, but only within {CAL} cents —
+    beyond the caliper the unit stays unmatched, which is exactly what
+    guards a causal readout against off-support comparisons. ZERO
+    joins: both sides sort once into one tagged stream, and each
+    treated unit reads its nearest control from a backward RANGE
+    running-min (of (-balance, key) structs — largest balance ≤ mine,
+    smallest key on ties) and a forward RANGE running-min; RANGE frames
+    include equal-balance peers in BOTH directions, so distance-0
+    matches are found regardless of sort position. Tie between equal
+    backward/forward distances resolves backward — pinned identically
+    in both engines.
+
+    100 TB shape: the tagged-stream trick is the asof_tolerance_join
+    pattern — one SEGMENT-PARTITIONED sort on the covariate replaces a
+    treated×control join entirely (the stratification key is also the
+    parallelism key, as production matching always blocks on exact
+    covariates first); everything after is per-row."""
+    c = table(spark, sf_dir, "customer")
+    u = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        exact_round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal"),
+        (F.col("c_custkey") % 2 == 1).alias("treated"),
+    )
+    wb = (
+        Window.partitionBy("seg")
+        .orderBy("bal")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("seg")
+        .orderBy("bal")
+        .rangeBetween(0, Window.unboundedFollowing)
+    )
+    ctrl_prev = F.when(
+        ~F.col("treated"),
+        F.struct((-F.col("bal")).alias("nb"), F.col("k").alias("ck")),
+    )
+    ctrl_next = F.when(
+        ~F.col("treated"),
+        F.struct(F.col("bal").alias("b"), F.col("k").alias("ck")),
+    )
+    tagged = u.select(
+        "k",
+        "seg",
+        "bal",
+        "treated",
+        F.min(ctrl_prev).over(wb).alias("prev_c"),
+        F.min(ctrl_next).over(wf).alias("next_c"),
+    ).filter(F.col("treated"))
+    scored = tagged.select(
+        "k",
+        "seg",
+        (F.col("bal") + F.col("prev_c.nb")).alias("d_prev"),
+        F.col("prev_c.ck").alias("prev_k"),
+        (F.col("next_c.b") - F.col("bal")).alias("d_next"),
+        F.col("next_c.ck").alias("next_k"),
+    )
+    best_d = (
+        F.when(F.col("d_prev").isNull(), F.col("d_next"))
+        .when(F.col("d_next").isNull(), F.col("d_prev"))
+        .when(F.col("d_prev") <= F.col("d_next"), F.col("d_prev"))
+        .otherwise(F.col("d_next"))
+    )
+    best_k = (
+        F.when(F.col("d_prev").isNull(), F.col("next_k"))
+        .when(F.col("d_next").isNull(), F.col("prev_k"))
+        .when(F.col("d_prev") <= F.col("d_next"), F.col("prev_k"))
+        .otherwise(F.col("next_k"))
+    )
+    s = scored.select(
+        F.col("k").alias("treated_key"),
+        F.col("seg").alias("segment"),
+        best_d.alias("best_d"),
+        best_k.alias("best_k"),
+    )
+    ok = F.col("best_d").isNotNull() & (F.col("best_d") <= _MATCH_CALIPER)
+    return s.select(
+        "treated_key",
+        "segment",
+        F.when(ok, F.col("best_k")).alias("control_key"),
+        F.when(ok, F.col("best_d")).alias("distance_cents"),
+        F.coalesce(
+            F.col("best_d") <= _MATCH_CALIPER, F.lit(False)
+        ).alias("matched"),
+    )
+
+
+@register(
+    "diff_in_differences",
+    oracle="""
+    WITH w AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    v AS (
+      SELECT event_type,
+             user_id % 2 = 1 AS treated,
+             epoch_us(ts) > (SELECT mid_us FROM w) AS post,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type,
+             sum(y) FILTER (treated AND post)          AS s_tp,
+             count(*) FILTER (treated AND post)        AS n_tp,
+             sum(y) FILTER (treated AND NOT post)      AS s_t0,
+             count(*) FILTER (treated AND NOT post)    AS n_t0,
+             sum(y) FILTER (NOT treated AND post)      AS s_cp,
+             count(*) FILTER (NOT treated AND post)    AS n_cp,
+             sum(y) FILTER (NOT treated AND NOT post)  AS s_c0,
+             count(*) FILTER (NOT treated AND NOT post) AS n_c0
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_tp + n_t0 + n_cp + n_c0 AS BIGINT) AS n_obs,
+           (floor(((CAST(s_tp AS DOUBLE)/n_tp - CAST(s_t0 AS DOUBLE)/n_t0)
+                 - (CAST(s_cp AS DOUBLE)/n_cp - CAST(s_c0 AS DOUBLE)/n_c0))
+                  * 100 + 0.5) / 100) AS did_cents
+    FROM cells
+    """,
+)
+def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per event_type: treatment =
+    user parity, pre/post split at the observation window's midpoint
+    timestamp; DiD = (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post
+    − ȳ_control,pre) — the 2×2 panel estimator, computed from the four
+    cells' exact integer sums in ONE pass (filtered aggregates, no
+    self-joins). Only IEEE divisions and subtractions touch floats ⇒
+    bit-exact cross-engine.
+
+    100 TB shape: one partially-aggregated groupBy producing eight
+    numbers per group; cohort and period assignment are pure
+    expressions. The midpoint is a 1-row broadcast aggregate."""
+    e = table(spark, sf_dir, "events")
+    # portable epoch-micros of the naive timestamp (the asof_last_signup
+    # idiom — matches DuckDB's epoch_us on TIMESTAMP_NTZ)
+    t_us = F.unix_timestamp("ts") * 1_000_000 + F.date_format(
+        "ts", "SSSSSS"
+    ).cast("bigint")
+    ep = e.withColumn("t_us", t_us)
+    mid = ep.agg(
+        F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us")
+    )
+    v = ep.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.col("t_us") > F.col("mid_us")).alias("post"),
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+
+    def cell(tr: bool, po: bool, what: str):
+        cond = (F.col("treated") == tr) & (F.col("post") == po)
+        if what == "s":
+            return F.sum(F.when(cond, F.col("y")))
+        return F.count_if(cond)
+
+    cells = v.groupBy("event_type").agg(
+        cell(True, True, "s").alias("s_tp"),
+        cell(True, True, "n").alias("n_tp"),
+        cell(True, False, "s").alias("s_t0"),
+        cell(True, False, "n").alias("n_t0"),
+        cell(False, True, "s").alias("s_cp"),
+        cell(False, True, "n").alias("n_cp"),
+        cell(False, False, "s").alias("s_c0"),
+        cell(False, False, "n").alias("n_c0"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    return cells.select(
+        "event_type",
+        (F.col("n_tp") + F.col("n_t0") + F.col("n_cp") + F.col("n_c0"))
+        .cast("bigint")
+        .alias("n_obs"),
+        round_half_up(
+            (mean("s_tp", "n_tp") - mean("s_t0", "n_t0"))
+            - (mean("s_cp", "n_cp") - mean("s_c0", "n_c0")),
+            2,
+        ).alias("did_cents"),
+    )

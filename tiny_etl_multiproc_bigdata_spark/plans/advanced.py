@@ -1415,3 +1415,110 @@ def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("did_cents"),
     )
+
+
+# ---- sequential probability ratio test (SPRT) ----------------------------
+
+# H0: p = 0.4 vs H1: p = 0.5 for P(high-value event), alpha = beta = 0.05.
+# The per-observation LLR increments and the decision bound are FIXED
+# INTEGER MICRO-NAT CONSTANTS precomputed in Python (ln(0.5/0.4),
+# ln(0.5/0.6), ln(19)), so neither engine evaluates a log at all — the
+# whole test is integer arithmetic, no ulp flag needed (the _CCNET_QS
+# shared-literal convention, one step further).
+_SPRT_LA = 223144      # round(ln(p1/p0) * 1e6)
+_SPRT_LB = -182322     # round(ln((1-p1)/(1-p0)) * 1e6)
+_SPRT_BOUND = 2944439  # round(ln((1-beta)/alpha) * 1e6)
+_SPRT_HI = 5000        # "high-value" threshold, integer cents
+
+
+@register(
+    "sprt_sequential_test",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id % 2 AS cohort, ts, event_id,
+             CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > {_SPRT_HI}
+                  THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    walk AS (
+      SELECT cohort, ts, event_id,
+             row_number() OVER w AS n,
+             sum(CASE WHEN x = 1 THEN {_SPRT_LA}
+                      ELSE {_SPRT_LB} END) OVER
+               (PARTITION BY cohort ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS llr
+      FROM v
+      WINDOW w AS (PARTITION BY cohort ORDER BY ts, event_id)
+    ),
+    crossings AS (
+      SELECT cohort, n, llr,
+             CASE WHEN llr >= {_SPRT_BOUND} THEN 'accept_h1'
+                  ELSE 'accept_h0' END AS decision
+      FROM walk
+      WHERE llr >= {_SPRT_BOUND} OR llr <= -{_SPRT_BOUND}
+    )
+    SELECT cohort,
+           CAST(n AS BIGINT) AS n_at_decision,
+           CAST(llr AS BIGINT) AS llr_micro,
+           decision
+    FROM (
+      SELECT cohort, n, llr, decision,
+             row_number() OVER (PARTITION BY cohort ORDER BY n) AS rn
+      FROM crossings
+    ) WHERE rn = 1
+    """,
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT, 1945) per user
+    cohort: monitor the rate of high-value events against H0 p=0.4 vs
+    H1 p=0.5 and report the FIRST observation at which the cumulative
+    log-likelihood ratio crosses a decision bound — the always-valid
+    early-stopping design that replaces fixed-horizon A/B tests. All
+    constants (per-observation increments, bounds) are precomputed
+    integer micro-nats, so the walk is a pure integer running sum —
+    bit-exact with NO log evaluated in either engine.
+
+    100 TB shape: same as the CUSUM pair — one ordered window per
+    monitored series, then a partial-agg argmin picks the earliest
+    crossing; a deployment parallelizes over many (experiment, arm)
+    series. The streaming version is the streaming_cusum_alert
+    pattern with (n, llr, decided) state."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        "ts",
+        "event_id",
+        F.when(
+            exact_round(F.col("value") * 100, 0).cast("bigint") > _SPRT_HI,
+            F.lit(_SPRT_LA),
+        )
+        .otherwise(F.lit(_SPRT_LB))
+        .alias("inc"),
+    )
+    wo = Window.partitionBy("cohort").orderBy("ts", "event_id")
+    walk = v.select(
+        "cohort",
+        F.row_number().over(wo).alias("n"),
+        F.sum("inc")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+    )
+    crossings = walk.filter(
+        (F.col("llr") >= _SPRT_BOUND) | (F.col("llr") <= -_SPRT_BOUND)
+    ).select(
+        "cohort",
+        "n",
+        "llr",
+        F.when(F.col("llr") >= _SPRT_BOUND, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+    )
+    pick = crossings.groupBy("cohort").agg(
+        F.min(F.struct("n", "llr", "decision")).alias("m")
+    )
+    return pick.select(
+        "cohort",
+        F.col("m.n").cast("bigint").alias("n_at_decision"),
+        F.col("m.llr").cast("bigint").alias("llr_micro"),
+        F.col("m.decision").alias("decision"),
+    )

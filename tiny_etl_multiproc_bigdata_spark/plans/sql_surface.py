@@ -501,3 +501,47 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acctbal_cents").cast("bigint").alias("acctbal_cents"),
         F.col("max_name_len").cast("bigint").alias("max_name_len"),
     )
+
+
+# ---- EXECUTE IMMEDIATE (parameterized SQL) -------------------------------
+
+# ONE template string: the engine runs it through EXECUTE IMMEDIATE with
+# positional USING parameters; the oracle inlines the same literals into
+# the same text — Catalyst folds the bind parameters to literals before
+# optimization, so the two plans are identical by construction.
+_EXEC_IMM_TMPL = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS revenue
+    FROM {orders}
+    WHERE o_totalprice > {p1} AND o_orderkey % {p2} = 0
+    GROUP BY o_orderstatus
+"""
+_EXEC_IMM_P1 = "50000.0"
+_EXEC_IMM_P2 = "3"
+
+
+@register(
+    "execute_immediate_params",
+    oracle=_EXEC_IMM_TMPL.format(
+        orders="orders", p1=_EXEC_IMM_P1, p2=_EXEC_IMM_P2
+    ),
+)
+def execute_immediate_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 EXECUTE IMMEDIATE with positional bind parameters — the
+    dynamic-SQL front door (compiled query text + USING values, the
+    SQL-injection-safe way to parameterize dashboards and schedulers).
+    The engine binds the revenue threshold and modulus via `?`
+    placeholders; the oracle inlines the SAME literals into the SAME
+    template string. Catalyst constant-folds the bound parameters
+    before optimization, so pushdown and plan shape are identical to
+    the inlined form (the sql_session_variables argument, one API
+    deeper)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_ei_orders")
+    q = _EXEC_IMM_TMPL.format(orders="_ei_orders", p1="?", p2="?")
+    # EXECUTE IMMEDIATE takes the query as a string literal constant
+    esc = q.replace("'", "''")
+    return spark.sql(
+        f"EXECUTE IMMEDIATE '{esc}' USING {_EXEC_IMM_P1}, {_EXEC_IMM_P2}"
+    )

@@ -1522,3 +1522,129 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.llr").cast("bigint").alias("llr_micro"),
         F.col("m.decision").alias("decision"),
     )
+
+
+# ---- Poisson bootstrap confidence intervals ------------------------------
+
+_BOOT_B = 32  # bootstrap replicas
+# Poisson(1) inverse-CDF breakpoints as SHARED DECIMAL LITERALS (the
+# _CCNET_QS convention): both engines parse the identical 17-digit
+# strings to the identical doubles, the md5 uniform is an exact IEEE
+# division, so every replica weight is bit-deterministic.
+_POIS_CUM = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+)
+_U_DENOM = str(1 << 60)  # md5_long range
+
+
+def _pois_w_sql(u: str) -> str:
+    """Shared CASE chain: uniform -> Poisson(1) draw (capped at 7)."""
+    branches = "".join(
+        f" WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"CASE{branches} ELSE 7 END"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_type, b.b,
+             CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS y,
+             {_pois_w_sql(
+                 "(CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)"
+                 " || '|' || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT)"
+                 f" / {_U_DENOM})"
+             )} AS w
+      FROM events e, range(0, {_BOOT_B}) b(b)
+    ),
+    means AS (
+      SELECT event_type, b,
+             CAST(sum(w * y) AS DOUBLE) / sum(w) AS m
+      FROM reps GROUP BY event_type, b
+      HAVING sum(w) > 0
+    ),
+    sorted AS (
+      SELECT event_type, list_sort(list(m)) AS ms FROM means
+      GROUP BY event_type
+    )
+    SELECT s.event_type,
+           (floor(CAST(p.s AS DOUBLE) / p.n * 100 + 0.5) / 100)
+             AS mean_cents,
+           (floor(ms[1] * 100 + 0.5) / 100) AS ci_lo_cents,
+           (floor(ms[len(ms)] * 100 + 0.5) / 100) AS ci_hi_cents,
+           CAST(len(ms) AS BIGINT) AS n_replicas
+    FROM sorted s
+    JOIN (SELECT event_type,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+                 count(*) AS n
+          FROM events GROUP BY event_type) p
+      ON s.event_type = p.event_type
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams" — Google's web-scale bootstrap): each row
+    joins every replica with an independent Poisson(1) weight, so
+    resampling needs NO global n and parallelizes row-by-row — the
+    property that makes bootstrap possible on a sharded 100 TB table
+    where classical multinomial resampling cannot even be defined
+    per-partition. Weights are DETERMINISTIC md5 uniforms pushed
+    through a shared inverse-CDF literal chain; replica means are
+    single divisions of exact integer sums; the min/max of the {B}
+    replica means bounds the CI (~±3σ coverage at B={B}).
+
+    100 TB shape: one row-local {B}× fan-out (map-only), one partial-
+    agg per (group, replica), then a {B}-element array per group — the
+    shuffle moves |groups|·{B} aggregates, never resampled data."""
+    e = table(spark, sf_dir, "events")
+    reps = e.crossJoin(
+        spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    ).select(
+        "event_type",
+        "b",
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+        F.expr(
+            _pois_w_sql(
+                "(CAST(conv(substring(md5(CAST(event_id AS STRING)"
+                " || '|' || CAST(b AS STRING)), 1, 15), 16, 10)"
+                f" AS BIGINT) / {_U_DENOM})"
+            )
+        ).alias("w"),
+    )
+    means = (
+        reps.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).alias("sw"),
+            F.sum("w").alias("n_w"),
+        )
+        .filter(F.col("n_w") > 0)
+        .select(
+            "event_type",
+            (F.col("sw").cast("double") / F.col("n_w")).alias("m"),
+        )
+    )
+    sorted_ = means.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("m")).alias("ms")
+    )
+    point = e.groupBy("event_type").agg(
+        F.sum(exact_round(F.col("value") * 100, 0).cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sorted_.join(point, "event_type").select(
+        "event_type",
+        round_half_up(F.col("s").cast("double") / F.col("n"), 2).alias(
+            "mean_cents"
+        ),
+        round_half_up(F.element_at("ms", 1), 2).alias("ci_lo_cents"),
+        round_half_up(F.element_at("ms", F.size("ms")), 2).alias(
+            "ci_hi_cents"
+        ),
+        F.size("ms").cast("bigint").alias("n_replicas"),
+    )

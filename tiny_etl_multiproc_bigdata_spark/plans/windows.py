@@ -1198,3 +1198,107 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("accuracy"),
     )
+
+
+# ---- calibration of the Markov predictor ---------------------------------
+
+
+@register(
+    "markov_calibration_bins",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ),
+    train AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL AND user_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT prev_type, next_type AS predicted,
+             CAST(n * 10000 // row_total AS BIGINT) AS p10k
+      FROM (
+        SELECT prev_type, next_type, n,
+               sum(n) OVER (PARTITION BY prev_type) AS row_total,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, next_type ASC) AS rn
+        FROM train
+      ) WHERE rn = 1
+    )
+    SELECT CAST(m.p10k // 1000 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           (floor(CAST(sum(m.p10k) AS DOUBLE) / count(*) / 10000
+                  * 10000 + 0.5) / 10000) AS avg_confidence,
+           (floor(CAST(count(*) FILTER (s.event_type = m.predicted)
+                       AS DOUBLE) / count(*) * 10000 + 0.5) / 10000)
+             AS accuracy
+    FROM seq s JOIN model m ON s.prev_type = m.prev_type
+    WHERE s.user_id % 2 = 1
+    GROUP BY 1
+    """,
+)
+def markov_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) evaluation of the Markov
+    next-event predictor: the model's own confidence — the trained
+    argmax transition probability, integer-scaled to 1e4 — is binned
+    into deciles and compared against the held-out accuracy inside
+    each bin. A well-calibrated predictor shows avg_confidence ≈
+    accuracy per bin; the gap is what ECE sums. Completes the model-
+    eval tier beside accuracy (markov_next_event_eval), ranking
+    quality (ndcg_ranking_eval) and retrieval recall — calibration is
+    the axis those miss. Confidence stays an INTEGER (n·10⁴ div total)
+    end to end, so bin assignment and both ratios are engine-exact.
+
+    100 TB shape: identical to markov_next_event_eval — one lag pass,
+    a broadcast |states|-row model, one partially-aggregated groupBy
+    on the (few) confidence bins."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    seq = seq.localCheckpoint(eager=True)  # feeds train AND eval
+    train = (
+        seq.filter(F.col("user_id") % 2 == 0)
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    model = (
+        train.withColumn("row_total", F.sum("n").over(wt))
+        .groupBy("prev_type")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("nn"),
+                    F.col("next_type"),
+                    F.expr("n * 10000 div row_total").alias("p10k"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "prev_type",
+            F.col("m.next_type").alias("predicted"),
+            F.col("m.p10k").cast("bigint").alias("p10k"),
+        )
+    )
+    ev = seq.filter(F.col("user_id") % 2 == 1).join(
+        F.broadcast(model), "prev_type"
+    )
+    hit = F.count_if(F.col("event_type") == F.col("predicted"))
+    return ev.groupBy(
+        F.expr("p10k div 1000").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        round_half_up(
+            F.sum("p10k").cast("double") / F.count(F.lit(1)) / 10000, 4
+        ).alias("avg_confidence"),
+        round_half_up(hit.cast("double") / F.count(F.lit(1)), 4).alias(
+            "accuracy"
+        ),
+    )

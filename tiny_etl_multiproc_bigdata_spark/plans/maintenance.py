@@ -691,3 +691,99 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_qty").cast("bigint").alias("total_qty"),
         )
     )
+
+
+# ---- Benford's-law first-digit audit -------------------------------------
+
+# log10(1 + 1/d) expectations as SHARED 17-digit literals — no log at
+# query time (the SPRT constants convention)
+_BENFORD_P = (
+    "0.3010299956639812",
+    "0.17609125905568124",
+    "0.12493873660829993",
+    "0.09691001300805642",
+    "0.07918124604762482",
+    "0.06694678963061322",
+    "0.05799194697768673",
+    "0.05115252244738129",
+    "0.04575749056067514",
+)
+
+
+def _benford_oracle() -> str:
+    probs = ", ".join(
+        f"(CAST({d + 1} AS BIGINT), CAST({p} AS DOUBLE))"
+        for d, p in enumerate(_BENFORD_P)
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    expect(d, p) AS (VALUES {probs}),
+    obs AS (
+      SELECT d, count(*) AS o FROM digits GROUP BY d
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT e.d AS digit,
+           CAST(COALESCE(o.o, 0) AS BIGINT) AS observed,
+           (floor(e.p * t.n * 100 + 0.5) / 100) AS expected,
+           (floor((COALESCE(o.o, 0) - e.p * t.n)
+                  * (COALESCE(o.o, 0) - e.p * t.n)
+                  / (e.p * t.n) * 10000 + 0.5) / 10000) AS chi2_term
+    FROM expect e LEFT JOIN obs o ON e.d = o.d CROSS JOIN tot t
+    """
+
+
+@register("benford_digit_audit", oracle=_benford_oracle())
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic forensic-accounting / synthetic-data smell test:
+    naturally-occurring amounts follow P(d) = log10(1+1/d), and the
+    per-digit χ² terms localize where a generated or manipulated
+    column deviates (the fixture's uniform-ish prices deviate loudly —
+    the audit SHOWING that is the point). Expected frequencies are
+    shared 17-digit literals, observed counts exact integers; the χ²
+    terms are fixed double expression trees on both — bit-exact, no
+    log at query time.
+
+    100 TB shape: one partially-aggregated 9-group count; the
+    expectation table is 9 literal rows."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("o"))
+    expect = spark.createDataFrame(
+        [(d + 1, float(p)) for d, p in enumerate(_BENFORD_P)], "d long, p double"
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    j = (
+        expect.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("observed"),
+            (F.col("p") * F.col("n")).alias("e"),
+        )
+    )
+    return j.select(
+        "digit",
+        "observed",
+        round_half_up(F.col("e"), 2).alias("expected"),
+        round_half_up(
+            (F.col("observed") - F.col("e"))
+            * (F.col("observed") - F.col("e"))
+            / F.col("e"),
+            4,
+        ).alias("chi2_term"),
+    )

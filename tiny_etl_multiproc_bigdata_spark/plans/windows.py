@@ -1302,3 +1302,85 @@ def markov_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     )
+
+
+# ---- last-observation-carried-forward imputation -------------------------
+
+
+@register(
+    "locf_impute",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+      FROM events
+    ),
+    rows_n AS (
+      SELECT user_id, event_id, ts, cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM v
+    ),
+    numbered AS (
+      SELECT user_id, event_id, cents,
+             max(CASE WHEN cents IS NOT NULL
+                      THEN struct_pack(rn := rn, v := cents) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS carry
+      FROM rows_n
+    )
+    SELECT user_id, event_id,
+           cents AS observed_cents,
+           COALESCE(cents, carry.v) AS filled_cents,
+           cents IS NULL AND carry.v IS NOT NULL AS imputed,
+           cents IS NULL AND carry.v IS NULL AS unfillable
+    FROM numbered
+    """,
+)
+def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation per user series
+    (readings during 'error' events are treated as missing — the
+    sensor-dropout simulation): each gap fills from the most recent
+    non-missing value at-or-before it; leading gaps with no prior
+    observation stay NULL and are flagged unfillable, never silently
+    zero-filled. The carry is a running MAX of (row-number, value)
+    structs over non-missing rows — the engine-portable spelling of
+    last_value(... IGNORE NULLS), which the two engines otherwise
+    disagree on syntactically.
+
+    100 TB shape: one shuffle on the series key, one ordered pass —
+    identical to every other per-user window here; LOCF is also the
+    state-carry shape of the streaming twin pattern (two values of
+    state per series)."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") != "error",
+            exact_round(F.col("value") * 100, 0).cast("bigint"),
+        ).alias("cents"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(wo)
+    carry = F.max(
+        F.when(
+            F.col("cents").isNotNull(),
+            F.struct(F.col("rn").alias("rn"), F.col("cents").alias("v")),
+        )
+    ).over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    numbered = v.withColumn("rn", rn).withColumn("carry", carry)
+    return numbered.select(
+        "user_id",
+        "event_id",
+        F.col("cents").alias("observed_cents"),
+        F.coalesce(F.col("cents"), F.col("carry.v")).alias("filled_cents"),
+        (F.col("cents").isNull() & F.col("carry.v").isNotNull()).alias(
+            "imputed"
+        ),
+        (F.col("cents").isNull() & F.col("carry.v").isNull()).alias(
+            "unfillable"
+        ),
+    )

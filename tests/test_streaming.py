@@ -159,13 +159,11 @@ def test_streaming_anomaly_zscore_tail_carries_across_batches(spark, tmp_path):
     assert got_m == want_m
 
 
-def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
-    """Two-micro-batch replay for streaming_cusum_alert: the events
-    fixture splits at its median timestamp into two files streamed with
-    maxFilesPerTrigger=1. The CUSUM statistic is a prefix recurrence —
-    every row of the second batch is wrong unless (S, min S) really
-    carried through the state store. Union of update emissions must
-    equal the batch closed form row-for-row."""
+def _stage_two_batch_split(spark, tmp_path):
+    """Split the sf0.001 events fixture at its median timestamp into two
+    parquet files (mtime-ordered) and return a _events_stream substitute
+    reading them with maxFilesPerTrigger=1 — shared by the CUSUM and
+    SPRT state-carry tests."""
     import glob
     import os
     import shutil
@@ -174,13 +172,6 @@ def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from tiny_etl_multiproc_bigdata_spark.catalog import table
-    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
-        REGISTRY,
-        _load_all,
-    )
-    from tiny_etl_multiproc_bigdata_spark.plans.windows import cusum_alert_path
-
-    _load_all()  # the streaming twin registers from operators.grouped_pandas
 
     sf_dir = "/root/testdata/sf0.001"
     ev = table(spark, sf_dir, "events")
@@ -202,11 +193,7 @@ def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
     os.utime(stage + "/b_late.parquet", (now, now))
     shutil.rmtree(stage + "/f1.dir")
     shutil.rmtree(stage + "/f2.dir")
-
-    import tiny_etl_multiproc_bigdata_spark.streaming.jobs as jobs
-
     schema = spark.read.parquet(stage).schema
-    real_stream = jobs._events_stream
 
     def split_stream(spark_, _sf_dir):
         from pyspark.sql.types import LongType, TimestampType
@@ -227,7 +214,27 @@ def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
         ) + F.date_format("ts", "SSSSSS").cast("bigint")
         return raw.withColumn("ts", F.timestamp_micros(epoch_us))
 
-    jobs._events_stream = split_stream
+    return split_stream
+
+
+def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
+    """Two-micro-batch replay for streaming_cusum_alert: the CUSUM
+    statistic is a prefix recurrence — every row of the second batch is
+    wrong unless (S, min S) really carried through the state store.
+    Union of update emissions must equal the batch closed form
+    row-for-row."""
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+    from tiny_etl_multiproc_bigdata_spark.plans.windows import cusum_alert_path
+
+    _load_all()
+    import tiny_etl_multiproc_bigdata_spark.streaming.jobs as jobs
+
+    sf_dir = "/root/testdata/sf0.001"
+    real_stream = jobs._events_stream
+    jobs._events_stream = _stage_two_batch_split(spark, tmp_path)
     try:
         got = REGISTRY["streaming_cusum_alert"].fn(spark, sf_dir).collect()
     finally:
@@ -238,4 +245,37 @@ def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
     got_m = {key(r): (r["g"], r["alert"]) for r in got}
     want_m = {key(r): (r["g"], r["alert"]) for r in want}
     assert len(got_m) == len(want_m) == len(want)
+    assert got_m == want_m
+
+
+def test_streaming_sprt_decides_once_across_batches(spark, tmp_path):
+    """Two-micro-batch replay for streaming_sprt_decision: the decision
+    may land in either batch depending on where the walk crosses; the
+    union of emissions must contain each decided cohort EXACTLY ONCE
+    with the same (n, llr, decision) as the batch entry — a duplicate
+    emission (decided state not carried) or a shifted n (walk state
+    lost) both fail."""
+    from tiny_etl_multiproc_bigdata_spark.plans.advanced import (
+        sprt_sequential_test,
+    )
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    import tiny_etl_multiproc_bigdata_spark.streaming.jobs as jobs
+
+    sf_dir = "/root/testdata/sf0.001"
+    real_stream = jobs._events_stream
+    jobs._events_stream = _stage_two_batch_split(spark, tmp_path)
+    try:
+        got = REGISTRY["streaming_sprt_decision"].fn(spark, sf_dir).collect()
+    finally:
+        jobs._events_stream = real_stream
+
+    want = sprt_sequential_test(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    got_m = {r["cohort"]: (r["n_at_decision"], r["llr_micro"], r["decision"]) for r in got}
+    want_m = {r["cohort"]: (r["n_at_decision"], r["llr_micro"], r["decision"]) for r in want}
     assert got_m == want_m

@@ -582,3 +582,103 @@ def _register_streaming_cusum_alert() -> None:
 
 
 _register_streaming_cusum_alert()
+
+
+def _register_streaming_sprt_decision() -> None:
+    # share the batch oracle verbatim — same constants, same recurrence
+    from tiny_etl_multiproc_bigdata_spark.plans import advanced
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    sprt_oracle = REGISTRY["sprt_sequential_test"].oracle
+
+    @register("streaming_sprt_decision", oracle=sprt_oracle)
+    def streaming_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stateful-streaming twin of sprt_sequential_test: the SPRT
+        walk advances per event with THREE integers of state (n, llr,
+        decided) and a cohort's decision row is emitted EXACTLY ONCE —
+        in the micro-batch where the bound is first crossed; after
+        that the state is a tombstone and later batches emit nothing,
+        which is precisely the always-valid early-stopping contract
+        (peeking is free because each observation's test is the
+        decision rule). Undecided cohorts never emit, matching the
+        batch entry's crossing-only output, so the full value-hash
+        oracle is shared verbatim.
+
+        100 TB shape: O(1) state per monitored series, decision rows
+        ≤ one per series over the stream's lifetime — the cheapest
+        possible continuous-experimentation readout."""
+        import numpy as np
+
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+
+        from tiny_etl_multiproc_bigdata_spark.streaming.jobs import (
+            _events_stream,
+            _run_to_memory,
+        )
+
+        LA = advanced._SPRT_LA
+        LB = advanced._SPRT_LB
+        BOUND = advanced._SPRT_BOUND
+        HI = advanced._SPRT_HI
+
+        def advance(key, pdf_iter, state: GroupState):
+            n, llr, decided = state.get if state.exists else (0, 0, 0)
+            frames = [pdf for pdf in pdf_iter]
+            pdf = pd.concat(frames).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            out = None
+            if not decided:
+                v = pdf["value"].to_numpy(dtype="float64")
+                cents = (
+                    np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
+                ).astype("int64")
+                for c in cents:
+                    n += 1
+                    llr += LA if int(c) > HI else LB
+                    if llr >= BOUND or llr <= -BOUND:
+                        decided = 1
+                        out = pd.DataFrame(
+                            {
+                                "cohort": [int(key[0])],
+                                "n_at_decision": [n],
+                                "llr_micro": [llr],
+                                "decision": [
+                                    "accept_h1"
+                                    if llr >= BOUND
+                                    else "accept_h0"
+                                ],
+                            }
+                        )
+                        break
+            state.update((n, llr, decided))
+            if out is not None:
+                yield out
+
+        ev = _events_stream(spark, sf_dir).select(
+            (F.col("user_id") % 2).alias("cohort"),
+            "event_id",
+            "value",
+            "ts",
+        )
+        out = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("cohort")
+            .applyInPandasWithState(
+                advance,
+                outputStructType=(
+                    "cohort long, n_at_decision long, llr_micro long, "
+                    "decision string"
+                ),
+                stateStructType="n long, llr long, decided long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        return _run_to_memory(out, spark, "stream_sprt_decision", "update")
+
+
+_register_streaming_sprt_decision()

@@ -921,6 +921,100 @@ def welch_t_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- chi-square test of independence -------------------------------------
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, user_id % 3 AS cohort, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, cohort, o,
+             sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY cohort) AS ct,
+             sum(o) OVER () AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n, event_type, cohort,
+             CAST(floor(
+               CAST(n * o - rt * ct AS DOUBLE)
+               * CAST(n * o - rt * ct AS DOUBLE)
+               / CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) / CAST(ct AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) AS chi_e6
+      FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT cohort) - 1) AS BIGINT) AS dof,
+           CAST(sum(chi_e6) AS BIGINT) AS chi2_e6
+    FROM contrib
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and
+    a deterministic 3-way user cohort (user_id % 3) — the categorical
+    sibling of welch_t_test_ab, the standard guardrail check that an
+    experiment's assignment is independent of behavior (sample-ratio
+    mismatch detection). Each cell's contribution uses the identity
+    (o − rt·ct/n)²/(rt·ct/n) = (n·o − rt·ct)²/(n·rt·ct): the numerator
+    is an EXACT bigint difference cast to double (< 2^53 up to ~10⁹
+    events per cell product), so the per-cell value is a fixed tree of
+    correctly-rounded IEEE ops — quantized to integer micro-units
+    BEFORE the cross-cell sum, making accumulation order irrelevant.
+
+    100 TB shape: one partially-aggregated groupBy produces the
+    |types|×|cohorts| contingency table; every window/total runs over
+    that tiny table. At 100 TB the n·o product can pass 2^53 — switch
+    the numerator to DECIMAL(38,0) there (the decision_stump_split
+    recipe), noted here because the fixture can't reach it."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.col("user_id") % 3).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("cohort")
+    wn = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(wr).alias("rt"),
+        F.sum("o").over(wc).alias("ct"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    num = (F.col("n") * F.col("o") - F.col("rt") * F.col("ct")).cast("double")
+    contrib = m.select(
+        "n",
+        "event_type",
+        "cohort",
+        F.floor(
+            num
+            * num
+            / F.col("n").cast("double")
+            / F.col("rt").cast("double")
+            / F.col("ct").cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("chi_e6"),
+    )
+    return contrib.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("cohort") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum("chi_e6").cast("bigint").alias("chi2_e6"),
+    )
+
+
 # ---- decision-stump split search -----------------------------------------
 
 

@@ -1004,3 +1004,199 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_nll_bits"),
     )
+
+
+# ---- ROC AUC of the hashed classifier ------------------------------------
+
+
+@register(
+    "roc_auc_eval",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             ({_DUCK_MD5.format("'w|' || CAST(" + _DUCK_MD5.format("tok") + f" % {_HLC_B} AS VARCHAR)")}) % 101 - 50 AS w
+      FROM toks
+    ), scored AS (
+      SELECT f.doc_id, CAST(sum(f.w) AS BIGINT) AS score,
+             d.source = '{_DSIR_TARGET}' AS pos
+      FROM feat f JOIN documents d ON f.doc_id = d.doc_id
+      GROUP BY f.doc_id, d.source
+    ), per_score AS (
+      SELECT score,
+             count(*) AS n_s,
+             count(*) FILTER (pos) AS n_pos_s
+      FROM scored GROUP BY score
+    ), ranked AS (
+      SELECT score, n_s, n_pos_s,
+             COALESCE(sum(n_s) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM per_score
+    ), tots AS (
+      SELECT sum(n_pos_s) AS np, sum(n_s - n_pos_s) AS nn FROM per_score
+    ), u AS (
+      -- 2x-scaled midranks keep everything integer: midrank2 =
+      -- 2*below + n_s + 1; sum over positives of midrank2
+      SELECT CAST(sum(n_pos_s * (2 * below + n_s + 1)) AS BIGINT) AS r2
+      FROM ranked
+    )
+    SELECT CAST(t.np AS BIGINT) AS n_pos, CAST(t.nn AS BIGINT) AS n_neg,
+           (floor((CAST(u.r2 - t.np * (t.np + 1) AS DOUBLE)
+                   / (2 * t.np * t.nn)) * 10000 + 0.5) / 10000) AS auc
+    FROM u, tots t
+    """,
+)
+def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the hashed linear classifier against the
+    source-'{TGT}' label, in the Mann-Whitney rank form with proper
+    midrank tie handling — the standard binary-classifier quality
+    number, computed WITHOUT materializing the ROC curve or sorting
+    individual rows: scores aggregate to |distinct scores| groups, one
+    ordered prefix-sum window runs over that tiny table, and midranks
+    stay integer by working at 2× scale (midrank2 = 2·below + n + 1),
+    so AUC is one exact integer ratio. Completes the model-eval tier:
+    accuracy (markov eval), calibration (reliability bins), ranking
+    (NDCG), retrieval (recall@k) — and now threshold-free
+    discrimination.
+
+    100 TB shape: the only corpus-scale work is the per-doc score
+    (one groupBy) and the per-score histogram (second partial agg);
+    the rank arithmetic never touches row-level data. AUC ≈ 0.5 here
+    — md5 weights don't know the label, and the eval SHOWING that is
+    the point (the protocol is the deliverable)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(_toks()).alias("tok"))
+    bucket = md5_long(F.col("tok")) % _HLC_B
+    w = md5_long(F.concat(F.lit("w|"), bucket.cast("string"))) % 101 - 50
+    scored = (
+        toks.select("doc_id", "source", w.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").cast("bigint").alias("score"))
+        .select("score", (F.col("source") == _DSIR_TARGET).alias("pos"))
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.count_if(F.col("pos")).alias("n_pos_s"),
+    )
+    wo = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "below", F.coalesce(F.sum("n_s").over(wo), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("n_pos_s") * (2 * F.col("below") + F.col("n_s") + 1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.sum("n_pos_s").alias("np"),
+        F.sum(F.col("n_s") - F.col("n_pos_s")).alias("nn"),
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        round_half_up(
+            (F.col("r2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * F.col("nn")),
+            4,
+        ).alias("auc"),
+    )
+
+
+# ---- thresholded confusion matrix ----------------------------------------
+
+
+@register(
+    "confusion_matrix_threshold",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             ({_DUCK_MD5.format("'w|' || CAST(" + _DUCK_MD5.format("tok") + f" % {_HLC_B} AS VARCHAR)")}) % 101 - 50 AS w
+      FROM toks
+    ), scored AS (
+      SELECT f.doc_id, CAST(sum(f.w) AS BIGINT) AS score,
+             d.source = '{_DSIR_TARGET}' AS pos
+      FROM feat f JOIN documents d ON f.doc_id = d.doc_id
+      GROUP BY f.doc_id, d.source
+    ), cells AS (
+      SELECT CAST(count(*) FILTER (pos AND score > 0) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (NOT pos AND score > 0) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (pos AND score <= 0) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (NOT pos AND score <= 0) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           (floor(CAST(tp AS DOUBLE) / nullif(tp + fp, 0) * 10000 + 0.5)
+            / 10000) AS precision_at_0,
+           (floor(CAST(tp AS DOUBLE) / nullif(tp + fn, 0) * 10000 + 0.5)
+            / 10000) AS recall_at_0,
+           (floor(CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0)
+                  * 10000 + 0.5) / 10000) AS f1_at_0,
+           (floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+                  * 10000 + 0.5) / 10000) AS accuracy
+    FROM cells
+    """,
+)
+def confusion_matrix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded classifier readout for the hashed linear model of
+    roc_auc_eval: decision rule score > 0, labels from the
+    source-target proxy — tp/fp/fn/tn cell counts plus
+    precision/recall/F1/accuracy at that operating point. Completes
+    the eval pair: AUC measures threshold-free ranking, this entry
+    measures the deployed cutoff. Every ratio is ONE exact-integer
+    division (F1 uses the 2tp/(2tp+fp+fn) identity, so no composition
+    of rounded ratios), hence bit-exact cross-engine; degenerate
+    empty-denominator cells surface as NULL via nullif on both
+    engines rather than a crash.
+
+    100 TB shape: the per-doc score is the same one-shuffle groupBy as
+    roc_auc_eval; the confusion matrix is a single partial+final
+    aggregate producing four numbers — nothing row-scale ever reaches
+    the driver."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(_toks()).alias("tok"))
+    bucket = md5_long(F.col("tok")) % _HLC_B
+    w = md5_long(F.concat(F.lit("w|"), bucket.cast("string"))) % 101 - 50
+    scored = (
+        toks.select("doc_id", "source", w.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").cast("bigint").alias("score"))
+        .select("score", (F.col("source") == _DSIR_TARGET).alias("pos"))
+    )
+    cells = scored.agg(
+        F.count_if(F.col("pos") & (F.col("score") > 0))
+        .cast("bigint")
+        .alias("tp"),
+        F.count_if(~F.col("pos") & (F.col("score") > 0))
+        .cast("bigint")
+        .alias("fp"),
+        F.count_if(F.col("pos") & (F.col("score") <= 0))
+        .cast("bigint")
+        .alias("fn"),
+        F.count_if(~F.col("pos") & (F.col("score") <= 0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        round_half_up(
+            tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 4
+        ).alias("precision_at_0"),
+        round_half_up(
+            tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 4
+        ).alias("recall_at_0"),
+        round_half_up(
+            (2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0)),
+            4,
+        ).alias("f1_at_0"),
+        round_half_up(
+            (tp + tn).cast("double") / (tp + fp + fn + tn), 4
+        ).alias("accuracy"),
+    )

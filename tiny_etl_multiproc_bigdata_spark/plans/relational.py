@@ -20,7 +20,7 @@ AQE skew handling. Aggregations are all partial+final hash aggs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
@@ -1248,4 +1248,104 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket("rq", "recency_days").alias("r_bucket"),
         bucket("fq", "frequency").alias("f_bucket"),
         bucket("mq", "monetary_cents").alias("m_bucket"),
+    )
+
+
+# ---- item-item collaborative filtering -----------------------------------
+
+_CF_TOPK = 3
+
+
+@register(
+    "itemcf_topk_similar",
+    oracle=f"""
+    WITH bp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT pk, count(*) AS n FROM bp GROUP BY pk),
+    co AS (
+      SELECT a.pk AS pa, b.pk AS pb, count(*) AS co
+      FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    sym AS (
+      SELECT pa, pb, co FROM co
+      UNION ALL
+      SELECT pb, pa, co FROM co
+    ),
+    scored AS (
+      SELECT s.pa AS item, s.pb AS neighbor,
+             CAST(floor(s.co / (sqrt(CAST(na.n AS DOUBLE))
+                                * sqrt(CAST(nb.n AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM sym s JOIN n na ON s.pa = na.pk JOIN n nb ON s.pb = nb.pk
+    )
+    SELECT item, neighbor, cos_micro, rn
+    FROM (
+      SELECT item, neighbor, cos_micro,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY cos_micro DESC, neighbor ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {_CF_TOPK}
+    """,
+)
+def itemcf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001 /
+    Amazon's item-to-item): cosine similarity between parts over
+    binary co-purchase vectors — co(a,b)/√(n_a·n_b) — with the top-{K}
+    neighbors per item (the precomputed neighborhood table an online
+    recommender serves from). The pair stage joins order-basket
+    postings with itself, so fan-out is bounded by basket size² per
+    order, never |items|² (the basket_pair_lift shape, ranked); the
+    similarity quantizes to integer micro-units for a deterministic
+    (cos DESC, neighbor ASC) rank; top-{K} via WindowGroupLimit.
+
+    100 TB shape: baskets dedupe map-side; co-counts partial-agg on
+    the pair key; item norms broadcast back; per-item ranking is
+    per-partition top-k heaps, no global sort. Hot items (in every
+    basket) are the known skew axis — production caps basket size or
+    samples hot items, the df-cap lever documented in
+    dedup_ngram_jaccard."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    li = li.localCheckpoint(eager=True)  # feeds counts AND the pair join
+    n = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a = li.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = li.select(F.col("ok"), F.col("pk").alias("pb"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = co.unionAll(
+        co.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co")
+    )
+    scored = (
+        sym.join(F.broadcast(n.withColumnRenamed("pk", "pa")
+                             .withColumnRenamed("n", "na")), "pa")
+        .join(F.broadcast(n.withColumnRenamed("pk", "pb")
+                          .withColumnRenamed("n", "nb")), "pb")
+        .select(
+            F.col("pa").alias("item"),
+            F.col("pb").alias("neighbor"),
+            F.floor(
+                F.col("co")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double")))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _CF_TOPK)
+        .select("item", "neighbor", "cos_micro", "rn")
     )

@@ -567,3 +567,131 @@ def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---- RAKE keyword extraction ---------------------------------------------
+
+_RAKE_TOPK = 10
+# whole-word stopword delimiter pattern — ONE literal for both engines
+# (Java and RE2 agree on \b and alternation)
+_RAKE_DELIM_RE = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+
+
+@register(
+    "rake_keyword_extract",
+    oracle=rf"""
+    WITH phr AS (
+      SELECT trim(p) AS phrase
+      FROM (
+        SELECT unnest(string_split(
+                 regexp_replace(lower(text), '{_RAKE_DELIM_RE}', '|', 'g'),
+                 '|')) AS p
+        FROM documents
+      ) WHERE trim(p) <> ''
+    ),
+    phrases AS (
+      SELECT regexp_replace(phrase, '\s+', ' ', 'g') AS phrase FROM phr
+    ),
+    words AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+             len(string_split(phrase, ' ')) AS plen
+      FROM phrases
+    ),
+    wstat AS (
+      SELECT w,
+             count(*) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM words GROUP BY w
+    ),
+    wscore AS (
+      SELECT w, CAST(deg * 1000000 // freq AS BIGINT) AS s_q FROM wstat
+    ),
+    dwords AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+      FROM (SELECT DISTINCT phrase FROM phrases)
+    ),
+    pscore AS (
+      SELECT dw.phrase, CAST(sum(ws.s_q) AS BIGINT) AS score_q
+      FROM dwords dw JOIN wscore ws ON dw.w = ws.w
+      GROUP BY dw.phrase
+    ),
+    agg AS (
+      SELECT p.phrase,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(min(sc.score_q) AS BIGINT) AS score_q
+      FROM phrases p JOIN pscore sc ON p.phrase = sc.phrase
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score_q
+    FROM agg
+    ORDER BY score_q DESC, phrase ASC
+    LIMIT {_RAKE_TOPK}
+    """,
+)
+def rake_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free runs (stopwords act as delimiters —
+    the same {n} -word list the lang-id heuristic uses), each word
+    scores deg/freq (degree = summed length of phrases it appears in),
+    and a phrase scores the sum of its words' scores; corpus top-{K}
+    phrases by score. Word scores quantize to integer micro-units via
+    bigint division BEFORE the phrase sum (the tfidf_topk_terms
+    rational-idf recipe), so ranking is engine-exact with no floats
+    anywhere.
+
+    100 TB shape: phrase extraction is one regexp pass (map-only);
+    word stats and phrase scores are two partial-agg'd shuffles on
+    word/phrase keys; the final top-{K} is TakeOrderedAndProject.
+    Note the per-occurrence scoring joins move phrase strings — a
+    production variant would intern phrases to hashes first (the
+    fixed-width md5 key trick of dedup_corpus_segments)."""
+    d = table(spark, sf_dir, "documents")
+    phrases = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.lower("text"), _RAKE_DELIM_RE, "|"
+                    ),
+                    r"\|",
+                )
+            ).alias("p")
+        )
+        .select(F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .select(
+            F.regexp_replace("phrase", r"\s+", " ").alias("phrase")
+        )
+        .localCheckpoint(eager=True)  # feeds words AND occurrence counts
+    )
+    words = phrases.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wscore = (
+        words.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+        .select("w", F.expr("deg * 1000000 div freq").alias("s_q"))
+    )
+    dwords = phrases.select("phrase").distinct().select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    pscore = (
+        dwords.join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(F.sum("s_q").cast("bigint").alias("score_q"))
+    )
+    agg = (
+        phrases.groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .join(pscore, "phrase")
+    )
+    return (
+        agg.select("phrase", "n_occurrences", "score_q")
+        .orderBy(F.desc("score_q"), F.asc("phrase"))
+        .limit(_RAKE_TOPK)
+    )

@@ -1384,3 +1384,174 @@ def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unfillable"
         ),
     )
+
+
+# ---- session path signatures ---------------------------------------------
+
+
+@register(
+    "session_path_signatures",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    numbered AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM numbered WHERE rn <= 3
+      GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+)
+def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey analysis: each session's first three event
+    types concatenated into a path signature ('view>click>purchase'),
+    counted across the corpus — the table behind every Sankey/flow
+    diagram of how users enter the product. Sessionization reuses the
+    30-minute-gap rule of sessionize_events (flag + running sum);
+    the path is an ordered string_agg over the ≤3 kept rows.
+
+    100 TB shape: one user-partitioned ordered pass for session ids
+    (same as sessionize_events), the rn<=3 filter drops everything
+    else BEFORE the path aggregation, and the final count groups on
+    |distinct paths| ≤ |event types|³ keys — tiny."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > 1800), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    numbered = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+
+
+# ---- Markov conditional entropy per state --------------------------------
+
+
+@register(
+    "markov_entropy_rate",
+    ulp_sensitive=True,
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ), tr AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out FROM tr GROUP BY 1
+    ), terms AS (
+      SELECT tr.prev_type, tot.n_out,
+             CASE WHEN tr.n = tot.n_out THEN 0
+                  ELSE CAST(floor(
+                    -(CAST(tr.n AS DOUBLE) / tot.n_out)
+                    * log2(CAST(tr.n AS DOUBLE) / tot.n_out)
+                    * 100000000 + 0.5) AS BIGINT)
+             END AS h_e8
+      FROM tr JOIN tot ON tr.prev_type = tot.prev_type
+    )
+    SELECT prev_type, n_out,
+           CAST(sum(h_e8) AS BIGINT) AS cond_entropy_e8
+    FROM terms GROUP BY prev_type, n_out
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional Shannon entropy of the next event given the current
+    one, per source state: H(next | prev=s) = −Σ_t p(t|s)·log2 p(t|s)
+    over the same per-user lag() transition counts as
+    event_transition_matrix — the predictability readout of the
+    behavioral Markov model (a state near 0 bits is deterministic;
+    near log2|states| is noise). Weighting these rows by n_out/Σn_out
+    gives the chain's empirical entropy rate. Each term quantizes to
+    integer 1e-8-bit units BEFORE the per-state sum (the
+    unigram_logprob_score recipe), so float accumulation order cannot
+    flip the output; the deterministic n = n_out branch pins the
+    p = 1 ⇒ 0·log 0 = 0 case to an exact zero on both engines rather
+    than trusting -0.0 quantization.
+
+    ulp_sensitive: log2 is JVM-vs-libm (1-ULP class), same policy as
+    the other log-based entries.
+
+    100 TB shape: one user-partitioned ordered window pass, then all
+    arithmetic happens on the |states|² transition table. Nothing else
+    touches row-scale data."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = tr.groupBy(F.col("prev_type").alias("t_prev")).agg(
+        F.sum("n").cast("bigint").alias("n_out")
+    )
+    p = F.col("n").cast("double") / F.col("n_out")
+    terms = tr.join(F.broadcast(tot), tr.prev_type == F.col("t_prev")).select(
+        "prev_type",
+        "n_out",
+        F.when(F.col("n") == F.col("n_out"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(-p * F.log2(p) * 100_000_000 + F.lit(0.5)).cast("bigint")
+        )
+        .alias("h_e8"),
+    )
+    return terms.groupBy("prev_type", "n_out").agg(
+        F.sum("h_e8").cast("bigint").alias("cond_entropy_e8")
+    )

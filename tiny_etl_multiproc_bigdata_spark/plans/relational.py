@@ -1349,3 +1349,264 @@ def itemcf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _CF_TOPK)
         .select("item", "neighbor", "cos_micro", "rn")
     )
+
+
+# ---- Apriori frequent brand triples --------------------------------------
+
+
+@register(
+    "apriori_brand_triples",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+    tri AS (
+      SELECT a.b AS brand_a, bb.b AS brand_b, c.b AS brand_c,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM items a
+      JOIN items bb ON a.ok = bb.ok AND a.b < bb.b
+      JOIN items c  ON a.ok = c.ok  AND bb.b < c.b
+      GROUP BY 1, 2, 3
+    )
+    SELECT t.brand_a, t.brand_b, t.brand_c, t.n_orders,
+           (floor(CAST(t.n_orders AS DOUBLE) / nb.n * 1000000 + 0.5)
+            / 1000000) AS support
+    FROM tri t CROSS JOIN nb
+    ORDER BY t.n_orders DESC, t.brand_a ASC, t.brand_b ASC, t.brand_c ASC
+    LIMIT 20
+    """,
+)
+def apriori_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining over brand-level baskets (Agrawal &
+    Srikant 1994): orders become sets of distinct part brands, and the
+    top-20 brand triples by basket support are reported — the next
+    rung of the association ladder above basket_pair_lift's pairs.
+    Top-k-by-support replaces a fixed min-support cut because uniform
+    TPC-H brands concentrate support tightly around C(|basket|,3)/2300
+    as baskets accumulate: any absolute threshold is either vacuous or
+    all-pass depending on scale, while the ranking (count DESC, brand
+    triple ASC — fully deterministic) is meaningful at every sf. Brand
+    baskets cap the item alphabet at 25, which bounds per-basket
+    triple fan-out at C(|basket brands|,3) and the candidate space at
+    C(25,3) rows.
+
+    100 TB shape: the brand dimension broadcasts onto lineitem; the
+    deduped basket table is pinned once for its three self-join arms
+    (all shuffling on the SAME order key, so AQE co-locates them); the
+    triple count partial-aggs on a key space bounded by 2300. The
+    Apriori anti-monotone prune (drop items below threshold before
+    pairing) is a no-op at alphabet 25 but is the documented lever when
+    mining at partkey granularity — see basket_pair_lift."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three join arms + the basket count
+    )
+    nb = items.agg(F.count_distinct("ok").cast("bigint").alias("n"))
+    a = items.select("ok", F.col("b").alias("brand_a"))
+    b2 = items.select("ok", F.col("b").alias("brand_b"))
+    c3 = items.select("ok", F.col("b").alias("brand_c"))
+    tri = (
+        a.join(b2, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .join(c3, "ok")
+        .where(F.col("brand_b") < F.col("brand_c"))
+        .groupBy("brand_a", "brand_b", "brand_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            "n_orders",
+            round_half_up(
+                F.col("n_orders").cast("double") / F.col("n"), 6
+            ).alias("support"),
+        )
+        .orderBy(
+            F.desc("n_orders"),
+            F.asc("brand_a"),
+            F.asc("brand_b"),
+            F.asc("brand_c"),
+        )
+        .limit(20)
+    )
+
+
+# ---- Gini coefficient over the value histogram ---------------------------
+
+
+@register(
+    "gini_acctbal_concentration",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+      FROM customer
+    ),
+    hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM cents GROUP BY v),
+    pre AS (
+      SELECT v, c,
+             COALESCE(sum(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM hist
+    ),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS s,
+             CAST(sum(v * (2 * c * below + c * (c + 1))) AS BIGINT) AS a2
+      FROM pre
+    )
+    SELECT n,
+           (floor(CAST(s AS DOUBLE) / n + 0.5) / 100) AS mean_acctbal,
+           (floor((CAST(a2 AS DOUBLE) - (n + 1) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) * 10000 + 0.5)
+            / 10000) AS gini
+    FROM agg
+    """,
+)
+def gini_acctbal_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer account balances — the
+    inequality statistic behind every concentration dashboard
+    (orders_pareto_share shows the top of the Lorenz curve; this is its
+    integral). Computed WITHOUT ranking individual rows: balances
+    quantize to cents, aggregate to a value HISTOGRAM, and the grouped
+    rank-sum identity Σᵢ i·xᵢ = Σ_v v·(c_v·B_v + c_v(c_v+1)/2) (B_v =
+    count below v) turns the classic G = (2Σi·xᵢ − (n+1)S)/(nS) into
+    integer arithmetic over |distinct cents| rows — the roc_auc_eval
+    midrank trick applied to inequality measurement. a2 carries the
+    2×-scaled rank sum so everything stays bigint until the final
+    quantized division.
+
+    100 TB shape: one partial-agg'd histogram shuffle over a key space
+    bounded by the representable cents range (~1.1M values for TPC-H
+    acctbal), one ordered prefix window over that bounded table, one
+    scalar aggregate. No global row sort ever happens — the exact
+    failure mode the orders_pareto_share docstring warns about.
+    Negative balances are included; S >> 0 keeps the denominator
+    meaningful (documented, not guarded)."""
+    c = table(spark, sf_dir, "customer")
+    cents = c.select(
+        exact_round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("v")
+    )
+    hist = cents.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pre = hist.withColumn(
+        "below", F.coalesce(F.sum("c").over(wb), F.lit(0))
+    )
+    agg = pre.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("s"),
+        F.sum(
+            F.col("v")
+            * (
+                2 * F.col("c") * F.col("below")
+                + F.col("c") * (F.col("c") + 1)
+            )
+        )
+        .cast("bigint")
+        .alias("a2"),
+    )
+    return agg.select(
+        "n",
+        (
+            F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+            / F.lit(100)
+        ).alias("mean_acctbal"),
+        round_half_up(
+            (
+                F.col("a2").cast("double")
+                - (F.col("n") + 1) * F.col("s").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("s").cast("double")),
+            4,
+        ).alias("gini"),
+    )
+
+
+# ---- Herfindahl market concentration per nation --------------------------
+
+
+@register(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, s.s_suppkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nation, CAST(sum(r) AS BIGINT) AS rt,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY 1
+    ),
+    terms AS (
+      SELECT r.nation, t.n_suppliers,
+             CAST(floor(
+               (CAST(r.r AS DOUBLE) / CAST(t.rt AS DOUBLE))
+               * (CAST(r.r AS DOUBLE) / CAST(t.rt AS DOUBLE))
+               * 100000000 + 0.5) AS BIGINT) AS h_e8
+      FROM rev r JOIN tot t ON r.nation = t.nation
+    )
+    SELECT CAST(nation AS BIGINT) AS nationkey, n_suppliers,
+           CAST(sum(h_e8) AS BIGINT) AS hhi_e8
+    FROM terms GROUP BY nation, n_suppliers
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration
+    within each nation: HHI = Σ share², share = supplier revenue /
+    nation revenue — the antitrust-standard concentration number
+    (1e8-scaled: 1e8 = monopoly, ~0 = atomistic), sibling of
+    gini_acctbal_concentration and orders_pareto_share in the
+    market-structure tier. Revenue sums are exact integer cents; each
+    share² term is a fixed two-op IEEE expression on exact operands
+    (identical on both engines) quantized to 1e-8 units BEFORE the
+    per-nation sum, so accumulation order is irrelevant.
+
+    100 TB shape: one partial-agg'd groupBy to supplier grain (the only
+    corpus-scale shuffle), nation totals from the supplier-grain table,
+    broadcast back, and the HHI sum runs over |suppliers| rows grouped
+    into 25 nations."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            "s_suppkey",
+        )
+        .agg(
+            F.sum(
+                exact_round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy(F.col("nation").alias("t_nation")).agg(
+        F.sum("r").cast("bigint").alias("rt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("r").cast("double") / F.col("rt").cast("double")
+    terms = rev.join(
+        F.broadcast(tot), rev.nation == F.col("t_nation")
+    ).select(
+        "nation",
+        "n_suppliers",
+        F.floor(share * share * 100_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("h_e8"),
+    )
+    return terms.groupBy(
+        F.col("nation").cast("bigint").alias("nationkey"), "n_suppliers"
+    ).agg(F.sum("h_e8").cast("bigint").alias("hhi_e8"))

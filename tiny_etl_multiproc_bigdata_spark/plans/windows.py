@@ -1555,3 +1555,92 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("prev_type", "n_out").agg(
         F.sum("h_e8").cast("bigint").alias("cond_entropy_e8")
     )
+
+
+# ---- inter-arrival burstiness per user -----------------------------------
+
+
+@register(
+    "interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts ASC,
+                                                       event_id ASC)))
+                    AS BIGINT) AS g
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s,
+             CAST(sum(g * g) AS BIGINT) AS q
+      FROM gaps WHERE g IS NOT NULL
+      GROUP BY user_id
+      HAVING count(*) >= 2
+    )
+    SELECT user_id, n,
+           (floor(CAST(s AS DOUBLE) / n * 100 + 0.5) / 100) AS mean_gap_s,
+           (floor(
+             (sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              - CAST(s AS DOUBLE))
+             / nullif(sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      + CAST(s AS DOUBLE), 0)
+             * 10000 + 0.5) / 10000) AS burstiness
+    FROM stats
+    """,
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness of each user's inter-event gaps:
+    B = (σ−μ)/(σ+μ) over the per-user inter-arrival times in seconds —
+    −1 for a metronome, 0 for Poisson arrivals, →1 for heavy bursts.
+    The behavioral-rhythm feature bot-detection and engagement models
+    key on, complementing sessionize_events (which thresholds gaps)
+    by characterizing their whole distribution. Exact integer
+    sufficient statistics (n, Σg, Σg²) feed the population-σ identity
+    σ·n = √(nΣg²−(Σg)²), so B reduces to (√d − s)/(√d + s): every
+    float op is a correctly-rounded IEEE operation on identical
+    operands — bit-exact cross-engine with no ulp flag (the
+    welch_t_test_ab argument, sqrt included). The all-equal-gaps
+    degenerate case (d = 0, σ = 0) yields B = −1 naturally unless
+    s = 0 too, which nullif turns into NULL on both engines.
+
+    100 TB shape: one user-partitioned ordered window pass computes
+    gaps where the events already live, then a partial-agg'd groupBy
+    to user grain; nothing after is corpus-scale. The n·Σg² product
+    is evaluated in double (exact through ~2^53): a century of
+    per-second gaps per user stays clear by orders of magnitude."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    g = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gaps = e.select("user_id", g.alias("g")).filter(F.col("g").isNotNull())
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("g").cast("bigint").alias("s"),
+            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("q"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    d = (
+        F.col("n").cast("double") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    sd = F.sqrt(d)
+    return stats.select(
+        "user_id",
+        "n",
+        round_half_up(F.col("s").cast("double") / F.col("n"), 2).alias(
+            "mean_gap_s"
+        ),
+        round_half_up(
+            (sd - F.col("s").cast("double"))
+            / F.nullif(sd + F.col("s").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("burstiness"),
+    )

@@ -67,6 +67,7 @@ def _load_all() -> None:
         relational,
         scale_patterns,
         sql_surface,
+        stat_tests,
         temporal_joins,
         text_queries,
         tpch_extra,

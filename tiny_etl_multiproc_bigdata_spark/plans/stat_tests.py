@@ -1,0 +1,713 @@
+"""Nonparametric statistics and graph-structure metrics with exact
+cross-engine oracles.
+
+The reference's aggregation tier (tiny_etl/transformers/reducers.py)
+stops at count/fold; real data-quality and experimentation work on a
+100 TB corpus needs the distribution-comparison toolbox: rank tests
+(Mann-Whitney), distribution-distance tests (Kolmogorov-Smirnov), rank
+correlation (Spearman), serial dependence (autocorrelation), robust
+regression (Theil-Sen), and graph mixing/link-prediction structure
+(assortativity, resource allocation). Every entry here follows the
+repo's exactness conventions:
+
+* rank statistics never sort individual rows — values aggregate to a
+  per-value histogram first, and the midrank identity works at 2x
+  scale so ranks stay integer (the roc_auc_eval trick);
+* float outputs are produced by an identical sequence of
+  correctly-rounded IEEE operations on exact integer-valued operands
+  on both engines (the welch_t_test_ab argument), then quantized with
+  round_half_up;
+* products that can exceed 2^63 at scale are cast to decimal(38,0) on
+  the engine and HUGEINT in the oracle BEFORE multiplying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
+    exact_round,
+    round_half_up,
+)
+from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+
+# ---- Mann-Whitney U rank test ---------------------------------------------
+
+
+@register(
+    "mann_whitney_u",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             o_orderpriority = '1-URGENT' AS pos
+      FROM orders
+    ),
+    per_v AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos_s
+      FROM scored GROUP BY v
+    ),
+    ranked AS (
+      SELECT v, n_s, n_pos_s,
+             COALESCE(sum(n_s) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM per_v
+    ),
+    s AS (
+      SELECT CAST(sum(n_pos_s * (2 * below + n_s + 1)) AS BIGINT) AS r2,
+             CAST(sum(n_pos_s) AS BIGINT) AS na,
+             CAST(sum(n_s - n_pos_s) AS BIGINT) AS nn,
+             CAST(sum(CAST(n_s AS HUGEINT) * n_s * n_s - n_s)
+                  AS DOUBLE) AS tt
+      FROM ranked
+    )
+    SELECT na AS n_urgent, nn AS n_other,
+           CAST(r2 - na * (na + 1) AS BIGINT) AS u2_stat,
+           (floor((CAST(r2 - na * (na + 1) AS DOUBLE)
+                   - CAST(na AS DOUBLE) * CAST(nn AS DOUBLE))
+                  / (2 * sqrt(CAST(na AS DOUBLE) * CAST(nn AS DOUBLE)
+                       * ((CAST(na + nn AS DOUBLE) + 1)
+                          - tt / (CAST(na + nn AS DOUBLE)
+                                  * (CAST(na + nn AS DOUBLE) - 1)))
+                       / 12))
+                  * 10000 + 0.5) / 10000) AS z
+    FROM s
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test for a location shift of URGENT-priority
+    order totals vs everything else — the nonparametric sibling of
+    welch_t_test_ab (no normality assumption), and the estimator
+    underlying roc_auc_eval generalized to an explicit two-sample
+    test with the tie-corrected normal approximation. Values quantize
+    to exact cents, aggregate to a per-value histogram, and the
+    2x-scaled midrank identity keeps the rank sum integer:
+    U2 = 2U = R2 - na(na+1). The z statistic divides the centered U2
+    by twice the tie-corrected sigma — every float op is the same
+    correctly-rounded IEEE expression on exact operands on both
+    engines, so no ulp flag is needed (sqrt included). The tie term
+    sum(t^3 - t) multiplies as int128/decimal BEFORE the sum because
+    a single hot value's cube overflows int64 long before int128.
+
+    100 TB shape: one partial-agg'd histogram shuffle on the cents key
+    (bounded by the representable price range), one ordered prefix
+    window over that bounded table, one scalar aggregate. U2 <= 2*na*nn
+    stays inside int64 through ~3e9 rows per side; past that the u2
+    column is the decimal switch documented here."""
+    o = table(spark, sf_dir, "orders")
+    scored = o.select(
+        exact_round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("pos"),
+    )
+    per_v = scored.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.count_if(F.col("pos")).cast("bigint").alias("n_pos_s"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "below", F.coalesce(F.sum("n_s").over(wb), F.lit(0))
+    )
+    s = ranked.agg(
+        F.sum(F.col("n_pos_s") * (2 * F.col("below") + F.col("n_s") + 1))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum("n_pos_s").cast("bigint").alias("na"),
+        F.sum(F.col("n_s") - F.col("n_pos_s")).cast("bigint").alias("nn"),
+        F.sum(
+            F.col("n_s").cast("decimal(38,0)") * F.col("n_s") * F.col("n_s")
+            - F.col("n_s")
+        )
+        .cast("double")
+        .alias("tt"),
+    )
+    na, nn = F.col("na").cast("double"), F.col("nn").cast("double")
+    big_n = na + nn
+    u2 = F.col("r2") - F.col("na") * (F.col("na") + 1)
+    sigma = F.sqrt(
+        na * nn * ((big_n + 1) - F.col("tt") / (big_n * (big_n - 1))) / 12
+    )
+    return s.select(
+        F.col("na").alias("n_urgent"),
+        F.col("nn").alias("n_other"),
+        u2.cast("bigint").alias("u2_stat"),
+        round_half_up((u2.cast("double") - na * nn) / (2 * sigma), 4).alias(
+            "z"
+        ),
+    )
+
+
+# ---- two-sample Kolmogorov-Smirnov ----------------------------------------
+
+
+@register(
+    "ks_two_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             l_returnflag = 'R' AS pos
+      FROM lineitem
+    ),
+    per_v AS (
+      SELECT v, CAST(count(*) FILTER (pos) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (NOT pos) AS BIGINT) AS cb
+      FROM scored GROUP BY v
+    ),
+    cdf AS (
+      SELECT sum(ca) OVER w AS acc_a, sum(cb) OVER w AS acc_b
+      FROM per_v
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM per_v)
+    SELECT t.na AS n_returned, t.nb AS n_other,
+           CAST(max(abs(c.acc_a * t.nb - c.acc_b * t.na)) AS BIGINT)
+             AS d_num,
+           (floor(CAST(max(abs(c.acc_a * t.nb - c.acc_b * t.na)) AS DOUBLE)
+                  / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000) AS d_stat
+    FROM cdf c, tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    extended-price distributions of returned ('R') and non-returned
+    lineitems: D = max_v |F_a(v) - F_b(v)|, the standard
+    distribution-drift test (distribution_drift_psi bins and
+    approximates; this is the exact sup-norm twin). The empirical CDFs
+    never materialize per-row ranks: values aggregate to a per-cent
+    histogram, one ordered window computes both running counts, and D
+    stays integer as the cross-multiplied numerator
+    |A_v*nb - B_v*na| (max of exact int64 values; the division by
+    na*nb happens once, on the already-maximized integer). No float
+    comparison ever decides the max, so the result is bit-exact on
+    both engines by construction.
+
+    100 TB shape: identical to mann_whitney_u — histogram shuffle on a
+    bounded cents key space, one window over the bounded table, one
+    scalar agg. A_v*nb <= na*nb overflows int64 only past ~3e9 rows
+    per side (then: decimal)."""
+    li = table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        exact_round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("v"),
+        (F.col("l_returnflag") == "R").alias("pos"),
+    )
+    per_v = scored.groupBy("v").agg(
+        F.count_if(F.col("pos")).cast("bigint").alias("ca"),
+        F.count_if(~F.col("pos")).cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_v.select(
+        F.sum("ca").over(w).alias("acc_a"),
+        F.sum("cb").over(w).alias("acc_b"),
+    )
+    # max of |acc_a*nb - acc_b*na| needs the totals first: broadcast
+    # them back over the bounded cdf table, then one scalar max.
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    dn = F.abs(
+        F.col("acc_a") * F.col("nb") - F.col("acc_b") * F.col("na")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.max(dn).cast("bigint").alias("d_num"))
+        .select(
+            F.col("na").alias("n_returned"),
+            F.col("nb").alias("n_other"),
+            "d_num",
+            round_half_up(
+                F.col("d_num").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("d_stat"),
+        )
+    )
+
+
+# ---- Spearman rank correlation --------------------------------------------
+
+
+@register(
+    "spearman_rho",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    hx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY x),
+    rx AS (
+      SELECT x, 2 * COALESCE(sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM hx
+    ),
+    hy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY y),
+    ry AS (
+      SELECT y, 2 * COALESCE(sum(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM hy
+    ),
+    ranked AS (
+      SELECT rx.r2 AS a, ry.r2 AS b
+      FROM pairs JOIN rx ON pairs.x = rx.x JOIN ry ON pairs.y = ry.y
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+             CAST(sum(a * a) AS DOUBLE) AS saa,
+             CAST(sum(b * b) AS DOUBLE) AS sbb,
+             CAST(sum(a * b) AS DOUBLE) AS sab
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           (floor((n * sab - sa * sb)
+                  / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+                  * 1000000 + 0.5) / 1000000) AS rho
+    FROM s
+    """,
+)
+def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their total order spend — the monotone-association twin of
+    agg_correlation's Pearson (rank correlation is what robust feature
+    screens use, immune to the heavy right tail of spend). Ranks are
+    proper tie-midranks, computed WITHOUT sorting customers: each
+    variable aggregates to a value histogram, the 2x-scaled midrank
+    r2 = 2*below + c + 1 stays integer, and two rank-back joins
+    annotate each pair. Spearman is then Pearson on the midranks (the
+    2x scales cancel), from exact integer power sums cast once to
+    double — same correctly-rounded-IEEE determinism argument as
+    agg_moment_stats, no ulp flag.
+
+    100 TB shape: the per-customer pair build is the only corpus-scale
+    shuffle; each histogram is bounded by its distinct-value count and
+    the rank-back joins shuffle on the value key (broadcastable while
+    the histogram is small, hash join past that). Power sums of
+    midranks overflow int64 past ~10^6 customers per engine-doc note:
+    the decimal(38,0) switch is one cast at the marked line."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pairs = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(
+            "c_custkey",
+            exact_round(F.col("c_acctbal") * 100, 0)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(
+                exact_round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)  # 3 consumers: hist x, hist y, join-back
+    )
+    wb = lambda col: Window.orderBy(col).rowsBetween(  # noqa: E731
+        Window.unboundedPreceding, -1
+    )
+
+    def rank2(col: str) -> DataFrame:
+        h = pairs.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        return h.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(wb(col)), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    rx = rank2("x").withColumnRenamed("r2", "a")
+    ry = rank2("y").withColumnRenamed("r2", "b")
+    ranked = pairs.join(rx, "x").join(ry, "y")
+    # int64 is exact here; decimal(38,0) is the documented switch at
+    # >1e6 customers (midrank^2 * n exceeds 2^63).
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    rho = (n * F.col("sab") - sa * sb) / (
+        F.sqrt(n * F.col("saa") - sa * sa)
+        * F.sqrt(n * F.col("sbb") - sb * sb)
+    )
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        round_half_up(rho, 6).alias("rho"),
+    )
+
+
+# ---- autocorrelation function of daily revenue ----------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "autocorrelation_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders GROUP BY o_orderdate
+    ),
+    idx AS (SELECT row_number() OVER (ORDER BY d) AS t, r FROM daily),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(r) AS BIGINT) AS s FROM idx),
+    dev AS (
+      SELECT t, CAST(tot.n * idx.r - tot.s AS BIGINT) AS dv
+      FROM idx, tot
+    ),
+    den AS (
+      SELECT CAST(sum(CAST(dv AS HUGEINT) * dv) AS DOUBLE) AS dd FROM dev
+    ),
+    num AS (
+      SELECT b.t - a.t AS lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(a.dv AS HUGEINT) * b.dv) AS DOUBLE) AS nm
+      FROM dev a JOIN dev b
+        ON b.t - a.t BETWEEN 1 AND {_ACF_MAX_LAG}
+      GROUP BY 1
+    )
+    SELECT CAST(lag_k AS BIGINT) AS lag_k, n_pairs,
+           (floor(nm / dd * 1000000 + 0.5) / 1000000) AS acf
+    FROM num, den
+    """,
+)
+def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-revenue series at
+    lags 1..{_ACF_MAX_LAG} — the serial-dependence diagnostic behind
+    seasonal_decompose_daily (which ASSUMES a weekly cycle; the ACF is
+    how you'd detect one). Uses the standard biased estimator
+    rho(k) = sum_t dv_t*dv_(t+k) / sum_t dv_t^2 with N-scaled integer
+    deviations dv_t = N*r_t - S (multiplying through by N keeps the
+    mean subtraction exact without rationals; the N^2 factors cancel
+    in the ratio). Deviation products are int128/decimal — a day's
+    scaled revenue squares past int64 even at sf0.1.
+
+    100 TB shape: the corpus-scale work is ONE partial-agg'd groupBy
+    to day grain; the series itself is bounded (~2,400 rows for
+    TPC-H's 7-year calendar) and is localCheckpointed once, so the
+    row_number sort, the self-join band, and the scalar denominator
+    all run on a table that fits in a single task. The lag join is a
+    1-to-{_ACF_MAX_LAG} band self-join on consecutive integers —
+    never a cross product."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(exact_round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("t"), "r"
+    )
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("s"),
+    )
+    dev = (
+        idx.crossJoin(F.broadcast(tot))
+        .select(
+            "t", (F.col("n") * F.col("r") - F.col("s")).alias("dv")
+        )
+        .localCheckpoint(eager=True)  # 3 consumers: denominator + 2 join arms
+    )
+    den = dev.agg(
+        F.sum(F.col("dv").cast("decimal(38,0)") * F.col("dv"))
+        .cast("double")
+        .alias("dd")
+    )
+    a = dev.select(F.col("t").alias("ta"), F.col("dv").alias("dva"))
+    b = dev.select(F.col("t").alias("tb"), F.col("dv").alias("dvb"))
+    num = (
+        a.join(
+            b,
+            (F.col("tb") - F.col("ta") >= 1)
+            & (F.col("tb") - F.col("ta") <= _ACF_MAX_LAG),
+        )
+        .groupBy((F.col("tb") - F.col("ta")).alias("lag_k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("dva").cast("decimal(38,0)") * F.col("dvb"))
+            .cast("double")
+            .alias("nm"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        "n_pairs",
+        round_half_up(F.col("nm") / F.col("dd"), 6).alias("acf"),
+    )
+
+
+# ---- degree assortativity of the purchase graph ---------------------------
+
+
+@register(
+    "degree_assortativity",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    dc AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY c),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+    xy AS (
+      SELECT dc.d AS x, ds.d AS y
+      FROM e JOIN dc ON e.c = dc.c JOIN ds ON e.s = ds.s
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           (floor((n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  * 1000000 + 0.5) / 1000000) AS assortativity
+    FROM st
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer->supplier purchase graph
+    (Newman 2002): the Pearson correlation between source out-degree
+    and target in-degree across edges — negative means hubs attach to
+    leaves (the typical bipartite marketplace shape), positive means
+    hub-to-hub mixing. This is the one-number structural summary the
+    graph suite (pagerank/k-core/triangles) was missing: it predicts
+    which of those algorithms will skew (disassortative graphs
+    concentrate triangles and k-core mass on few nodes). Exact integer
+    degree sums -> the agg_correlation power-sum form, double-cast
+    once.
+
+    100 TB shape: one distinct-edge shuffle (the corpus-scale step),
+    two partial-agg'd degree tables joined back on their own keys —
+    the degree tables are node-cardinality, broadcastable for the
+    supplier side and hash-joined for the customer side; the Pearson
+    sums are one scalar aggregate. Degree products overflow int64 only
+    past ~3e9-degree hubs (then: decimal, same one-cast switch as
+    spearman_rho)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 consumers: 2 degree tables + edges
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    xy = e.join(dc, "c").join(ds, "s")
+    st = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return st.select(
+        n.cast("bigint").alias("n_edges"),
+        round_half_up(r, 6).alias("assortativity"),
+    )
+
+
+# ---- resource-allocation link prediction ----------------------------------
+
+_RA_DEG_CAP = 25
+_RA_SCALE = 100_000_000
+_RA_TOPK = 20
+
+
+@register(
+    "resource_allocation_linkpred",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY c),
+    kept AS (
+      SELECT e.c, e.s, deg.d FROM e JOIN deg ON e.c = deg.c
+      WHERE deg.d <= {_RA_DEG_CAP}
+    ),
+    scored AS (
+      SELECT a.s AS supp_a, b.s AS supp_b,
+             CAST(sum({_RA_SCALE} // a.d) AS BIGINT) AS ra_e8,
+             CAST(count(*) AS BIGINT) AS common_customers
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b, common_customers, ra_e8
+    FROM scored
+    ORDER BY ra_e8 DESC, supp_a ASC, supp_b ASC
+    LIMIT {_RA_TOPK}
+    """,
+)
+def resource_allocation_linkpred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lu & Zhang 2009)
+    over supplier pairs: RA(a,b) = sum over shared customers z of
+    1/deg(z) — the strongest of the classic local link-prediction
+    indices, here predicting which supplier pairs share a latent
+    market. Unlike Adamic-Adar (1/log deg) the RA kernel is a pure
+    rational, so each term is the INTEGER floor division 1e8 // deg
+    and the score is bit-exact on both engines with no float anywhere.
+    Top-{_RA_TOPK} by (score, pair) is fully deterministic.
+
+    100 TB shape: the co-occurrence self-join fans out quadratically
+    in customer degree, so customers above {_RA_DEG_CAP} suppliers are
+    dropped BEFORE pairing — the same frequent-blocker cap the
+    similarity-join literature (and dedup_ngram_jaccard's df-cap) uses,
+    bounding per-customer fan-out at C({_RA_DEG_CAP},2) pairs. High-
+    degree customers carry negligible RA mass anyway (each contributes
+    <= 1e8/{_RA_DEG_CAP + 1} per pair) — the cap is principled, not
+    just cheap. One edge shuffle, one degree agg, one pair shuffle on
+    the bounded fan-out."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumers: degree table + 2 join arms
+    )
+    deg = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    kept = e.join(deg, "c").filter(F.col("d") <= _RA_DEG_CAP)
+    a = kept.select("c", F.col("s").alias("supp_a"), "d")
+    b = kept.select("c", F.col("s").alias("supp_b"))
+    return (
+        a.join(b, "c")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.sum(F.expr(f"{_RA_SCALE} div d")).cast("bigint").alias("ra_e8"),
+            F.count(F.lit(1)).cast("bigint").alias("common_customers"),
+        )
+        .select("supp_a", "supp_b", "common_customers", "ra_e8")
+        .orderBy(F.desc("ra_e8"), F.asc("supp_a"), F.asc("supp_b"))
+        .limit(_RA_TOPK)
+    )
+
+
+# ---- grouped Theil-Sen robust slope ----------------------------------------
+
+
+@register(
+    "theil_sen_grouped",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, p_type, p_partkey,
+             CAST(p_size AS BIGINT) AS x,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+      FROM part
+    ),
+    slopes AS (
+      SELECT a.p_brand, a.p_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS m
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey AND a.x <> b.x
+    )
+    SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n_slopes,
+           (floor(quantile_cont(m, 0.5) * 10000 + 0.5) / 10000)
+             AS theil_sen_slope
+    FROM slopes
+    GROUP BY p_brand, p_type
+    HAVING count(*) >= 3
+    """,
+)
+def theil_sen_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of retail price vs size within each
+    (brand, type) part family: the median of all pairwise slopes
+    — 29%-breakdown-point regression, the robust twin of
+    grouped_ols_trend (whose least squares one fat-finger price
+    outlier can drag arbitrarily). Slopes are single IEEE divisions of
+    exact integer deltas (cents over size units), identical on both
+    engines; the median uses the same linear-interpolation definition
+    Spark `percentile` and DuckDB `quantile_cont` share (the
+    agg_percentiles precedent), on operands that are themselves
+    deterministic doubles.
+
+    100 TB shape: the O(n^2) pair stage is confined WITHIN
+    (brand, type) groups — part families are dimension-sized
+    (tens of rows), so per-group fan-out is bounded at C(|family|,2)
+    and the join key carries both grouping columns; this is the
+    classic 'quadratic only inside a blocked group' pattern
+    (dedup_embedding_cosine's argument, at dimension scale where it
+    is safe by construction). One shuffle on the family key, one
+    partial-agg'd median per family."""
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_type",
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("x"),
+        exact_round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    a = p.select(
+        "p_brand",
+        "p_type",
+        F.col("p_partkey").alias("ka"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = p.select(
+        "p_brand",
+        "p_type",
+        F.col("p_partkey").alias("kb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    slopes = (
+        a.join(b, ["p_brand", "p_type"])
+        .where((F.col("ka") < F.col("kb")) & (F.col("xa") != F.col("xb")))
+        .select(
+            "p_brand",
+            "p_type",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("m"),
+        )
+    )
+    return (
+        slopes.groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_slopes"),
+            round_half_up(F.percentile("m", F.lit(0.5)), 4).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .filter(F.col("n_slopes") >= 3)
+    )

@@ -711,3 +711,483 @@ def theil_sen_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_slopes") >= 3)
     )
+
+
+# ---- paired-classifier evaluation: McNemar + Cohen's kappa -----------------
+#
+# Two zero-artifact document classifiers over the same corpus:
+#   A: the hashed linear classifier's sign (quality.py:742 — logit > 0)
+#   B: the length heuristic n_chars >= _LEN_THRESH
+# against the source-target label roc_auc_eval uses. Both entries share
+# the per-doc prediction build (one token scan + one groupBy).
+
+_LEN_THRESH = 500
+
+
+def _paired_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+    from tiny_etl_multiproc_bigdata_spark.plans.quality import (
+        _DSIR_TARGET,
+        _HLC_B,
+        _toks,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    bucket = md5_long(F.col("tok")) % _HLC_B
+    w = md5_long(F.concat(F.lit("w|"), bucket.cast("string"))) % 101 - 50
+    logits = (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("logit"))
+    )
+    return d.select("doc_id", "source", "n_chars").join(
+        logits, "doc_id", "left"
+    ).select(
+        (F.coalesce(F.col("logit"), F.lit(0)) > 0).alias("pred_a"),
+        (F.col("n_chars") >= _LEN_THRESH).alias("pred_b"),
+        (F.col("source") == _DSIR_TARGET).alias("pos"),
+    )
+
+
+def _paired_oracle_cte() -> str:
+    from tiny_etl_multiproc_bigdata_spark.plans.quality import (
+        _DSIR_TARGET,
+        _DUCK_MD5,
+        _DUCK_TOKS,
+        _HLC_B,
+    )
+
+    w = _DUCK_MD5.format(
+        "'w|' || CAST(" + _DUCK_MD5.format("tok") + f" % {_HLC_B} AS VARCHAR)"
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    logits AS (
+      SELECT doc_id, CAST(sum(({w}) % 101 - 50) AS BIGINT) AS logit
+      FROM toks GROUP BY doc_id
+    ),
+    preds AS (
+      SELECT COALESCE(l.logit, 0) > 0 AS pred_a,
+             d.n_chars >= {_LEN_THRESH} AS pred_b,
+             d.source = '{_DSIR_TARGET}' AS pos
+      FROM documents d LEFT JOIN logits l ON d.doc_id = l.doc_id
+    )"""
+
+
+@register(
+    "mcnemar_paired_test",
+    oracle=f"""
+    WITH {_paired_oracle_cte()},
+    cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (pred_a = pos AND pred_b <> pos)
+                  AS BIGINT) AS b,
+             CAST(count(*) FILTER (pred_a <> pos AND pred_b = pos)
+                  AS BIGINT) AS c
+      FROM preds
+    )
+    SELECT n, b AS a_only_correct, c AS b_only_correct,
+           (floor((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)
+                  * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)
+                  / nullif(CAST(b + c AS DOUBLE), 0)
+                  * 10000 + 0.5) / 10000) AS chi2_cc
+    FROM cnt
+    """,
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED classifier errors: does the hashed
+    linear classifier (A) beat the document-length heuristic (B) on
+    the same documents? Accuracy deltas on paired predictions need the
+    paired test — only the discordant counts b (A right, B wrong) and
+    c (B right, A wrong) carry information, and the continuity-
+    corrected statistic (|b-c|-1)^2/(b+c) is one exact integer-operand
+    expression — bit-deterministic, no ulp flag. Completes the eval
+    tier: roc_auc_eval scores one model, this COMPARES two on the
+    same rows (the A/B question model iteration actually asks).
+
+    100 TB shape: prediction A is the hashed classifier's map-only
+    plan (one token scan, one per-doc groupBy), B and the label are
+    row-local column expressions, and the test statistic is one scalar
+    aggregate of the paired table — nothing after the per-doc join is
+    corpus-scale."""
+    preds = _paired_preds(spark, sf_dir)
+    cnt = preds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(
+            (F.col("pred_a") == F.col("pos"))
+            & (F.col("pred_b") != F.col("pos"))
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.count_if(
+            (F.col("pred_a") != F.col("pos"))
+            & (F.col("pred_b") == F.col("pos"))
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    diff = F.abs(F.col("b").cast("double") - F.col("c").cast("double")) - 1
+    return cnt.select(
+        "n",
+        F.col("b").alias("a_only_correct"),
+        F.col("c").alias("b_only_correct"),
+        round_half_up(
+            diff * diff / F.nullif((F.col("b") + F.col("c")).cast("double"), F.lit(0.0)),
+            4,
+        ).alias("chi2_cc"),
+    )
+
+
+@register(
+    "cohens_kappa_agreement",
+    oracle=f"""
+    WITH {_paired_oracle_cte()},
+    cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (pred_a AND pred_b) AS BIGINT) AS n11,
+             CAST(count(*) FILTER (pred_a AND NOT pred_b) AS BIGINT) AS n10,
+             CAST(count(*) FILTER (NOT pred_a AND pred_b) AS BIGINT) AS n01,
+             CAST(count(*) FILTER (NOT pred_a AND NOT pred_b) AS BIGINT)
+               AS n00
+      FROM preds
+    )
+    SELECT n, n11 AS both_keep, n00 AS both_drop,
+           (floor((CAST(n11 + n00 AS DOUBLE) / n
+                   - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                      + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / nullif(1 - (CAST(n11 + n10 AS DOUBLE)
+                                * CAST(n11 + n01 AS DOUBLE)
+                                + CAST(n00 + n01 AS DOUBLE)
+                                * CAST(n00 + n10 AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0)
+                  * 1000000 + 0.5) / 1000000) AS kappa
+    FROM cnt
+    """,
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two keep/drop classifiers of
+    mcnemar_paired_test — chance-corrected agreement, the number
+    annotation pipelines report before trusting a cheap heuristic as
+    a stand-in for an expensive model (kappa ~ 0 here IS the finding:
+    md5 weights and length agree only by chance). kappa =
+    (po - pe)/(1 - pe) from the four exact cell counts; every float op
+    is the same IEEE expression on integer-valued operands on both
+    engines, nullif-guarded for the degenerate all-one-cell corpus.
+
+    100 TB shape: identical to mcnemar_paired_test — the only
+    corpus-scale stage is the hashed classifier's one-scan prediction
+    build; the kappa arithmetic runs on one 5-column row."""
+    preds = _paired_preds(spark, sf_dir)
+    cnt = preds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("pred_a") & F.col("pred_b"))
+        .cast("bigint")
+        .alias("n11"),
+        F.count_if(F.col("pred_a") & ~F.col("pred_b"))
+        .cast("bigint")
+        .alias("n10"),
+        F.count_if(~F.col("pred_a") & F.col("pred_b"))
+        .cast("bigint")
+        .alias("n01"),
+        F.count_if(~F.col("pred_a") & ~F.col("pred_b"))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n00") + F.col("n01")).cast("double")
+        * (F.col("n00") + F.col("n10")).cast("double")
+    ) / (n * n)
+    return cnt.select(
+        "n",
+        F.col("n11").alias("both_keep"),
+        F.col("n00").alias("both_drop"),
+        round_half_up((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias(
+            "kappa"
+        ),
+    )
+
+
+# ---- Cramer's V effect size -------------------------------------------------
+
+
+@register(
+    "cramers_v_effect",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS rt,
+             sum(o) OVER (PARTITION BY source) AS ct,
+             sum(o) OVER () AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n, lang, source,
+             CAST(floor(
+               CAST(n * o - rt * ct AS DOUBLE)
+               * CAST(n * o - rt * ct AS DOUBLE)
+               / CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) / CAST(ct AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) AS chi_e6
+      FROM m
+    ),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS r_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS c_sources,
+             CAST(sum(chi_e6) AS BIGINT) AS chi2_e6
+      FROM contrib
+    )
+    SELECT n, r_langs, c_sources, chi2_e6,
+           (floor(sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000
+                       / (CAST(n AS DOUBLE)
+                          * (least(r_langs, c_sources) - 1)))
+                  * 1000000 + 0.5) / 1000000) AS cramers_v
+    FROM agg
+    """,
+)
+def cramers_v_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the lang x source association in the
+    document corpus — chi_square_independence reports significance
+    (which any association reaches at corpus scale: p-values saturate
+    long before 100 TB); V = sqrt(chi2 / (n*(min(r,c)-1))) is the
+    scale-free [0,1] strength number that stays meaningful, which is
+    why corpus audits report it instead. Same exact-contingency
+    identity as chi_square_independence ((n*o - rt*ct)^2/(n*rt*ct),
+    per-cell quantized to micro-units before the cross-cell sum), one
+    extra deterministic sqrt.
+
+    100 TB shape: one partial-agg'd groupBy to the |langs|x|sources|
+    contingency table; all windows and the V arithmetic run on that
+    dimension-sized table."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    m = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("source")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("n") * F.col("o") - F.col("rt") * F.col("ct")).cast("double")
+    contrib = m.select(
+        "n",
+        "lang",
+        "source",
+        F.floor(
+            num
+            * num
+            / F.col("n").cast("double")
+            / F.col("rt").cast("double")
+            / F.col("ct").cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("chi_e6"),
+    )
+    agg = contrib.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count_distinct("lang").cast("bigint").alias("r_langs"),
+        F.count_distinct("source").cast("bigint").alias("c_sources"),
+        F.sum("chi_e6").cast("bigint").alias("chi2_e6"),
+    )
+    v = F.sqrt(
+        F.col("chi2_e6").cast("double")
+        / 1_000_000
+        / (
+            F.col("n").cast("double")
+            * (F.least("r_langs", "c_sources") - 1)
+        )
+    )
+    return agg.select(
+        "n",
+        "r_langs",
+        "c_sources",
+        "chi2_e6",
+        round_half_up(v, 6).alias("cramers_v"),
+    )
+
+
+# ---- Zipf rank-frequency slope ----------------------------------------------
+
+_ZIPF_K = 500  # fit over the top-K vocabulary ranks
+
+
+@register(
+    "zipf_fit_slope",
+    ulp_sensitive=True,
+    oracle=None,  # set below: needs quality helpers at import time
+)
+def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution: OLS
+    slope of log2(freq) on log2(rank) over the top-{K} vocabulary
+    ranks — natural text sits near -1; a corpus drifting toward 0
+    (too flat: boilerplate spam) or below -1.5 (too steep: template
+    repetition) fails the audit. This is the distribution-level
+    companion of token_entropy_score (per-doc) and text_rarity_score
+    (per-token). Each log2 is quantized to integer microbits per
+    VOCABULARY ROW before any sum (the bigram_logprob convention), so
+    the OLS power sums are exact integer arithmetic; the single
+    1-ULP-sensitive step is log2 itself — hence the ulp flag. Rank
+    ties are impossible (rank is row_number over the deterministic
+    (freq DESC, token ASC) order).
+
+    100 TB shape: one token-histogram shuffle (vocabulary-bounded);
+    the rank window and the {K}-row OLS run on the bounded vocabulary
+    table. The global row_number sort is over the vocabulary, never
+    the corpus."""
+    from tiny_etl_multiproc_bigdata_spark.plans.quality import _toks
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = freq.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("tok")))
+        .alias("rank"),
+        "f",
+    ).filter(F.col("rank") <= _ZIPF_K)
+    pts = ranked.select(
+        F.floor(F.log2(F.col("rank").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log2(F.col("f").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_ranks"),
+        round_half_up(slope, 4).alias("zipf_slope"),
+    )
+
+
+def _zipf_oracle() -> str:
+    from tiny_etl_multiproc_bigdata_spark.plans.quality import _DUCK_TOKS
+
+    return f"""
+    WITH freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY f DESC, tok ASC) AS rank, f
+      FROM freq QUALIFY rank <= {_ZIPF_K}
+    ),
+    pts AS (
+      SELECT CAST(floor(log2(CAST(rank AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(log2(CAST(f AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           (floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
+            / 10000) AS zipf_slope
+    FROM s
+    """
+
+
+# late-bind the oracle (avoids importing quality's fragments before the
+# registry module graph settles)
+from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["zipf_fit_slope"] = _dc.replace(
+    _REG["zipf_fit_slope"], oracle=_zipf_oracle()
+)
+
+
+# ---- template-skeleton clustering -------------------------------------------
+
+_SKEL_TOPK = 20
+
+
+@register(
+    "template_skeleton_clusters",
+    oracle=f"""
+    WITH skel AS (
+      SELECT doc_id,
+             md5(regexp_replace(text, '[A-Za-z0-9]+', '#', 'g'))
+               AS skeleton_hash,
+             substr(regexp_replace(text, '[A-Za-z0-9]+', '#', 'g'), 1, 40)
+               AS skeleton_prefix
+      FROM documents
+    )
+    SELECT skeleton_hash,
+           min(skeleton_prefix) AS skeleton_prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM skel
+    GROUP BY skeleton_hash
+    ORDER BY n_docs DESC, skeleton_hash ASC
+    LIMIT {_SKEL_TOPK}
+    """,
+)
+def template_skeleton_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection by punctuation skeleton: collapse every
+    alphanumeric run to '#' and hash what remains — documents stamped
+    from the same HTML/form/boilerplate template collide on the
+    skeleton even when every word differs, which is exactly the
+    near-dup class token-level MinHash is weakest on (low token
+    Jaccard, identical structure). The top-{_SKEL_TOPK} clusters by
+    size are the templates a curation pass would strip or cap;
+    complements text_boilerplate_strip (line-level) and
+    dedup_corpus_segments (span-level) at the document-structure
+    level.
+
+    100 TB shape: skeleton + md5 are map-only row expressions; ONE
+    partial-agg'd groupBy on the 32-char hash key (count + two mins
+    all combine map-side), then the WindowGroupLimit-free global
+    top-{_SKEL_TOPK} of an already-aggregated table. Deterministic
+    tie-break (count DESC, hash ASC)."""
+    d = table(spark, sf_dir, "documents")
+    skel_expr = F.regexp_replace(F.col("text"), "[A-Za-z0-9]+", "#")
+    skel = d.select(
+        "doc_id",
+        F.md5(skel_expr).alias("skeleton_hash"),
+        F.substring(skel_expr, 1, 40).alias("skeleton_prefix"),
+    )
+    return (
+        skel.groupBy("skeleton_hash")
+        .agg(
+            F.min("skeleton_prefix").alias("skeleton_prefix"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("skeleton_hash"))
+        .limit(_SKEL_TOPK)
+    )

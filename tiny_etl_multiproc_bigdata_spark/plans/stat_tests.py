@@ -1191,3 +1191,460 @@ def template_skeleton_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("skeleton_hash"))
         .limit(_SKEL_TOPK)
     )
+
+
+# ---- CUPED variance reduction ----------------------------------------------
+#
+# Shared design with diff_in_differences (advanced.py:1455): treatment =
+# user parity, pre/post split at the window midpoint, exact cents.
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH w AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, user_id % 2 = 1 AS treated,
+             CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               FILTER (epoch_us(ts) <= (SELECT mid_us FROM w)), 0)
+               AS BIGINT) AS x,
+             CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               FILTER (epoch_us(ts) > (SELECT mid_us FROM w)), 0)
+               AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(count(*) FILTER (treated) AS DOUBLE) AS nt,
+             CAST(sum(x) FILTER (treated) AS DOUBLE) AS sxt,
+             CAST(sum(y) FILTER (treated) AS DOUBLE) AS syt,
+             CAST(count(*) FILTER (NOT treated) AS DOUBLE) AS nc,
+             CAST(sum(x) FILTER (NOT treated) AS DOUBLE) AS sxc,
+             CAST(sum(y) FILTER (NOT treated) AS DOUBLE) AS syc
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           (floor((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+                  * 1000000 + 0.5) / 1000000) AS theta,
+           (floor((syt / nt - syc / nc) * 100 + 0.5) / 100)
+             AS delta_raw_cents,
+           (floor(((syt / nt - syc / nc)
+                   - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+                     * (sxt / nt - sxc / nc)) * 100 + 0.5) / 100)
+             AS delta_cuped_cents,
+           (floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+                  * 10000 + 0.5) / 10000) AS var_reduction
+    FROM s
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): adjust the post-period treatment
+    effect with each user's PRE-period activity as the control
+    covariate — the standard experimentation-platform variance-
+    reduction move. theta = cov(x,y)/var(x) pooled across cohorts;
+    the adjusted delta only needs COHORT-LEVEL sums because the
+    per-user adjustment is linear: mean(y - theta(x - xbar)) =
+    ybar_c - theta*(xbar_c - xbar_global), so no second pass over
+    users ever happens. var_reduction = corr(x,y)^2 is the fraction
+    of metric variance the covariate removes. Same treatment/split
+    conventions as diff_in_differences (user parity, midpoint
+    timestamp); exact integer cents feed a fixed IEEE expression
+    tree — bit-deterministic, no ulp flag.
+
+    100 TB shape: ONE corpus-scale groupBy to user grain (the same
+    shuffle any per-user metric pays), then a single scalar aggregate
+    with filtered sums; the midpoint is a 1-row broadcast. Power sums
+    of cents overflow int64 around ~10^5 users x large balances —
+    the decimal(38,0) switch is the marked cast."""
+    e = table(spark, sf_dir, "events")
+    t_us = F.unix_timestamp("ts") * 1_000_000 + F.date_format(
+        "ts", "SSSSSS"
+    ).cast("bigint")
+    ep = e.withColumn("t_us", t_us)
+    mid = ep.agg(F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us"))
+    y_cents = exact_round(F.col("value") * 100, 0).cast("bigint")
+    per_user = (
+        ep.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("t_us") <= F.col("mid_us"), y_cents)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("t_us") > F.col("mid_us"), y_cents)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2 == 1).alias("treated"), "x", "y"
+        )
+    )
+    tr = F.col("treated")
+    # int64-exact here; decimal(38,0) is the documented large-scale cast
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.count_if(tr).cast("double").alias("nt"),
+        F.sum(F.when(tr, F.col("x"))).cast("double").alias("sxt"),
+        F.sum(F.when(tr, F.col("y"))).cast("double").alias("syt"),
+        F.count_if(~tr).cast("double").alias("nc"),
+        F.sum(F.when(~tr, F.col("x"))).cast("double").alias("sxc"),
+        F.sum(F.when(~tr, F.col("y"))).cast("double").alias("syc"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    varx_n = n * F.col("sxx") - sx * sx
+    vary_n = n * F.col("syy") - sy * sy
+    theta = cov_n / F.nullif(varx_n, F.lit(0.0))
+    d_raw = F.col("syt") / F.col("nt") - F.col("syc") / F.col("nc")
+    d_x = F.col("sxt") / F.col("nt") - F.col("sxc") / F.col("nc")
+    return s.select(
+        n.cast("bigint").alias("n_users"),
+        round_half_up(theta, 6).alias("theta"),
+        round_half_up(d_raw, 2).alias("delta_raw_cents"),
+        round_half_up(d_raw - theta * d_x, 2).alias("delta_cuped_cents"),
+        round_half_up(
+            (cov_n * cov_n) / F.nullif(varx_n * vary_n, F.lit(0.0)), 4
+        ).alias("var_reduction"),
+    )
+
+
+# ---- two-feature OLS via normal equations -----------------------------------
+
+
+@register(
+    "ols_normal_equations",
+    oracle="""
+    WITH per_order AS (
+      SELECT l.l_orderkey,
+             CAST(count(*) AS BIGINT) AS x1,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x2,
+             CAST(floor(any_value(o.o_totalprice) * 100 + 0.5) AS BIGINT)
+               AS y
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM per_order
+    ),
+    c AS (
+      SELECT n, s1, s2, sy,
+             s11 - s1 * s1 / n AS c11,
+             s22 - s2 * s2 / n AS c22,
+             s12 - s1 * s2 / n AS c12,
+             s1y - s1 * sy / n AS c1y,
+             s2y - s2 * sy / n AS c2y,
+             syy - sy * sy / n AS cyy
+      FROM s
+    ),
+    b AS (
+      SELECT n, s1, s2, sy, c1y, c2y, cyy,
+             (c1y * c22 - c2y * c12) / nullif(c11 * c22 - c12 * c12, 0)
+               AS b1,
+             (c2y * c11 - c1y * c12) / nullif(c11 * c22 - c12 * c12, 0)
+               AS b2
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           (floor((sy / n - b1 * (s1 / n) - b2 * (s2 / n)) * 100 + 0.5)
+            / 100) AS b0_cents,
+           (floor(b1 * 100 + 0.5) / 100) AS b1_cents_per_item,
+           (floor(b2 * 100 + 0.5) / 100) AS b2_cents_per_qty,
+           (floor((b1 * c1y + b2 * c2y) / nullif(cyy, 0) * 1000000 + 0.5)
+            / 1000000) AS r2
+    FROM b
+    """,
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature least squares fit of an order's total price (cents)
+    on its lineitem count and total quantity, solved in CLOSED FORM
+    from the centered normal equations (Cramer's rule on the 2x2
+    system) — multiple regression as one aggregation, the way
+    distributed ML systems fit small linear models without an
+    iterative solver (grouped_ols_trend is the 1-feature version;
+    this is the general pattern that scales to any p where the p x p
+    Gram matrix fits in a row). R^2 = (b1*S1y + b2*S2y)/Syy from the
+    same sums. Integer-valued power sums feed one fixed IEEE
+    expression tree — bit-deterministic.
+
+    100 TB shape: one corpus-scale groupBy to order grain, one scalar
+    aggregate of ten power sums, and the solve itself is arithmetic on
+    a single row. Power sums of cents x quantities stay inside the
+    double 2^53 exact window through ~10^7 orders; beyond that the
+    sums go decimal(38,0) at the marked casts (values remain exact,
+    only the final solve is float)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x1"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("x2"),
+            exact_round(F.any_value(F.col("o_totalprice")) * 100, 0)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = per_order.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        # decimal: squared cents overflow int64 already at sf0.01
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = F.nullif(c11 * c22 - c12 * c12, F.lit(0.0))
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    return s.select(
+        n.cast("bigint").alias("n_orders"),
+        round_half_up(
+            F.col("sy") / n - b1 * (F.col("s1") / n) - b2 * (F.col("s2") / n),
+            2,
+        ).alias("b0_cents"),
+        round_half_up(b1, 2).alias("b1_cents_per_item"),
+        round_half_up(b2, 2).alias("b2_cents_per_qty"),
+        round_half_up(
+            (b1 * c1y + b2 * c2y) / F.nullif(cyy, F.lit(0.0)), 6
+        ).alias("r2"),
+    )
+
+
+# ---- partial correlation -----------------------------------------------------
+
+
+@register(
+    "partial_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sz,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS syy,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS szz,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxz,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS syz
+      FROM lineitem
+    ),
+    r AS (
+      SELECT n,
+             (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS rxy,
+             (n * sxz - sx * sz)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)) AS rxz,
+             (n * syz - sy * sz)
+               / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz)) AS ryz
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           (floor(rxy * 1000000 + 0.5) / 1000000) AS r_xy,
+           (floor((rxy - rxz * ryz)
+                  / nullif(sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 0)
+                  * 1000000 + 0.5) / 1000000) AS r_xy_given_z
+    FROM r
+    """,
+)
+def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount: r_xy.z = (r_xy - r_xz*r_yz)/sqrt((1-r_xz^2)(1-r_yz^2))
+    — the confounder-removal step of observational analysis
+    (agg_correlation reports the raw association; this is what's left
+    after the third variable explains its share). All three pairwise
+    correlations come from ONE scalar aggregate of nine exact
+    integer power sums (quantities and cents); the closing formula is
+    a fixed IEEE tree on those — bit-deterministic, no ulp flag.
+
+    100 TB shape: a single full-scan aggregate with map-side partial
+    combine — no shuffle wider than one row of ten numbers. Cents
+    power sums pass 2^53 around ~10^7 rows: the decimal(38,0) switch
+    applies to the sums only (the agg_moment_stats recipe)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = exact_round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    z = exact_round(F.col("l_discount") * 100, 0).cast("bigint")
+    # decimal(38,0) on the squared-cents products: syy exceeds int64
+    # even at sf0.1 (1e12-cents^2 x 6e5 rows)
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(z).cast("double").alias("sz"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y.cast("decimal(38,0)") * y).cast("double").alias("syy"),
+        F.sum(z * z).cast("double").alias("szz"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * z).cast("double").alias("sxz"),
+        F.sum(y.cast("decimal(38,0)") * z).cast("double").alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / (
+            F.sqrt(n * F.col(saa) - F.col(sa) * F.col(sa))
+            * F.sqrt(n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        n.cast("bigint").alias("n_rows"),
+        round_half_up(rxy, 6).alias("r_xy"),
+        round_half_up(
+            (rxy - rxz * ryz)
+            / F.nullif(
+                F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), F.lit(0.0)
+            ),
+            6,
+        ).alias("r_xy_given_z"),
+    )
+
+
+# ---- A/B test power: minimum detectable effect -------------------------------
+
+_Z_ALPHA = 1.959963984540054  # two-sided 5%
+_Z_BETA = 0.8416212335729143  # 80% power
+
+
+@register(
+    "ab_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 = 1 AS treated,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(count(*) FILTER (treated) AS DOUBLE) AS nt,
+             CAST(count(*) FILTER (NOT treated) AS DOUBLE) AS nc,
+             CAST(sum(y) FILTER (NOT treated) AS DOUBLE) AS syc
+      FROM per_user
+    )
+    SELECT CAST(nt AS BIGINT) AS n_treated, CAST(nc AS BIGINT) AS n_control,
+           (floor(sqrt((syy - sy * sy / n) / (n - 1)) * 100 + 0.5) / 100)
+             AS pooled_sd_cents,
+           (floor(({_Z_ALPHA} + {_Z_BETA})
+                  * sqrt((syy - sy * sy / n) / (n - 1) * (1 / nt + 1 / nc))
+                  * 100 + 0.5) / 100) AS mde_cents,
+           (floor(({_Z_ALPHA} + {_Z_BETA})
+                  * sqrt((syy - sy * sy / n) / (n - 1) * (1 / nt + 1 / nc))
+                  / nullif(syc / nc, 0) * 10000 + 0.5) / 10000)
+             AS mde_rel
+    FROM s
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the parity-split experiment at
+    alpha=5% (two-sided) and 80% power: MDE = (z_a + z_b) * sd *
+    sqrt(1/nt + 1/nc) — the power calculation every experiment design
+    review starts from, closing the loop with welch_t_test_ab (did it
+    move?) and cuped_variance_reduction (how much variance can we
+    remove?). The z quantiles are fixed double literals (identical on
+    both engines by construction); sd comes from exact integer power
+    sums; everything else is one fixed IEEE tree. mde_rel divides by
+    the control mean — the % lift the experiment can detect.
+
+    100 TB shape: one corpus-scale groupBy to user grain and one
+    scalar aggregate — the same two-stage shape as every per-user
+    metric here."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(exact_round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    tr = F.col("user_id") % 2 == 1
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+        F.count_if(tr).cast("double").alias("nt"),
+        F.count_if(~tr).cast("double").alias("nc"),
+        F.sum(F.when(~tr, F.col("y"))).cast("double").alias("syc"),
+    )
+    n = F.col("n")
+    var = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    mde = (
+        F.lit(_Z_ALPHA + _Z_BETA)
+        * F.sqrt(var * (1 / F.col("nt") + 1 / F.col("nc")))
+    )
+    return s.select(
+        F.col("nt").cast("bigint").alias("n_treated"),
+        F.col("nc").cast("bigint").alias("n_control"),
+        round_half_up(F.sqrt(var), 2).alias("pooled_sd_cents"),
+        round_half_up(mde, 2).alias("mde_cents"),
+        round_half_up(
+            mde / F.nullif(F.col("syc") / F.col("nc"), F.lit(0.0)), 4
+        ).alias("mde_rel"),
+    )

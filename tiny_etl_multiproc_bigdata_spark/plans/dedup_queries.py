@@ -1187,3 +1187,70 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
         )
     )
+
+
+# ---- LSH design curve -------------------------------------------------------
+#
+# The S-curve behind dedup_minhash_lsh's (b, r) choice, generated from
+# the SAME _N_BANDS/_N_HASHES constants on both engines (the _WIN_W
+# knob-sync lesson: tune the band layout and this entry follows).
+
+_LSH_GRID = 20  # s = 1/GRID .. (GRID-1)/GRID
+
+
+def _pow_chain(base: str, exp: int) -> str:
+    """`base` multiplied `exp` times — exponentiation as an explicit
+    product chain so both engines run the identical IEEE ops (pow()
+    is not guaranteed correctly rounded; repeated multiply is)."""
+    return "(" + " * ".join([base] * exp) + ")"
+
+
+def _lsh_curve_oracle() -> str:
+    r = _N_HASHES // _N_BANDS
+    p_r = _pow_chain(f"(CAST(id AS DOUBLE) / {_LSH_GRID})", r)
+    miss = _pow_chain(f"(1 - {p_r})", _N_BANDS)
+    return f"""
+    SELECT (floor(CAST(id AS DOUBLE) / {_LSH_GRID} * 100 + 0.5) / 100)
+             AS jaccard_s,
+           (floor((1 - {miss}) * 1000000 + 0.5) / 1000000)
+             AS p_candidate
+    FROM range(1, {_LSH_GRID}) t(id)
+    """
+
+
+@register("minhash_lsh_sensitivity_curve", oracle=_lsh_curve_oracle())
+def minhash_lsh_sensitivity_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LSH S-curve for the registered MinHash layout
+    (b={B} bands x r={R} rows): P(candidate | jaccard=s) = 1-(1-s^r)^b
+    on a 1/20 grid — the design table that justifies dedup_minhash_lsh's
+    band choice and that minhash_recall_eval measures empirically
+    (analytic curve vs observed recall is the standard LSH
+    calibration pair). Exponentiation is an explicit multiply chain
+    generated from the SAME band constants as the dedup plan itself —
+    retuning _N_BANDS/_N_HASHES re-derives engine and oracle together
+    (knob-desync guard), and repeated multiplication keeps every op a
+    correctly-rounded IEEE product (pow() carries no such guarantee),
+    so the curve is bit-deterministic with no ulp flag.
+
+    100 TB shape: {G}-row generated table, zero data reads — the cost
+    model is the deliverable. Cited next to dedup_minhash_lsh
+    (reference example/main.py has no analogue; this is Spark-side
+    capacity planning)."""
+    r = _N_HASHES // _N_BANDS
+    s = F.col("id").cast("double") / _LSH_GRID
+    p_r = s
+    for _ in range(r - 1):
+        p_r = p_r * s
+    miss = F.lit(1) - p_r
+    acc = miss
+    for _ in range(_N_BANDS - 1):
+        acc = acc * miss
+    return (
+        spark.range(1, _LSH_GRID)
+        .select(
+            round_half_up(s, 2).alias("jaccard_s"),
+            round_half_up(F.lit(1) - acc, 6).alias("p_candidate"),
+        )
+    )

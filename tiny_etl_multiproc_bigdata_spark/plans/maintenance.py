@@ -787,3 +787,68 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2_term"),
     )
+
+
+# ---- differential privacy: Laplace-noised release -------------------------
+
+_DP_EPS = "1.0"  # shared literal so both engines parse the same double
+_DP_U_DENOM = str(1 << 60)  # md5_long range (the poisson_bootstrap idiom)
+
+
+@register(
+    "dp_noisy_counts",
+    ulp_sensitive=True,
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n,
+             CAST(('0x' || substr(md5('dp|' || event_type), 1, 15))
+                  AS BIGINT) / {_DP_U_DENOM} AS u
+      FROM g
+    )
+    SELECT event_type, CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+           (floor((n + (CASE WHEN u < 0.5 THEN 1 ELSE -1 END)
+                       * ln(1 - 2 * abs(u - 0.5)) / (-{_DP_EPS}))
+                  * 100 + 0.5) / 100) AS noisy_count
+    FROM u
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release per event type: the
+    Laplace mechanism (Dwork et al. 2006) with sensitivity 1 and
+    epsilon {EPS} — noise = -sign(u-.5)*ln(1-2|u-.5|)/eps drawn by
+    inverse CDF from the md5 uniform (the poisson_bootstrap_ci
+    determinism idiom: identical md5 strings -> identical doubles ->
+    one exact IEEE division). This is the release step a privacy
+    pipeline runs AFTER k_anonymity_audit decides what may leave at
+    all; a real release would drop the internal exact count — kept
+    out of the output here too (epsilon + noisy value only). The one
+    transcendental (ln) makes the entry ulp-flagged, same policy as
+    every log-scored entry.
+
+    100 TB shape: one partial-agg'd groupBy to the |event types| rows;
+    noise is a per-GROUP scalar expression — the mechanism's cost is
+    independent of corpus size by construction."""
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+
+    u = md5_long(F.concat(F.lit("dp|"), F.col("event_type"))) / F.lit(
+        float(_DP_U_DENOM)
+    )
+    eps = float(_DP_EPS)
+    lap = (
+        F.when(u < 0.5, F.lit(1)).otherwise(F.lit(-1))
+        * F.log(1 - 2 * F.abs(u - 0.5))
+        / F.lit(-eps)
+    )
+    return g.select(
+        "event_type",
+        F.lit(eps).alias("epsilon"),
+        round_half_up(F.col("n") + lap, 2).alias("noisy_count"),
+    )

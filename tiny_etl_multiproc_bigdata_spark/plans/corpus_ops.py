@@ -1236,3 +1236,84 @@ def _register_ndcg_eval() -> None:
 
 
 _register_ndcg_eval()
+
+
+# ---- vocabulary coverage curve ---------------------------------------------
+
+_COV_KS = (100, 1_000, 10_000)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY f DESC, tok ASC) AS rnk, f
+      FROM freq
+    ),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS v FROM ranked)
+    SELECT k, CAST(least(k, tot.v) AS BIGINT) AS vocab_used,
+           CAST(sum(r.f) AS BIGINT) AS tokens_covered,
+           (floor(CAST(sum(r.f) AS DOUBLE) / tot.t * 1000000 + 0.5)
+            / 1000000) AS coverage
+    FROM ranked r
+    CROSS JOIN tot
+    JOIN (SELECT CAST(unnest([{", ".join(str(k) for k in _COV_KS)}])
+                      AS BIGINT) AS k) ks
+      ON r.rnk <= ks.k
+    GROUP BY k, tot.t, tot.v
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of a top-k vocabulary, k in {KS}: what
+    fraction of all corpus tokens a truncated vocab captures — the
+    table that sizes a tokenizer's vocab (and prices its OOV rate:
+    1 - coverage is exactly the UNK mass a top-k word-level vocab
+    pays). The cumulative twin of zipf_fit_slope (slope says HOW the
+    tail decays; this says what cutting it costs) and the corpus-level
+    complement of tokenizer_vocab_coverage (which scores docs against
+    a fixed vocab). Rank ties broken (freq DESC, token ASC) —
+    deterministic; coverage is one exact integer ratio per k.
+
+    100 TB shape: one token-histogram shuffle (vocabulary-bounded),
+    one rank window over the bounded vocab table, and the k-membership
+    join fans each vocab row into at most |KS| groups. The corpus is
+    scanned once."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokenize_words_nonempty("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = freq.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("tok")))
+        .alias("rnk"),
+        "f",
+    ).localCheckpoint(eager=True)  # consumers: totals + the k-band join
+    tot = ranked.agg(
+        F.sum("f").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _COV_KS])).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
+        .groupBy("k", "t", "v")
+        .agg(F.sum("f").cast("bigint").alias("tokens_covered"))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("v")).cast("bigint").alias("vocab_used"),
+            "tokens_covered",
+            round_half_up(
+                F.col("tokens_covered").cast("double") / F.col("t"), 6
+            ).alias("coverage"),
+        )
+    )

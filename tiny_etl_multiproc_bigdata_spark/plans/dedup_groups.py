@@ -320,3 +320,49 @@ def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").alias("survivor_quality"),
         )
     )
+
+
+# ---- duplicate-cluster size histogram ---------------------------------------
+
+_CLUSTER_HIST_ORACLE = (
+    _CC_GROUPS_CTES
+    + """
+, sizes AS (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM groups GROUP BY group_id
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS removable_docs
+FROM sizes GROUP BY cluster_size
+"""
+)
+
+
+@register("dedup_cluster_size_histogram", oracle=_CLUSTER_HIST_ORACLE)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-of-counts over the near-dup connected components: how many
+    duplicate clusters exist at each size, and how many documents a
+    keep-one-per-cluster pass would remove (size−1 each) — the one
+    table a dedup run's report leads with, because the size
+    distribution is the decision input (a fat tail of giant clusters
+    means template spam → investigate before deleting; all-pairs-of-2
+    means organic near-dups → dedup and move on). Composes the SAME
+    label-propagation components as dedup_cc_groups, then two bounded
+    aggregations.
+
+    100 TB shape: everything after the (already scale-audited)
+    component labels is two partial-agg'd groupBys whose key spaces
+    are |clusters| then |distinct sizes| — both tiny; the histogram
+    adds no corpus-scale work to the dedup pass it audits."""
+    labels = _cc_labels(_near_dup_edges(spark, sf_dir))
+    sizes = labels.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
+        .cast("bigint")
+        .alias("removable_docs"),
+    )

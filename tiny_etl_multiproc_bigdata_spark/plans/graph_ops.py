@@ -1057,3 +1057,101 @@ def modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("modularity_contrib"),
     )
+
+
+# --------------------------------------------------------------------------
+# local clustering coefficient
+# --------------------------------------------------------------------------
+
+
+@register(
+    "local_clustering_coefficient",
+    oracle=f"""
+    WITH e AS ({_TRI_EDGES_TMPL.format(cust="customer")}),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    t AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           (floor(2 * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                  / (CAST(d.deg AS DOUBLE) * (d.deg - 1))
+                  * 1000000 + 0.5) / 1000000) AS lcc
+    FROM deg d LEFT JOIN t ON d.node = t.node
+    WHERE d.deg >= 2
+    """,
+)
+def local_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient over the affine referral
+    graph: lcc(v) = 2*T_v / (deg_v*(deg_v-1)) — triangle_count's global
+    number broken down to the per-node transitivity profile
+    (Watts-Strogatz), the feature spam/fraud graph models key on
+    (organic neighborhoods close triangles; bot farms don't). Each
+    id-ordered triangle from the same wedge join credits all three
+    corners via ONE explode, so the triangle stage is shared work, and
+    the ratio is a single IEEE expression on exact integers.
+
+    100 TB shape: the wedge join is the cost and at celebrity-skew
+    scale it runs degree-ORIENTED exactly as triangle_count documents
+    (orientation preserves per-triangle corner credits — the count is
+    per triangle, not per wedge); degrees join back on node keys. The
+    fixture keeps the oracle-shaped id ordering since the 1000-node
+    graph cannot skew."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_lcc_customer")
+    e = spark.sql(
+        _TRI_EDGES_TMPL.format(cust="_lcc_customer")
+    ).localCheckpoint(eager=True)  # consumers: 3 wedge arms + 2 degree arms
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.a"), F.col("e1.b"), F.col("e2.b"))
+            ).alias("node")
+        )
+    )
+    t = tri.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    return (
+        deg.join(t, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            tt.alias("n_triangles"),
+            round_half_up(
+                2 * tt.cast("double")
+                / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )

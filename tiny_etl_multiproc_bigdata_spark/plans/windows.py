@@ -1644,3 +1644,89 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("burstiness"),
     )
+
+
+# ---- Bollinger bands over daily revenue ------------------------------------
+
+_BOLL_W = 6  # trailing frame: 6 preceding + current = 7 days
+_BOLL_MIN = 4  # minimum frame rows before bands are emitted
+
+
+@register(
+    "bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders GROUP BY o_orderdate
+    ),
+    framed AS (
+      SELECT d, r,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(r) OVER w AS BIGINT) AS s,
+             CAST(sum(CAST(r AS HUGEINT) * r) OVER w AS DOUBLE) AS q
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN {_BOLL_W} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT d, r,
+           (floor(CAST(s AS DOUBLE) / n + 0.5) / 100) AS mean_dollars,
+           (floor((CAST(s AS DOUBLE) / n
+                   + 2 * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)))
+                  + 0.5) / 100) AS upper_dollars,
+           (floor((CAST(s AS DOUBLE) / n
+                   - 2 * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)))
+                  + 0.5) / 100) AS lower_dollars,
+           CAST(r AS DOUBLE) > CAST(s AS DOUBLE) / n
+             + 2 * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             AS breakout
+    FROM framed WHERE n >= {_BOLL_MIN}
+    """,
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on the daily order-revenue series: trailing
+    {W}-day mean ± 2 sigma with a breakout flag — the rolling
+    mean-reversion envelope (anomaly_rolling_zscore flags per-point
+    z-scores; this publishes the band series itself, what monitoring
+    dashboards actually plot). Frame statistics are EXACT integer sums
+    over the bounded ROWS frame (sum of cents, int128 sum of squared
+    cents), so mean/sigma/breakout are one fixed IEEE tree per row —
+    bit-deterministic, and the breakout comparison reuses the same
+    expression, so the flag cannot disagree with the band it plots.
+
+    100 TB shape: one partial-agg'd groupBy to day grain (the only
+    corpus-scale stage); the window runs over the bounded day series.
+    Squared daily cents pass int64 at ~1e9-dollar days — hence the
+    decimal/HUGEINT product inside the frame sum."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(exact_round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    w = Window.orderBy("d").rowsBetween(-_BOLL_W, 0)
+    framed = daily.select(
+        "d",
+        "r",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("r").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+        .over(w)
+        .cast("double")
+        .alias("q"),
+    ).filter(F.col("n") >= _BOLL_MIN)
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    dollars = lambda c: F.floor(c + F.lit(0.5)) / F.lit(100)  # noqa: E731
+    return framed.select(
+        "d",
+        "r",
+        dollars(mean).alias("mean_dollars"),
+        dollars(mean + 2 * sd).alias("upper_dollars"),
+        dollars(mean - 2 * sd).alias("lower_dollars"),
+        (F.col("r").cast("double") > mean + 2 * sd).alias("breakout"),
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
+    round_half_up,
 )
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -222,5 +223,97 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_signup",
             "t_first_purchase",
             F.col("t_first_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+# ---- funnel conversion latency ----------------------------------------------
+
+
+@register(
+    "funnel_latency_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_purchase
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s.t_signup
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT p.t_purchase - s.t_signup AS latency_s
+      FROM s JOIN p ON s.user_id = p.user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM s)
+    SELECT tot.n_signup,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           (floor(CAST(count(*) AS DOUBLE) / tot.n_signup * 10000 + 0.5)
+            / 10000) AS conversion_rate,
+           (floor(quantile_cont(latency_s, 0.5) * 100 + 0.5) / 100)
+             AS p50_latency_s,
+           (floor(quantile_cont(latency_s, 0.9) * 100 + 0.5) / 100)
+             AS p90_latency_s
+    FROM lat CROSS JOIN tot
+    GROUP BY tot.n_signup
+    """,
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup -> purchase funnel:
+    conversion rate plus exact p50/p90 of (first qualifying purchase -
+    first signup) — event_funnel emits the per-user rows; this is the
+    aggregate a growth dashboard heads with, and latency quantiles are
+    the piece a rate alone hides (a funnel can convert well but take
+    weeks). Purchases BEFORE the signup are excluded (the funnel is
+    ordered, not just co-present). Exact interpolated percentiles per
+    the agg_percentiles engine-pair property.
+
+    100 TB shape: two filtered per-user min-aggregations (partial-agg
+    map-side), one user-key join, then a single-row quantile over the
+    converted-user latencies — at 100 TB that last exact quantile is
+    the documented approx_percentile switch."""
+    e = table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("t_signup"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", ep.alias("t"))
+        .join(s, "user_id")
+        .filter(F.col("t") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    lat = s.join(p, "user_id").select(
+        (F.col("t_purchase") - F.col("t_signup")).alias("latency_s")
+    )
+    tot = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+    return (
+        lat.crossJoin(F.broadcast(tot))
+        .groupBy("n_signup")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+            round_half_up(F.percentile("latency_s", F.lit(0.5)), 2).alias(
+                "p50_latency_s"
+            ),
+            round_half_up(F.percentile("latency_s", F.lit(0.9)), 2).alias(
+                "p90_latency_s"
+            ),
+        )
+        .select(
+            "n_signup",
+            "n_converted",
+            round_half_up(
+                F.col("n_converted").cast("double") / F.col("n_signup"), 4
+            ).alias("conversion_rate"),
+            "p50_latency_s",
+            "p90_latency_s",
         )
     )

@@ -23,6 +23,7 @@ from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
+    round_half_up,
 )
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -147,4 +148,62 @@ def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2).alias(
             "total"
         ),
+    )
+
+
+# ---- hash-sample extrapolation ----------------------------------------------
+
+_SAMPLE_MOD = 16  # 1/16 deterministic hash sample
+
+
+@register(
+    "hash_sample_extrapolation",
+    oracle=f"""
+    WITH cmp AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST({_SAMPLE_MOD} * count(*) FILTER (
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_SAMPLE_MOD} = 0) AS BIGINT) AS n_est
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_exact, n_est,
+           (floor(abs(CAST(n_est AS DOUBLE) - n_exact)
+                  / n_exact * 10000 + 0.5) / 10000) AS rel_err
+    FROM cmp
+    """,
+)
+def hash_sample_extrapolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson extrapolation from a deterministic 1/{M} hash
+    sample: estimate per-group counts as {M} x the sampled count and
+    report the relative error against the exact answer computed in the
+    SAME pass — the eval protocol for 'can we run this dashboard on a
+    sample?'. The md5-mod sample is the repo's standard deterministic
+    sampler (sample_stratified_hash), so the 'estimate' is exactly
+    reproducible — the entry's value is the measured error table, the
+    thing you check BEFORE trusting sampled pipelines at 100 TB.
+
+    100 TB shape: in production only the sampled branch runs (a
+    map-side filter dropping 15/16 of rows before the shuffle); here
+    both branches share one scan+groupBy via filtered aggregates, so
+    verifying the estimator costs one pass."""
+    from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+
+    e = table(spark, sf_dir, "events")
+    in_sample = md5_long(F.col("event_id").cast("string")) % _SAMPLE_MOD == 0
+    both = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        (F.lit(_SAMPLE_MOD) * F.count_if(in_sample))
+        .cast("bigint")
+        .alias("n_est"),
+    )
+    return both.select(
+        "event_type",
+        "n_exact",
+        "n_est",
+        round_half_up(
+            F.abs(F.col("n_est").cast("double") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
     )

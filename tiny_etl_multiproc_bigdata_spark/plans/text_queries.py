@@ -695,3 +695,67 @@ def rake_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_q"), F.asc("phrase"))
         .limit(_RAKE_TOPK)
     )
+
+
+# ---- language-ID confusion matrix ------------------------------------------
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter(
+                          regexp_split_to_array(lower(text), '\s+'),
+                          t -> t IN ({_SW_SQL}))) AS DOUBLE)
+                       / greatest(len(regexp_split_to_array(text, '\s+')), 1)
+                       >= 0.03
+                  THEN 'en' ELSE 'und' END AS predicted_lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang AS labeled_lang, predicted_lang,
+             CAST(count(*) AS BIGINT) AS n
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT labeled_lang, predicted_lang, n,
+           (floor(CAST(n AS DOUBLE)
+                  / sum(n) OVER (PARTITION BY labeled_lang)
+                  * 10000 + 0.5) / 10000) AS row_rate
+    FROM cells
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword lang-id heuristic against the
+    labeled language: per (labeled, predicted) cell count and its
+    row-normalized rate — i.e. recall of 'en' and the per-language
+    false-'en' rates, the table a lang-id model card actually shows.
+    text_lang_id emits per-document predictions; this is its corpus-
+    level evaluation (same expression tree, so the two entries cannot
+    drift apart). Rates are one exact integer ratio per cell.
+
+    100 TB shape: prediction is a per-row expression; ONE partial-agg'd
+    groupBy to the |langs| x 2 contingency table; the row-normalizing
+    window runs over that dimension-sized table."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize_words(F.lower(F.col("text")))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_t = F.greatest(F.size(tokenize_words(F.col("text"))), F.lit(1))
+    pred = F.when(hits * F.lit(1.0) / n_t >= 0.03, F.lit("en")).otherwise(
+        F.lit("und")
+    )
+    cells = (
+        d.select(F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        round_half_up(
+            F.col("n").cast("double") / F.sum("n").over(w), 4
+        ).alias("row_rate"),
+    )

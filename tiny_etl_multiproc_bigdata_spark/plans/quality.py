@@ -1200,3 +1200,59 @@ def confusion_matrix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tp + tn).cast("double") / (tp + fp + fn + tn), 4
         ).alias("accuracy"),
     )
+
+
+# ---- compression-ratio quality signal --------------------------------------
+
+
+@register("doc_compression_ratio", oracle=None)  # rows-only: zlib has no SQL twin
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the model-free redundancy
+    signal CCNet/Gopher-class pipelines cut on (highly compressible =
+    repetitive/templated text; ratio near 1 = high-entropy noise;
+    natural prose sits between). Complements the exact-arithmetic
+    repetition flags (repetition_quality_flags counts token repeats;
+    the compressor prices ALL redundancy at once, including structures
+    no n-gram feature anticipates). No SQL oracle exists for zlib, so
+    this is a rows-only entry; invariants (bounds, monotonicity under
+    repetition, determinism) are pinned in
+    tests/test_functions.py::test_compression_ratio_invariants.
+
+    100 TB shape: mapInPandas with Arrow batches — one corpus scan,
+    zero shuffle; the compressor runs where the text already lives
+    (the multimodal_decode_stub plumbing pattern, with a real payload).
+    Fixed level=6 keeps output independent of zlib's default drift."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ratios(batches):
+        # local closure: module-level fns of this package don't pickle
+        # under the external driver (see .claude verify gotchas)
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": raw.str.len().astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                }
+            )
+            yield out
+
+    res = d.mapInPandas(
+        ratios, "doc_id bigint, n_bytes bigint, n_compressed bigint"
+    )
+    return res.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        round_half_up(
+            F.col("n_compressed").cast("double")
+            / F.greatest(F.col("n_bytes"), F.lit(1)),
+            4,
+        ).alias("compression_ratio"),
+    )

@@ -1648,3 +1648,90 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             mde / F.nullif(F.col("syc") / F.col("nc"), F.lit(0.0)), 4
         ).alias("mde_rel"),
     )
+
+
+# ---- Wald-Wolfowitz runs test ------------------------------------------------
+
+
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders GROUP BY o_orderdate
+    ),
+    med AS (SELECT quantile_cont(CAST(r AS DOUBLE), 0.5) AS m FROM daily),
+    signs AS (
+      SELECT d, CAST(r AS DOUBLE) > med.m AS up
+      FROM daily, med WHERE CAST(r AS DOUBLE) <> med.m
+    ),
+    flips AS (
+      SELECT up, up <> lag(up) OVER (ORDER BY d) AS flip FROM signs
+    ),
+    runs AS (
+      SELECT CAST(count(*) FILTER (up) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (NOT up) AS BIGINT) AS n2,
+             CAST(1 + count(*) FILTER (flip) AS BIGINT) AS r_runs
+      FROM flips
+    )
+    SELECT n1, n2, r_runs,
+           (floor((CAST(r_runs AS DOUBLE)
+                   - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                            * (n1 + n2 - 1)))
+                  * 10000 + 0.5) / 10000) AS z
+    FROM runs
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series: are
+    above/below-median days randomly ordered, or does the series
+    trend/oscillate? (Too FEW runs = momentum/trend; too MANY =
+    mean-reverting oscillation — the regime diagnostic that says
+    whether autocorrelation_lags is even worth reading.) Days exactly
+    AT the interpolated median are excluded per the classical test.
+    The run count is an exact integer (1 + sign transitions via one
+    lag over the bounded day series); mean and variance of R under H0
+    are fixed IEEE expressions of the integer counts n1, n2 — no ulp
+    flag.
+
+    100 TB shape: one partial-agg'd groupBy to day grain; the median,
+    the sign sequence, and the single ordered lag all run over the
+    bounded (~2,400-row) series."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(exact_round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    ).localCheckpoint(eager=True)  # consumers: median + sign sequence
+    med = daily.agg(
+        F.percentile(F.col("r").cast("double"), F.lit(0.5)).alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("r").cast("double") != F.col("m"))
+        .select("d", (F.col("r").cast("double") > F.col("m")).alias("up"))
+    )
+    lag_up = F.lag("up").over(Window.orderBy("d"))
+    runs = signs.select(
+        "up", (F.col("up") != lag_up).alias("flip")
+    ).agg(
+        F.count_if(F.col("up")).cast("bigint").alias("n1"),
+        F.count_if(~F.col("up")).cast("bigint").alias("n2"),
+        (1 + F.count_if(F.col("flip"))).cast("bigint").alias("r_runs"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n = n1 + n2
+    mu = 1 + 2.0 * n1 * n2 / n
+    sigma = F.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1)))
+    return runs.select(
+        "n1",
+        "n2",
+        "r_runs",
+        round_half_up((F.col("r_runs").cast("double") - mu) / sigma, 4).alias(
+            "z"
+        ),
+    )

@@ -628,3 +628,32 @@ def _register_streaming_segment_dedup() -> None:
 
 
 _register_streaming_segment_dedup()
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+): dedup whose state
+    entries EXPIRE once the watermark passes them — the bounded-state
+    variant of streaming_dedup, and the API that makes infinite-stream
+    dedup survivable (plain dropDuplicates state grows forever; this
+    caps it at one watermark interval of keys). The 100 TB trade: keys
+    recurring further apart than the watermark re-emit — acceptable
+    for idempotency dedup (retries/replays arrive close together),
+    wrong for global uniqueness; pair with a batch reconcile
+    (dedup_exact) when the latter matters. Here the whole fixture
+    replays as ONE availableNow batch, so nothing expires mid-stream
+    and the surviving key set equals DISTINCT — which is exactly what
+    the oracle checks (the TTL semantics are the documented delta, the
+    state plumbing is what this entry pins)."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dedup, spark, "stream_dedup_wm", "append")

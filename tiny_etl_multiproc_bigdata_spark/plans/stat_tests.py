@@ -1735,3 +1735,214 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+# ---- cross-correlation between event series ----------------------------------
+
+_CCF_MAX_LAG = 3
+
+
+@register(
+    "cross_correlation_lags",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                           FILTER (event_type = 'click'), 0) AS BIGINT) AS c,
+             CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                           FILTER (event_type = 'purchase'), 0) AS BIGINT)
+               AS p
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(p) AS BIGINT) AS sp
+      FROM hourly
+    ),
+    dev AS (
+      SELECT h, CAST(tot.n * hourly.c - tot.sc AS BIGINT) AS dc,
+             CAST(tot.n * hourly.p - tot.sp AS BIGINT) AS dp
+      FROM hourly, tot
+    ),
+    den AS (
+      SELECT sqrt(CAST(sum(CAST(dc AS HUGEINT) * dc) AS DOUBLE))
+             * sqrt(CAST(sum(CAST(dp AS HUGEINT) * dp) AS DOUBLE)) AS dd
+      FROM dev
+    ),
+    num AS (
+      SELECT b.h - a.h AS lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(a.dc AS HUGEINT) * b.dp) AS DOUBLE) AS nm
+      FROM dev a JOIN dev b
+        ON b.h - a.h BETWEEN -{_CCF_MAX_LAG} AND {_CCF_MAX_LAG}
+      GROUP BY 1
+    )
+    SELECT CAST(lag_k AS BIGINT) AS lag_k, n_pairs,
+           (floor(nm / dd * 1000000 + 0.5) / 1000000) AS ccf
+    FROM num, den
+    """,
+)
+def cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly click-value and
+    purchase-value series at lags -{L}..+{L}: does click activity LEAD
+    purchases (positive-lag peak), lag them, or move synchronously? —
+    the lead-lag diagnostic behind attribution_linear's assumption
+    that touches precede conversions. Same N-scaled integer-deviation
+    construction as autocorrelation_lags (shared docstring argument),
+    with the normalizer sqrt(SS_c)*sqrt(SS_p) replacing the single
+    series' sum of squares. Hours with no events of a type contribute
+    a true zero (COALESCE before centering), so the series is the
+    complete hourly grid of observed hours.
+
+    100 TB shape: one partial-agg'd groupBy to hour grain (the only
+    corpus-scale stage); the +-{L}-band self-join and both scalar
+    aggregates run over the bounded hour series, localCheckpointed
+    once for its three consumers."""
+    e = table(spark, sf_dir, "events")
+    cents = exact_round(F.col("value") * 100, 0).cast("bigint")
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("p"),
+    )
+    tot = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum("p").cast("bigint").alias("sp"),
+    )
+    dev = (
+        hourly.crossJoin(F.broadcast(tot))
+        .select(
+            "h",
+            (F.col("n") * F.col("c") - F.col("sc")).alias("dc"),
+            (F.col("n") * F.col("p") - F.col("sp")).alias("dp"),
+        )
+        .localCheckpoint(eager=True)  # consumers: denominator + 2 join arms
+    )
+    den = dev.agg(
+        (
+            F.sqrt(
+                F.sum(F.col("dc").cast("decimal(38,0)") * F.col("dc")).cast(
+                    "double"
+                )
+            )
+            * F.sqrt(
+                F.sum(F.col("dp").cast("decimal(38,0)") * F.col("dp")).cast(
+                    "double"
+                )
+            )
+        ).alias("dd")
+    )
+    a = dev.select(F.col("h").alias("ha"), F.col("dc").alias("dca"))
+    b = dev.select(F.col("h").alias("hb"), F.col("dp").alias("dpb"))
+    num = (
+        a.join(
+            b,
+            (F.col("hb") - F.col("ha") >= -_CCF_MAX_LAG)
+            & (F.col("hb") - F.col("ha") <= _CCF_MAX_LAG),
+        )
+        .groupBy((F.col("hb") - F.col("ha")).alias("lag_k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("dca").cast("decimal(38,0)") * F.col("dpb"))
+            .cast("double")
+            .alias("nm"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        "n_pairs",
+        round_half_up(F.col("nm") / F.col("dd"), 6).alias("ccf"),
+    )
+
+
+# ---- pinball-loss forecast evaluation -----------------------------------------
+
+_PINBALL_LAG = 7
+_PINBALL_TAUS = ("0.5", "0.9")  # shared literals
+
+
+@register(
+    "pinball_loss_eval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders GROUP BY o_orderdate
+    ),
+    paired AS (
+      SELECT r, lag(r, {_PINBALL_LAG}) OVER (ORDER BY d) AS yhat
+      FROM daily
+    ),
+    losses AS (
+      SELECT tau,
+             CAST(floor(greatest(
+               tau * (r - yhat), (tau - 1) * (r - yhat)) * 10 + 0.5)
+               AS BIGINT) AS l_e1
+      FROM paired
+      CROSS JOIN (SELECT CAST(unnest([{", ".join(_PINBALL_TAUS)}])
+                               AS DOUBLE) AS tau)
+      WHERE yhat IS NOT NULL
+    )
+    SELECT tau, CAST(count(*) AS BIGINT) AS n_days,
+           (floor(CAST(sum(l_e1) AS DOUBLE) / count(*) / 1000 * 100 + 0.5)
+            / 100) AS mean_pinball_dollars
+    FROM losses GROUP BY tau
+    """,
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast
+    yhat_d = r_(d-{_PINBALL_LAG}) for daily revenue at tau = 0.5 and
+    0.9 — THE scoring rule for quantile forecasts (what sql_q6_forecast
+    produces), asymmetric so that a tau=0.9 forecast is punished 9x
+    more for under- than over-prediction. Per-day losses are quantized
+    to integer deci-cents BEFORE the mean (each loss is one
+    greatest-of-two-products IEEE expression on exact integer deltas,
+    identical cross-engine; the quantization makes the SUM
+    order-independent — the bigram_logprob convention for floats that
+    must accumulate).
+
+    100 TB shape: one partial-agg'd groupBy to day grain, one lag
+    window and one small aggregate over the bounded day series; the
+    tau fan-out is x2."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(exact_round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    paired = daily.select(
+        "r",
+        F.lag("r", _PINBALL_LAG).over(Window.orderBy("d")).alias("yhat"),
+    ).filter(F.col("yhat").isNotNull())
+    taus = F.explode(
+        F.array(*[F.lit(float(t)) for t in _PINBALL_TAUS])
+    ).alias("tau")
+    delta = (F.col("r") - F.col("yhat")).cast("double")
+    loss_e1 = (
+        F.floor(
+            F.greatest(
+                F.col("tau") * delta, (F.col("tau") - 1) * delta
+            )
+            * 10
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("l_e1")
+    )
+    losses = paired.select("r", "yhat", taus).select("tau", loss_e1)
+    return losses.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        round_half_up(
+            F.sum("l_e1").cast("double") / F.count(F.lit(1)) / 1000, 2
+        ).alias("mean_pinball_dollars"),
+    )

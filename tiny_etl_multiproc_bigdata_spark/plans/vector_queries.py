@@ -1128,3 +1128,212 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nna.join(nnb, ["a_id", "b_id"]).select(
         "a_id", "b_id", round_half_up(F.col("cos"), 4).alias("cosine")
     )
+
+
+# ---- k-NN classification eval ------------------------------------------------
+
+_KNN_Q = 50  # held-out query budget: vec_id < _KNN_Q
+_KNN_K = 5
+
+
+@register(
+    "knn_label_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS true_label,
+             embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_KNN_Q}
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.label,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY CAST(floor(
+                 {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")}
+                 * 1000000 + 0.5) AS BIGINT) DESC, e.vec_id ASC) AS rn
+      FROM q JOIN embeddings e ON e.vec_id >= {_KNN_Q}
+    ),
+    votes AS (
+      SELECT query_id, true_label, label,
+             CAST(count(*) AS BIGINT) AS v
+      FROM scored WHERE rn <= {_KNN_K}
+      GROUP BY query_id, true_label, label
+    ),
+    pred AS (
+      SELECT query_id, true_label, label AS predicted_label
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY v DESC, label ASC) AS pr
+            FROM votes)
+      WHERE pr = 1
+    )
+    SELECT true_label, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) FILTER (predicted_label = true_label) AS BIGINT)
+             AS n_correct,
+           (floor(CAST(count(*) FILTER (predicted_label = true_label)
+                       AS DOUBLE) / count(*) * 10000 + 0.5) / 10000)
+             AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification accuracy over the labeled embeddings:
+    {Q} held-out queries classified by majority vote of their {K}
+    nearest train-set neighbors (cosine) — the zero-training baseline
+    every embedding-quality report starts with, and the direct eval of
+    whether the ANN stack's neighborhoods carry label signal (recall
+    evals check WHICH neighbors come back; this checks whether
+    neighbors MEAN anything). Ordering and votes are integer-exact
+    (micro-quantized cosine, vote-count/label tie-breaks), so the
+    whole eval is deterministic.
+
+    100 TB shape: the fixed query budget broadcasts; the corpus scans
+    once per eval (brute-force on purpose — this is the exactness
+    baseline; the production path swaps in ann_ivf_topk's bucketed
+    candidates and reuses the same vote/argmax tail). Both argmaxes
+    are windows over per-query bounded sets ({K} votes, |labels|
+    rows)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _KNN_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    train = e.filter(F.col("vec_id") >= _KNN_Q)
+    cos_micro = (
+        F.floor(
+            cosine_similarity(F.col("qv"), F.col("embedding")) * 1_000_000
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("vec_id")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(train)
+        .select("query_id", "true_label", "label", "vec_id",
+                cos_micro.alias("cos_micro"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = scored.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "true_label", F.col("label").alias("predicted_label"))
+    )
+    hit = F.col("predicted_label") == F.col("true_label")
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.count_if(hit).cast("bigint").alias("n_correct"),
+        round_half_up(
+            F.count_if(hit).cast("double") / F.count(F.lit(1)), 4
+        ).alias("accuracy"),
+    )
+
+
+# ---- nearest-centroid classification eval -------------------------------------
+
+
+@register(
+    "nearest_centroid_eval",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i - 1 AS pos,
+             floor(avg(embedding[i]::DOUBLE) * 10000 + 0.5) / 10000 AS c
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      WHERE vec_id >= {_KNN_Q}
+      GROUP BY label, i
+    ),
+    cvec AS (
+      SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent
+      GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS true_label,
+             embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_KNN_Q}
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, cvec.c_label,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY CAST(floor(
+                 {_DUCK_COS.format(a="q.qv", b="cvec.cv")}
+                 * 1000000 + 0.5) AS BIGINT) DESC, cvec.c_label ASC) AS rn
+      FROM q CROSS JOIN cvec
+    )
+    SELECT true_label, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) FILTER (c_label = true_label) AS BIGINT)
+             AS n_correct,
+           (floor(CAST(count(*) FILTER (c_label = true_label) AS DOUBLE)
+                  / count(*) * 10000 + 0.5) / 10000) AS accuracy
+    FROM scored WHERE rn = 1
+    GROUP BY true_label
+    """,
+)
+def nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification accuracy: train-set
+    class centroids (quantized at 1e-4 — embedding_label_centroids'
+    own output contract, which makes the downstream dot products
+    deterministic), each held-out query assigned to its max-cosine
+    centroid. The |labels|-parameter sibling of knn_label_eval: when
+    the two disagree sharply the classes aren't convex in embedding
+    space and centroid-based shortcuts (IVF seeding by label,
+    dedup_semantic_kmeans) are suspect — that comparison is why both
+    entries share an output schema.
+
+    100 TB shape: centroids are a (labels x dims)-row aggregate of
+    partial sums (corpus scans once), then broadcast as |labels| tiny
+    vectors against the fixed query budget — the eval costs one scan
+    + one broadcast nested loop over 10 rows."""
+    e = table(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") >= _KNN_Q)
+    cent = (
+        train.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.floor(F.avg("col") * 10_000 + F.lit(0.5)) / 10_000
+            ).alias("c")
+        )
+    )
+    cvec = cent.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+    q = e.filter(F.col("vec_id") < _KNN_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    cos_micro = (
+        F.floor(
+            cosine_similarity(F.col("qv"), F.col("cv")) * 1_000_000
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("c_label")
+    )
+    scored = (
+        q.join(F.broadcast(cvec))
+        .select("query_id", "true_label", "c_label", cos_micro.alias("cos_micro"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+    )
+    hit = F.col("c_label") == F.col("true_label")
+    return scored.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.count_if(hit).cast("bigint").alias("n_correct"),
+        round_half_up(
+            F.count_if(hit).cast("double") / F.count(F.lit(1)), 4
+        ).alias("accuracy"),
+    )

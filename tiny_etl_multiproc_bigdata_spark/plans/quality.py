@@ -1256,3 +1256,107 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("compression_ratio"),
     )
+
+
+# ---- precision/recall ladder ------------------------------------------------
+
+_PR_THRESHOLDS = (-20, -10, -5, 0, 5, 10, 20)
+
+
+@register(
+    "pr_curve_thresholds",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             ({_DUCK_MD5.format("'w|' || CAST(" + _DUCK_MD5.format("tok") + f" % {_HLC_B} AS VARCHAR)")}) % 101 - 50 AS w
+      FROM toks
+    ), scored AS (
+      SELECT f.doc_id, CAST(sum(f.w) AS BIGINT) AS logit,
+             d.source = '{_DSIR_TARGET}' AS pos
+      FROM feat f JOIN documents d ON f.doc_id = d.doc_id
+      GROUP BY f.doc_id, d.source
+    ),
+    ladder AS (
+      SELECT CAST(unnest([{", ".join(str(t) for t in _PR_THRESHOLDS)}])
+                  AS BIGINT) AS threshold
+    ),
+    cells AS (
+      SELECT l.threshold,
+             CAST(count(*) FILTER (s.logit > l.threshold AND s.pos)
+                  AS BIGINT) AS tp,
+             CAST(count(*) FILTER (s.logit > l.threshold AND NOT s.pos)
+                  AS BIGINT) AS fp,
+             CAST(count(*) FILTER (s.logit <= l.threshold AND s.pos)
+                  AS BIGINT) AS fn
+      FROM scored s CROSS JOIN ladder l
+      GROUP BY l.threshold
+    )
+    SELECT threshold, tp, fp, fn,
+           (floor(CAST(tp AS DOUBLE) / nullif(tp + fp, 0) * 10000 + 0.5)
+            / 10000) AS precision,
+           (floor(CAST(tp AS DOUBLE) / nullif(tp + fn, 0) * 10000 + 0.5)
+            / 10000) AS recall
+    FROM cells
+    """,
+)
+def pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the hashed classifier at a fixed ladder of
+    logit thresholds — the operating-point table between
+    confusion_matrix_threshold (one point) and roc_auc_eval (the
+    threshold-free integral): THIS is what picks the deployment
+    threshold, trading recall for precision along the ladder. A fixed
+    data-independent ladder keeps every number an exact integer ratio
+    (quantile thresholds would drag interpolation into the cut
+    definition); the whole curve is ONE aggregate over the per-doc
+    scores with a x{len(_PR_THRESHOLDS)} threshold fan-out.
+
+    100 TB shape: the per-doc score build is the corpus stage (one
+    token scan, one groupBy); the ladder fan-out multiplies the
+    doc-grain table by {len(_PR_THRESHOLDS)} before a partial-agg'd
+    groupBy on {len(_PR_THRESHOLDS)} keys."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(_toks()).alias("tok"))
+    bucket = md5_long(F.col("tok")) % _HLC_B
+    w = md5_long(F.concat(F.lit("w|"), bucket.cast("string"))) % 101 - 50
+    scored = (
+        toks.select("doc_id", "source", w.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").cast("bigint").alias("logit"))
+        .select("logit", (F.col("source") == _DSIR_TARGET).alias("pos"))
+    )
+    ladder = F.explode(
+        F.array(*[F.lit(t).cast("bigint") for t in _PR_THRESHOLDS])
+    ).alias("threshold")
+    cells = (
+        scored.select("logit", "pos", ladder)
+        .groupBy("threshold")
+        .agg(
+            F.count_if((F.col("logit") > F.col("threshold")) & F.col("pos"))
+            .cast("bigint")
+            .alias("tp"),
+            F.count_if((F.col("logit") > F.col("threshold")) & ~F.col("pos"))
+            .cast("bigint")
+            .alias("fp"),
+            F.count_if((F.col("logit") <= F.col("threshold")) & F.col("pos"))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return cells.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        round_half_up(
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)),
+            4,
+        ).alias("precision"),
+        round_half_up(
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)),
+            4,
+        ).alias("recall"),
+    )

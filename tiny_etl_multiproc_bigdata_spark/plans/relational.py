@@ -1610,3 +1610,109 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy(
         F.col("nation").cast("bigint").alias("nationkey"), "n_suppliers"
     ).agg(F.sum("h_e8").cast("bigint").alias("hhi_e8"))
+
+
+# ---- association rules with confidence/lift --------------------------------
+
+_RULES_TOPK = 20
+
+
+@register(
+    "association_rules_confidence",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+    singles AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY b
+    ),
+    pairs AS (
+      SELECT a.b AS antecedent, bb.b AS consequent,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items bb ON a.ok = bb.ok AND a.b <> bb.b
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.c_ab,
+           (floor(CAST(p.c_ab AS DOUBLE) / sa.c * 10000 + 0.5) / 10000)
+             AS confidence,
+           (floor(CAST(p.c_ab AS DOUBLE) * nb.n
+                  / (CAST(sa.c AS DOUBLE) * sc.c) * 10000 + 0.5) / 10000)
+             AS lift
+    FROM pairs p
+    JOIN singles sa ON p.antecedent = sa.b
+    JOIN singles sc ON p.consequent = sc.b
+    CROSS JOIN nb
+    ORDER BY (floor(CAST(p.c_ab AS DOUBLE) / sa.c * 10000 + 0.5) / 10000)
+             DESC, p.antecedent ASC, p.consequent ASC
+    LIMIT {_RULES_TOPK}
+    """,
+)
+def association_rules_confidence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directed association rules antecedent -> consequent over brand
+    baskets, ranked by confidence = P(B|A) with lift attached — the
+    step after apriori_brand_triples' frequent itemsets (support finds
+    WHAT co-occurs; confidence/lift decide which DIRECTION is worth
+    acting on, since rules are asymmetric: c_ab/c_a != c_ab/c_b).
+    Ordered pairs (A != B) rather than unordered, because a rule and
+    its converse differ. Deterministic top-{_RULES_TOPK} on the
+    QUANTIZED confidence (the same value the output carries, so the
+    cut cannot disagree with the displayed ranking), tie-broken by
+    rule.
+
+    100 TB shape: basket dedup is the corpus shuffle; the ordered-pair
+    self-join fans out within baskets bounded by the 25-brand
+    alphabet; singles broadcast back onto the C(25,2)x2 rule table."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumers: nb, singles, 2 pair arms
+    )
+    nb = items.agg(F.count_distinct("ok").cast("bigint").alias("n"))
+    singles = items.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = items.select("ok", F.col("b").alias("antecedent"))
+    b2 = items.select("ok", F.col("b").alias("consequent"))
+    pairs = (
+        a.join(b2, "ok")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    sa = singles.select(
+        F.col("b").alias("antecedent"), F.col("c").alias("c_a")
+    )
+    sc = singles.select(
+        F.col("b").alias("consequent"), F.col("c").alias("c_c")
+    )
+    conf_q = round_half_up(
+        F.col("c_ab").cast("double") / F.col("c_a"), 4
+    )
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "c_ab",
+            conf_q.alias("confidence"),
+            round_half_up(
+                F.col("c_ab").cast("double")
+                * F.col("n")
+                / (F.col("c_a").cast("double") * F.col("c_c")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("confidence"), F.asc("antecedent"), F.asc("consequent")
+        )
+        .limit(_RULES_TOPK)
+    )

@@ -1946,3 +1946,82 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_e1").cast("double") / F.count(F.lit(1)) / 1000, 2
         ).alias("mean_pinball_dollars"),
     )
+
+
+# ---- mutual information between categorical columns ---------------------------
+
+
+@register(
+    "mutual_information_lang_source",
+    ulp_sensitive=True,
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS rt,
+             sum(o) OVER (PARTITION BY source) AS ct,
+             sum(o) OVER () AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n,
+             CAST(floor(
+               CAST(o AS DOUBLE) / n
+               * ln(CAST(o AS DOUBLE) * n / (CAST(rt AS DOUBLE) * ct))
+               * 100000000 + 0.5) AS BIGINT) AS mi_e8
+      FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(mi_e8) AS BIGINT) AS mi_nats_e8,
+           (floor(CAST(sum(mi_e8) AS DOUBLE) / 100000000
+                  / ln(2.0) * 1000000 + 0.5) / 1000000) AS mi_bits
+    FROM contrib
+    """,
+)
+def mutual_information_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information I(lang; source) = sum p_ij*ln(p_ij/(p_i p_j))
+    — the information-theoretic member of the association trio
+    (chi_square_independence tests it, cramers_v_effect sizes it, MI
+    prices it in bits: how much knowing the source tells you about the
+    language, the number feature-selection ranks columns by). Each
+    cell's term is a fixed IEEE expression on exact integer counts
+    (the ratio inside ln is formed as o*n/(rt*ct), all-integer-valued
+    doubles), quantized to 1e-8 nats BEFORE the cross-cell sum; ln is
+    the single 1-ULP transcendental — ulp-flagged like every log
+    entry.
+
+    100 TB shape: identical to cramers_v_effect — one groupBy to the
+    contingency table, window totals over it, one scalar sum."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    m = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("source")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    o, n = F.col("o").cast("double"), F.col("n").cast("double")
+    term = (
+        o / n * F.log(o * n / (F.col("rt").cast("double") * F.col("ct")))
+    )
+    contrib = m.select(
+        "n",
+        F.floor(term * 100_000_000 + F.lit(0.5)).cast("bigint").alias("mi_e8"),
+    )
+    import math
+
+    return contrib.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("mi_e8").cast("bigint").alias("mi_nats_e8"),
+        round_half_up(
+            F.sum("mi_e8").cast("double") / 100_000_000 / F.lit(math.log(2.0)),
+            6,
+        ).alias("mi_bits"),
+    )

@@ -219,7 +219,10 @@ _DUCK_KM_COMP = (
 )
 
 
-def _kmeans_oracle() -> str:
+def _km_cte_prefix() -> str:
+    """Chained CTEs through the final ``assign{_KM_ITERS}`` table —
+    shared by the kmeans_fixed_iters oracle and the sampled-silhouette
+    eval so both engines' assignments are definitionally identical."""
     parts = [
         f"""
     WITH comp AS (
@@ -257,36 +260,25 @@ def _kmeans_oracle() -> str:
       GROUP BY a.cid, c.pos
     )"""
             )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return (
+        _km_cte_prefix()
+        + f"""
     SELECT cid AS cell, count(*) AS n_vectors,
            CAST(sum(d) AS BIGINT) AS inertia_q
     FROM assign{_KM_ITERS}
     GROUP BY cid"""
     )
-    return "".join(parts)
 
 
-@register("kmeans_fixed_iters", oracle=_kmeans_oracle())
-def kmeans_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means, {ITERS} fixed iterations, with a FULL value-hash
-    oracle — the upgrade of ``kmeans_lloyd`` from rows-only to exact
-    (VERDICT r05 item 1): integer micro-unit quantization makes every
-    assignment, centroid update and the final inertia bit-identical to
-    the chained-CTE DuckDB twin. See the module comment above
-    ``_KM_SCALE`` for the offset-space floor-division argument.
-
-    Scale shape per iteration: one pos-keyed join of the exploded
-    corpus against the (k·64)-row centroid table — broadcast-sized at
-    any corpus scale — partial+final agg to (vec_id, cid) distances, a
-    vec_id-partitioned argmin window, and a vec_id-keyed regroup for
-    the next centroid table. The exploded corpus is localCheckpointed
-    once for its 2·ITERS−1 consumers (the minhash lesson). Inertia sums
-    stay < 2^63 to ~10^5 vectors at this scale/offset; beyond that,
-    aggregate d in DECIMAL(38,0) (the embedding_standardize recipe).
-    Unlike kmeans_lloyd no centroid ever touches the driver: the loop
-    builds one lazy Catalyst plan of bounded depth (fixed ITERS), so
-    the same code runs unchanged on a 1000-executor cluster."""
+def _km_assign(spark: SparkSession, sf_dir: str):
+    """Engine twin of ``_km_cte_prefix``: the quantized component table
+    (localCheckpointed) and the iteration-{_KM_ITERS} integer-Lloyd
+    assignment frame (vec_id, cid, d). Shared by kmeans_fixed_iters and
+    silhouette_sampled_eval."""
     e = table(spark, sf_dir, "embeddings")
     comp = (
         e.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
@@ -326,6 +318,30 @@ def kmeans_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("cid", "pos")
                 .agg(F.expr("CAST(sum(q) div count(*) AS BIGINT)").alias("cq"))
             )
+    return comp, assign
+
+
+@register("kmeans_fixed_iters", oracle=_kmeans_oracle())
+def kmeans_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means, {ITERS} fixed iterations, with a FULL value-hash
+    oracle — the upgrade of ``kmeans_lloyd`` from rows-only to exact
+    (VERDICT r05 item 1): integer micro-unit quantization makes every
+    assignment, centroid update and the final inertia bit-identical to
+    the chained-CTE DuckDB twin. See the module comment above
+    ``_KM_SCALE`` for the offset-space floor-division argument.
+
+    Scale shape per iteration: one pos-keyed join of the exploded
+    corpus against the (k·64)-row centroid table — broadcast-sized at
+    any corpus scale — partial+final agg to (vec_id, cid) distances, a
+    vec_id-partitioned argmin window, and a vec_id-keyed regroup for
+    the next centroid table. The exploded corpus is localCheckpointed
+    once for its 2·ITERS−1 consumers (the minhash lesson). Inertia sums
+    stay < 2^63 to ~10^5 vectors at this scale/offset; beyond that,
+    aggregate d in DECIMAL(38,0) (the embedding_standardize recipe).
+    Unlike kmeans_lloyd no centroid ever touches the driver: the loop
+    builds one lazy Catalyst plan of bounded depth (fixed ITERS), so
+    the same code runs unchanged on a 1000-executor cluster."""
+    comp, assign = _km_assign(spark, sf_dir)
     return assign.groupBy(F.col("cid").alias("cell")).agg(
         F.count("*").alias("n_vectors"),
         F.sum("d").cast("bigint").alias("inertia_q"),
@@ -598,4 +614,149 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         >= _SEM_THRESH_MICRO
     ).select(
         "cell", "vec_a", "vec_b", round_half_up(F.col("cos"), 4).alias("cosine")
+    )
+
+
+# ---- sampled silhouette ------------------------------------------------------
+
+_SIL_N = 100  # sample: vec_id < _SIL_N
+_SIL_DSCALE = 1_000  # per-pair sqrt(distance) quantization (milli-q-units)
+
+
+@register(
+    "silhouette_sampled_eval",
+    oracle=_km_cte_prefix()
+    + f""",
+    samp AS (
+      SELECT vec_id, cid FROM assign{_KM_ITERS} WHERE vec_id < {_SIL_N}
+    ),
+    pd AS (
+      SELECT si.vec_id AS vi, si.cid AS ci, sj.cid AS cj,
+             CAST(floor(sqrt(CAST(sum((a.q - b.q) * (a.q - b.q)) AS DOUBLE))
+                        * {_SIL_DSCALE} + 0.5) AS BIGINT) AS dq
+      FROM samp si
+      JOIN samp sj ON si.vec_id <> sj.vec_id
+      JOIN comp a ON a.vec_id = si.vec_id
+      JOIN comp b ON b.vec_id = sj.vec_id AND b.pos = a.pos
+      GROUP BY si.vec_id, si.cid, sj.vec_id, sj.cid
+    ),
+    a_stat AS (
+      SELECT vi, ci,
+             CAST(COALESCE(sum(dq) FILTER (cj = ci), 0) AS BIGINT) AS sa,
+             CAST(count(*) FILTER (cj = ci) AS BIGINT) AS na
+      FROM pd GROUP BY vi, ci
+    ),
+    b_cand AS (
+      SELECT vi, cj, CAST(sum(dq) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM pd WHERE cj <> ci GROUP BY vi, cj
+    ),
+    b_stat AS (
+      SELECT vi, s, c FROM (
+        SELECT vi, s, c,
+               row_number() OVER (PARTITION BY vi
+                 ORDER BY CAST(s AS DOUBLE) / c ASC, cj ASC) AS rn
+        FROM b_cand
+      ) WHERE rn = 1
+    ),
+    sil AS (
+      SELECT a_stat.ci AS cell,
+             CASE WHEN a_stat.na = 0 THEN 0
+                  ELSE CAST(floor(
+                    (CAST(b_stat.s AS DOUBLE) / b_stat.c
+                     - CAST(a_stat.sa AS DOUBLE) / a_stat.na)
+                    / greatest(CAST(b_stat.s AS DOUBLE) / b_stat.c,
+                               CAST(a_stat.sa AS DOUBLE) / a_stat.na)
+                    * 1000000 + 0.5) AS BIGINT) END AS s_e6
+      FROM a_stat JOIN b_stat ON a_stat.vi = b_stat.vi
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+           (floor(CAST(sum(s_e6) AS DOUBLE) / count(*) / 1000000
+                  * 10000 + 0.5) / 10000) AS mean_silhouette
+    FROM sil GROUP BY cell
+    """,
+)
+def silhouette_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled silhouette of the integer-Lloyd clustering
+    (kmeans_fixed_iters' own assignments, via the SHARED recurrence
+    helper, so the clustering being scored is definitionally the
+    registered one): s(i) = (b-a)/max(a,b) over a fixed {N}-point
+    sample, reported as per-cluster means — the internal quality
+    number (cohesion vs separation) that inertia alone can't give,
+    and the standard way to score a clustering WITHOUT labels
+    (knn/centroid evals need them). Sampling is how silhouette is
+    computed in practice at any scale: the exact statistic is O(n²).
+    Determinism: pairwise distances are exact integers in quantized
+    component space, each sqrt quantizes to milli-units BEFORE any
+    mean, the b-cluster argmin tie-breaks on cid, and singleton-in-
+    sample points take s=0 per the classical convention.
+
+    100 TB shape: the quadratic stage touches only the {N}-point
+    sample ({N}^2 pairs x dims rows); assignments and components come
+    from the already-audited Lloyd plan. Sample membership is the
+    fixed vec_id prefix — at production scale swap in the md5-mod
+    sampler (sample_stratified_hash) without touching the math."""
+    comp, assign = _km_assign(spark, sf_dir)
+    samp = (
+        assign.filter(F.col("vec_id") < _SIL_N)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)  # consumers: both pair arms
+    )
+    si = samp.select(F.col("vec_id").alias("vi"), F.col("cid").alias("ci"))
+    sj = samp.select(F.col("vec_id").alias("vj"), F.col("cid").alias("cj"))
+    a = comp.select(F.col("vec_id").alias("vi"), "pos", F.col("q").alias("qa"))
+    b = comp.select(F.col("vec_id").alias("vj"), "pos", F.col("q").alias("qb"))
+    diff = F.col("qa") - F.col("qb")
+    pd = (
+        si.join(sj, F.col("vi") != F.col("vj"))
+        .join(a, "vi")
+        .join(b, ["vj", "pos"])
+        .groupBy("vi", "ci", "vj", "cj")
+        .agg(
+            F.floor(
+                F.sqrt(F.sum(diff * diff).cast("double")) * _SIL_DSCALE
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dq")
+        )
+        .localCheckpoint(eager=True)  # consumers: a-stat + b-stat
+    )
+    same = F.col("cj") == F.col("ci")
+    a_stat = pd.groupBy("vi", "ci").agg(
+        F.coalesce(F.sum(F.when(same, F.col("dq"))), F.lit(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.count_if(same).cast("bigint").alias("na"),
+    )
+    b_cand = (
+        pd.filter(~same)
+        .groupBy("vi", "cj")
+        .agg(
+            F.sum("dq").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+    wb = Window.partitionBy("vi").orderBy(
+        (F.col("s").cast("double") / F.col("c")).asc(), F.asc("cj")
+    )
+    b_stat = (
+        b_cand.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("vi", "s", "c")
+    )
+    bm = F.col("s").cast("double") / F.col("c")
+    am = F.col("sa").cast("double") / F.col("na")
+    s_e6 = F.when(F.col("na") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((bm - am) / F.greatest(bm, am) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+    )
+    sil = a_stat.join(b_stat, "vi").select(
+        F.col("ci").alias("cell"), s_e6.alias("s_e6")
+    )
+    return sil.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        round_half_up(
+            F.sum("s_e6").cast("double") / F.count(F.lit(1)) / 1_000_000, 4
+        ).alias("mean_silhouette"),
     )

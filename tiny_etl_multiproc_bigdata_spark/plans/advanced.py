@@ -1742,3 +1742,206 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("ms").cast("bigint").alias("n_replicas"),
     )
+
+
+# ---- gradient boosting: two rounds of stumps --------------------------------
+
+
+def _gbdt_gain_cte(k: int, fname: str, fcol: str) -> str:
+    return f"""
+    g_{fcol}{k} AS (
+      SELECT '{fname}' AS feature, f AS thr, nl, sl, n, s,
+             floor((CAST(sl * sl * (n - nl) + (s - sl) * (s - sl) * nl
+                         AS DOUBLE)
+                    / CAST(nl * (n - nl) AS DOUBLE)
+                    - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 100 + 0.5) AS gain_q
+      FROM (
+        SELECT f,
+               CAST(sum(cnt) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
+                    AS DECIMAL(38,0)) AS nl,
+               CAST(sum(st) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
+                    AS DECIMAL(38,0)) AS sl,
+               CAST(sum(cnt) OVER () AS DECIMAL(38,0)) AS n,
+               CAST(sum(st) OVER () AS DECIMAL(38,0)) AS s
+        FROM (SELECT {fcol} AS f, count(*) AS cnt, sum(y) AS st
+              FROM v{k} GROUP BY 1)
+      ) WHERE nl < n
+    )"""
+
+
+def _gbdt_round_ctes(k: int) -> str:
+    return f"""{_gbdt_gain_cte(k, "hour", "h")},{_gbdt_gain_cte(k, "cohort", "c")},
+    w{k} AS (
+      SELECT feature, thr,
+             CAST(floor(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) + 0.5)
+                  AS BIGINT) AS gl,
+             CAST(floor(CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE)
+                        + 0.5) AS BIGINT) AS gr,
+             CAST(gain_q AS BIGINT) AS gain_q
+      FROM (
+        SELECT *, row_number() OVER (
+          ORDER BY gain_q DESC, feature ASC, thr ASC) AS rn
+        FROM (SELECT * FROM g_h{k} UNION ALL SELECT * FROM g_c{k})
+      ) WHERE rn = 1
+    ),
+    v{k + 1} AS (
+      SELECT v{k}.h, v{k}.c,
+             v{k}.y - CASE WHEN w{k}.feature = 'hour'
+                  THEN CASE WHEN v{k}.h <= w{k}.thr
+                            THEN w{k}.gl ELSE w{k}.gr END
+                  ELSE CASE WHEN v{k}.c <= w{k}.thr
+                            THEN w{k}.gl ELSE w{k}.gr END END AS y
+      FROM v{k}, w{k}
+    ),
+    sse{k} AS (
+      SELECT CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS sse
+      FROM v{k + 1}
+    )"""
+
+
+@register(
+    "gbdt_boosted_stumps",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS h,
+             CAST(user_id % 7 AS BIGINT) AS c,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),{_gbdt_round_ctes(1)},{_gbdt_round_ctes(2)}
+    SELECT 1 AS round, w1.feature, w1.thr AS threshold,
+           w1.gl AS gamma_left, w1.gr AS gamma_right,
+           sse1.sse AS sse_after_q
+    FROM w1, sse1
+    UNION ALL
+    SELECT 2, w2.feature, w2.thr, w2.gl, w2.gr, sse2.sse
+    FROM w2, sse2
+    """,
+)
+def gbdt_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO rounds of gradient boosting with depth-1 trees over the
+    event value series, features = hour-of-day and user-cohort
+    (user_id % 7): round 1 fits the best stump across BOTH feature
+    histograms (decision_stump_split's one-pass prefix-sum search,
+    now with feature selection), emits integer leaf values
+    gamma = round(mean), and round 2 refits on the INTEGER residuals —
+    the actual GBDT recurrence (fit, subtract, refit), run as one lazy
+    relational plan with nothing on the driver. Residuals stay exact
+    integers because leaves are rounded to whole cents, so every
+    round's histogram/gain/SSE arithmetic is as exact as round 1's;
+    leaf means use floor(x+0.5) on an IEEE quotient (identical both
+    engines) rather than integer division, whose negative-operand
+    semantics diverge between engines (the kmeans offset lesson —
+    residuals go negative by construction).
+
+    100 TB shape: each round reduces the corpus to (24 + 7)
+    sufficient-statistic rows before any window (the LightGBM
+    histogram property — split cost independent of row count); the
+    1-row winner broadcasts back for the residual map. Adding rounds
+    or features grows the plan linearly, never the shuffles."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        F.hour("ts").cast("bigint").alias("h"),
+        (F.col("user_id") % 7).cast("bigint").alias("c"),
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)  # consumers: 2 histograms + residual map
+    dec = "decimal(38,0)"
+
+    def stump(df: DataFrame, fname: str, fcol: str) -> DataFrame:
+        per_f = df.groupBy(F.col(fcol).alias("f")).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("st")
+        )
+        wc = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, 0)
+        wt = Window.partitionBy()
+        cum = per_f.select(
+            "f",
+            F.sum("cnt").over(wc).cast(dec).alias("nl"),
+            F.sum("st").over(wc).cast(dec).alias("sl"),
+            F.sum("cnt").over(wt).cast(dec).alias("n"),
+            F.sum("st").over(wt).cast(dec).alias("s"),
+        ).filter(F.col("nl") < F.col("n"))
+        nr = F.col("n") - F.col("nl")
+        sr = F.col("s") - F.col("sl")
+        gain = (
+            (F.col("sl") * F.col("sl") * nr + sr * sr * F.col("nl")).cast(
+                "double"
+            )
+            / (F.col("nl") * nr).cast("double")
+            - (F.col("s") * F.col("s")).cast("double")
+            / F.col("n").cast("double")
+        )
+        return cum.select(
+            F.lit(fname).alias("feature"),
+            F.col("f").alias("thr"),
+            "nl",
+            "sl",
+            "n",
+            "s",
+            F.floor(gain * 100 + F.lit(0.5)).alias("gain_q"),
+        )
+
+    def fit_round(df: DataFrame):
+        gains = stump(df, "hour", "h").unionAll(stump(df, "cohort", "c"))
+        wr = Window.orderBy(
+            F.desc("gain_q"), F.asc("feature"), F.asc("thr")
+        )
+        return (
+            gains.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "feature",
+                "thr",
+                F.floor(
+                    F.col("sl").cast("double") / F.col("nl").cast("double")
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("gl"),
+                F.floor(
+                    (F.col("s") - F.col("sl")).cast("double")
+                    / (F.col("n") - F.col("nl")).cast("double")
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("gr"),
+                F.col("gain_q").cast("bigint").alias("gain_q"),
+            )
+        )
+
+    def apply_round(df: DataFrame, w: DataFrame) -> DataFrame:
+        pred = F.when(
+            F.col("feature") == "hour",
+            F.when(F.col("h") <= F.col("thr"), F.col("gl")).otherwise(
+                F.col("gr")
+            ),
+        ).otherwise(
+            F.when(F.col("c") <= F.col("thr"), F.col("gl")).otherwise(
+                F.col("gr")
+            )
+        )
+        return df.crossJoin(F.broadcast(w)).select(
+            "h", "c", (F.col("y") - pred).alias("y")
+        )
+
+    w1 = fit_round(v).localCheckpoint(eager=True)
+    v2 = apply_round(v, w1).localCheckpoint(eager=True)
+    sse1 = v2.agg(
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast("bigint").alias("sse")
+    )
+    w2 = fit_round(v2).localCheckpoint(eager=True)
+    v3 = apply_round(v2, w2)
+    sse2 = v3.agg(
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast("bigint").alias("sse")
+    )
+
+    def out(k: int, w: DataFrame, sse: DataFrame) -> DataFrame:
+        return w.crossJoin(F.broadcast(sse)).select(
+            F.lit(k).cast("bigint").alias("round"),
+            "feature",
+            F.col("thr").alias("threshold"),
+            F.col("gl").alias("gamma_left"),
+            F.col("gr").alias("gamma_right"),
+            F.col("sse").alias("sse_after_q"),
+        )
+
+    return out(1, w1, sse1).unionAll(out(2, w2, sse2))

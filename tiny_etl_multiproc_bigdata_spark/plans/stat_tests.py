@@ -2025,3 +2025,157 @@ def mutual_information_lang_source(
             6,
         ).alias("mi_bits"),
     )
+
+
+# ---- trimmed / winsorized means -----------------------------------------------
+
+
+@register(
+    "trimmed_winsorized_means",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    bounds AS (
+      SELECT quantile_cont(CAST(y AS DOUBLE), 0.1) AS lo,
+             quantile_cont(CAST(y AS DOUBLE), 0.9) AS hi
+      FROM v
+    ),
+    rows_q AS (
+      SELECT y, lo, hi,
+             CAST(y AS DOUBLE) >= lo AND CAST(y AS DOUBLE) <= hi AS kept,
+             CAST(floor(least(greatest(CAST(y AS DOUBLE), lo), hi) * 10
+                        + 0.5) AS BIGINT) AS wq
+      FROM v, bounds
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+           (floor(CAST(sum(y) AS DOUBLE) / count(*) + 0.5) / 100)
+             AS mean_dollars,
+           (floor(CAST(sum(y) FILTER (kept) AS DOUBLE)
+                  / count(*) FILTER (kept) + 0.5) / 100)
+             AS trimmed_mean_dollars,
+           (floor(CAST(sum(wq) AS DOUBLE) / count(*) / 10 + 0.5) / 100)
+             AS winsorized_mean_dollars
+    FROM rows_q
+    """,
+)
+def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed and winsorized means of order totals next to the raw
+    mean — the robust location trio (trim DROPS the tails, winsorize
+    CLAMPS them; the gap between the three is itself the outlier
+    diagnostic, complementing robust_outlier_bounds' MAD count).
+    Bounds are the exact interpolated p10/p90 (the agg_percentiles
+    engine-pair property) broadcast back over the cents values; the
+    winsorized value quantizes to deci-cents PER ROW before summing so
+    the clamped aggregate is an exact integer sum even though the
+    clamp bounds are interpolated doubles.
+
+    100 TB shape: two passes (percentile bounds, then one filtered/
+    clamped aggregate), both partial-agg'd map-side; the bounds are a
+    1-row broadcast. The exact percentile is the documented
+    approx_percentile switch at corpus scale."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        exact_round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y")
+    ).localCheckpoint(eager=True)  # consumers: bounds + the clamped agg
+    bounds = v.agg(
+        F.percentile(F.col("y").cast("double"), F.lit(0.1)).alias("lo"),
+        F.percentile(F.col("y").cast("double"), F.lit(0.9)).alias("hi"),
+    )
+    yd = F.col("y").cast("double")
+    kept = (yd >= F.col("lo")) & (yd <= F.col("hi"))
+    wq = F.floor(
+        F.least(F.greatest(yd, F.col("lo")), F.col("hi")) * 10 + F.lit(0.5)
+    ).cast("bigint")
+    rows_q = v.crossJoin(F.broadcast(bounds)).select(
+        "y", kept.alias("kept"), wq.alias("wq")
+    )
+    dollars = lambda c: F.floor(c + F.lit(0.5)) / F.lit(100)  # noqa: E731
+    return rows_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("kept")).cast("bigint").alias("n_kept"),
+        dollars(F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+            "mean_dollars"
+        ),
+        dollars(
+            F.sum(F.when(F.col("kept"), F.col("y"))).cast("double")
+            / F.count_if(F.col("kept"))
+        ).alias("trimmed_mean_dollars"),
+        dollars(
+            F.sum("wq").cast("double") / F.count(F.lit(1)) / 10
+        ).alias("winsorized_mean_dollars"),
+    )
+
+
+# ---- two-group quantile-quantile table ----------------------------------------
+
+_QQ_DECILES = tuple(f"0.{i}" for i in range(1, 10))
+
+
+@register(
+    "qq_deciles_two_group",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+             l_returnflag = 'R' AS pos
+      FROM lineitem
+    ),
+    qs AS (
+      SELECT quantile_cont(CAST(y AS DOUBLE), [{", ".join(_QQ_DECILES)}])
+               FILTER (pos) AS qa,
+             quantile_cont(CAST(y AS DOUBLE), [{", ".join(_QQ_DECILES)}])
+               FILTER (NOT pos) AS qb
+      FROM v
+    )
+    SELECT CAST(i AS BIGINT) AS decile,
+           (floor(qa[i] + 0.5) / 100) AS q_returned_dollars,
+           (floor(qb[i] + 0.5) / 100) AS q_other_dollars,
+           (floor((qa[i] - qb[i]) + 0.5) / 100) AS shift_dollars
+    FROM qs, unnest(range(1, 10)) AS t(i)
+    """,
+)
+def qq_deciles_two_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile table of returned vs non-returned extended
+    prices at the nine deciles — WHERE the two distributions differ,
+    completing ks_two_sample (which reports only the largest gap) and
+    distribution_drift_psi (which bins): a location shift moves every
+    decile equally, a tail effect moves only the outer ones. Both
+    groups' deciles come from ONE pass (array-percentile with filtered
+    aggregates), interpolated identically on both engines, differences
+    quantized at cents.
+
+    100 TB shape: a single full-scan aggregate carrying two 9-slot
+    t-digest-shaped states (here exact; approx_percentile at corpus
+    scale), then a 9-row explode."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        exact_round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("y"),
+        (F.col("l_returnflag") == "R").alias("pos"),
+    )
+    pcts = F.array(*[F.lit(float(q)) for q in _QQ_DECILES])
+    qs = v.agg(
+        F.percentile(
+            F.when(F.col("pos"), F.col("y").cast("double")), pcts
+        ).alias("qa"),
+        F.percentile(
+            F.when(~F.col("pos"), F.col("y").cast("double")), pcts
+        ).alias("qb"),
+    )
+    ex = qs.select(
+        F.posexplode(F.arrays_zip("qa", "qb")).alias("i0", "z")
+    ).select(
+        (F.col("i0") + 1).cast("bigint").alias("decile"),
+        F.col("z.qa").alias("qa"),
+        F.col("z.qb").alias("qb"),
+    )
+    dollars = lambda c: F.floor(c + F.lit(0.5)) / F.lit(100)  # noqa: E731
+    return ex.select(
+        "decile",
+        dollars(F.col("qa")).alias("q_returned_dollars"),
+        dollars(F.col("qb")).alias("q_other_dollars"),
+        dollars(F.col("qa") - F.col("qb")).alias("shift_dollars"),
+    )

@@ -1317,3 +1317,161 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---- repeated-segment provenance --------------------------------------------
+
+_PROV_TOPK = 20
+
+
+@register(
+    "segment_provenance_topk",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ), t2 AS (
+      SELECT doc_id, l FROM t WHERE len(l) >= 1
+    ), segs AS (
+      SELECT doc_id,
+             md5(array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' '))
+               AS h
+      FROM t2,
+           unnest(range(0, CAST(ceil(len(l) / {_SEG}.0) AS BIGINT))) AS s(s)
+    )
+    SELECT h AS segment_hash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM segs GROUP BY h
+    HAVING count(*) >= 2
+    ORDER BY n_occurrences DESC, segment_hash ASC
+    LIMIT {_PROV_TOPK}
+    """,
+)
+def segment_provenance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance of the WORST repeated spans: the top-{K} duplicated
+    {SEG}-token segments with occurrence count, spanning-document
+    count and first-seen doc — the drill-down behind
+    dedup_corpus_segments' per-doc counts (that entry says HOW MUCH of
+    each doc is boilerplate; this says WHICH spans, where they came
+    from, and whether they repeat within documents — n_occurrences >>
+    n_docs — or across them). Shares the segment_hash_structs
+    boundary definition verbatim, so the spans named here are exactly
+    the ones the dedup pass would remove.
+
+    100 TB shape: one segment shuffle on the fixed-width md5 key (the
+    audited dedup_corpus_segments shape), partial-agg'd counts, and a
+    global top-{K} of the already-aggregated table. The two-level
+    distinct-doc count is the standard (h, doc) pre-dedup."""
+    toks = _tok_docs(spark, sf_dir)
+    segs = toks.select(
+        "doc_id", F.explode(segment_hash_structs()).alias("s")
+    ).select("doc_id", F.col("s.h").alias("h"))
+    return (
+        segs.groupBy(F.col("h").alias("segment_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("segment_hash"))
+        .limit(_PROV_TOPK)
+    )
+
+
+# ---- cross-source overlap matrix --------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS l FROM documents
+    ), t2 AS (
+      SELECT doc_id, source, l FROM t WHERE len(l) >= 1
+    ), segs AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(l[s.s*{_SEG}+1 : s.s*{_SEG}+{_SEG}], ' '))
+               AS h
+      FROM t2,
+           unnest(range(0, CAST(ceil(len(l) / {_SEG}.0) AS BIGINT))) AS s(s)
+    ),
+    per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_segs FROM segs
+      GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM segs a JOIN segs b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           (floor(CAST(s.n_shared AS DOUBLE) / pa.n_segs * 10000 + 0.5)
+            / 10000) AS containment_a,
+           (floor(CAST(s.n_shared AS DOUBLE) / pb.n_segs * 10000 + 0.5)
+            / 10000) AS containment_b
+    FROM shared s
+    JOIN per_src pa ON s.source_a = pa.source
+    JOIN per_src pb ON s.source_b = pb.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every source pair, how
+    many distinct {SEG}-token segments they share, as a containment
+    fraction of EACH side (asymmetric on purpose — a small source
+    living inside a big crawl shows containment_small >> 1%, the
+    mirror of decontaminate_eval_overlap where one side is an eval
+    set). This is the audit run before mixing sources
+    (mix_weights_temperature): double-counted corpora silently
+    up-weight their shared content. Segment boundaries are the
+    registered dedup definition; every number is an exact integer
+    ratio.
+
+    100 TB shape: distinct (source, segment) pre-dedup bounds state by
+    unique segments; the pair join shuffles on the segment hash and
+    fans out only where sources actually collide (its cost IS the
+    contamination being measured); per-source totals broadcast onto
+    the |sources|^2-bounded result."""
+    toks = _tok_docs(spark, sf_dir, checkpoint=False)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    segs = (
+        toks.join(d, "doc_id")
+        .select("source", F.explode(segment_hash_structs()).alias("s"))
+        .select("source", F.col("s.h").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumers: totals + 2 join arms
+    )
+    per_src = segs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segs")
+    )
+    a = segs.select(F.col("source").alias("source_a"), "h")
+    b = segs.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_segs").alias("na")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_segs").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            round_half_up(
+                F.col("n_shared").cast("double") / F.col("na"), 4
+            ).alias("containment_a"),
+            round_half_up(
+                F.col("n_shared").cast("double") / F.col("nb"), 4
+            ).alias("containment_b"),
+        )
+    )

@@ -1337,3 +1337,66 @@ def nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(hit).cast("double") / F.count(F.lit(1)), 4
         ).alias("accuracy"),
     )
+
+
+# ---- LSH recall eval ----------------------------------------------------------
+
+
+def _register_lsh_recall_eval() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    brute_sql = REGISTRY["ann_bruteforce_topk"].oracle
+    lsh_sql = REGISTRY["ann_lsh_topk"].oracle
+
+    @register(
+        "lsh_recall_eval",
+        oracle=f"""
+        WITH brute AS ({brute_sql}),
+        lsh AS ({lsh_sql})
+        SELECT b.query_id,
+               count(*) AS n_exact,
+               CAST(count(l.candidate_id) AS BIGINT) AS n_hit,
+               (floor(CAST(count(l.candidate_id) AS DOUBLE) / count(*)
+                      * 10000 + 0.5) / 10000) AS recall_at_k
+        FROM brute b
+        LEFT JOIN lsh l ON l.query_id = b.query_id
+                       AND l.candidate_id = b.candidate_id
+        GROUP BY b.query_id
+        """,
+    )
+    def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall@k of single-bucket hyperplane-LSH search against
+        exact brute force — completes the ANN recall triptych
+        (minhash_recall_eval for sets, ivf_recall_eval for coarse
+        quantization, THIS for random projections), so every indexing
+        family in the repo carries its own measured quality number.
+        LSH recall is structurally lower than 2-probe IVF's (one
+        256-bucket cell holds ~1/256 of the corpus; near neighbors
+        across a hyperplane land elsewhere) — making that loss visible
+        is the point: it's the number that decides bucket bits vs
+        probes vs hybrid. Composes the two registered entries
+        unchanged; integer-quantized rankings keep the ratio exact.
+
+        100 TB shape: same offline protocol as ivf_recall_eval — the
+        bounded query sample pays the brute-force side once to price
+        the index."""
+        brute = ann_bruteforce_topk(spark, sf_dir).select(
+            "query_id", "candidate_id"
+        )
+        lsh = ann_lsh_topk(spark, sf_dir).select(
+            "query_id", "candidate_id", F.lit(1).alias("hit")
+        )
+        return (
+            brute.join(lsh, ["query_id", "candidate_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.count("hit").cast("bigint").alias("n_hit"),
+                round_half_up(
+                    F.count("hit").cast("double") / F.count("*"), 4
+                ).alias("recall_at_k"),
+            )
+        )
+
+
+_register_lsh_recall_eval()

@@ -1790,3 +1790,116 @@ def levenshtein_verify_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.p_name").alias("matched_name"),
         F.col("m.edit_dist").alias("edit_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# time-travel snapshot counts over the SCD2 intervals
+# --------------------------------------------------------------------------
+
+_SNAP_QUARTERS = (1, 2, 3)  # as-of instants at 25/50/75% of the window
+
+
+@register(
+    "as_of_snapshot_counts",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us
+      FROM flagged
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ), iv AS (
+      SELECT user_id, state, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from_us ASC, state ASC)
+               AS valid_to_us
+      FROM changes
+    ),
+    w AS (
+      SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+    ),
+    snaps AS (
+      SELECT q, w.lo + (w.hi - w.lo) * q // 4 AS t_us
+      FROM w, (SELECT CAST(unnest([{", ".join(str(q) for q in _SNAP_QUARTERS)}])
+                           AS BIGINT) AS q)
+    )
+    SELECT s.q AS quarter, s.t_us AS as_of_us, iv.state,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM snaps s JOIN iv
+      ON iv.valid_from_us <= s.t_us
+     AND (iv.valid_to_us IS NULL OR iv.valid_to_us > s.t_us)
+    GROUP BY s.q, s.t_us, iv.state
+    """,
+)
+def as_of_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: how many users were in each
+    state AS OF the window's quarter points — the query SCD2 exists to
+    answer ('what did the world look like at T?'), composing
+    scd2_intervals' exact interval definition (shared CTE text) with a
+    3-instant snapshot spine; scd2_point_in_time_join answers it per
+    event, this answers it per REPORT. Interval half-openness
+    [from, to) makes a state change AT the snapshot instant count its
+    new state exactly once.
+
+    100 TB shape: the interval build is the audited scd2 shape (one
+    user-partitioned sort); the snapshot spine is 3 broadcast rows and
+    the as-of predicate is a broadcast-range join against it —
+    |intervals| x 3 at worst, partial-agg'd to |states| x 3."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    )
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            t_us.alias("valid_from_us"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.asc("valid_from_us"), F.asc("state")
+    )
+    iv = changes.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+    )
+    bounds = e.agg(
+        F.min(t_us).alias("lo"), F.max(t_us).alias("hi")
+    )
+    snaps = bounds.select(
+        F.explode(
+            F.array(*[F.lit(q).cast("bigint") for q in _SNAP_QUARTERS])
+        ).alias("q"),
+        "lo",
+        "hi",
+    ).select(
+        "q",
+        (
+            F.col("lo")
+            + F.expr(f"(hi - lo) * q div 4")
+        ).alias("t_us"),
+    )
+    hit = (F.col("valid_from_us") <= F.col("t_us")) & (
+        F.col("valid_to_us").isNull() | (F.col("valid_to_us") > F.col("t_us"))
+    )
+    return (
+        iv.join(F.broadcast(snaps), hit)
+        .groupBy(
+            F.col("q").alias("quarter"),
+            F.col("t_us").alias("as_of_us"),
+            "state",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

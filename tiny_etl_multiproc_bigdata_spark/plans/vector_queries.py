@@ -1400,3 +1400,168 @@ def _register_lsh_recall_eval() -> None:
 
 
 _register_lsh_recall_eval()
+
+
+# ---- int8 reconstruction error ------------------------------------------------
+
+
+@register(
+    "int8_reconstruction_error",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / 127.0 AS scale
+      FROM embeddings
+    ),
+    err AS (
+      SELECT label,
+             CAST(floor(
+               list_sum(list_transform(emb,
+                 x -> (x - (CASE WHEN scale > 0
+                            THEN CAST(floor((x / scale) + 0.5) AS BIGINT)
+                                 * scale
+                            ELSE 0.0 END))
+                      * (x - (CASE WHEN scale > 0
+                              THEN CAST(floor((x / scale) + 0.5) AS BIGINT)
+                                   * scale
+                              ELSE 0.0 END))))
+               * 1000000000000 + 0.5) AS BIGINT) AS se_e12,
+             len(emb) AS dims
+      FROM s
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           (floor(CAST(sum(se_e12) AS DOUBLE) / sum(dims) / 1000000000000
+                  * 1e10 + 0.5) / 1e10) AS mse_per_dim
+    FROM err GROUP BY label
+    """,
+)
+def int8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction MSE of the registered int8 quantization
+    (embedding_quantize_int8's exact scale/round definition, inlined so
+    the measured codec is definitionally the shipped one), per label —
+    the eval that says whether 4x storage compression is free for THIS
+    corpus or eats the cosine margins knn_label_eval relies on, and
+    the brute-force twin of pq_recall_eval's behavioral check. Each
+    vector's squared error folds left-to-right over the dims (the
+    functions/vectors.py determinism contract) and quantizes to 1e-12
+    units BEFORE the per-label sum, so the MSE is an exact integer
+    ratio.
+
+    100 TB shape: pure map work plus one partial-agg'd groupBy on
+    |labels| keys — the eval rides the same single scan the quantizer
+    itself costs."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
+    s = e.select("vec_id", "label", emb.alias("emb"), scale.alias("scale"))
+    deq = lambda x: F.when(  # noqa: E731
+        F.col("scale") > 0,
+        F.floor(x / F.col("scale") + F.lit(0.5)).cast("bigint")
+        * F.col("scale"),
+    ).otherwise(F.lit(0.0))
+    se = F.aggregate(
+        F.transform(F.col("emb"), lambda x: (x - deq(x)) * (x - deq(x))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    err = s.select(
+        "label",
+        F.floor(se * F.lit(1_000_000_000_000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("se_e12"),
+        F.size("emb").alias("dims"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        round_half_up(
+            F.sum("se_e12").cast("double")
+            / F.sum("dims")
+            / F.lit(1_000_000_000_000.0),
+            10,
+        ).alias("mse_per_dim"),
+    )
+
+
+# ---- hamming-vs-cosine calibration --------------------------------------------
+
+_CAL_N = 60  # pairs among vec_id < _CAL_N
+
+
+@register(
+    "hamming_cosine_calibration",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_duck_bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings WHERE vec_id < {_CAL_N}
+    ),
+    pairs AS (
+      SELECT bit_count(CAST(xor(a.bucket, b.bucket) AS BIGINT)) AS hamming,
+             CAST(floor({_DUCK_COS.format(a="a.emb", b="b.emb")}
+                        * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (floor(CAST(sum(cos_micro) AS DOUBLE) / count(*) / 1000000
+                  * 10000 + 0.5) / 10000) AS mean_cosine
+    FROM pairs GROUP BY hamming
+    """,
+)
+def hamming_cosine_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical calibration of the 8-bit hyperplane signature: mean
+    TRUE cosine of vector pairs at each signature hamming distance —
+    the measured counterpart of the analytic collision model (each
+    differing bit witnesses one separating hyperplane, so mean cosine
+    should fall monotonically with hamming; where it doesn't, the
+    planes are miscalibrated for this corpus). Together with
+    minhash_lsh_sensitivity_curve (analytic) and lsh_recall_eval
+    (end-to-end recall) this completes the LSH design-evidence set:
+    model, mechanism, outcome. Per-pair cosines micro-quantize before
+    the per-bucket mean — exact integer ratios.
+
+    100 TB shape: calibration runs on a fixed {_CAL_N}-vector sample
+    (quadratic in the SAMPLE only — the silhouette protocol); bucket
+    bits come from the same broadcast plane literals the production
+    index uses."""
+    e = table(spark, sf_dir, "embeddings")
+    v = (
+        e.filter(F.col("vec_id") < _CAL_N)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            _bucket(F.col("embedding")).alias("bucket"),
+        )
+        .localCheckpoint(eager=True)  # consumers: both pair arms
+    )
+    a = v.select(
+        F.col("vec_id").alias("ia"),
+        F.col("emb").alias("ea"),
+        F.col("bucket").alias("ba"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("ib"),
+        F.col("emb").alias("eb"),
+        F.col("bucket").alias("bb"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))).alias("hamming"),
+        F.floor(
+            cosine_similarity(F.col("ea"), F.col("eb")) * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    return pairs.groupBy(F.col("hamming").cast("bigint").alias("hamming")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        round_half_up(
+            F.sum("cos_micro").cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000,
+            4,
+        ).alias("mean_cosine"),
+    )

@@ -852,3 +852,71 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(eps).alias("epsilon"),
         round_half_up(F.col("n") + lap, 2).alias("noisy_count"),
     )
+
+
+# ---- equi-depth histogram (optimizer statistics) ---------------------------
+
+_EQD_DECILES = tuple(f"0.{i}" for i in range(1, 10))
+
+
+@register(
+    "equi_depth_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    bs AS (
+      SELECT quantile_cont(CAST(y AS DOUBLE), [{", ".join(_EQD_DECILES)}])
+               AS b
+      FROM v
+    ),
+    binned AS (
+      SELECT y,
+             CAST(len(list_filter(bs.b, x -> CAST(y AS DOUBLE) >= x))
+                  AS BIGINT) AS bucket
+      FROM v, bs
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(y) AS BIGINT) AS min_cents,
+           CAST(max(y) AS BIGINT) AS max_cents
+    FROM binned GROUP BY bucket
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order totals — the
+    statistic a cost-based optimizer's ANALYZE computes for selectivity
+    estimation, and the right histogram for skewed money columns
+    (width_bucket_histogram's fixed bins starve where mass
+    concentrates; depth bins adapt). Bucket membership counts the
+    decile boundaries <= y via an array fold, so a row's bin is a pure
+    expression of the broadcast boundary list; near-equal n_rows
+    across buckets IS the equi-depth property (exact equality is
+    impossible with value ties — the min/max columns expose the actual
+    bin edges).
+
+    100 TB shape: one percentile pass (t-digest at corpus scale — the
+    agg_percentiles note), one classify-and-count pass with the 9
+    boundaries broadcast; both partial-agg map-side."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        exact_round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y")
+    ).localCheckpoint(eager=True)  # consumers: boundaries + classify pass
+    pcts = F.array(*[F.lit(float(q)) for q in _EQD_DECILES])
+    bs = v.agg(F.percentile(F.col("y").cast("double"), pcts).alias("b"))
+    bucket = F.aggregate(
+        F.col("b"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.when(F.col("y").cast("double") >= x, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    binned = v.crossJoin(F.broadcast(bs)).select(
+        "y", bucket.alias("bucket")
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("y").cast("bigint").alias("min_cents"),
+        F.max("y").cast("bigint").alias("max_cents"),
+    )

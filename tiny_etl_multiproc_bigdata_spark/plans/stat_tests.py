@@ -2179,3 +2179,90 @@ def qq_deciles_two_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         dollars(F.col("qb")).alias("q_other_dollars"),
         dollars(F.col("qa") - F.col("qb")).alias("shift_dollars"),
     )
+
+
+# ---- one-way ANOVA across weekdays --------------------------------------------
+
+
+@register(
+    "anova_weekday_revenue",
+    # ulp: ssb_raw/qt are 7-term DOUBLE sums whose accumulation order
+    # differs across engines/partitionings — same last-ulp class as the
+    # transcendental entries, policed by the driver-exact local gate.
+    ulp_sensitive=True,
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % 7 AS wd,
+             o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT wd, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS s,
+             CAST(sum(CAST(r AS HUGEINT) * r) AS DOUBLE) AS q
+      FROM daily GROUP BY wd
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(q) AS DOUBLE) AS qt,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(s AS DOUBLE) * s / n) AS DOUBLE) AS ssb_raw
+      FROM g
+    )
+    SELECT k AS n_groups, nt AS n_days,
+           (floor((ssb_raw - CAST(st AS DOUBLE) * st / nt) / (k - 1)
+                  / ((qt - ssb_raw) / (nt - k)) * 10000 + 0.5) / 10000)
+             AS f_stat
+    FROM tot
+    """,
+)
+def anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F for a weekday effect on daily revenue:
+    F = (SSB/(k-1)) / (SSW/(N-k)) over the seven day-of-week groups —
+    the formal test behind seasonal_decompose_daily's weekly profile
+    (the decomposition ASSUMES the cycle; this says whether it's
+    there) and the k>2 generalization of welch/mann-whitney's
+    two-group comparisons. Weekday is computed as epoch-days mod 7 on
+    BOTH engines — the one portable day-of-week (dayofweek() numbers
+    Sunday differently across engines, a classic silent-mismatch
+    trap). All sums are exact integers (int128 for squared daily
+    cents); F is one fixed IEEE tree.
+
+    100 TB shape: one partial-agg'd groupBy to day grain, one to the
+    7 weekday groups, one scalar combine."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint") % 7)
+        .alias("wd"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(exact_round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    g = daily.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("s"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+        .cast("double")
+        .alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("q").cast("double").alias("qt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n"))
+        .cast("double")
+        .alias("ssb_raw"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    ssb = F.col("ssb_raw") - F.col("st").cast("double") * F.col("st") / nt
+    ssw = F.col("qt") - F.col("ssb_raw")
+    return tot.select(
+        k.alias("n_groups"),
+        nt.alias("n_days"),
+        round_half_up((ssb / (k - 1)) / (ssw / (nt - k)), 4).alias("f_stat"),
+    )

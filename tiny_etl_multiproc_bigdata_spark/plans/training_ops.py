@@ -1903,3 +1903,76 @@ def as_of_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# k-fold assignment with stratification balance audit
+# --------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@register(
+    "kfold_assignment_balance",
+    oracle=f"""
+    WITH folds AS (
+      SELECT CAST(('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % {_KFOLD_K} AS fold,
+             lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
+      FROM folds GROUP BY fold, lang
+    )
+    SELECT fold, lang, n,
+           (floor(CAST(n AS DOUBLE)
+                  / sum(n) OVER (PARTITION BY fold)
+                  * 10000 + 0.5) / 10000) AS fold_rate,
+           (floor(CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
+                  / sum(n) OVER ()
+                  * 10000 + 0.5) / 10000) AS global_rate
+    FROM cells
+    """,
+)
+def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-fold cross-validation assignment by deterministic hash
+    (md5 % {K} — the dataset_holdout_split sampler generalized from 2
+    to K ways) with the balance audit attached: each (fold, lang)
+    cell's within-fold rate next to the language's global rate. Hash
+    folding is UNstratified by construction, so the audit is the
+    check that it was good enough — cells where fold_rate strays from
+    global_rate are where per-fold metrics will be noisy, and the
+    cue to switch to the stratified sampler (sample_stratified_hash)
+    for small classes.
+
+    100 TB shape: fold assignment is a per-row expression; one
+    partial-agg'd groupBy to K x |langs| cells; the rate windows run
+    over that bounded table."""
+    from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    folds = d.select(
+        (
+            md5_long(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")))
+            % _KFOLD_K
+        ).alias("fold"),
+        "lang",
+    )
+    cells = folds.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wf = Window.partitionBy("fold")
+    wl = Window.partitionBy("lang")
+    wg = Window.partitionBy()
+    return cells.select(
+        "fold",
+        "lang",
+        "n",
+        round_half_up(
+            F.col("n").cast("double") / F.sum("n").over(wf), 4
+        ).alias("fold_rate"),
+        round_half_up(
+            F.sum("n").over(wl).cast("double") / F.sum("n").over(wg), 4
+        ).alias("global_rate"),
+    )

@@ -1254,3 +1254,99 @@ def minhash_lsh_sensitivity_curve(
             round_half_up(F.lit(1) - acc, 6).alias("p_candidate"),
         )
     )
+
+
+# ---- asymmetric containment ---------------------------------------------------
+
+_CONTAIN_FLAG = "0.8"  # shared literal: containment >= this flags a subset
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=_DUCK_SHINGLES
+    + f"""
+, ex AS (
+  SELECT DISTINCT doc_id, s.sh
+  FROM shingled, unnest(shingles) AS s(sh)
+), ex_rare AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex
+  ) WHERE df <= {_MAX_SHINGLE_DF}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex_rare GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex_rare a JOIN ex_rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       (floor(CAST(i.n_common AS DOUBLE) / sa.n * 10000 + 0.5) / 10000)
+         AS containment_a,
+       (floor(CAST(i.n_common AS DOUBLE) / sb.n * 10000 + 0.5) / 10000)
+         AS containment_b,
+       greatest(
+         (floor(CAST(i.n_common AS DOUBLE) / sa.n * 10000 + 0.5) / 10000),
+         (floor(CAST(i.n_common AS DOUBLE) / sb.n * 10000 + 0.5) / 10000))
+         >= {_CONTAIN_FLAG} AS subset_flag
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+""",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A,B) = |A∩B|/|A| for candidate
+    pairs — the quote/subset detector Jaccard systematically misses: a
+    paragraph fully embedded in a 100x-larger page has Jaccard ~0.01
+    but containment 1.0, and corpus pipelines must catch that
+    direction (the small doc is the redundant one). Broder's
+    containment companion to dedup_ngram_jaccard, sharing its shingle
+    index, df-cap and candidate generation verbatim, so the two
+    entries price the same pairs under both measures; the comparison
+    flag is the QUANTIZED value the row itself carries.
+
+    100 TB shape: identical to dedup_ngram_jaccard (df-capped posting
+    self-join — the cap is the k² guard); the two extra divisions ride
+    the same joined row."""
+    d = table(spark, sf_dir, "documents")
+    ex = (
+        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+        .distinct()
+    )
+    ex = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .drop("df")
+        .localCheckpoint(eager=True)  # sizes + both self-join sides
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ca = round_half_up(F.col("n_common").cast("double") / F.col("na"), 4)
+    cb = round_half_up(F.col("n_common").cast("double") / F.col("nb"), 4)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+            (F.greatest(ca, cb) >= float(_CONTAIN_FLAG)).alias("subset_flag"),
+        )
+    )

@@ -1730,3 +1730,96 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         dollars(mean - 2 * sd).alias("lower_dollars"),
         (F.col("r").cast("double") > mean + 2 * sd).alias("breakout"),
     )
+
+
+# ---- Markov stationary distribution -----------------------------------------
+
+_STAT_SCALE = 1_000_000
+_STAT_ITERS = 4
+
+
+def _stationary_oracle() -> str:
+    head = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rt AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM tr GROUP BY 1
+    ),
+    states AS (SELECT DISTINCT prev_type AS state FROM tr),
+    pi0 AS (SELECT state, CAST({_STAT_SCALE} AS BIGINT) AS p FROM states)"""
+    steps = []
+    for k in range(1, _STAT_ITERS + 1):
+        steps.append(
+            f""",
+    pi{k} AS (
+      SELECT t.next_type AS state,
+             CAST(sum((p.p * t.n) // r.row_total) AS BIGINT) AS p
+      FROM pi{k - 1} p
+      JOIN tr t ON t.prev_type = p.state
+      JOIN rt r ON r.prev_type = p.state
+      GROUP BY t.next_type
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT state, p AS pi_scaled FROM pi{_STAT_ITERS}"""
+    )
+
+
+@register("markov_stationary_distribution", oracle=_stationary_oracle())
+def markov_stationary_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    {ITERS} fixed power-iteration steps in integer arithmetic
+    (pi_k+1(j) = sum_i (pi_k(i) * n_ij) div rowtotal_i at scale 1e6 —
+    the pagerank_scaled recurrence applied to the behavioral chain):
+    where a user's session ultimately spends its time, the long-run
+    complement of event_transition_matrix (one step),
+    markov_entropy_rate (uncertainty) and markov_next_event_eval
+    (accuracy). All operands positive, so truncating and flooring
+    integer division agree — the cross-engine div contract.
+
+    100 TB shape: the transition counts are the only corpus-scale work
+    (one lag window + one groupBy); each iteration is a join over the
+    |states|^2 matrix — dimension-sized at any corpus scale, so the
+    whole recurrence is effectively free after the count build."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=True)  # consumers: row totals, states, ITERS joins
+    rt = tr.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    trr = tr.join(rt, "prev_type")
+    pi = tr.select(F.col("prev_type").alias("state")).distinct().select(
+        "state", F.lit(_STAT_SCALE).cast("bigint").alias("p")
+    )
+    for _ in range(_STAT_ITERS):
+        pi = (
+            pi.join(trr, pi.state == trr.prev_type)
+            .select(
+                F.col("next_type").alias("state"),
+                F.expr("(p * n) div row_total").alias("c"),
+            )
+            .groupBy("state")
+            .agg(F.sum("c").cast("bigint").alias("p"))
+        )
+    return pi.select("state", F.col("p").alias("pi_scaled"))

@@ -1716,3 +1716,82 @@ def association_rules_confidence(
         )
         .limit(_RULES_TOPK)
     )
+
+
+# ---- hierarchical revenue shares --------------------------------------------
+
+
+@register(
+    "revenue_share_hierarchy",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue_cents,
+           (floor(CAST(revenue_cents AS DOUBLE)
+                  / sum(revenue_cents) OVER (PARTITION BY region)
+                  * 10000 + 0.5) / 10000) AS share_of_region,
+           (floor(CAST(revenue_cents AS DOUBLE)
+                  / sum(revenue_cents) OVER ()
+                  * 10000 + 0.5) / 10000) AS share_of_total
+    FROM rev
+    """,
+)
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent drill-down: each nation's revenue as a fraction
+    of its region and of the world — the percent-of-total report
+    every OLAP hierarchy renders (agg_rollup gives the subtotals;
+    this gives the RATIOS between levels, which rollup alone doesn't).
+    Exact integer revenue; both shares are single divisions against
+    window totals of the dimension-sized result.
+
+    100 TB shape: the fact-side join broadcasts the nation/region
+    dimensions onto lineitem->orders->customer (the q5 shape), one
+    partial-agg'd groupBy to the 25-nation grain, and both share
+    windows run over that tiny table."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                exact_round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue_cents",
+        round_half_up(
+            F.col("revenue_cents").cast("double")
+            / F.sum("revenue_cents").over(wr),
+            4,
+        ).alias("share_of_region"),
+        round_half_up(
+            F.col("revenue_cents").cast("double")
+            / F.sum("revenue_cents").over(wg),
+            4,
+        ).alias("share_of_total"),
+    )

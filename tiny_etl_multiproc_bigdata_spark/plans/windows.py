@@ -1823,3 +1823,75 @@ def markov_stationary_distribution(
             .agg(F.sum("c").cast("bigint").alias("p"))
         )
     return pi.select("state", F.col("p").alias("pi_scaled"))
+
+
+# ---- DAU / WAU stickiness ----------------------------------------------------
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+             user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    wau AS (
+      SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day_epoch, dau.dau, wau.wau,
+           (floor(CAST(dau.dau AS DOUBLE) / wau.wau * 10000 + 0.5) / 10000)
+             AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    track (1/7 = users appear one day a week; 1.0 = every active user
+    is active daily). WAU needs DISTINCT users over a trailing window,
+    which no windowed aggregate can give (distinct doesn't decompose
+    into frame sums — the trap naive 'sum of daily DAU' dashboards
+    fall into, double-counting returning users); the exact shape is a
+    7-day band join of the (day, user) pair table against the day
+    spine, then a distinct count per spine day.
+
+    100 TB shape: the (day, user) pre-dedup is the corpus-scale
+    shuffle (same grain any DAU job pays); the band join fans each
+    pair x7 onto a |days|-row spine — bounded fan-out on an already
+    user-deduped table — and the per-day distinct is the standard
+    two-level agg. At 100 TB the exact WAU swaps for the mergeable
+    HLL sketch (hll_sketch_partition_merge) with ~1% error."""
+    e = table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumers: spine, dau, band join
+    )
+    days = du.select("d").distinct().select(F.col("d").alias("sd"))
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    wau = (
+        days.join(
+            du,
+            (F.col("d") >= F.col("sd") - 6) & (F.col("d") <= F.col("sd")),
+        )
+        .groupBy(F.col("sd"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.sd)
+        .select(
+            F.col("d").alias("day_epoch"),
+            "dau",
+            "wau",
+            round_half_up(
+                F.col("dau").cast("double") / F.col("wau"), 4
+            ).alias("stickiness"),
+        )
+    )

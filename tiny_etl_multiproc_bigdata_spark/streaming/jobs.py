@@ -657,3 +657,102 @@ def streaming_dedup_within_watermark(
         .select("user_id", "event_type")
     )
     return _run_to_memory(dedup, spark, "stream_dedup_wm", "append")
+
+
+@register(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      -- final global watermark: min over both inputs of
+      -- (max event time in ms) - 1h, Spark tracks millis
+      SELECT least((SELECT epoch_us(max(c_ts)) // 1000 FROM clicks),
+                   (SELECT epoch_us(max(p_ts)) // 1000 FROM purchases))
+             - 3600000 AS ms
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id,
+             CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT)
+               AS gap_s,
+             c.c_ts
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    )
+    SELECT click_id, purchase_id, user_id, gap_s FROM matched
+    UNION ALL
+    -- unmatched clicks emit a NULL purchase only once the final
+    -- watermark passes their join-window end (state eviction)
+    SELECT c.click_id, NULL, c.user_id, NULL
+    FROM clicks c, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+      AND (epoch_us(c.c_ts) // 1000) + 1800000 < wm.ms
+    """,
+)
+def streaming_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the attribution
+    question streaming_stream_stream_join cannot answer: which clicks
+    NEVER converted? Outer results are the semantically hard part of
+    streaming joins: a null-extended row can only be emitted once the
+    global watermark (min over both inputs of max-event-time - delay)
+    has passed the click's join-window end, proving no matching
+    purchase can still arrive — so unmatched rows surface in the
+    closing no-data micro-batch, and clicks whose state the final
+    watermark has NOT yet closed are withheld entirely (correctly: a
+    purchase could still arrive). The oracle reproduces exactly that:
+    inner matches unconditionally, plus unmatched clicks gated on
+    c_ts + 30min < final watermark (millisecond floor — Spark tracks
+    event time in ms).
+
+    100 TB shape: same state topology as the inner join (state
+    partitioned by user across the shuffle, bounded by the range
+    condition); the outer variant adds only the eviction-time null
+    emission, no extra state."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.floor(F.unix_timestamp("p_ts"))
+            - F.floor(F.unix_timestamp("c_ts"))
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    return _run_to_memory(joined, spark, "stream_stream_loj", "append")

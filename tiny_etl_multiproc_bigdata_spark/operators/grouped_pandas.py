@@ -682,3 +682,105 @@ def _register_streaming_sprt_decision() -> None:
 
 
 _register_streaming_sprt_decision()
+
+
+# ---- Holt linear smoothing (sequential recurrence per group) -------------
+
+
+@register(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT n_name, date_trunc('month', o_orderdate) AS mon,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT n_name, x,
+             row_number() OVER (PARTITION BY n_name ORDER BY mon) AS i
+      FROM monthly
+    ),
+    cnt AS (SELECT n_name, max(i) AS mx FROM idx GROUP BY 1),
+    s AS (
+      SELECT n_name, i, x AS l, CAST(0 AS BIGINT) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT i2.n_name, i2.i,
+             CAST(floor((i2.x + 3 * (s.l + s.b)) / 4.0) AS BIGINT) AS l,
+             CAST(floor((CAST(floor((i2.x + 3 * (s.l + s.b)) / 4.0)
+                              AS BIGINT) - s.l + s.b) / 2.0) AS BIGINT) AS b
+      FROM s JOIN idx i2 ON i2.n_name = s.n_name AND i2.i = s.i + 1
+    )
+    SELECT s.n_name,
+           s.l AS level_cents,
+           s.b AS trend_cents,
+           CAST(s.l + 3 * s.b AS BIGINT) AS forecast3_cents
+    FROM s JOIN cnt ON s.n_name = cnt.n_name AND s.i = cnt.mx
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over each
+    nation's monthly order revenue, 3-months-ahead forecast — a
+    GENUINELY sequential recurrence (each step's state feeds the next
+    through a floor, so no prefix-sum closed form exists, unlike
+    ewma_fixed_horizon / cusum_alert_path). Exact across engines by
+    construction: alpha=1/4 and beta=1/2 are powers of two, so every
+    smoothing step is an integer floor-division both sides compute
+    bit-identically —
+        l_t = (x_t + 3*(l+b)) // 4,  b_t = (l_t - l + b) // 2.
+    The oracle drives the same recurrence through a recursive CTE;
+    the engine runs it as a per-group pandas loop (the canonical
+    applyInPandas use: per-key sequential state, parallel across
+    keys).
+
+    100 TB shape: the heavy part — orders x customer join + monthly
+    rollup — is fully distributed with map-side partial sums; the
+    recurrence then runs over the AGGREGATED series (|months| rows
+    per nation, bounded by calendar time, not data size), shard-
+    parallel across nations. State never touches the driver."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.trunc("o_orderdate", "month").alias("mon"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("mon")
+        xs = [int(v) for v in pdf["x"]]
+        level, trend = xs[0], 0
+        for x in xs[1:]:
+            new_level = (x + 3 * (level + trend)) // 4
+            trend = (new_level - level + trend) // 2
+            level = new_level
+        return pd.DataFrame(
+            {
+                "n_name": [pdf["n_name"].iloc[0]],
+                "level_cents": [level],
+                "trend_cents": [trend],
+                "forecast3_cents": [level + 3 * trend],
+            }
+        )
+
+    return monthly.groupBy("n_name").applyInPandas(
+        holt,
+        schema=(
+            "n_name string, level_cents long, trend_cents long, "
+            "forecast3_cents long"
+        ),
+    )

@@ -1895,3 +1895,127 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+# ---- sequential pattern support ------------------------------------------
+
+
+@register(
+    "sequential_pattern_support",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.event_type AS antecedent, b.event_type AS consequent,
+           CAST(sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_support,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM per a JOIN per b
+      ON a.user_id = b.user_id AND a.event_type <> b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, level 2 (PrefixSpan support counting
+    for length-2 patterns): for every ordered pair of event types
+    (A then-later B), the number of users whose history contains SOME
+    A-event strictly before SOME B-event — the gapped-subsequence
+    semantics of GSP/PrefixSpan, NOT the adjacent-transition counts of
+    event_transition_matrix or the contiguous session paths of
+    session_path_signatures. The existence test collapses exactly to
+    min(ts of A) < max(ts of B), so no pairwise event join is ever
+    needed: one (user, type) fold computes first/last timestamps, and
+    the per-user type×type expansion is bounded by |event types|².
+    n_both (users having both types at all) is the natural support
+    denominator for sequence-confidence.
+
+    100 TB shape: one shuffle on (user_id, event_type) with map-side
+    partial min/max, then a self-join co-partitioned on user_id whose
+    fan-out is |types|² ≤ ~36 rows per user — linear in users; the
+    final groupBy lands on ≤ |types|² keys."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    a = per.select(
+        "user_id", F.col("event_type").alias("antecedent"), "first_ts"
+    )
+    b = per.select(
+        "user_id", F.col("event_type").alias("consequent"), "last_ts"
+    )
+    pairs = a.join(b, "user_id").filter(
+        F.col("antecedent") != F.col("consequent")
+    )
+    return pairs.groupBy("antecedent", "consequent").agg(
+        F.sum(
+            F.when(F.col("first_ts") < F.col("last_ts"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_support"),
+        F.count(F.lit(1)).cast("bigint").alias("n_both"),
+    )
+
+
+# ---- GROUPS-frame (tie-group) windowed sum -------------------------------
+
+
+@register(
+    "window_groups_frame_sum",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, event_type, day, cents,
+             dense_rank() OVER (PARTITION BY event_type ORDER BY day) AS grp
+      FROM v
+    )
+    SELECT event_id, event_type, day,
+           CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY grp
+                                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS BIGINT) AS grp_sum_cents
+    FROM r
+    """,
+)
+def window_groups_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS-mode window frame (SQL:2016 `GROUPS BETWEEN 1 PRECEDING
+    AND 1 FOLLOWING`) — the frame unit neither Spark nor DuckDB ships
+    natively (Spark has ROWS/RANGE only; DuckDB parses GROUPS but
+    raises not-implemented). Semantics: each row's frame spans its
+    whole tie-group (all rows sharing its ORDER BY value) plus one
+    tie-group on each side — here, every event sees the total event
+    cents of its calendar day AND the adjacent *observed* days for its
+    event type (not calendar-adjacent: a gap day is skipped, which is
+    exactly what RANGE on the date could not express). The portable
+    lowering is the two-pass identity GROUPS k = dense_rank() then
+    RANGE k over the rank — applied identically on both engines.
+
+    100 TB shape: two windows over the same (event_type ORDER BY
+    day/grp) sort — Catalyst reuses the single sort+partition for
+    both passes (no second shuffle); partitions are per-event-type,
+    the natural key of the statement."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    r = v.withColumn("grp", F.dense_rank().over(wd))
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("grp")
+        .rangeBetween(-1, 1)
+    )
+    return r.select(
+        "event_id",
+        "event_type",
+        "day",
+        F.sum("cents").over(wr).cast("bigint").alias("grp_sum_cents"),
+    )

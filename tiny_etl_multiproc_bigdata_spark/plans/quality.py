@@ -1360,3 +1360,292 @@ def pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+# ---- multinomial naive Bayes language classifier -------------------------
+
+# deterministic 80/20 doc-id hash split (same md5-bucket arithmetic as
+# dataset_holdout_split / sample_stratified_hash)
+_NB_TRAIN_PCT = 80
+_DUCK_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 100"
+)
+
+
+@register(
+    "naive_bayes_lang_confusion",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id, text, lang, {_DUCK_BUCKET} AS bucket FROM documents
+    ),
+    train AS (SELECT * FROM b WHERE bucket < {_NB_TRAIN_PCT}),
+    test  AS (SELECT * FROM b WHERE bucket >= {_NB_TRAIN_PCT}),
+    langs AS (SELECT lang, count(*) AS docs_l FROM train GROUP BY 1),
+    tot AS (SELECT sum(docs_l) AS docs_tot FROM langs),
+    ttoks AS (
+      SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM train
+    ),
+    cnts AS (SELECT lang, tok, count(*) AS c FROM ttoks GROUP BY 1, 2),
+    nl AS (SELECT lang, sum(c) AS n_l FROM cnts GROUP BY 1),
+    vv AS (SELECT count(DISTINCT tok) AS v FROM ttoks),
+    lstats AS (
+      SELECT l.lang,
+             CAST(floor(-log2(CAST(l.docs_l AS DOUBLE) / t.docs_tot)
+                        * 1000000 + 0.5) AS BIGINT) AS prior_mb,
+             n.n_l, vv.v,
+             CAST(floor(-log2(1.0 / (n.n_l + vv.v)) * 1000000 + 0.5)
+                  AS BIGINT) AS miss_mb
+      FROM langs l JOIN nl n ON l.lang = n.lang, tot t, vv
+    ),
+    hit AS (
+      SELECT c.lang, c.tok,
+             CAST(floor(-log2(CAST(c.c + 1 AS DOUBLE) / (s.n_l + s.v))
+                        * 1000000 + 0.5) AS BIGINT) AS mb
+      FROM cnts c JOIN lstats s ON c.lang = s.lang
+    ),
+    tt AS (
+      SELECT doc_id, lang AS true_lang, unnest({_DUCK_TOKS}) AS tok
+      FROM test
+    ),
+    sc AS (
+      SELECT tt.doc_id, tt.true_lang, ls.lang AS cand,
+             coalesce(h.mb, ls.miss_mb) AS mb
+      FROM tt CROSS JOIN lstats ls
+      LEFT JOIN hit h ON h.lang = ls.lang AND h.tok = tt.tok
+    ),
+    per AS (
+      SELECT doc_id, true_lang, cand, sum(mb) AS s
+      FROM sc GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT p.doc_id, p.true_lang, p.cand,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY p.s + ls.prior_mb ASC, p.cand ASC)
+               AS rn
+      FROM per p JOIN lstats ls ON p.cand = ls.lang
+    )
+    SELECT true_lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained IN the engine: learn per-language
+    token distributions (Laplace +1 over the train vocabulary) on a
+    deterministic 80% doc-id-hash split, classify the held-out 20% by
+    argmax of quantized log-posterior, and report the confusion matrix.
+    Unlike knn_label_eval / nearest_centroid_eval (which evaluate given
+    geometric representations), this trains a generative model from raw
+    text — the classic fastText-style lang-id baseline, end to end as
+    one declarative plan. Every -log2 is micro-quantized BEFORE the
+    per-document sum (the unigram_logprob_score policy), so the
+    cross-engine 1-ULP libm tolerance applies to each term, never to an
+    accumulated float; the argmax then compares exact integers with a
+    lexicographic tiebreak.
+
+    100 TB shape: the model — (lang x vocab) counts plus 5 lang rows —
+    is the ONLY state that crosses stages; scoring is one pass over
+    test tokens with a model-sized join (AQE broadcasts it when small)
+    fanned out x|langs| via a broadcast nested loop over a 5-row
+    table. No per-document iteration, no driver round-trips."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        (md5_long(F.col("doc_id").cast("string")) % 100).alias("bucket"),
+    )
+    train = b.filter(F.col("bucket") < _NB_TRAIN_PCT)
+    test = b.filter(F.col("bucket") >= _NB_TRAIN_PCT)
+    langs = train.groupBy("lang").agg(F.count("*").alias("docs_l"))
+    tot = langs.agg(F.sum("docs_l").alias("docs_tot"))
+    ttoks = train.select("lang", F.explode(_toks()).alias("tok"))
+    cnts = ttoks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    nl = cnts.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vv = ttoks.agg(F.count_distinct("tok").alias("v"))
+    mb = 1_000_000
+    lstats = (
+        langs.join(nl, "lang")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "lang",
+            F.floor(
+                -F.log2(F.col("docs_l").cast("double") / F.col("docs_tot"))
+                * mb
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("prior_mb"),
+            "n_l",
+            "v",
+            F.floor(
+                -F.log2(F.lit(1.0) / (F.col("n_l") + F.col("v"))) * mb + 0.5
+            )
+            .cast("bigint")
+            .alias("miss_mb"),
+        )
+    )
+    hit = cnts.join(F.broadcast(lstats), "lang").select(
+        "lang",
+        "tok",
+        F.floor(
+            -F.log2(
+                (F.col("c") + 1).cast("double") / (F.col("n_l") + F.col("v"))
+            )
+            * mb
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("mb"),
+    )
+    tt = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(_toks()).alias("tok"),
+    )
+    cand = F.broadcast(
+        lstats.select(
+            F.col("lang").alias("cand"), "miss_mb", "prior_mb"
+        )
+    )
+    sc = (
+        tt.crossJoin(cand)
+        .join(
+            hit.select(
+                F.col("lang").alias("cand"), "tok", F.col("mb").alias("hit_mb")
+            ),
+            ["cand", "tok"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            "prior_mb",
+            F.coalesce("hit_mb", "miss_mb").alias("mb"),
+        )
+    )
+    per = sc.groupBy("doc_id", "true_lang", "cand", "prior_mb").agg(
+        F.sum("mb").alias("s")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("s") + F.col("prior_mb")).asc(), F.col("cand").asc()
+    )
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+# ---- rank-biased overlap between two document rankings -------------------
+
+# RBO@10 with p = 1/2, made integer-exact: the term weight
+# (1-p)·p^(d-1)·ov_d/d is scaled by L = lcm(1..10)·2^9 so every
+# per-depth weight w_d = L/(d·2^(d-1)) is an integer; a document whose
+# ranks in BOTH lists satisfy max(rA,rB) = m contributes exactly
+# tail(m) = Σ_{d=m..10} w_d. Both the engine CASE and the oracle CASE
+# are generated from the same dict, so the depth knob can't desync them
+# (the _CONTAM_N / _WIN_W lesson from prior reviews).
+_RBO_DEPTH = 10
+_RBO_L = 1290240  # lcm(1..10) * 2^9
+_RBO_W = {d: _RBO_L // (d * 2 ** (d - 1)) for d in range(1, _RBO_DEPTH + 1)}
+assert all(_RBO_L % (d * 2 ** (d - 1)) == 0 for d in _RBO_W)
+_RBO_TAIL = {
+    m: sum(_RBO_W[d] for d in range(m, _RBO_DEPTH + 1))
+    for m in range(1, _RBO_DEPTH + 1)
+}
+# identical rankings score Σ w_d·d — the normalizer for the ratio
+_RBO_MAX = sum(_RBO_W[d] * d for d in range(1, _RBO_DEPTH + 1))
+
+_DUCK_RBO_CASE = "CASE " + " ".join(
+    f"WHEN m = {m} THEN {t}" for m, t in _RBO_TAIL.items()
+) + " ELSE 0 END"
+
+
+def _rbo_tail_col(m: F.Column) -> F.Column:
+    out = F.lit(0)
+    for mm, t in _RBO_TAIL.items():
+        out = F.when(m == mm, F.lit(t)).otherwise(out)
+    return out
+
+
+@register(
+    "rank_biased_overlap_eval",
+    oracle=rf"""
+    WITH dt AS (
+      SELECT doc_id, count(DISTINCT tok) AS n_types
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS ra,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY coalesce(dt.n_types, 0) DESC,
+                                         d.doc_id ASC) AS rb
+      FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id
+    ),
+    m AS (
+      SELECT source, greatest(ra, rb) AS m FROM r
+      WHERE greatest(ra, rb) <= {_RBO_DEPTH}
+    )
+    SELECT source,
+           CAST(sum({_DUCK_RBO_CASE}) AS BIGINT) AS rbo_units,
+           (floor(CAST(sum({_DUCK_RBO_CASE}) AS DOUBLE) / {_RBO_MAX}
+                  * 10000 + 0.5) / 10000) AS rbo_ratio
+    FROM m GROUP BY source
+    """,
+)
+def rank_biased_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two document
+    rankings of each source — here length-rank vs lexical-richness-rank
+    (distinct token types) — the standard protocol for asking "do two
+    scoring functions order the corpus the same way near the top?"
+    without reading past depth d. Truncated RBO@10 with p=1/2 becomes
+    INTEGER-exact under the L-scaling above: overlap@d counts collapse
+    to per-document tail weights on m = max(rank_A, rank_B), so the
+    whole statistic is one conditional sum — no per-depth loop, no
+    set intersections.
+
+    100 TB shape: type counts are one token-stream aggregation; both
+    rankings come off the same per-source sort (two windows, shared
+    shuffle); every row past depth 10 is dropped BEFORE the final
+    aggregation, which lands on |sources| keys."""
+    d = table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("n_types"))
+    )
+    r = d.join(dt, "doc_id", "left").select(
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("ra"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.coalesce("n_types", F.lit(0)).desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("rb"),
+    )
+    m = r.select(
+        "source", F.greatest("ra", "rb").alias("m")
+    ).filter(F.col("m") <= _RBO_DEPTH)
+    units = F.sum(_rbo_tail_col(F.col("m")))
+    return m.groupBy("source").agg(
+        units.cast("bigint").alias("rbo_units"),
+        round_half_up(
+            units.cast("double") / F.lit(float(_RBO_MAX)), 4
+        ).alias("rbo_ratio"),
+    )

@@ -2019,3 +2019,61 @@ def window_groups_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.sum("cents").over(wr).cast("bigint").alias("grp_sum_cents"),
     )
+
+
+# ---- leave-one-out target encoding (EXCLUDE CURRENT ROW) -----------------
+
+
+@register(
+    "leave_one_out_encoding",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING
+                                 EXCLUDE CURRENT ROW) AS BIGINT)
+             AS loo_sum_cents,
+           CAST(count(*) OVER (PARTITION BY o_custkey) - 1 AS BIGINT)
+             AS loo_n
+    FROM v
+    """,
+)
+def leave_one_out_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — for every order, the total order
+    value of the SAME customer's OTHER orders. The ML-features staple
+    (LOO mean encodings avoid self-leakage when the target feeds the
+    feature) and an API-parity case: SQL:2016 frame exclusion
+    (`EXCLUDE CURRENT ROW`), which DuckDB executes natively in the
+    oracle while Spark has no EXCLUDE clause at all — the engine lowers
+    it algebraically to whole-partition sum minus the row's own value,
+    with the singleton-partition frame coming out empty (NULL, exactly
+    as the standard specifies — not 0, which the naive subtraction
+    would produce).
+
+    100 TB shape: one unordered window partition per customer — no
+    sort needed (Spark plans an unordered WindowExec), no second
+    shuffle for the two window functions, and the subtraction lowering
+    means no self-join."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wp = Window.partitionBy("o_custkey")
+    n = F.count(F.lit(1)).over(wp)
+    return v.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(n > 1, F.sum("cents").over(wp) - F.col("cents"))
+        .cast("bigint")
+        .alias("loo_sum_cents"),
+        (n - 1).cast("bigint").alias("loo_n"),
+    )

@@ -1976,3 +1976,76 @@ def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(wl).cast("double") / F.sum("n").over(wg), 4
         ).alias("global_rate"),
     )
+
+
+# ---- WebDataset-style shard manifest -------------------------------------
+
+# target shard payload (chars stand in for bytes on this fixture); the
+# greedy rule assigns each doc to shard floor(exclusive-prefix / target),
+# so every shard except a source's last holds >= target payload
+_SHARD_TARGET_BYTES = 2000
+
+
+@register(
+    "webdataset_shard_manifest",
+    oracle=f"""
+    WITH p AS (
+      SELECT source, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_bytes
+      FROM documents
+    )
+    SELECT source,
+           CAST(prefix_bytes // {_SHARD_TARGET_BYTES} AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS last_doc_id
+    FROM p GROUP BY source, shard_id
+    """,
+)
+def webdataset_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset/tar-shard manifest planning: assign documents to
+    fixed-payload training shards (greedy, order-preserving within each
+    source) and emit the manifest rows a shard writer would consume —
+    doc count, payload bytes, and the contiguous id range per shard.
+    The greedy rule is the prefix-sum formulation (shard =
+    exclusive-prefix // target), which is exactly how a sequential
+    writer fills tars — but expressed as one window so it distributes;
+    contiguity of each shard's id range is inherent (the manifest's
+    first/last columns make it auditable downstream).
+
+    100 TB shape: per-source ordered prefix sum — no global sort, one
+    shuffle on source; the manifest output is |shards| rows (~bytes /
+    target), thousands of times smaller than the corpus. Skewed
+    sources bound one task each, the known cost of order-preserving
+    packing (the hash-sharded pack_sequences_greedy is the
+    order-free alternative)."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("prefix_bytes"),
+    )
+    return (
+        p.groupBy(
+            "source",
+            F.floor(F.col("prefix_bytes") / _SHARD_TARGET_BYTES)
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+            F.max("doc_id").cast("bigint").alias("last_doc_id"),
+        )
+    )

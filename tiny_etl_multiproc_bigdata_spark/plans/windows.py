@@ -2077,3 +2077,129 @@ def leave_one_out_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("loo_sum_cents"),
         (n - 1).cast("bigint").alias("loo_n"),
     )
+
+
+# ---- daily OHLC candles --------------------------------------------------
+
+
+@register(
+    "ohlc_daily_candles",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM v
+    )
+    SELECT event_type, day,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+           CAST(max(cents) AS BIGINT) AS high,
+           CAST(min(cents) AS BIGINT) AS low,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, day
+    """,
+)
+def ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle rollup — the canonical time-series downsampling
+    (open/high/low/close per bucket), here per event type per day over
+    the event values. First/last-in-bucket are ORDER-dependent
+    aggregates, which hash-based groupBy can't see — the portable
+    lowering is one ranked window pass (full (ts, event_id) tiebreak,
+    both directions from the same sort) feeding a conditional max, so
+    ties can never make open/close nondeterministic (the reason this
+    avoids arg_min/min_by: neither engine's version takes a composite
+    ordering key).
+
+    100 TB shape: one shuffle on (event_type, day) — the window and
+    the final groupBy share it (same keys, Catalyst reuses the
+    partitioning); high/low/count fold map-side. Bucket-sized state,
+    never day-spanning."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wb = Window.partitionBy("event_type", "day")
+    r = v.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number()
+        .over(wb.orderBy(F.asc("ts"), F.asc("event_id")))
+        .alias("rn_a"),
+        F.row_number()
+        .over(wb.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_d"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("open"),
+        F.max("cents").cast("bigint").alias("high"),
+        F.min("cents").cast("bigint").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+# ---- volume-weighted average value (JSON-typed weights) ------------------
+
+
+@register(
+    "vwap_daily",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      FROM events
+    )
+    SELECT day,
+           CAST(sum(cents * vol) AS BIGINT) AS notional_cents,
+           CAST(sum(vol) AS BIGINT) AS volume,
+           (floor(CAST(sum(cents * vol) AS DOUBLE)
+                  / nullif(sum(vol), 0) / 100 * 10000 + 0.5) / 10000)
+             AS vwap
+    FROM v GROUP BY day
+    """,
+)
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average value per day, with the weight pulled
+    out of the semi-structured `props` JSON column (`$.k`) — the
+    finance VWAP shape composed with schema-on-read extraction. The
+    numerator and denominator are exact integer sums (cents x integer
+    volume); only the final ratio is floating, quantized half-up at 4
+    decimals with a nullif guard for zero-volume days (every event
+    with k=0 still counts into the day, contributing no notional).
+
+    100 TB shape: single scan, JSON path evaluated JVM-side
+    (get_json_object, codegen'd), one map-side-combined groupBy on
+    day. Nothing else moves."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        F.to_date("ts").alias("day"),
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    notional = F.sum(F.col("cents") * F.col("vol"))
+    volume = F.sum("vol")
+    return v.groupBy("day").agg(
+        notional.cast("bigint").alias("notional_cents"),
+        volume.cast("bigint").alias("volume"),
+        round_half_up(
+            notional.cast("double") / F.nullif(volume, F.lit(0)) / 100, 4
+        ).alias("vwap"),
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.hashing import stable_token_hash
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     duck_round,
@@ -1945,3 +1946,137 @@ def gbdt_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(1, w1, sse1).unionAll(out(2, w2, sse2))
+
+
+# ---- Bloom filter membership with exact FPR accounting -------------------
+
+# m bits / k hashes sized for the fixture's member cardinality; both
+# sides derive every position from the same md5 construction
+# (functions/hashing.py), so unlike the HLL/CMS entries this sketch is
+# EXACTLY reproducible cross-engine — the false-positive SET itself is
+# deterministic, not just its expected rate
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_positions_sql(key_expr: str) -> str:
+    parts = ", ".join(
+        f"CAST(('0x' || substr(md5('{i}|' || CAST({key_expr} AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % {_BLOOM_M}"
+        for i in range(_BLOOM_K)
+    )
+    return f"unnest([{parts}])"
+
+
+@register(
+    "bloom_membership_fpr",
+    oracle=f"""
+    WITH members AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    probes AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (
+      SELECT DISTINCT {_bloom_positions_sql('k')} AS b FROM members
+    ),
+    pp AS (
+      SELECT DISTINCT k, b FROM (
+        SELECT k, {_bloom_positions_sql('k')} AS b FROM probes
+      )
+    ),
+    perkey AS (
+      SELECT pp.k, count(*) AS n_pos,
+             sum(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM pp LEFT JOIN bits ON pp.b = bits.b
+      GROUP BY pp.k
+    ),
+    flags AS (
+      SELECT p.k, (p.n_hit = p.n_pos) AS bloom_pos,
+             EXISTS (SELECT 1 FROM members m WHERE m.k = p.k) AS is_member
+      FROM perkey p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_positive,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           (floor(CAST(sum(CASE WHEN bloom_pos AND NOT is_member
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / nullif(count(*) - sum(CASE WHEN is_member THEN 1 ELSE 0
+                                          END), 0) * 10000 + 0.5) / 10000)
+             AS fpr
+    FROM flags
+    """,
+)
+def bloom_membership_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, end to end IN the engine with exact
+    false-positive accounting: build an m=4096-bit / k=3-hash
+    filter over one segment's customers (bit positions = seeded md5,
+    the repo's standard portable hash), probe every ordering customer,
+    and report the measured FPR against ground truth from an exact
+    semi-join. This is the runtime-filter pattern Spark itself applies
+    in bloom-join pruning, surfaced as a first-class, value-checked
+    operator — and unlike the HLL/CMS entries (rows-only by design,
+    engine-internal layouts), every bit here is engine-portable, so
+    the oracle verifies the exact false-positive SET, not a rate
+    estimate. No false negative is possible by construction; the
+    n_hit = n_pos gate works on DISTINCT (key, position) pairs so
+    intra-key hash collisions can't under-count.
+
+    100 TB shape: the filter is <= m distinct bit rows — broadcast to
+    the probe side, which therefore never shuffles; ground truth is a
+    broadcast semi-join against the member keys. Probe cost is one
+    scan + a x-k map-side expansion."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    members = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    probes = o.select(F.col("o_custkey").alias("k")).distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = F.array(
+            *[
+                stable_token_hash(F.col("k").cast("string"), seed=i)
+                % _BLOOM_M
+                for i in range(_BLOOM_K)
+            ]
+        )
+        return df.select("k", F.explode(pos).alias("b"))
+
+    bits = positions(members).select("b").distinct()
+    pp = positions(probes).distinct()
+    perkey = (
+        pp.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "b", "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    flags = perkey.join(
+        F.broadcast(members.withColumn("is_m", F.lit(1))), "k", "left"
+    ).select(
+        (F.col("n_hit") == F.col("n_pos")).alias("bloom_pos"),
+        F.coalesce("is_m", F.lit(0)).alias("is_member"),
+    )
+    fp = F.sum(
+        F.when((F.col("bloom_pos")) & (F.col("is_member") == 0), 1).otherwise(
+            0
+        )
+    )
+    nm = F.sum("is_member")
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_positive"),
+        nm.cast("bigint").alias("n_members"),
+        fp.cast("bigint").alias("n_false_positive"),
+        round_half_up(
+            fp.cast("double")
+            / F.nullif(F.count(F.lit(1)) - nm, F.lit(0)),
+            4,
+        ).alias("fpr"),
+    )

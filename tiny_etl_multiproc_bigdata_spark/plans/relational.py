@@ -1795,3 +1795,54 @@ def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share_of_total"),
     )
+
+
+@register(
+    "setop_all_variants",
+    oracle="""
+    SELECT 'except_all' AS op, qty
+    FROM (
+      SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+    )
+    UNION ALL
+    SELECT 'intersect_all', qty
+    FROM (
+      SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+    )
+    """,
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL —
+    which keep multiplicities: a quantity value occurring 100x among
+    returned-'R' lines and 70x among 'A' lines yields 30 surplus rows
+    from EXCEPT ALL and 70 matched rows from INTERSECT ALL. The
+    DISTINCT variants (setop_except / setop_intersect) answer "which
+    values"; the ALL variants answer "how MUCH overlap" — the
+    difference that matters when reconciling row-level extracts
+    (missing-rows audits) rather than domains. Spark's exceptAll /
+    intersectAll lower to count-per-key generate-replication plans;
+    both branches are tagged and unioned so one entry pins both
+    semantics.
+
+    100 TB shape: each ALL-variant is one shuffle on the compared
+    columns with per-key counts folded map-side (the generated rows
+    re-expand from counts, never by carrying raw rows through the
+    join)."""
+    li = table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    ex = r.exceptAll(a).select(
+        F.lit("except_all").alias("op"), "qty"
+    )
+    ia = r.intersectAll(a).select(
+        F.lit("intersect_all").alias("op"), "qty"
+    )
+    return ex.unionAll(ia)

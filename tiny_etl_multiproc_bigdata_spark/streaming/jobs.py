@@ -756,3 +756,75 @@ def streaming_stream_stream_left_outer(
         .alias("gap_s"),
     )
     return _run_to_memory(joined, spark, "stream_stream_loj", "append")
+
+
+@register(
+    "streaming_ohlc_candles",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
+             ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, day_epoch, cents,
+             row_number() OVER (PARTITION BY event_type, day_epoch
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, day_epoch
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM v
+    )
+    SELECT event_type, day_epoch,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+           CAST(max(cents) AS BIGINT) AS high,
+           CAST(min(cents) AS BIGINT) AS low,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, day_epoch
+    """,
+)
+def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ohlc_daily_candles: tumbling 1-day event-time
+    windows maintaining open/high/low/close incrementally. Where the
+    batch plan ranks rows inside each bucket, a stream cannot rank —
+    first/last become min_by/max_by over a composite (ts, event_id)
+    struct key, which Spark folds into the window's running state
+    (pairwise-mergeable, so partial aggregation and state-store merge
+    both stay correct, and the event_id tiebreak keeps replay
+    deterministic even if two events share a timestamp). The oracle is
+    the batch ranking formulation — the two lowerings must agree
+    exactly on the final state.
+
+    100 TB shape: state is one (open,high,low,close,n) tuple per
+    (event_type, day) window — constant per key per day regardless of
+    event volume; the watermark bounds how many day-windows stay
+    open."""
+    ev = _events_stream(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.select("event_type", "ts", "event_id", cents.alias("cents"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min_by("cents", key).cast("bigint").alias("open"),
+            F.max("cents").cast("bigint").alias("high"),
+            F.min("cents").cast("bigint").alias("low"),
+            F.max_by("cents", key).cast("bigint").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "day_epoch"
+            ),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, spark, "stream_ohlc", "complete")

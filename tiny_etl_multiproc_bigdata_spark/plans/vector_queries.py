@@ -1565,3 +1565,73 @@ def hamming_cosine_calibration(
             4,
         ).alias("mean_cosine"),
     )
+
+
+# ---- Gram matrix over quantized embeddings -------------------------------
+
+# fixed-point scale for X^T X accumulation: elements are quantized to
+# 1e-4 units BEFORE any product, making every partial sum an exact
+# BIGINT (|q| ~ 1e4 -> products ~ 1e8; 2^63 headroom ~ 9e18 rows)
+_GRAM_Q = 10_000
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_GRAM_Q} + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    )
+    SELECT i.i AS i, j.j AS j,
+           CAST(sum(q.qv[i.i] * q.qv[j.j]) AS BIGINT) AS gram_units
+    FROM q,
+         (SELECT unnest(generate_series(1, 64)) AS i) i,
+         (SELECT unnest(generate_series(1, 64)) AS j) j
+    WHERE j.j >= i.i
+    GROUP BY i.i, j.j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding table — the
+    shared precursor of PCA/whitening/covariance analysis (the d x d
+    covariance is one rank-1 correction away). Elements are fixed-point
+    quantized BEFORE any multiplication, so all d(d+1)/2 accumulations
+    are exact integers: partial sums fold map-side in any order on
+    both engines with zero float drift. The pair expansion is a pure
+    per-row lambda (nested transform + upper-triangle filter), not a
+    self-join — one scan, no joins at all.
+
+    100 TB shape: the canonical outer-product aggregation — each
+    partition accumulates its local d x d triangle, the shuffle moves
+    only |partitions| x 2080 partial rows, and the result is 2080 rows
+    regardless of input size. At d large enough that d^2 per-row
+    expansion dominates, block the dimension (tile the triangle) —
+    the same plan per tile."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * _GRAM_Q + 0.5).cast("bigint"),
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                q,
+                lambda xi, i: F.transform(
+                    q,
+                    lambda xj, j: F.struct(
+                        (i + 1).alias("i"),
+                        (j + 1).alias("j"),
+                        (xi * xj).alias("prod"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["j"] >= s["i"],
+    )
+    return (
+        e.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum("p.prod").cast("bigint").alias("gram_units"))
+    )

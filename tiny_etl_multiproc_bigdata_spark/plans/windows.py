@@ -2203,3 +2203,215 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             notional.cast("double") / F.nullif(volume, F.lit(0)) / 100, 4
         ).alias("vwap"),
     )
+
+
+# ---- longest monotone streak (gaps-and-islands) --------------------------
+
+
+@register(
+    "monotone_streak_lengths",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, rn,
+             CASE WHEN cents > lag(cents) OVER (PARTITION BY user_id
+                                                ORDER BY rn)
+                  THEN 1 ELSE 0 END AS inc
+      FROM v
+    ),
+    isl AS (
+      SELECT user_id,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+               AS island
+      FROM f WHERE inc = 1
+    ),
+    runs AS (
+      SELECT user_id, island, count(*) AS len
+      FROM isl GROUP BY user_id, island
+    ),
+    best AS (SELECT user_id, max(len) AS max_incs FROM runs GROUP BY user_id),
+    n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+    SELECT n.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+           CAST(coalesce(best.max_incs + 1, 1) AS BIGINT) AS longest_streak
+    FROM n LEFT JOIN best ON n.user_id = best.user_id
+    """,
+)
+def monotone_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing streak of event values per user —
+    the gaps-and-islands pattern (MATCH_RECOGNIZE territory in engines
+    that have it, lowered here to the portable rn-minus-rank island
+    id): consecutive rising steps share `rn - rank_among_rising`, so
+    runs become groupBy keys. Comparisons are on exact integer cents,
+    so "strictly rising" can't flip on float noise; users with no
+    rising step (or a single event) report streak 1. Distinct from
+    runs_test_randomness (a global sign-runs statistic) — this is
+    per-entity longest-run extraction, the building block of
+    engagement-streak and uptime features.
+
+    100 TB shape: two per-user ordered window passes over one shuffle
+    (Catalyst reuses the user_id sort), islands aggregate to at most
+    one row per rising run, and the final join is per-user — all keys
+    natural, no global ordering anywhere."""
+    e = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    v = e.select(
+        "user_id",
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.row_number().over(wu).alias("rn"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    f = v.select(
+        "user_id",
+        "rn",
+        F.when(F.col("cents") > F.lag("cents").over(wr), 1)
+        .otherwise(0)
+        .alias("inc"),
+    )
+    isl = f.filter(F.col("inc") == 1).select(
+        "user_id",
+        (F.col("rn") - F.row_number().over(wr)).alias("island"),
+    )
+    best = (
+        isl.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("max_incs"))
+    )
+    n = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return n.join(best, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        F.coalesce(F.col("max_incs") + 1, F.lit(1))
+        .cast("bigint")
+        .alias("longest_streak"),
+    )
+
+
+@register(
+    "attribution_u_shaped",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+      FROM events
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id, t_us AS pt
+      FROM ev WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel,
+             t_us AS tt
+      FROM ev WHERE event_type IN ('click', 'view')
+    ), credited AS (
+      SELECT p.purchase_id, t.channel,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.tt ASC, t.touch_id ASC) AS pos,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tt <= p.pt
+       AND t.tt > p.pt - {{w}}::BIGINT * 1000000
+    ), weighted AS (
+      SELECT channel,
+             CASE
+               WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN pos = 1 OR pos = n THEN 400000
+               ELSE 200000 // (n - 2)
+                    + CASE WHEN pos = 2
+                           THEN 200000 - (n - 2) * (200000 // (n - 2))
+                           ELSE 0 END
+             END AS credit_micro
+      FROM credited
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credited_touches,
+           (floor(CAST(sum(credit_micro) AS DOUBLE)
+                  / 1000000 * 10000 + 0.5) / 10000)
+             AS attributed_conversions
+    FROM weighted GROUP BY channel
+    """.replace("{w}", str(_ATTR_WINDOW_S)),
+)
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    the industry-standard complement to attribution_linear: the first
+    and last touchpoint before each purchase get 40% of the conversion
+    credit each, middle touches split the remaining 20%. Credit is
+    integer micro-conversions so every path sums to EXACTLY 1,000,000
+    regardless of touch count: the middle share divides by floor and
+    the remainder lands deterministically on the earliest middle touch
+    (pos=2) — conservation is exact, not approximate, which keeps the
+    channel totals hash-comparable and auditable (sum over channels ==
+    number of credited purchases).
+
+    100 TB shape: identical join topology to attribution_linear (range
+    join on user co-partitioned streams, 7-day lookback bounding the
+    fan-out); the position ranks are one window over the per-purchase
+    touch set; the rollup lands on |channels| keys."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (
+            F.unix_timestamp("ts") * 1_000_000
+            + F.date_format("ts", "SSSSSS").cast("bigint")
+        ).alias("t_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_us").alias("pt"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("t_us").alias("tt"),
+    )
+    credited = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["user_id"])
+        & (touches["tt"] <= purchases["pt"])
+        & (
+            touches["tt"]
+            > purchases["pt"] - F.lit(_ATTR_WINDOW_S * 1_000_000).cast("bigint")
+        ),
+    ).select("purchase_id", "channel", "tt", "touch_id")
+    wp = Window.partitionBy("purchase_id")
+    pos = F.row_number().over(
+        wp.orderBy(F.asc("tt"), F.asc("touch_id"))
+    )
+    n = F.count(F.lit(1)).over(wp)
+    mid_base = F.floor(F.lit(200_000) / (F.col("n") - 2)).cast("bigint")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(400_000),
+        )
+        .otherwise(
+            mid_base
+            + F.when(
+                F.col("pos") == 2,
+                F.lit(200_000) - (F.col("n") - 2) * mid_base,
+            ).otherwise(F.lit(0))
+        )
+    )
+    weighted = credited.select(
+        "channel", pos.alias("pos"), n.alias("n")
+    ).select("channel", credit.alias("credit_micro"))
+    return weighted.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credited_touches"),
+        round_half_up(
+            F.sum("credit_micro").cast("double") / 1_000_000, 4
+        ).alias("attributed_conversions"),
+    )

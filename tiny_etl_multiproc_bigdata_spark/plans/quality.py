@@ -1458,12 +1458,26 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = b.filter(F.col("bucket") < _NB_TRAIN_PCT)
     test = b.filter(F.col("bucket") >= _NB_TRAIN_PCT)
-    langs = train.groupBy("lang").agg(F.count("*").alias("docs_l"))
+    # the model tables (lang x vocab counts, per-lang doc counts) feed
+    # 4+ downstream consumers each; without a barrier Catalyst re-runs
+    # the train-corpus scan per consumer (10 scans observed — the
+    # multi-consumer lineage class test_plan_budget exists to catch).
+    # Both are model-sized, so pinning them is cheap and cuts the plan
+    # to ONE train scan + ONE test scan.
+    langs = (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("docs_l"))
+        .localCheckpoint(eager=True)
+    )
     tot = langs.agg(F.sum("docs_l").alias("docs_tot"))
     ttoks = train.select("lang", F.explode(_toks()).alias("tok"))
-    cnts = ttoks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    cnts = (
+        ttoks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     nl = cnts.groupBy("lang").agg(F.sum("c").alias("n_l"))
-    vv = ttoks.agg(F.count_distinct("tok").alias("v"))
+    vv = cnts.agg(F.count_distinct("tok").alias("v"))
     mb = 1_000_000
     lstats = (
         langs.join(nl, "lang")

@@ -12,7 +12,7 @@ near-dup machinery it already shares with dedup_groups.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
@@ -376,4 +376,108 @@ def contamination_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("contamination_rate"),
         )
+    )
+
+
+# ---- histogram quantile normalization ------------------------------------
+
+
+@register(
+    "quantile_normalize_histogram",
+    oracle="""
+    WITH sh AS (
+      SELECT source, n_chars AS v, count(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    shc AS (
+      SELECT source, v, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum_sv,
+             sum(cnt) OVER (PARTITION BY source) AS src_n
+      FROM sh
+    ),
+    gh AS (
+      SELECT v AS g, sum(cnt) AS gcnt FROM sh GROUP BY v
+    ),
+    ghc AS (
+      SELECT g, sum(gcnt) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING)
+               AS cum_g,
+             (SELECT sum(gcnt) FROM gh) AS n_total
+      FROM gh
+    ),
+    mapping AS (
+      SELECT s.source, s.v, min(c.g) AS norm_v
+      FROM shc s JOIN ghc c
+        ON c.cum_g * s.src_n >= s.cum_sv * c.n_total
+      GROUP BY s.source, s.v
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(m.norm_v AS BIGINT) AS norm_chars
+    FROM documents d JOIN mapping m
+      ON d.source = m.source AND d.n_chars = m.v
+    """,
+)
+def quantile_normalize_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the batch-effect
+    correction of bioinformatics, applied to corpus curation): map
+    every source's document-length distribution onto the GLOBAL length
+    distribution, so a source whose crawler truncates at 2 KB stops
+    looking "short" next to one that doesn't. The transform is defined
+    entirely on value HISTOGRAMS — norm(v) = min global value g with
+    cdf_global(g) >= cdf_source(v), compared by integer
+    cross-multiplication (cum_g·src_n >= cum_sv·N), so it is exact
+    (no float CDFs) and never ranks individual rows: the classic
+    per-row formulation needs a global sort; this one needs only
+    |domain|-sized tables.
+
+    100 TB shape: two histogram aggregations (map-side combined, at
+    most |domain| x |sources| rows), the mapping join is
+    histogram x histogram with the global side broadcast (bounded by
+    the value domain, independent of corpus size), and rows are
+    touched exactly twice: once to count, once to apply via a
+    broadcast mapping join."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ws = Window.partitionBy("source")
+    shc = sh.select(
+        "source",
+        "v",
+        F.sum("cnt")
+        .over(ws.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_sv"),
+        F.sum("cnt").over(ws).alias("src_n"),
+    )
+    gh = sh.groupBy(F.col("v").alias("g")).agg(F.sum("cnt").alias("gcnt"))
+    ghc = gh.select(
+        "g",
+        F.sum("gcnt")
+        .over(
+            Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum_g"),
+    ).crossJoin(F.broadcast(gh.agg(F.sum("gcnt").alias("n_total"))))
+    mapping = (
+        shc.join(
+            F.broadcast(ghc),
+            F.col("cum_g") * F.col("src_n")
+            >= F.col("cum_sv") * F.col("n_total"),
+        )
+        .groupBy("source", "v")
+        .agg(F.min("g").alias("norm_v"))
+    )
+    m2 = mapping.select(
+        F.col("source").alias("m_source"),
+        F.col("v").alias("m_v"),
+        "norm_v",
+    )
+    return d.join(
+        F.broadcast(m2),
+        (d["source"] == m2["m_source"]) & (d["n_chars"] == m2["m_v"]),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("norm_v").cast("bigint").alias("norm_chars"),
     )

@@ -1981,8 +1981,11 @@ def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- WebDataset-style shard manifest -------------------------------------
 
 # target shard payload (chars stand in for bytes on this fixture); the
-# greedy rule assigns each doc to shard floor(exclusive-prefix / target),
-# so every shard except a source's last holds >= target payload
+# greedy rule assigns each doc to shard floor(exclusive-prefix / target):
+# a shard closes once the running payload crosses the next target
+# multiple, so payloads hover around the target (a shard straddled by
+# one oversized doc can leave its successor thin — the tar-writer
+# behavior this mirrors)
 _SHARD_TARGET_BYTES = 2000
 
 

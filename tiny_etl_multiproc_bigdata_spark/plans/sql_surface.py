@@ -545,3 +545,143 @@ def execute_immediate_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"EXECUTE IMMEDIATE '{esc}' USING {_EXEC_IMM_P1}, {_EXEC_IMM_P2}"
     )
+
+
+# ---- UDTF with TABLE argument (partitioned polymorphic input) ------------
+
+_UDTF_BUDGET = 10_000  # per-source char budget (shared with the oracle)
+
+
+@register(
+    "udtf_table_partitioned",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE cum <= {_UDTF_BUDGET}) AS BIGINT)
+             AS n_docs_kept,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE cum <= {_UDTF_BUDGET}),
+                         0) AS BIGINT) AS chars_used
+    FROM c GROUP BY source
+    """,
+)
+def udtf_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE argument with PARTITION BY /
+    ORDER BY (Spark 4 polymorphic table function) — the engine feeds
+    each source's rows, id-ordered, to ONE stateful UDTF instance,
+    which greedily admits documents until a fixed char budget is
+    exhausted and emits a single summary row at partition end
+    (terminate()). This is the SQL-standard PTF shape (think
+    MATCH_RECOGNIZE-class operators) and completes the UDTF surface
+    beyond the row-lateral udtf_token_chunks. Admission stops at the
+    first overflow, which makes the semantics the prefix rule the
+    window oracle states declaratively.
+
+    100 TB shape: partition-parallel like any grouped map — state is
+    one (count, used) pair per source, rows stream through without
+    buffering; the ORDER BY is enforced per-partition by the engine's
+    sort, not by a global ordering."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="source string, n_docs_kept bigint, chars_used bigint")
+    class BudgetPack:
+        BUDGET = _UDTF_BUDGET  # class attr pickles with the class,
+        # keeping engine and oracle on the one knob
+
+        def __init__(self):
+            self.src = None
+            self.n = 0
+            self.used = 0
+            self.stopped = False
+
+        def eval(self, row):  # noqa: ANN001
+            self.src = row["source"]
+            if self.stopped:
+                return
+            if self.used + row["n_chars"] > self.BUDGET:
+                self.stopped = True
+                return
+            self.used += row["n_chars"]
+            self.n += 1
+
+        def terminate(self):
+            if self.src is not None:
+                yield self.src, self.n, self.used
+
+    spark.udtf.register("budget_pack_udtf", BudgetPack)
+    table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).createOrReplaceTempView("budget_pack_input")
+    return spark.sql(
+        """
+        SELECT * FROM budget_pack_udtf(
+          TABLE(budget_pack_input)
+          PARTITION BY source ORDER BY doc_id
+        )
+        """
+    )
+
+
+# ---- collation-aware grouping (Spark 4 collations) -----------------------
+
+
+@register(
+    "collation_lcase_grouping",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                  ELSE p_name END AS name_mixed,
+             lower(p_name) AS name_lc,
+             p_partkey
+      FROM part
+    )
+    SELECT name_lc,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT name_mixed) AS BIGINT) AS n_case_variants,
+           CAST(min(p_partkey) AS BIGINT) AS min_partkey
+    FROM v GROUP BY name_lc
+    """,
+)
+def collation_lcase_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): GROUP BY under UTF8_LCASE collation
+    merges case variants AT THE COMPARISON LEVEL — no lower() rewrite
+    of the data — while count(DISTINCT <binary column>) inside the same
+    aggregation still sees the raw variants. The fixture is all-lower,
+    so the entry manufactures case variance deterministically (upper()
+    on even part keys) and then proves the collated grouping folds it
+    back: every group reports its binary variant count. The oracle
+    (DuckDB has no column collations) uses the lower()-key rewrite —
+    the exact rewrite collations exist to avoid, which is the parity
+    point. The displayed key is the precomputed lowercase twin rather
+    than the collated value itself: a collated group's representative
+    is whichever variant the engine saw first — nondeterministic by
+    spec, so it must never be an output column.
+
+    100 TB shape: identical to any single-key groupBy — collation
+    affects the hash/compare functions, not the shuffle topology."""
+    p = table(spark, sf_dir, "part")
+    v = p.select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_name")
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name_mixed"),
+        F.lower("p_name").alias("name_lc"),
+        "p_partkey",
+    )
+    return (
+        v.groupBy(F.expr("name_mixed COLLATE UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("name_lc").alias("name_lc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.expr("name_mixed COLLATE UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_case_variants"),
+            F.min("p_partkey").cast("bigint").alias("min_partkey"),
+        )
+        .select("name_lc", "n_rows", "n_case_variants", "min_partkey")
+    )

@@ -2415,3 +2415,96 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit_micro").cast("double") / 1_000_000, 4
         ).alias("attributed_conversions"),
     )
+
+
+# ---- MASE forecast scoring -----------------------------------------------
+
+
+@register(
+    "mase_forecast_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a.event_type,
+             abs(a.x - s.x) AS ae_snaive,
+             abs(a.x - n.x) AS ae_naive
+      FROM daily a
+      JOIN daily s ON s.event_type = a.event_type AND s.day = a.day - 7
+      JOIN daily n ON n.event_type = a.event_type AND n.day = a.day - 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(ae_snaive) AS BIGINT) AS sae_snaive_cents,
+           CAST(sum(ae_naive) AS BIGINT) AS sae_naive_cents,
+           (floor(CAST(sum(ae_snaive) AS DOUBLE) / nullif(sum(ae_naive), 0)
+                  * 10000 + 0.5) / 10000) AS mase
+    FROM scored GROUP BY event_type
+    """,
+)
+def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style forecast scoring (Hyndman's scaled error): compare a
+    seasonal-naive forecast (same weekday last week) against the naive
+    one-step forecast (yesterday) on daily event revenue, per event
+    type. A MASE below 1 says weekly seasonality carries signal beyond
+    persistence — the standard go/no-go gate before fitting anything
+    fancier (and the complement of pinball_loss_eval, which scores
+    quantile forecasts). Absolute errors are exact integer cents; only
+    the final ratio floats, quantized half-up with a zero-denominator
+    guard. Days are matched by CALENDAR join (day-7 / day-1), so gap
+    days drop out of scoring instead of silently comparing
+    non-adjacent rows as a row-lag would.
+
+    100 TB shape: the daily rollup collapses the corpus to
+    |types| x |days| rows with map-side partial sums; both forecast
+    joins and the final aggregation run on that tiny frame."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(exact_round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    a = daily.alias("a")
+    s = daily.select(
+        F.col("event_type").alias("s_type"),
+        F.col("day").alias("s_day"),
+        F.col("x").alias("s_x"),
+    )
+    n = daily.select(
+        F.col("event_type").alias("n_type"),
+        F.col("day").alias("n_day"),
+        F.col("x").alias("n_x"),
+    )
+    scored = (
+        a.join(
+            s,
+            (F.col("s_type") == F.col("a.event_type"))
+            & (F.col("s_day") == F.date_sub(F.col("a.day"), 7)),
+        )
+        .join(
+            n,
+            (F.col("n_type") == F.col("a.event_type"))
+            & (F.col("n_day") == F.date_sub(F.col("a.day"), 1)),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.abs(F.col("a.x") - F.col("s_x")).alias("ae_snaive"),
+            F.abs(F.col("a.x") - F.col("n_x")).alias("ae_naive"),
+        )
+    )
+    sae_s = F.sum("ae_snaive")
+    sae_n = F.sum("ae_naive")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        sae_s.cast("bigint").alias("sae_snaive_cents"),
+        sae_n.cast("bigint").alias("sae_naive_cents"),
+        round_half_up(
+            sae_s.cast("double") / F.nullif(sae_n, F.lit(0)), 4
+        ).alias("mase"),
+    )

@@ -2266,3 +2266,162 @@ def anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt.alias("n_days"),
         round_half_up((ssb / (k - 1)) / (ssw / (nt - k)), 4).alias("f_stat"),
     )
+
+
+# ---- deterministic RANSAC line fit ---------------------------------------
+
+# candidate models and inlier tolerance; the per-model point picks are
+# md5-seeded (seeds i and i+100 for the two anchor points), so the
+# whole protocol is engine-portable with zero RNG
+_RANSAC_MODELS = 8
+_RANSAC_EPS_CENTS = 5000
+
+
+def _ransac_oracle() -> str:
+    picks = []
+    for i in range(_RANSAC_MODELS):
+        for tag, seed in (("a", i), ("b", i + 100)):
+            picks.append(
+                f"""p_{tag}{i} AS (
+      SELECT x, y FROM pts
+      ORDER BY CAST(('0x' || substr(md5('{seed}|' || CAST(event_id AS
+               VARCHAR)), 1, 15)) AS BIGINT) ASC, event_id ASC LIMIT 1
+    )"""
+            )
+    models = "\n    UNION ALL\n    ".join(
+        f"""SELECT {i} AS model_id, a.x AS ax, a.y AS ay,
+           b.y - a.y AS num, b.x - a.x AS den
+    FROM p_a{i} a, p_b{i} b"""
+        for i in range(_RANSAC_MODELS)
+    )
+    return f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    {", ".join(picks)},
+    models AS (
+    {models}
+    ),
+    scored AS (
+      SELECT m.model_id, m.num, m.den,
+             sum(CASE WHEN m.den <> 0
+                       AND abs(m.den * (p.y - m.ay) - m.num * (p.x - m.ax))
+                           <= {_RANSAC_EPS_CENTS} * abs(m.den)
+                      THEN 1 ELSE 0 END) AS n_inliers,
+             count(*) AS n_points
+      FROM models m CROSS JOIN pts p
+      GROUP BY m.model_id, m.num, m.den
+    ),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY n_inliers DESC, model_id ASC)
+               AS rk
+      FROM scored
+    )
+    SELECT model_id, CAST(n_inliers AS BIGINT) AS n_inliers,
+           CAST(n_points AS BIGINT) AS n_points,
+           CASE WHEN den = 0 THEN NULL
+                ELSE CAST(floor(CAST(num AS DOUBLE) * 1000000 / den)
+                          AS BIGINT) END AS slope_micro
+    FROM best WHERE rk = 1
+    """
+
+
+@register("ransac_slope_fit", oracle=_ransac_oracle())
+def ransac_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC line fitting, fully deterministic and fully distributed:
+    8 candidate models, each anchored on two md5-seeded sample points
+    (argmin of a seeded hash — the repo's standard no-RNG sampling),
+    scored by inlier count over ALL points, best model reported. The
+    inlier test |den·(y-ay) - num·(x-ax)| <= eps·|den| is the
+    cross-multiplied form of |residual| <= eps — pure integers, no
+    division anywhere in the hot path, so consensus counts are exact
+    on both engines; only the winning slope is quantized (floor at
+    1e-6, an exact IEEE op since num·1e6 stays within 2^53).
+    Complements theil_sen_grouped (median-of-slopes): RANSAC maximizes
+    consensus, which survives gross outliers that still shift a
+    median.
+
+    100 TB shape: anchor selection is ONE aggregation (16 min-of-
+    struct folds in a single pass, no sort); scoring is a broadcast of
+    8 model rows against the point stream with map-side partial
+    counts. Nothing quadratic, nothing driver-side, nothing random."""
+    from tiny_etl_multiproc_bigdata_spark.functions.hashing import (
+        stable_token_hash,
+    )
+
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    aggs = []
+    for i in range(_RANSAC_MODELS):
+        for tag, seed in (("a", i), ("b", i + 100)):
+            aggs.append(
+                F.min(
+                    F.struct(
+                        stable_token_hash(
+                            F.col("event_id").cast("string"), seed=seed
+                        ).alias("h"),
+                        F.col("event_id").alias("id"),
+                        F.col("x").alias("x"),
+                        F.col("y").alias("y"),
+                    )
+                ).alias(f"{tag}{i}")
+            )
+    anchors = pts.agg(*aggs)
+    models = anchors.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("model_id"),
+                        F.col(f"a{i}.x").alias("ax"),
+                        F.col(f"a{i}.y").alias("ay"),
+                        (F.col(f"b{i}.y") - F.col(f"a{i}.y")).alias("num"),
+                        (F.col(f"b{i}.x") - F.col(f"a{i}.x")).alias("den"),
+                    )
+                    for i in range(_RANSAC_MODELS)
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+    inlier = (
+        (F.col("den") != 0)
+        & (
+            F.abs(
+                F.col("den") * (F.col("y") - F.col("ay"))
+                - F.col("num") * (F.col("x") - F.col("ax"))
+            )
+            <= F.lit(_RANSAC_EPS_CENTS) * F.abs(F.col("den"))
+        )
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(models))
+        .groupBy("model_id", "num", "den")
+        .agg(
+            F.sum(F.when(inlier, 1).otherwise(0)).alias("n_inliers"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_inliers"), F.asc("model_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "model_id",
+            F.col("n_inliers").cast("bigint").alias("n_inliers"),
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.when(
+                F.col("den") != 0,
+                F.floor(
+                    F.col("num").cast("double") * 1_000_000 / F.col("den")
+                ).cast("bigint"),
+            ).alias("slope_micro"),
+        )
+    )

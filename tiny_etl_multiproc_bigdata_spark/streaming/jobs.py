@@ -828,3 +828,74 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark, "stream_ohlc", "complete")
+
+
+@register(
+    "streaming_session_dynamic_gap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN event_type = 'purchase'
+                  THEN 600000000 ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, t_us, gap_us,
+             CASE WHEN max(t_us + gap_us) OVER wprev IS NULL
+                       OR t_us > max(t_us + gap_us) OVER wprev
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sessions AS (
+      SELECT user_id, ts, t_us, gap_us,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           CAST(max(t_us + gap_us) // 1000000 AS BIGINT)
+             AS session_end_epoch,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap (Spark's
+    expression-valued session_window gap): purchases close their
+    session after 10 minutes, everything else keeps the 30-minute
+    default — the "checkout ends the visit" rule no fixed-gap
+    sessionizer can express. Semantics differ subtly from lag-gap
+    sessionization: each event contributes a window [ts, ts+gap) and
+    sessions merge while windows OVERLAP, so the oracle's new-session
+    test compares against the running max of (ts + gap) over all
+    prior events — a short-gap event inside a long-gap event's window
+    does NOT truncate the session (the prior window still covers it).
+    Session end is max(ts + gap), not last-event + constant.
+
+    100 TB shape: same merging state store as the fixed-gap entry,
+    partitioned by user; the gap expression evaluates row-local at
+    ingest, adding nothing to state."""
+    ev = _events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).cast("bigint").alias(
+                "session_start_epoch"
+            ),
+            F.unix_timestamp(F.col("sw.end")).cast("bigint").alias(
+                "session_end_epoch"
+            ),
+            "n_events",
+        )
+    )
+    return _run_to_memory(sess, spark, "stream_session_dyn", "complete")

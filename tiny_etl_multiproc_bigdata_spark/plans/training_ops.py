@@ -2052,3 +2052,58 @@ def webdataset_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("last_doc_id"),
         )
     )
+
+
+# ---- class-balanced downsampling -----------------------------------------
+
+
+@register(
+    "class_balance_downsample",
+    oracle="""
+    WITH m AS (
+      SELECT min(cnt) AS m FROM (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+      )
+    ),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM r, m WHERE r.rn <= m.m
+    """,
+)
+def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps EXACTLY as
+    many documents as the rarest language has — the strict-balance
+    regime for classifier training (the per-class twin of
+    domain_quota_sample's fixed cap, with a data-dependent cap).
+    Selection is md5-hash order per class, so the kept set is
+    deterministic, partitioning-independent, and stable across
+    engines; the cap itself is a one-row aggregate broadcast into the
+    rank filter, never a driver round-trip.
+
+    100 TB shape: class counts are one map-side-combined aggregation;
+    ranking partitions by class (a skewed majority class bounds one
+    task — and rows past the cap short-circuit at the window
+    operator); the scalar min joins in by broadcast."""
+    d = table(spark, sf_dir, "documents")
+    m = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    r = d.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("lang", "doc_id", F.col("rn").cast("bigint").alias("rn"))
+    )

@@ -1635,3 +1635,110 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .agg(F.sum("p.prod").cast("bigint").alias("gram_units"))
     )
+
+
+# ---- hard negative mining ------------------------------------------------
+
+_HARDNEG_QUERIES = 8  # query vectors (vec_id < N)
+_HARDNEG_K = 2  # hard negatives per query
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS query_label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 10000 + 0.5)) AS qv
+      FROM embeddings WHERE vec_id < {_HARDNEG_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS candidate_id, label AS candidate_label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 10000 + 0.5)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, q.query_label, c.candidate_id, c.candidate_label,
+             CAST(list_dot_product(q.qv, q.qv)
+                  - 2 * list_dot_product(q.qv, c.cv)
+                  + list_dot_product(c.cv, c.cv) AS BIGINT) AS dist2_units
+      FROM q JOIN c ON c.candidate_label <> q.query_label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist2_units ASC,
+                                            candidate_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, query_label, candidate_id, candidate_label,
+           dist2_units, rn
+    FROM ranked WHERE rn <= {_HARDNEG_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negative mining — for each query embedding, the nearest
+    vectors carrying a DIFFERENT label: the contrastive-training
+    staple (triplet/InfoNCE batches live or die on hard negatives;
+    random negatives — negative_sampling_pairs — are too easy to
+    teach a margin). Distances are exact integers end to end: elements
+    fixed-point quantized at 1e-4, squared L2 expanded as
+    dot(a,a) - 2·dot(a,b) + dot(b,b) over integer-valued vectors (all
+    sums < 2^53, so even the oracle's double dot products are exact),
+    ranked with an id tiebreak — no float ordering anywhere.
+
+    100 TB shape: the label-mismatch join broadcasts the (tiny) query
+    set against the corpus — one scan, map-side top-k via
+    WindowGroupLimit per query; for corpus-scale query sets, swap the
+    broadcast for the IVF route (ann_ivf_topk) with a post-filter on
+    label — same protocol, bucketed candidate generation."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 10_000 + 0.5).cast("bigint"),
+    )
+    base = e.select("vec_id", "label", qv.alias("qv"))
+    q = base.filter(F.col("vec_id") < _HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("qv").alias("q_qv"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("label").alias("candidate_label"),
+        F.col("qv").alias("c_qv"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        c.join(
+            F.broadcast(q),
+            F.col("candidate_label") != F.col("query_label"),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            (
+                dot(F.col("q_qv"), F.col("q_qv"))
+                - 2 * dot(F.col("q_qv"), F.col("c_qv"))
+                + dot(F.col("c_qv"), F.col("c_qv"))
+            )
+            .cast("bigint")
+            .alias("dist2_units"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist2_units"), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HARDNEG_K)
+    )

@@ -899,3 +899,107 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return _run_to_memory(sess, spark, "stream_session_dyn", "complete")
+
+
+@register(
+    "streaming_stream_stream_full_outer",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT epoch_us(max(c_ts)) // 1000 FROM clicks),
+                   (SELECT epoch_us(max(p_ts)) // 1000 FROM purchases))
+             - 3600000 AS ms
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id,
+             CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT)
+               AS gap_s,
+             c.c_ts, p.p_ts
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    )
+    SELECT click_id, purchase_id, user_id, gap_s FROM matched
+    UNION ALL
+    -- unmatched clicks: state closes when the final watermark passes
+    -- the click's join-window END (c_ts + 30min)
+    SELECT c.click_id, NULL, c.user_id, NULL
+    FROM clicks c, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+      AND (epoch_us(c.c_ts) // 1000) + 1800000 < wm.ms
+    UNION ALL
+    -- unmatched purchases: a purchase joins only clicks with
+    -- c_ts <= p_ts, so its state closes as soon as the watermark
+    -- passes p_ts itself — no +30min grace on this side
+    SELECT NULL, p.purchase_id, p.user_id, NULL
+    FROM purchases p, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m
+                      WHERE m.purchase_id = p.purchase_id)
+      AND (epoch_us(p.p_ts) // 1000) < wm.ms
+    """,
+)
+def streaming_stream_stream_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completes the
+    outer-join family (inner / left_outer registered alongside): every
+    click that never converted AND every purchase with no preceding
+    click in its 30-minute window surfaces exactly once with a NULL
+    partner. The two null-extension gates are ASYMMETRIC, and that
+    asymmetry is the semantics under test: a click can still match
+    purchases up to c_ts + 30min, so its state (and null emission)
+    waits for the watermark to pass that end; a purchase only ever
+    matches clicks at or before p_ts, so its state closes the moment
+    the watermark passes p_ts itself. The oracle states both gates
+    against the final global watermark (min across inputs of max
+    event-time minus the 1h delay, in Spark's millisecond floor).
+
+    100 TB shape: identical state topology to the inner join — keyed
+    by user across the shuffle, bounded by the range condition; each
+    side adds only its eviction-time null emission."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        (
+            F.floor(F.unix_timestamp("p_ts"))
+            - F.floor(F.unix_timestamp("c_ts"))
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    return _run_to_memory(joined, spark, "stream_stream_foj", "append")

@@ -685,3 +685,65 @@ def collation_lcase_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("name_lc", "n_rows", "n_case_variants", "min_partkey")
     )
+
+
+# ---- SQL scripting (compound statements, Spark 4.0) ----------------------
+
+_TRIM_ITERS = 3
+
+
+@register(
+    "sql_scripting_iterative_trim",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+    ),
+    t1 AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS t FROM v),
+    t2 AS (SELECT CAST(floor(avg(v.cents)) AS BIGINT) AS t
+           FROM v, t1 WHERE v.cents <= t1.t),
+    t3 AS (SELECT CAST(floor(avg(v.cents)) AS BIGINT) AS t
+           FROM v, t2 WHERE v.cents <= t2.t)
+    SELECT t3.t AS final_threshold,
+           (SELECT count(*) FROM v, t3 WHERE v.cents <= t3.t)
+             AS n_below
+    FROM t3
+    """,
+)
+def sql_scripting_iterative_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 compound statements): a BEGIN...END
+    block with DECLAREd variables and a WHILE loop computing an
+    iterated one-sided trimmed mean — each pass re-averages only the
+    values at or below the previous pass's floor(avg), a fixed-point
+    style iteration that plain SQL cannot express without unrolling.
+    The script drives real data through the loop (a scalar subquery
+    per iteration), and the oracle IS the 3-step unrolling — pinning
+    that the scripting runtime's variable semantics match chained
+    CTEs exactly. The first iteration's threshold is max(cents), so
+    pass 1 is the plain mean; floor(avg) stays cross-engine exact
+    because sums of cents sit far under 2^53.
+
+    100 TB shape: each loop pass is one full aggregation — scripting
+    changes control flow, not data flow; the scan count is the
+    iteration count, as the unrolled oracle makes explicit."""
+    table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    ).createOrReplaceTempView("script_trim_v")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE thr BIGINT;
+          DECLARE i INT DEFAULT 0;
+          SET thr = (SELECT max(cents) FROM script_trim_v);
+          WHILE i < {_TRIM_ITERS} DO
+            SET thr = (SELECT CAST(floor(avg(cents)) AS BIGINT)
+                       FROM script_trim_v WHERE cents <= thr);
+            SET i = i + 1;
+          END WHILE;
+          SELECT thr AS final_threshold,
+                 (SELECT count(*) FROM script_trim_v
+                  WHERE cents <= thr) AS n_below;
+        END
+        """
+    )

@@ -2107,3 +2107,87 @@ def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m"))
         .select("lang", "doc_id", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+# ---- largest-remainder apportionment -------------------------------------
+
+_APPORTION_K = 10_000  # total sample slots to distribute
+
+
+@register(
+    "largest_remainder_apportion",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM c),
+    q AS (
+      SELECT source, cnt,
+             ({_APPORTION_K} * cnt) // n AS base,
+             {_APPORTION_K} * cnt - (({_APPORTION_K} * cnt) // n) * n
+               AS rem_scaled
+      FROM c, tot
+    ),
+    s AS (
+      SELECT *, row_number() OVER (ORDER BY rem_scaled DESC, source ASC)
+               AS rk,
+             (SELECT {_APPORTION_K} - sum(base) FROM q) AS extra
+      FROM q
+    )
+    SELECT source, CAST(cnt AS BIGINT) AS cnt,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM s
+    """,
+)
+def largest_remainder_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sample
+    budget across sources: proportional floor shares first, then the
+    leftover slots go to the largest scaled remainders — the method
+    that guarantees Σ alloc == K EXACTLY, which proportional rounding
+    does not (mix_token_allocation's floor shares can under-spend the
+    budget; this entry closes that gap deterministically, source-name
+    tiebreak). All arithmetic is integer: remainders are compared as
+    K·cnt mod N, never as float fractions.
+
+    100 TB shape: runs entirely on the |sources|-row histogram — the
+    corpus is touched once for counts; ranking |sources| rows is
+    noise."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("n"))
+    k = F.lit(_APPORTION_K)
+    # integral `div`, not floor(a / b): the double quotient can land an
+    # ULP below an exact integer and floor() one short of the oracle's
+    # bigint // — operands here are positive, where div == floor
+    q = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("scaled", k * F.col("cnt"))
+        .withColumn("base", F.expr("scaled div n").cast("bigint"))
+        .select(
+            "source",
+            "cnt",
+            "base",
+            (F.col("scaled") - F.col("base") * F.col("n")).alias(
+                "rem_scaled"
+            ),
+        )
+    )
+    extra = q.agg((k - F.sum("base")).alias("extra"))
+    w = Window.orderBy(F.desc("rem_scaled"), F.asc("source"))
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "source",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("base").cast("bigint").alias("base_alloc"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )

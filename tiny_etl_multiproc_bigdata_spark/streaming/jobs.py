@@ -1003,3 +1003,74 @@ def streaming_stream_stream_full_outer(
         .alias("gap_s"),
     )
     return _run_to_memory(joined, spark, "stream_stream_foj", "append")
+
+
+@register(
+    "streaming_join_then_window",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT p.ts AS p_ts
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT CAST(floor(epoch(p_ts) / 3600) * 3600 AS BIGINT)
+             AS window_start_epoch,
+           count(*) AS n_attributed
+    FROM joined GROUP BY 1
+    """,
+)
+def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+/
+    4.x capability): a watermarked stream-stream interval join whose
+    output feeds a tumbling-window aggregation — attribution counts
+    per hour, end to end in one micro-batch pipeline. Historically
+    Spark rejected a second stateful operator after a join; the
+    unblocked form requires the join to carry the event-time column
+    forward (p_ts here) so the downstream window can re-derive its
+    watermark. Counts are per (purchase x matching click) pair — the
+    join multiplicity — which is what the batch oracle states.
+
+    100 TB shape: two stateful exchanges (join keyed on user, window
+    keyed on hour bucket); the join's range condition bounds its
+    state, the window's watermark bounds the open-bucket count. No
+    extra pass between them — the window consumes join output
+    within the same micro-batch."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("p_ts")
+    agg = (
+        joined.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_attributed"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start_epoch"
+            ),
+            "n_attributed",
+        )
+    )
+    return _run_to_memory(agg, spark, "stream_join_then_window", "append")

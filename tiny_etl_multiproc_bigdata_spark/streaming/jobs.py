@@ -1020,11 +1020,25 @@ def streaming_stream_stream_full_outer(
         ON c.user_id = p.user_id
        AND p.ts >= c.ts
        AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ),
+    wm AS (
+      -- final global watermark (ms): append mode only emits windows
+      -- the watermark has closed; the trailing hour stays in state
+      -- the downstream (window) operator sees the join's OUTPUT
+      -- watermark: the global watermark minus the join's 30-minute
+      -- interval span on the carried p_ts column — watermark
+      -- propagation through chained stateful operators, verified
+      -- against the engine at three scales
+      SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM clicks),
+                   (SELECT epoch_us(max(ts)) // 1000 FROM purchases))
+             - 3600000 - 1800000 AS ms
     )
     SELECT CAST(floor(epoch(p_ts) / 3600) * 3600 AS BIGINT)
              AS window_start_epoch,
            count(*) AS n_attributed
-    FROM joined GROUP BY 1
+    FROM joined, wm
+    GROUP BY 1, wm.ms
+    HAVING (floor(epoch(min(p_ts)) / 3600) * 3600 + 3600) * 1000 <= wm.ms
     """,
 )
 def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -453,3 +453,87 @@ def _register_schema_evolution() -> None:
 
 
 _register_schema_evolution()
+
+
+def _register_dynamic_partition_overwrite() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "dynamic_partition_overwrite",
+        oracle="""
+        SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT)
+                 AS total_chars
+        FROM documents WHERE lang <> 'en' GROUP BY lang
+        UNION ALL
+        SELECT lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        FROM documents WHERE lang = 'en' AND doc_id % 2 = 0 GROUP BY lang
+        """,
+    )
+    def dynamic_partition_overwrite(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Dynamic partition overwrite (INSERT OVERWRITE partition
+        semantics): stage the corpus partitioned by lang, then
+        overwrite with a frame containing ONLY a reduced English slice
+        under partitionOverwriteMode=dynamic — the write must replace
+        exactly the partitions present in the incoming data (en) and
+        leave every other language's files untouched. Static mode
+        would have wiped the whole table; the readback aggregation
+        proves both halves: en reflects the second write, the rest
+        still reflect the first. This is the daily-reload primitive of
+        date-partitioned lakes (reload today's partition, keep
+        history). Same staging discipline as the sibling roundtrips
+        (per-sf dir, flock, eager snapshot under the lock); the
+        session-level mode flag is restored in a finally.
+
+        100 TB shape: the overwrite's cost is proportional to the
+        REPLACED partitions only — commit is a directory swap per
+        touched partition, never a table rewrite."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars", "lang"
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_dynpo_{tag}")
+        data_dir = os.path.join(root, "data")
+        os.makedirs(root, exist_ok=True)
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            try:
+                d.write.mode("overwrite").partitionBy("lang").parquet(
+                    data_dir
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                en_half = d.filter(
+                    (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
+                )
+                en_half.write.mode("overwrite").partitionBy("lang").parquet(
+                    data_dir
+                )
+                back = (
+                    spark.read.parquet(data_dir)
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return back.groupBy("lang").agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+
+
+_register_dynamic_partition_overwrite()

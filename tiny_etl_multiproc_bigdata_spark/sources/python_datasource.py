@@ -155,3 +155,101 @@ def python_datasource_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     from tiny_etl_multiproc_bigdata_spark.streaming.jobs import _run_to_memory
 
     return _run_to_memory(agg, spark, "pyds_stream", "complete")
+
+
+@register(
+    "python_datasource_write",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python DataSource writer API (Spark 4) —
+    the Spark-idiomatic form of the reference's loader contract
+    (AbstractLoader / CsvFileLoader, loaders/files.py): each task's
+    write(iterator) lands its partition as one JSONL shard on the
+    executor side and returns a commit message; the driver's commit
+    barrier makes the job all-or-nothing, exactly the ack/no-ack
+    protocol the reference's loaders implement per-bag. The entry
+    pushes a per-language aggregate through the sink, reads the
+    shards back, and must reproduce the direct aggregation — a
+    write-path roundtrip with the same staging discipline as the
+    file-format roundtrips (per-sf dir, flock).
+
+    100 TB shape: writes are partition-parallel with no driver data
+    movement; a real sink swaps the local directory for an object
+    store / queue client created INSIDE write() (per-task
+    connections, the L5 JDBC pattern)."""
+    import fcntl
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options):  # noqa: ANN001
+            self.path = options.get("path")
+
+        def write(self, it):  # noqa: ANN001, ANN201
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            with open(out, "w") as f:
+                for row in it:
+                    f.write(json.dumps(row.asDict()) + "\n")
+            return WriterCommitMessage()
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):  # noqa: ANN206
+            return "tiny_etl_jsonl_sink"
+
+        def writer(self, schema, overwrite):  # noqa: ANN001, ANN201
+            return JsonlWriter(self.options)
+
+    spark.dataSource.register(JsonlSink)
+    agg = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .coalesce(2)
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_pydsw_{tag}")
+    data_dir = os.path.join(root, "data")
+    os.makedirs(root, exist_ok=True)
+    with open(root + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            os.makedirs(data_dir, exist_ok=True)
+            agg.write.format("tiny_etl_jsonl_sink").option(
+                "path", data_dir
+            ).mode("append").save()
+            back = (
+                spark.read.json(data_dir)
+                .select(
+                    "lang",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("total_chars").cast("bigint").alias("total_chars"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return back

@@ -253,3 +253,120 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
     return back
+
+
+@register(
+    "python_datasource_stream_write",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def python_datasource_stream_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom STREAMING sink via DataSourceStreamWriter (Spark 4) —
+    completes the Python-connector matrix (batch read/write + stream
+    read already registered): each micro-batch's partitions land as
+    batch-stamped JSONL shards, and commit(messages, batchId) runs
+    once per batch at the driver — the exactly-once hook (a real sink
+    records batchId and makes the write idempotent on replay, the
+    same contract foreachBatch users hand-roll). The entry streams
+    the events fixture through the sink (availableNow), reads every
+    shard back, and the per-type totals must equal the batch
+    aggregation — nothing lost, nothing doubled.
+
+    100 TB shape: per-partition writes on executors, a metadata-only
+    commit at the driver; backpressure and replay are the stream
+    engine's problem, not the sink's."""
+    import fcntl
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):  # noqa: ANN001
+            self.path = options.get("path")
+
+        def write(self, it):  # noqa: ANN001, ANN201
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            out = os.path.join(
+                self.path, f"shard-{ctx.stageId()}-{pid:05d}.jsonl"
+            )
+            with open(out, "w") as f:
+                for row in it:
+                    f.write(json.dumps(row.asDict()) + "\n")
+            return WriterCommitMessage()
+
+        def commit(self, messages, batchId):  # noqa: ANN001, ANN201, N803
+            # a durable sink would persist batchId here for idempotent
+            # replay; the roundtrip check below relies on the engine
+            # replaying each batch at most once under availableNow
+            return None
+
+    class JsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls):  # noqa: ANN206
+            return "tiny_etl_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):  # noqa: ANN001, ANN201, N802
+            return JsonlStreamWriter(self.options)
+
+    spark.dataSource.register(JsonlStreamSink)
+    from tiny_etl_multiproc_bigdata_spark.streaming.jobs import (
+        _events_stream,
+    )
+
+    ev = (
+        _events_stream(spark, sf_dir)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_pydssw_{tag}")
+    data_dir = os.path.join(root, "data")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(root, exist_ok=True)
+    with open(root + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            os.makedirs(data_dir, exist_ok=True)
+            q = (
+                ev.writeStream.format("tiny_etl_jsonl_stream_sink")
+                .option("path", data_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            back = (
+                spark.read.json(data_dir)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("cents").cast("bigint").alias("total_cents"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return back

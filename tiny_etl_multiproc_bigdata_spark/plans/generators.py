@@ -93,3 +93,73 @@ def regexp_capture_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"Brand#(\d)(\d)", 1).alias("brand_major"),
         F.regexp_extract("p_brand", r"Brand#(\d)(\d)", 2).alias("brand_minor"),
     )
+
+
+@register(
+    "map_hof_suite",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           '{' || string_agg('"' || upper(event_type) || '":' || (s // n),
+                             ',' ORDER BY event_type) || '}' AS avg_json,
+           '{' || coalesce(string_agg('"' || upper(event_type) || '":'
+                                      || (s // n), ',' ORDER BY event_type)
+                             FILTER (WHERE s // n >= 1000), '') || '}'
+             AS high_json
+    FROM c GROUP BY user_id
+    """,
+)
+def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions as one pipeline: per-user metric maps
+    built with map_from_entries over SORTED entry arrays (the only way
+    a map's serialized key order is deterministic), fused with
+    map_zip_with (integer per-type average = cents-sum zip counts),
+    re-keyed with transform_keys (upper), and thresholded with
+    map_filter — the collection algebra Spark executes entirely in
+    codegen, no explode/re-group round trip. Serialization is to_json
+    of the transformed maps; the oracle reproduces byte-identical JSON
+    with an ordered string_agg, which pins entry ORDER as part of the
+    contract (and '{}' for the filtered-empty case, coalesced on the
+    oracle side). The integer division inside the lambda is the
+    subtract-modulo form ((s - s%n)/n): the operands are exact
+    multiples, so the double quotient is exact on both engines.
+
+    100 TB shape: one shuffle to (user, type) partial aggregates, one
+    to the per-user map build; every map op after that is a per-row
+    expression — the explode-regroup alternative would add a third
+    shuffle on the re-group."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("s"),
+    )
+    per_user = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("cnt_map"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "s")))
+        ).alias("sum_map"),
+    )
+    avg_map = F.map_zip_with(
+        "sum_map",
+        "cnt_map",
+        lambda _k, s, n: ((s - s % n) / n).cast("bigint"),
+    )
+    upper_avg = F.transform_keys(avg_map, lambda k, _v: F.upper(k))
+    high = F.map_filter(upper_avg, lambda _k, v: v >= 1000)
+    return per_user.select(
+        "user_id",
+        F.size("cnt_map").cast("bigint").alias("n_types"),
+        F.to_json(upper_avg).alias("avg_json"),
+        F.to_json(high).alias("high_json"),
+    )

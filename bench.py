@@ -282,6 +282,65 @@ def main() -> None:
         corpus_bytes,
     )
 
+    # embedding_gram_matrix (r7 session 3): pure outer-product
+    # aggregation throughput — replicated embeddings under distinct
+    # vec_ids; the d(d+1)/2 key space is constant, so this isolates the
+    # map-side expansion + partial-agg fold rate.
+    from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import (
+        gram_from_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_bytes = os.path.getsize(f"{sf_dir}/embeddings.parquet")
+    emb_amp = (
+        spark.range(amp_rep)
+        .repartition(cpus)
+        .select(F.col("id").alias("rep"))
+        .crossJoin(F.broadcast(emb.select("vec_id", "embedding")))
+        .select(
+            (F.col("vec_id") * amp_rep + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    timed_amp(
+        "embedding_gram_matrix",
+        lambda: gram_from_embeddings(emb_amp)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        "parquet_mb_per_s",
+        emb_bytes,
+    )
+
+    # naive_bayes_lang_confusion (r7 session 3): model build + broadcast
+    # scoring over a replicated corpus under distinct doc ids — the
+    # localCheckpoint barriers mean the train scan runs once per timed
+    # invocation, not once per model-table consumer.
+    from tiny_etl_multiproc_bigdata_spark.plans.quality import (
+        nb_confusion_from_docs,
+    )
+
+    docs_nb = (
+        spark.range(amp_rep)
+        .repartition(cpus)
+        .select(F.col("id").alias("rep"))
+        .crossJoin(F.broadcast(docs.select("doc_id", "text", "lang")))
+        .select(
+            (F.col("doc_id") * amp_rep + F.col("rep")).alias("doc_id"),
+            "text",
+            "lang",
+        )
+    )
+    timed_amp(
+        "naive_bayes_lang_confusion",
+        lambda: nb_confusion_from_docs(docs_nb)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        "text_mb_per_s",
+        corpus_bytes,
+    )
+
     # sf1 section (VERDICT r06 item 3): the ×16 amplification above
     # replicates the same key spaces (replica independence via a salt
     # column); distinct-key GROWTH — what actually sizes hash tables,

@@ -784,3 +784,124 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast3_cents long"
         ),
     )
+
+
+@register(
+    "streaming_state_timeout_sessions",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS t_us FROM events
+    ),
+    wm AS (
+      SELECT (SELECT epoch_us(max(ts)) // 1000 FROM events) - 3600000 AS ms
+    ),
+    flagged AS (
+      SELECT user_id, t_us,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                       OR t_us - lag(t_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, t_us,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY t_us ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, session_id,
+             min(t_us) AS start_us, max(t_us) AS last_us,
+             count(*) AS n_events,
+             max(session_id) OVER (PARTITION BY user_id) AS last_sid
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(start_us // 1000000 AS BIGINT) AS session_start_epoch,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM agg, wm
+    WHERE session_id < last_sid
+       OR (last_us + 1800000000) // 1000 < wm.ms
+    """,
+)
+def streaming_state_timeout_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arbitrary stateful sessionization with EVENT-TIME TIMEOUTS
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout) —
+    the feature the managed session_window hides: the operator's own
+    state machine folds events into 30-min-gap sessions, emits a
+    session the moment a later event CLOSES it, and registers a
+    timeout at last_event + gap so the watermark — not a future event
+    — flushes the final open session. The oracle states both emission
+    paths: every non-final session unconditionally, the final session
+    only where its timeout precedes the terminal watermark (max event
+    time - 1h delay, ms floor). The hasTimedOut branch is exactly the
+    code path a CEP/TTL operator needs and the NoTimeout counter
+    entry cannot exercise.
+
+    100 TB shape: state is one (start, last, n) triple per user;
+    timeouts evict it, so idle keys cost nothing after gap + delay.
+    Partitioned by user across the shuffle like every stateful op."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tiny_etl_multiproc_bigdata_spark.streaming.jobs import (
+        _events_stream,
+        _run_to_memory,
+    )
+
+    gap_us = 1_800_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        rows = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            rows.append((key[0], start // 1_000_000, n))
+        else:
+            start, last, n = state.get if state.exists else (None, None, 0)
+            import pandas as _pd
+
+            batches = [pdf for pdf in pdf_iter]
+            if batches:
+                df = _pd.concat(batches).sort_values("t_us")
+                for t in df["t_us"]:
+                    t = int(t)
+                    if start is None:
+                        start, last, n = t, t, 1
+                    elif t - last > gap_us:
+                        rows.append((key[0], start // 1_000_000, n))
+                        start, last, n = t, t, 1
+                    else:
+                        last, n = t, n + 1
+            if start is not None:
+                state.update((start, last, n))
+                # event-time timeout: watermark passing last+gap flushes
+                state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start_epoch", "n_events"]
+        )
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        (
+            F.unix_timestamp("ts") * 1_000_000
+            + F.date_format("ts", "SSSSSS").cast("bigint")
+        ).alias("t_us"),
+    )
+    out = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=(
+                "user_id long, session_start_epoch long, n_events long"
+            ),
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return _run_to_memory(out, spark, "stream_state_timeout_sessions", "append")

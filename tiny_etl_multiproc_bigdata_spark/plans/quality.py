@@ -1373,83 +1373,9 @@ _DUCK_BUCKET = (
 )
 
 
-@register(
-    "naive_bayes_lang_confusion",
-    ulp_sensitive=True,
-    oracle=rf"""
-    WITH b AS (
-      SELECT doc_id, text, lang, {_DUCK_BUCKET} AS bucket FROM documents
-    ),
-    train AS (SELECT * FROM b WHERE bucket < {_NB_TRAIN_PCT}),
-    test  AS (SELECT * FROM b WHERE bucket >= {_NB_TRAIN_PCT}),
-    langs AS (SELECT lang, count(*) AS docs_l FROM train GROUP BY 1),
-    tot AS (SELECT sum(docs_l) AS docs_tot FROM langs),
-    ttoks AS (
-      SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM train
-    ),
-    cnts AS (SELECT lang, tok, count(*) AS c FROM ttoks GROUP BY 1, 2),
-    nl AS (SELECT lang, sum(c) AS n_l FROM cnts GROUP BY 1),
-    vv AS (SELECT count(DISTINCT tok) AS v FROM ttoks),
-    lstats AS (
-      SELECT l.lang,
-             CAST(floor(-log2(CAST(l.docs_l AS DOUBLE) / t.docs_tot)
-                        * 1000000 + 0.5) AS BIGINT) AS prior_mb,
-             n.n_l, vv.v,
-             CAST(floor(-log2(1.0 / (n.n_l + vv.v)) * 1000000 + 0.5)
-                  AS BIGINT) AS miss_mb
-      FROM langs l JOIN nl n ON l.lang = n.lang, tot t, vv
-    ),
-    hit AS (
-      SELECT c.lang, c.tok,
-             CAST(floor(-log2(CAST(c.c + 1 AS DOUBLE) / (s.n_l + s.v))
-                        * 1000000 + 0.5) AS BIGINT) AS mb
-      FROM cnts c JOIN lstats s ON c.lang = s.lang
-    ),
-    tt AS (
-      SELECT doc_id, lang AS true_lang, unnest({_DUCK_TOKS}) AS tok
-      FROM test
-    ),
-    sc AS (
-      SELECT tt.doc_id, tt.true_lang, ls.lang AS cand,
-             coalesce(h.mb, ls.miss_mb) AS mb
-      FROM tt CROSS JOIN lstats ls
-      LEFT JOIN hit h ON h.lang = ls.lang AND h.tok = tt.tok
-    ),
-    per AS (
-      SELECT doc_id, true_lang, cand, sum(mb) AS s
-      FROM sc GROUP BY 1, 2, 3
-    ),
-    ranked AS (
-      SELECT p.doc_id, p.true_lang, p.cand,
-             row_number() OVER (PARTITION BY p.doc_id
-                                ORDER BY p.s + ls.prior_mb ASC, p.cand ASC)
-               AS rn
-      FROM per p JOIN lstats ls ON p.cand = ls.lang
-    )
-    SELECT true_lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
-    FROM ranked WHERE rn = 1 GROUP BY 1, 2
-    """,
-)
-def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive Bayes trained IN the engine: learn per-language
-    token distributions (Laplace +1 over the train vocabulary) on a
-    deterministic 80% doc-id-hash split, classify the held-out 20% by
-    argmax of quantized log-posterior, and report the confusion matrix.
-    Unlike knn_label_eval / nearest_centroid_eval (which evaluate given
-    geometric representations), this trains a generative model from raw
-    text — the classic fastText-style lang-id baseline, end to end as
-    one declarative plan. Every -log2 is micro-quantized BEFORE the
-    per-document sum (the unigram_logprob_score policy), so the
-    cross-engine 1-ULP libm tolerance applies to each term, never to an
-    accumulated float; the argmax then compares exact integers with a
-    lexicographic tiebreak.
-
-    100 TB shape: the model — (lang x vocab) counts plus 5 lang rows —
-    is the ONLY state that crosses stages; scoring is one pass over
-    test tokens with a model-sized join (AQE broadcasts it when small)
-    fanned out x|langs| via a broadcast nested loop over a 5-row
-    table. No per-document iteration, no driver round-trips."""
-    d = table(spark, sf_dir, "documents")
+def nb_confusion_from_docs(d: DataFrame) -> DataFrame:
+    """Frame-level NB train+score pipeline (shared by the registry
+    entry and bench.py's amplified topology)."""
     b = d.select(
         "doc_id",
         "text",
@@ -1553,6 +1479,85 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", F.col("cand").alias("pred_lang"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@register(
+    "naive_bayes_lang_confusion",
+    ulp_sensitive=True,
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id, text, lang, {_DUCK_BUCKET} AS bucket FROM documents
+    ),
+    train AS (SELECT * FROM b WHERE bucket < {_NB_TRAIN_PCT}),
+    test  AS (SELECT * FROM b WHERE bucket >= {_NB_TRAIN_PCT}),
+    langs AS (SELECT lang, count(*) AS docs_l FROM train GROUP BY 1),
+    tot AS (SELECT sum(docs_l) AS docs_tot FROM langs),
+    ttoks AS (
+      SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM train
+    ),
+    cnts AS (SELECT lang, tok, count(*) AS c FROM ttoks GROUP BY 1, 2),
+    nl AS (SELECT lang, sum(c) AS n_l FROM cnts GROUP BY 1),
+    vv AS (SELECT count(DISTINCT tok) AS v FROM ttoks),
+    lstats AS (
+      SELECT l.lang,
+             CAST(floor(-log2(CAST(l.docs_l AS DOUBLE) / t.docs_tot)
+                        * 1000000 + 0.5) AS BIGINT) AS prior_mb,
+             n.n_l, vv.v,
+             CAST(floor(-log2(1.0 / (n.n_l + vv.v)) * 1000000 + 0.5)
+                  AS BIGINT) AS miss_mb
+      FROM langs l JOIN nl n ON l.lang = n.lang, tot t, vv
+    ),
+    hit AS (
+      SELECT c.lang, c.tok,
+             CAST(floor(-log2(CAST(c.c + 1 AS DOUBLE) / (s.n_l + s.v))
+                        * 1000000 + 0.5) AS BIGINT) AS mb
+      FROM cnts c JOIN lstats s ON c.lang = s.lang
+    ),
+    tt AS (
+      SELECT doc_id, lang AS true_lang, unnest({_DUCK_TOKS}) AS tok
+      FROM test
+    ),
+    sc AS (
+      SELECT tt.doc_id, tt.true_lang, ls.lang AS cand,
+             coalesce(h.mb, ls.miss_mb) AS mb
+      FROM tt CROSS JOIN lstats ls
+      LEFT JOIN hit h ON h.lang = ls.lang AND h.tok = tt.tok
+    ),
+    per AS (
+      SELECT doc_id, true_lang, cand, sum(mb) AS s
+      FROM sc GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT p.doc_id, p.true_lang, p.cand,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY p.s + ls.prior_mb ASC, p.cand ASC)
+               AS rn
+      FROM per p JOIN lstats ls ON p.cand = ls.lang
+    )
+    SELECT true_lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained IN the engine: learn per-language
+    token distributions (Laplace +1 over the train vocabulary) on a
+    deterministic 80% doc-id-hash split, classify the held-out 20% by
+    argmax of quantized log-posterior, and report the confusion matrix.
+    Unlike knn_label_eval / nearest_centroid_eval (which evaluate given
+    geometric representations), this trains a generative model from raw
+    text — the classic fastText-style lang-id baseline, end to end as
+    one declarative plan. Every -log2 is micro-quantized BEFORE the
+    per-document sum (the unigram_logprob_score policy), so the
+    cross-engine 1-ULP libm tolerance applies to each term, never to an
+    accumulated float; the argmax then compares exact integers with a
+    lexicographic tiebreak.
+
+    100 TB shape: the model — (lang x vocab) counts plus 5 lang rows —
+    is the ONLY state that crosses stages; scoring is one pass over
+    test tokens with a model-sized join (AQE broadcasts it when small)
+    fanned out x|langs| via a broadcast nested loop over a 5-row
+    table. No per-document iteration, no driver round-trips."""
+    return nb_confusion_from_docs(table(spark, sf_dir, "documents"))
 
 
 # ---- rank-biased overlap between two document rankings -------------------

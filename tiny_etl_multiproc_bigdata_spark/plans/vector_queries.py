@@ -1575,6 +1575,36 @@ def hamming_cosine_calibration(
 _GRAM_Q = 10_000
 
 
+def gram_from_embeddings(e: DataFrame) -> DataFrame:
+    """Frame-level Gram pipeline (shared by the registry entry and
+    bench.py's amplified topology)."""
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * _GRAM_Q + 0.5).cast("bigint"),
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                q,
+                lambda xi, i: F.transform(
+                    q,
+                    lambda xj, j: F.struct(
+                        (i + 1).alias("i"),
+                        (j + 1).alias("j"),
+                        (xi * xj).alias("prod"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["j"] >= s["i"],
+    )
+    return (
+        e.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum("p.prod").cast("bigint").alias("gram_units"))
+    )
+
+
 @register(
     "embedding_gram_matrix",
     oracle=f"""
@@ -1610,31 +1640,7 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion dominates, block the dimension (tile the triangle) —
     the same plan per tile."""
     e = table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.floor(x * _GRAM_Q + 0.5).cast("bigint"),
-    )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                q,
-                lambda xi, i: F.transform(
-                    q,
-                    lambda xj, j: F.struct(
-                        (i + 1).alias("i"),
-                        (j + 1).alias("j"),
-                        (xi * xj).alias("prod"),
-                    ),
-                ),
-            )
-        ),
-        lambda s: s["j"] >= s["i"],
-    )
-    return (
-        e.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .agg(F.sum("p.prod").cast("bigint").alias("gram_units"))
-    )
+    return gram_from_embeddings(e)
 
 
 # ---- hard negative mining ------------------------------------------------

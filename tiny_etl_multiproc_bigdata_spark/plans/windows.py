@@ -2508,3 +2508,68 @@ def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             sae_s.cast("double") / F.nullif(sae_n, F.lit(0)), 4
         ).alias("mase"),
     )
+
+
+# ---- cumulative distinct users -------------------------------------------
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events
+      GROUP BY 1
+    ),
+    news AS (
+      SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY 1
+    )
+    SELECT d.day,
+           CAST(d.n_events AS BIGINT) AS n_events,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_distinct_users
+    FROM daily d LEFT JOIN news n ON d.day = n.day
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users to date, per day — the growth-curve
+    metric. The naive formulation (count(DISTINCT user) over an
+    expanding window) re-deduplicates the entire history per day —
+    O(days x users) state and a scale killer; the first-appearance
+    lowering is exact and linear: distinct-to-date == running sum of
+    first-seen counts, because each user increments exactly one day.
+    One shuffle on user for the min-day fold, then everything runs on
+    |days|-sized frames.
+
+    100 TB shape: the user fold is map-side combined; the final
+    running sum orders a calendar-bounded table (thousands of rows)
+    — the single-partition window there is free. Skew-proof: no
+    per-day distinct state anywhere."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            "n_events",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new_users"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_distinct_users"),
+        )
+    )

@@ -2080,3 +2080,98 @@ def bloom_membership_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fpr"),
     )
+
+
+# ---- full correlation matrix over lineitem features ----------------------
+
+# feature -> source column; pair list generated from this dict on BOTH
+# engines so adding a feature cannot desynchronize them
+_CORRM_FEATS = {
+    "qty": "l_quantity",
+    "price": "l_extendedprice",
+    "disc": "l_discount",
+    "tax": "l_tax",
+}
+_CORRM_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORRM_FEATS)
+    for b in list(_CORRM_FEATS)[i + 1 :]
+]
+
+
+def _corrm_oracle() -> str:
+    sums = ["count(*) AS n"]
+    for f, col in _CORRM_FEATS.items():
+        sums.append(
+            f"CAST(sum(CAST({col} AS DECIMAL(30,4))) AS DOUBLE) AS s_{f}"
+        )
+    for a, b in [(f, f) for f in _CORRM_FEATS] + _CORRM_PAIRS:
+        sums.append(
+            f"CAST(sum(CAST({_CORRM_FEATS[a]} AS DECIMAL(30,4))"
+            f" * CAST({_CORRM_FEATS[b]} AS DECIMAL(30,4))) AS DOUBLE)"
+            f" AS s_{a}_{b}"
+        )
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{a}' AS feature_a, '{b}' AS feature_b,
+           (floor((n * s_{a}_{b} - s_{a} * s_{b})
+                  / nullif(sqrt(n * s_{a}_{a} - s_{a} * s_{a})
+                           * sqrt(n * s_{b}_{b} - s_{b} * s_{b}), 0)
+                  * 1000000 + 0.5) / 1000000) AS corr FROM s"""
+        for a, b in _CORRM_PAIRS
+    )
+    return f"WITH s AS (\n      SELECT {', '.join(sums)} FROM lineitem\n    )\n    {rows}"
+
+
+@register("corr_matrix_features", oracle=_corrm_oracle())
+def corr_matrix_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX over four lineitem measures
+    in ONE pass — the EDA staple (agg_correlation's single pair,
+    generalized): all 4 sums + 10 product sums accumulate as exact
+    DECIMAL(30,4) in a single aggregation, and the 6 upper-triangle
+    correlations are pure row-local arithmetic on that one row.
+    Adding a feature is a dict entry; the pair list and both engines'
+    expressions are generated from the same dict (the knob-desync
+    guard). Cross-engine agreement is the agg_correlation argument:
+    exact decimal sums -> identical doubles -> identical IEEE
+    formula -> 1e-6 quantization, with a nullif guard for
+    zero-variance features.
+
+    100 TB shape: one scan, 15 map-side-combined decimal
+    accumulators, a 1-row result fanned to 6 — the naive per-pair
+    corr() would scan the table 6 times."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = {
+        f: F.col(c).cast("decimal(30,4)") for f, c in _CORRM_FEATS.items()
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for f in _CORRM_FEATS:
+        aggs.append(F.sum(dec[f]).cast("double").alias(f"s_{f}"))
+    for a, b in [(f, f) for f in _CORRM_FEATS] + _CORRM_PAIRS:
+        aggs.append(
+            F.sum(dec[a] * dec[b]).cast("double").alias(f"s_{a}_{b}")
+        )
+    s = li.agg(*aggs)
+    n = F.col("n")
+
+    def corr(a: str, b: str) -> F.Column:
+        num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ) * F.sqrt(
+            n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        )
+        return F.floor(
+            num / F.nullif(den, F.lit(0.0)) * 1_000_000 + 0.5
+        ) / 1_000_000
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("feature_a"),
+                F.lit(b).alias("feature_b"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in _CORRM_PAIRS
+        ]
+    )
+    return s.select(F.explode(pairs).alias("p")).select("p.*")

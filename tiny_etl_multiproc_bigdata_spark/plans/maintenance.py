@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
@@ -919,4 +920,68 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.min("y").cast("bigint").alias("min_cents"),
         F.max("y").cast("bigint").alias("max_cents"),
+    )
+
+
+# ---- order-invariant partition checksums ---------------------------------
+
+_CKSUM_BUCKETS = 64
+
+
+@register(
+    "merkle_partition_checksums",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey % {_CKSUM_BUCKETS} AS bucket,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                                       || o_orderstatus || '|'
+                                       || CAST(CAST(floor(o_totalprice * 100
+                                                          + 0.5) AS BIGINT)
+                                               AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS rh
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS checksum
+    FROM h GROUP BY bucket
+    """,
+)
+def merkle_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant per-bucket table checksums — the reconciliation
+    primitive behind anti-entropy / replica-diff protocols (and the
+    cheap way to answer "did this 100 TB copy drift?" without moving
+    rows): each row hashes its canonical serialization (key, status,
+    exact cents) to 60 portable md5 bits, buckets fold them with XOR —
+    commutative and associative, so partial results merge in ANY order
+    and ANY partitioning, which is precisely why XOR (not sum, which
+    overflows, and not a hash of a sorted list, which needs a sort) is
+    the right fold. Two mismatched buckets localize a diff to 1/64 of
+    the keyspace; recursing on a mismatched bucket is the Merkle
+    descent.
+
+    100 TB shape: one scan, map-side XOR partials, a 64-row shuffle.
+    Verification of a replica costs a second scan THERE plus
+    exchanging 64 rows — never row shipping."""
+    o = table(spark, sf_dir, "orders")
+    rh = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+        )
+    )
+    return (
+        o.select(
+            (F.col("o_orderkey") % _CKSUM_BUCKETS).alias("bucket"),
+            rh.alias("rh"),
+        )
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor("rh").cast("bigint").alias("checksum"),
+        )
     )

@@ -2573,3 +2573,59 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_distinct_users"),
         )
     )
+
+
+# ---- half-life time-decayed revenue --------------------------------------
+
+
+@register(
+    "half_life_weighted_revenue",
+    oracle="""
+    WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+    v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(ref.ref_day - CAST(ts AS DATE) AS BIGINT) // 7 AS age_w
+      FROM events, ref
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS raw_cents,
+           CAST(sum(cents // (1::BIGINT << least(age_w, 62))) AS BIGINT)
+             AS decayed_cents
+    FROM v GROUP BY event_type
+    """,
+)
+def half_life_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed (half-life) revenue: each event's cents are worth
+    half as much for every week of age relative to the newest event —
+    recency weighting for engagement/LTV scoring. The decay is an
+    EXACT integer operation (cents // 2^age_weeks, shift capped at 62
+    to dodge overflow on ancient rows) instead of the usual
+    pow(0.5, age/7.0) double — so partial sums commute bit-exactly
+    across engines and partitions, the same motivation as every other
+    integer-exact entry, here applied to the one aggregate people
+    always compute with floats. The reference day is an aggregate
+    broadcast, not a driver-side now().
+
+    100 TB shape: one scan + map-side combined groupBy; the ref-day
+    scalar joins by broadcast. Nothing ordered, nothing windowed."""
+    e = table(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    v = e.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.floor(
+            F.datediff(F.col("ref_day"), F.to_date("ts")) / 7
+        )
+        .cast("bigint")
+        .alias("age_w"),
+    )
+    decayed = F.expr(
+        "shiftright(cents, cast(least(age_w, 62L) as int))"
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("raw_cents"),
+        F.sum(decayed).cast("bigint").alias("decayed_cents"),
+    )

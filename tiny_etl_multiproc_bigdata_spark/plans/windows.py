@@ -2629,3 +2629,56 @@ def half_life_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("raw_cents"),
         F.sum(decayed).cast("bigint").alias("decayed_cents"),
     )
+
+
+# ---- interval-based RANGE frame ------------------------------------------
+
+
+@register(
+    "window_range_interval_frame",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS trailing7d_cents,
+           CAST(count(*) OVER (
+             PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS trailing7d_events
+    FROM events
+    """,
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a calendar-INTERVAL offset — a trailing 7-day
+    sum/count per event, frame bounds resolved against the ordering
+    timestamp's VALUE (every event within 168 hours, however many rows
+    that is), the semantics neither ROWS frames nor day-bucketed
+    rollups give: two events 1 second apart across midnight share
+    almost their whole frame. Tie-safety is inherent to RANGE (peers
+    share a frame), so no id tiebreak is needed — or allowed. Spark
+    only exposes interval bounds through the SQL frame syntax
+    (rangeBetween takes longs), so the engine side IS spark.sql — an
+    API-parity point worth pinning.
+
+    100 TB shape: one shuffle on event_type + one sort; the running
+    frame advances two pointers over the sorted partition — state is
+    the in-frame aggregate, not the frame's rows (sum/count are
+    invertible; max would pay a different cost)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView(
+        "range_interval_ev"
+    )
+    return spark.sql(
+        """
+        SELECT event_id, event_type,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS trailing7d_cents,
+               CAST(count(*) OVER (
+                 PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS trailing7d_events
+        FROM range_interval_ev
+        """
+    )

@@ -537,3 +537,111 @@ def _register_dynamic_partition_overwrite() -> None:
 
 
 _register_dynamic_partition_overwrite()
+
+
+def _register_csv_permissive() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "csv_permissive_corrupt_records",
+        oracle="""
+        WITH base AS (
+          SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 200
+        )
+        SELECT CAST(count(CASE WHEN doc_id % 13 <> 0 THEN 1 END) AS BIGINT)
+                 AS n_good,
+               CAST(count(CASE WHEN doc_id % 13 = 0 THEN 1 END) AS BIGINT)
+                 AS n_corrupt,
+               CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN n_chars END)
+                    AS BIGINT) AS good_chars,
+               CAST(count(DISTINCT CASE WHEN doc_id % 13 <> 0 THEN
+                      CASE WHEN doc_id % 7 = 0 THEN source || ';ok'
+                           ELSE source END END) AS BIGINT)
+                 AS n_distinct_sources
+        FROM base
+        """,
+    )
+    def csv_permissive_corrupt_records(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """CSV parser compliance under PERMISSIVE mode (the reference's
+        CSV loader domain, hardened): the staged file mixes clean rows,
+        QUOTED fields containing the delimiter (every 7th doc's source
+        becomes "src;ok" — must parse as one field), and rows with an
+        extra unquoted field (every 13th doc — schema mismatch). The
+        read must parse the quoted delimiters correctly, capture each
+        malformed line in `_corrupt_record` WITHOUT nulling the whole
+        batch or aborting (FAILFAST's behavior), and account for every
+        line exactly once: n_good + n_corrupt == lines written. The
+        oracle never parses the CSV — it derives the expected outcome
+        from the same rules applied relationally, so a parser
+        divergence (swallowed lines, mis-split quotes) cannot cancel
+        out.
+
+        100 TB shape: CSV parsing is per-split streaming; PERMISSIVE
+        keeps one bad upstream line from failing a 10-hour ingest —
+        the corrupt column IS the dead-letter queue."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+        rows = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "source", "n_chars")
+            .collect()
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_csvperm_{tag}")
+        os.makedirs(root, exist_ok=True)
+        path = os.path.join(root, "data.csv")
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                with open(path, "w") as f:
+                    for r in sorted(rows, key=lambda r: r["doc_id"]):
+                        src = (
+                            f'"{r["source"]};ok"'
+                            if r["doc_id"] % 7 == 0
+                            else r["source"]
+                        )
+                        line = f'{r["doc_id"]};{src};{r["n_chars"]}'
+                        if r["doc_id"] % 13 == 0:
+                            line += ";EXTRA"
+                        f.write(line + "\n")
+                back = (
+                    spark.read.schema(
+                        "doc_id long, source string, n_chars long, "
+                        "_corrupt_record string"
+                    )
+                    .option("sep", ";")
+                    .option("mode", "PERMISSIVE")
+                    .option("columnNameOfCorruptRecord", "_corrupt_record")
+                    .csv(path)
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        good = F.col("_corrupt_record").isNull()
+        return back.agg(
+            F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias(
+                "n_good"
+            ),
+            F.sum(F.when(~good, 1).otherwise(0)).cast("bigint").alias(
+                "n_corrupt"
+            ),
+            F.sum(F.when(good, F.col("n_chars"))).cast("bigint").alias(
+                "good_chars"
+            ),
+            F.count_distinct(
+                F.when(good, F.col("source"))
+            )
+            .cast("bigint")
+            .alias("n_distinct_sources"),
+        )
+
+
+_register_csv_permissive()

@@ -1748,3 +1748,102 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _HARDNEG_K)
     )
+
+
+# ---- embedding drift between hash-split halves ---------------------------
+
+
+@register(
+    "embedding_drift_centroids",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS half,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, half, i.i AS i,
+             sum(qv[i.i]) AS s, count(*) AS n
+      FROM q, (SELECT unnest(generate_series(1, 64)) AS i) i
+      GROUP BY label, half, i.i
+    ),
+    paired AS (
+      SELECT a.label, a.n AS n_a, b.n AS n_b,
+             CAST(sum((a.s * b.n - b.s * a.n)
+                      * (a.s * b.n - b.s * a.n)) AS DOUBLE) AS num
+      FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+                 AND a.half = 0 AND b.half = 1
+      GROUP BY a.label, a.n, b.n
+    )
+    SELECT label,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           (floor(sqrt(num) / (n_a * n_b) / 10000 * 1000000 + 0.5)
+            / 1000000) AS centroid_l2_dist
+    FROM paired
+    """,
+)
+def embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: split each label's vectors into
+    two deterministic md5 halves (standing in for two pipeline
+    vintages) and measure the L2 distance between the halves'
+    centroids — the first alarm for "the new encoder shifted the
+    space" before any downstream metric moves. The mean-difference is
+    computed in cross-multiplied integer form (sum_a·n_b - sum_b·n_a,
+    exact BIGINTs from fixed-point elements) so the only float ops
+    are one sqrt and one division at the very end, quantized at 1e-6
+    — the distribution-level sibling of distribution_drift_psi, in
+    embedding space.
+
+    100 TB shape: per-(label, half) vector sums fold map-side (one
+    pass, d accumulators each); the distance runs on 2·|labels| rows.
+    No pairwise anything."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 10_000 + 0.5).cast("bigint"),
+    )
+    q = e.select(
+        "label",
+        (md5_long(F.col("vec_id").cast("string")) % 2).alias("half"),
+        qv.alias("qv"),
+    )
+    cent = q.groupBy("label", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(
+            *[
+                F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                for i in range(64)
+            ]
+        ).alias("sv"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_a"), F.col("sv").alias("sv_a")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_b"), F.col("sv").alias("sv_b")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            "sv_a",
+            "sv_b",
+            lambda x, y: (x * F.col("n_b") - y * F.col("n_a"))
+            * (x * F.col("n_b") - y * F.col("n_a")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return a.join(b, "label").select(
+        "label",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        round_half_up(
+            F.sqrt(diff2.cast("double"))
+            / (F.col("n_a") * F.col("n_b"))
+            / 10_000,
+            6,
+        ).alias("centroid_l2_dist"),
+    )

@@ -2682,3 +2682,141 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM range_interval_ev
         """
     )
+
+
+# ---- session-gap sensitivity curve ---------------------------------------
+
+_GAP_GRID_S = (300, 900, 1800, 3600)
+
+
+@register(
+    "session_gap_sensitivity",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    u AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+    SELECT t.gap_s,
+           CAST(u.n_users + (SELECT count(*) FROM g
+                             WHERE gap_us > t.gap_s * 1000000::BIGINT)
+                AS BIGINT) AS n_sessions
+    FROM (VALUES {", ".join(f"({g})" for g in _GAP_GRID_S)}) t(gap_s), u
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization threshold tuning as ONE aggregation: the session
+    count at inactivity gap g is n_users + |inter-event gaps > g|
+    (every user starts one session; each over-threshold gap starts
+    another), so the whole sensitivity curve — how session counts
+    respond to the 5/15/30/60-minute knob — comes from a single pass
+    over the gap distribution instead of re-sessionizing per
+    threshold. The identity is exact, not an estimate; the grid is
+    one shared tuple on both engines.
+
+    100 TB shape: one user-partitioned lag pass; the curve itself is
+    |grid| conditional counts folded map-side. Re-running full
+    sessionization per candidate gap — the naive tuning loop — scans
+    the corpus |grid| times for the same numbers."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    )
+    g = e.select((t_us - F.lag(t_us).over(w)).alias("gap_us"))
+    n_users = e.agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    counts = g.crossJoin(F.broadcast(n_users)).agg(
+        F.first("n_users").alias("n_users"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("gap_us") > gap * 1_000_000, 1
+                ).otherwise(0)
+            ).alias(f"over_{gap}")
+            for gap in _GAP_GRID_S
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(gap).alias("gap_s"),
+                (F.col("n_users") + F.col(f"over_{gap}"))
+                .cast("bigint")
+                .alias("n_sessions"),
+            )
+            for gap in _GAP_GRID_S
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        F.col("r.gap_s").cast("bigint").alias("gap_s"), "r.n_sessions"
+    )
+
+
+# ---- multi-granularity time rollup (DataFrame groupingSets) --------------
+
+
+@register(
+    "time_grouping_sets_rollup",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(date_trunc('month', ts) AS DATE) AS mon,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
+                WHEN GROUPING(mon) = 0 THEN 'month'
+                ELSE 'total' END AS grain,
+           coalesce(CAST(day AS VARCHAR), CAST(mon AS VARCHAR), '*')
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM v
+    GROUP BY GROUPING SETS ((day), (mon), ())
+    """,
+)
+def time_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + monthly + grand-total revenue in ONE pass via GROUPING
+    SETS — through the DataFrame `groupingSets` API new in Spark 4
+    (agg_grouping_sets pins the SQL syntax; this pins the programmatic
+    surface on a time hierarchy, the rollup-cache shape every BI layer
+    materializes). GROUPING() disambiguates which grain produced each
+    row — never `IS NULL` on the key, which conflates a rolled-up
+    bucket with a genuinely null one. The engine expands the sets with
+    a single Expand node over one scan: three rollups, one shuffle.
+
+    100 TB shape: Expand multiplies rows x|sets| BEFORE the partial
+    aggregate but each replica carries only its set's keys, and
+    map-side combine collapses them immediately — still one scan and
+    one exchange versus three separate jobs (the union-of-aggregates
+    alternative scans 3x)."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        F.to_date("ts").alias("day"),
+        F.trunc("ts", "month").alias("mon"),
+        exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    g = v.groupingSets([["day"], ["mon"], []], "day", "mon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.grouping("day").alias("g_day"),
+        F.grouping("mon").alias("g_mon"),
+    )
+    return g.select(
+        F.when(F.col("g_day") == 0, F.lit("day"))
+        .when(F.col("g_mon") == 0, F.lit("month"))
+        .otherwise(F.lit("total"))
+        .alias("grain"),
+        F.coalesce(
+            F.col("day").cast("string"),
+            F.col("mon").cast("string"),
+            F.lit("*"),
+        ).alias("bucket"),
+        "n",
+        "cents",
+    )

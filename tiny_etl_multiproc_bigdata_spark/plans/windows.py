@@ -2820,3 +2820,118 @@ def time_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "cents",
     )
+
+
+# ---- linear interpolation of daily gaps ----------------------------------
+
+
+@register(
+    "linear_interpolate_gaps",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
+      GROUP BY user_id
+    ),
+    spine AS (
+      SELECT s.user_id, CAST(g.g AS DATE) AS day
+      FROM span s, LATERAL (
+        SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g
+      ) g
+    ),
+    j AS (
+      SELECT sp.user_id, sp.day, d.cents,
+             last_value(d.cents IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN d.cents IS NOT NULL THEN sp.day END
+                        IGNORE NULLS) OVER wp AS prev_d,
+             first_value(d.cents IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN d.cents IS NOT NULL THEN sp.day END
+                         IGNORE NULLS) OVER wf AS next_d
+      FROM spine sp LEFT JOIN daily d
+        ON d.user_id = sp.user_id AND d.day = sp.day
+      WINDOW wp AS (PARTITION BY sp.user_id ORDER BY sp.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY sp.user_id ORDER BY sp.day
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CAST(coalesce(cents,
+                 prev_v + CAST(floor(
+                   CAST((next_v - prev_v)
+                        * CAST(day - prev_d AS BIGINT) AS DOUBLE)
+                   / CAST(next_d - prev_d AS BIGINT)) AS BIGINT))
+                AS BIGINT) AS cents,
+           (cents IS NULL) AS imputed
+    FROM j
+    """,
+)
+def linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over missing days in each user's daily
+    spend series — the imputation step up from locf_impute (which
+    holds the last value flat, biasing trends): a gap day between two
+    observed days takes the straight-line value, computed as an exact
+    lerp: prev + floor((next-prev)·offset / span) with the floor
+    spelled out on BOTH engines — DuckDB's `//` truncates toward zero
+    on negative quotients (observed: -7 // 2 = -3) while Spark's
+    floor() floors, so the naive integer-division form silently
+    diverges one cent on every declining gap. The double quotient is
+    exact-input (operands < 2^53), making the explicit floor
+    engine-identical. The calendar spine comes from sequence()/generate_series
+    per user between their own first and last active day, so no
+    global calendar join and no rows outside a user's lifetime.
+
+    100 TB shape: spine expansion is bounded by |users| x |span
+    days|; the two IGNORE-NULLS window passes share one user
+    partitioning. The interpolation never looks beyond the partition
+    — shard-safe."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    j2 = j.select(
+        "user_id",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    lerp = F.col("prev_v") + F.floor(
+        (F.col("next_v") - F.col("prev_v"))
+        * F.datediff("day", "prev_d")
+        / F.datediff("next_d", "prev_d")
+    ).cast("bigint")
+    return j2.select(
+        "user_id",
+        "day",
+        F.coalesce("cents", lerp).cast("bigint").alias("cents"),
+        F.col("cents").isNull().alias("imputed"),
+    )

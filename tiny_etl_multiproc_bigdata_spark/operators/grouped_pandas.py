@@ -905,3 +905,69 @@ def streaming_state_timeout_sessions(
         )
     )
     return _run_to_memory(out, spark, "stream_state_timeout_sessions", "append")
+
+
+@register(
+    "pandas_grouped_agg_udf",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CASE WHEN sum(vol) = 0 THEN NULL
+                ELSE (floor(CAST(sum(cents * vol) AS DOUBLE) / sum(vol)
+                            * 10000 + 0.5) / 10000) END AS wavg_cents
+    FROM v GROUP BY event_type
+    """,
+)
+def pandas_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the third pandas-UDF shape (scalar and
+    grouped-map are registered elsewhere): a vectorized aggregate that
+    consumes each group's columns as pandas Series and returns ONE
+    scalar, usable inside .agg() alongside built-ins. The UDF computes
+    a volume-weighted mean with int64 accumulation inside pandas
+    (exact, order-independent — a float dot product would vary with
+    row order across shuffles) and quantizes before returning, so the
+    double that crosses Arrow is already deterministic.
+
+    100 TB shape: unlike built-in aggregates, grouped-agg pandas UDFs
+    do NOT partial-aggregate — each group's full column set ships to
+    one python worker. Correct tool for modest group counts with
+    heavy per-group math; for token-stream scale the built-in
+    sum(cents*vol)/sum(vol) (the oracle's form) is the hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(cents: pd.Series, vol: pd.Series) -> float:
+        num = int((cents.astype("int64") * vol.astype("int64")).sum())
+        den = int(vol.astype("int64").sum())
+        if den == 0:
+            return None
+        import math
+
+        return math.floor(num / den * 10000 + 0.5) / 10000
+
+    @pandas_udf("long")
+    def n_rows(cents: pd.Series) -> int:
+        # grouped-agg UDFs cannot mix with built-in aggregates in one
+        # .agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides as a
+        # second pandas aggregate instead
+        return len(cents)
+
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    ).filter(F.col("vol").isNotNull())
+    return v.groupBy("event_type").agg(
+        n_rows("cents").alias("n"),
+        wavg("cents", "vol").alias("wavg_cents"),
+    )

@@ -2191,3 +2191,89 @@ def largest_remainder_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# c-TF-IDF: class-based top terms per cluster
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ctfidf_cluster_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, lower(t.token) AS term
+      FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY lang, term),
+    cdf AS (SELECT term, count(DISTINCT lang) AS cdf FROM tf GROUP BY term),
+    nc AS (SELECT count(DISTINCT lang) AS n FROM tf),
+    scored AS (
+      SELECT tf.lang, tf.term, tf.tf,
+             CAST(tf.tf * (nc.n + 1) * 10000 // (cdf.cdf + 1) AS BIGINT)
+               AS score_scaled
+      FROM tf JOIN cdf USING (term), nc
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY score_scaled DESC, term ASC)
+               AS rn
+      FROM scored
+    )
+    SELECT lang, term, CAST(tf AS BIGINT) AS tf, score_scaled, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF (class-based TF-IDF, the BERTopic topic-labeling
+    statistic): treat each language as one aggregate "class document",
+    score terms by in-class frequency down-weighted by how many
+    classes contain them, and keep each class's top 5 — the automatic
+    label for any clustering (swap lang for a kmeans/community
+    assignment and the plan is unchanged). Same integer-rational IDF
+    discipline as the per-document tfidf_topk_terms: tf·(N+1)·10^4
+    div (cdf+1), bigint division end to end, zero float ordering
+    anywhere.
+
+    100 TB shape: the class-term matrix (|classes| x vocab) is the
+    only shuffled state, already map-side combined; class-document
+    frequencies fold over that matrix, not the corpus. Ranking
+    partitions by class — WindowGroupLimit keeps the top-5 heap
+    per class."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cdf = tf.groupBy("term").agg(F.count_distinct("lang").alias("cdf"))
+    nc = tf.agg(F.count_distinct("lang").alias("n"))
+    scored = (
+        tf.join(cdf, "term")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            F.expr("tf * (n + 1) * 10000 div (cdf + 1)")
+            .cast("bigint")
+            .alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_scaled"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "lang", "term", F.col("tf").cast("bigint").alias("tf"),
+            "score_scaled", "rn",
+        )
+    )

@@ -2425,3 +2425,125 @@ def ransac_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_micro"),
         )
     )
+
+
+# ---- Kruskal-Wallis H across weekdays ------------------------------------
+
+
+@register(
+    "kruskal_wallis_weekday",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS wd,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    gv AS (SELECT wd, cents, count(*) AS c FROM v GROUP BY wd, cents),
+    tv AS (
+      SELECT cents, sum(c) AS t,
+             coalesce(sum(sum(c)) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM gv GROUP BY cents
+    ),
+    rg AS (
+      SELECT gv.wd,
+             CAST(sum(gv.c) AS BIGINT) AS n_g,
+             CAST(sum(gv.c * (2 * tv.below + tv.t + 1)) AS BIGINT) AS r2
+      FROM gv JOIN tv USING (cents) GROUP BY gv.wd
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             sum(CAST(r2 AS DOUBLE) * r2 / n_g) AS s,
+             CAST(count(*) AS BIGINT) AS k
+      FROM rg
+    ),
+    ties AS (
+      SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS tsum
+      FROM tv
+    )
+    SELECT tot.n,
+           CAST(tot.k - 1 AS BIGINT) AS dof,
+           (floor((3.0 * tot.s / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+                   - 3.0 * (tot.n + 1))
+                  / nullif(1.0 - ties.tsum
+                           / (CAST(tot.n AS DOUBLE) * tot.n * tot.n
+                              - tot.n), 0)
+                  * 1000000 + 0.5) / 1000000) AS h_adj
+    FROM tot, ties
+    """,
+)
+def kruskal_wallis_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the 7 weekday groups of event values —
+    the nonparametric twin of anova_weekday_revenue (rank-based, so a
+    heavy-tailed value distribution can't fake or mask an effect).
+    Midranks come from the VALUE HISTOGRAM (the mann_whitney_u trick,
+    extended to k groups): doubled midrank 2·below + t + 1 keeps every
+    per-group rank sum an exact BIGINT, ties correct through the
+    standard (t³-t) factor accumulated in HUGEINT/decimal, and the
+    only doubles are the final closed-form ratio — identical IEEE ops
+    on identical exact inputs on both engines, quantized at 1e-6. The
+    epoch-floor weekday bucketing is the repo's portable day-of-week.
+
+    100 TB shape: two histogram-sized aggregations (values x groups,
+    then values), a 7-row combine — no global rank sort, no per-row
+    window; the classic rank-test scan-sort is designed out exactly
+    as in mann_whitney_u."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        (
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") % 7
+        ).alias("wd"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    gv = v.groupBy("wd", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tv = (
+        gv.groupBy("cents")
+        .agg(F.sum("c").alias("t"))
+        .select(
+            "cents",
+            "t",
+            F.coalesce(F.sum("t").over(wv), F.lit(0)).alias("below"),
+        )
+    )
+    rg = (
+        gv.join(tv, "cents")
+        .groupBy("wd")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("c")
+                * (2 * F.col("below") + F.col("t") + 1)
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    tot = rg.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(
+            F.col("r2").cast("double") * F.col("r2") / F.col("n_g")
+        ).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ties = tv.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("tsum")
+    )
+    n = F.col("n").cast("double")
+    h = 3.0 * F.col("s") / (n * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1)
+    c = F.lit(1.0) - F.col("tsum") / (n * F.col("n") * F.col("n") - F.col("n"))
+    return tot.crossJoin(F.broadcast(ties)).select(
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        round_half_up(h / F.nullif(c, F.lit(0.0)), 6).alias("h_adj"),
+    )

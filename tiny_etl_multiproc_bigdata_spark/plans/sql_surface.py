@@ -747,3 +747,65 @@ def sql_scripting_iterative_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "pandas_api_merge_asof",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT p.purchase_id, p.user_id,
+             max_by(s.event_id, s.ts) AS signup_id
+      FROM p LEFT JOIN s
+        ON s.user_id = p.user_id AND s.ts <= p.p_ts
+      GROUP BY p.purchase_id, p.user_id
+    )
+    SELECT purchase_id, user_id, signup_id FROM m
+    """,
+)
+def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark ``merge_asof`` — the pandas idiom for the as-of
+    join (each purchase picks the LATEST signup at or before it, per
+    user), compiled by the pandas API front-end into the same
+    broadcast/range plan the native asof entries build by hand
+    (asof_last_signup is the DataFrame twin; this pins that a pandas
+    user gets identical semantics with the pandas call signature).
+    The oracle is the max_by formulation; unmatched purchases keep a
+    NULL signup, exactly pandas' left-asof contract. Timestamps in the
+    fixture are unique per user, so the latest-at-or-before pick is
+    deterministic without a tiebreak (merge_asof offers none — a
+    semantic limit of the pandas API worth pinning).
+
+    100 TB shape: same as any as-of join — co-partition by user,
+    per-key ordered scan; the pandas API adds no driver round-trip
+    here (no default index is ever materialized: both frames carry
+    explicit columns only)."""
+    import pyspark.pandas as ps
+
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("event_id").alias("signup_id"), "ts")
+        .pandas_api()
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.col("event_id").alias("purchase_id"), "ts"
+        )
+        .pandas_api()
+    )
+    out = ps.merge_asof(
+        p.sort_values("ts"),
+        s.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    )
+    return out.to_spark().select("purchase_id", "user_id", "signup_id")

@@ -664,13 +664,9 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("dedup_simhash", oracle=_simhash_oracle())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (32-bit) per document over its distinct vocabulary:
-    explode tokens → one groupBy(doc) computing all 32 signed bit-sums →
-    recompose the sign bits. Near-dups then cluster by hamming distance
-    on this key (exact-equality clustering is `GROUP BY simhash`)."""
-    d = table(spark, sf_dir, "documents")
+def simhash_from_docs(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over any (doc_id, text) frame — shared by the
+    dedup_simhash entry and the method-agreement diagnostic."""
     tok = d.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     ).distinct()
@@ -691,6 +687,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         simhash = term if simhash is None else simhash + term
     return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per document over its distinct vocabulary:
+    explode tokens → one groupBy(doc) computing all 32 signed bit-sums →
+    recompose the sign bits. Near-dups then cluster by hamming distance
+    on this key (exact-equality clustering is `GROUP BY simhash`)."""
+    return simhash_from_docs(table(spark, sf_dir, "documents"))
 
 
 # Document-frequency cap for the Jaccard inverted index (VERDICT r01
@@ -1349,4 +1354,98 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             cb.alias("containment_b"),
             (F.greatest(ca, cb) >= float(_CONTAIN_FLAG)).alias("subset_flag"),
         )
+    )
+
+
+# ---- method-agreement diagnostic: minhash LSH vs simhash ------------------
+
+
+def _agreement_oracle() -> str:
+    h = _DUCK_H.format(expr="token")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_N_SIM_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN 1::BIGINT << {b} ELSE 0 END)"
+        for b in range(_N_SIM_BITS)
+    )
+    return (
+        _MINHASH_PAIR_CTES
+        + rf""",
+stok AS (
+  SELECT DISTINCT doc_id, t.token AS token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                          x -> x <> '')) AS t(token)
+), sbits AS (
+  SELECT doc_id, {bit_sums} FROM stok GROUP BY doc_id
+), shash AS (
+  SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM sbits
+), spairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shash a JOIN shash b
+    ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+), mpairs AS (SELECT doc_a, doc_b FROM mh),
+u AS (
+  SELECT coalesce(m.doc_a, s.doc_a) AS doc_a,
+         (m.doc_a IS NOT NULL) AS in_m, (s.doc_a IS NOT NULL) AS in_s
+  FROM mpairs m FULL JOIN spairs s
+    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+)
+SELECT CAST(sum(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(sum(CASE WHEN in_m AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_minhash_only,
+       CAST(sum(CASE WHEN in_s AND NOT in_m THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_simhash_only
+FROM u
+"""
+    )
+
+
+@register("dedup_method_agreement", oracle=_agreement_oracle())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup diagnostic: how much do MinHash-LSH candidate
+    pairs and SimHash exact-collision pairs AGREE on this corpus? The
+    three counts (both / minhash-only / simhash-only) are the
+    monitoring table a curation pipeline watches when tuning either
+    signal — a sudden divergence means one method's knob (band width,
+    hamming radius) drifted off the duplication profile, which no
+    single-method metric can show. Both pair generators are the
+    registered entries' own factored pipelines, so this diagnoses the
+    production signals, not re-implementations.
+
+    100 TB shape: the union of two bounded pair sets (each linear
+    under the respective blocking guarantees) joined pair-to-pair —
+    no new quadratic surface; the output is one row."""
+    d = table(spark, sf_dir, "documents")
+    pm = minhash_pairs_from_docs(d).select("doc_a", "doc_b")
+    sh = simhash_from_docs(d)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    ps = a.join(
+        b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b")
+    u = pm.withColumn("in_m", F.lit(True)).join(
+        ps.withColumn("in_s", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    in_m = F.coalesce("in_m", F.lit(False))
+    in_s = F.coalesce("in_s", F.lit(False))
+    return u.agg(
+        F.sum(F.when(in_m & in_s, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(F.when(in_m & ~in_s, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_minhash_only"),
+        F.sum(F.when(in_s & ~in_m, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_simhash_only"),
     )

@@ -985,3 +985,90 @@ def merkle_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("rh").cast("bigint").alias("checksum"),
         )
     )
+
+
+# ---- right-to-erasure cascade audit --------------------------------------
+
+_ERASE_PCT = 5  # md5-bucket percentage of users selected for erasure
+
+
+@register(
+    "right_to_erasure_cascade",
+    oracle=f"""
+    WITH victims AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 < {_ERASE_PCT}
+    ),
+    o_del AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT k FROM victims)
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT count(*) FROM victims) AS BIGINT) AS n_delete,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM o_del) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'events',
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id IN (SELECT k FROM victims)) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    """,
+)
+def right_to_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) impact audit: given a
+    deterministic cohort of data subjects (md5-bucketed 5% of
+    customers), count the rows each table must delete when the
+    deletion CASCADES through the schema's foreign keys — customer →
+    orders → lineitem directly, plus the behavioral events stream by
+    user id. This is the pre-flight report a compliance pipeline
+    produces before issuing the actual deletes (and its row counts
+    are the acceptance test afterwards); the oracle's IN-subquery
+    formulation and the engine's semi-joins must agree exactly.
+
+    100 TB shape: the victim set is customer-scale but tiny after the
+    bucket filter — broadcast semi-joins down the cascade; the
+    lineitem leg semi-joins against the deleted-orders keys, which at
+    worst falls back to a shuffled semi-join on orderkey. One scan
+    per audited table, no row ever moves — only counts."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+    victims = c.filter(
+        md5_long(F.col("c_custkey").cast("string")) % 100 < _ERASE_PCT
+    ).select(F.col("c_custkey").alias("k"))
+    o_del = o.join(
+        F.broadcast(victims), o["o_custkey"] == victims["k"], "left_semi"
+    ).select("o_orderkey")
+    li_del = li.join(
+        o_del, li["l_orderkey"] == o_del["o_orderkey"], "left_semi"
+    )
+    e_del = e.join(
+        F.broadcast(victims), e["user_id"] == victims["k"], "left_semi"
+    )
+
+    def row(tbl: str, deleted: DataFrame, total: DataFrame) -> DataFrame:
+        return deleted.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_delete")
+        ).crossJoin(
+            F.broadcast(
+                total.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+            )
+        ).select(F.lit(tbl).alias("tbl"), "n_delete", "n_total")
+
+    return (
+        row("customer", victims, c)
+        .unionAll(row("orders", o_del, o))
+        .unionAll(row("lineitem", li_del, li))
+        .unionAll(row("events", e_del, e))
+    )

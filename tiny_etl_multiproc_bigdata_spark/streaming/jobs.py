@@ -1088,3 +1088,59 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark, "stream_join_then_window", "append")
+
+
+@register(
+    "streaming_denylist_filter",
+    oracle="""
+    WITH deny AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 < 5
+    )
+    SELECT event_type,
+           count(*) AS n_kept,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS kept_cents
+    FROM events
+    WHERE user_id NOT IN (SELECT k FROM deny)
+    GROUP BY event_type
+    """,
+)
+def streaming_denylist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join: filter a live event stream against
+    a static denylist table (the erasure cohort of
+    right_to_erasure_cascade — the enforcement half of that audit:
+    once a subject is erased, their events must stop flowing
+    downstream). Anti is the one stream-static join shape the inner
+    stream_static entry doesn't exercise; the static side is re-read
+    per micro-batch, so denylist updates take effect on the next
+    batch without restarting the query.
+
+    100 TB shape: the denylist broadcasts under AQE-less streaming
+    rules (static side is batch-planned per micro-batch); no
+    streaming state at all — stateless filtering, then the windowless
+    global aggregate carries (type)-sized state."""
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+
+    deny = (
+        table(spark, sf_dir, "customer")
+        .filter(
+            md5_long(F.col("c_custkey").cast("string")) % 100 < 5
+        )
+        .select(F.col("c_custkey").alias("k"))
+    )
+    ev = _events_stream(spark, sf_dir)
+    kept = ev.join(
+        F.broadcast(deny), ev["user_id"] == deny["k"], "left_anti"
+    )
+    agg = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("kept_cents"),
+    )
+    return _run_to_memory(agg, spark, "stream_denylist", "complete")

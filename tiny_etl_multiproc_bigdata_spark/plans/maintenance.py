@@ -1044,12 +1044,24 @@ def right_to_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     e = table(spark, sf_dir, "events")
-    victims = c.filter(
-        md5_long(F.col("c_custkey").cast("string")) % 100 < _ERASE_PCT
-    ).select(F.col("c_custkey").alias("k"))
-    o_del = o.join(
-        F.broadcast(victims), o["o_custkey"] == victims["k"], "left_semi"
-    ).select("o_orderkey")
+    # the victim set feeds 3 legs and o_del feeds 2 (its own count +
+    # the lineitem semi-join) — pin both so the cascade costs one scan
+    # per audited table instead of re-running the upstream subtree per
+    # consumer (the test_plan_budget multi-consumer class)
+    victims = (
+        c.filter(
+            md5_long(F.col("c_custkey").cast("string")) % 100 < _ERASE_PCT
+        )
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    o_del = (
+        o.join(
+            F.broadcast(victims), o["o_custkey"] == victims["k"], "left_semi"
+        )
+        .select("o_orderkey")
+        .localCheckpoint(eager=True)
+    )
     li_del = li.join(
         o_del, li["l_orderkey"] == o_del["o_orderkey"], "left_semi"
     )

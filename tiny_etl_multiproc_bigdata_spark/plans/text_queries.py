@@ -759,3 +759,87 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w), 4
         ).alias("row_rate"),
     )
+
+
+# ---- sentencepiece-style character coverage ------------------------------
+
+# coverage target in parts-per-million (sentencepiece's
+# character_coverage=0.9995 default, as an exact integer knob)
+_CHAR_COV_PPM = 999_500
+
+
+@register(
+    "char_coverage_vocab",
+    oracle=f"""
+    WITH ch AS (
+      SELECT lang, c.c AS ch, count(*) AS n
+      FROM documents, unnest(string_split(lower(text), '')) AS c(c)
+      WHERE c.c <> ' '
+      GROUP BY lang, c.c
+    ),
+    r AS (
+      SELECT lang, ch, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY n DESC, ch ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS tot,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, ch ASC) AS rk
+      FROM ch
+    )
+    SELECT lang,
+           CAST(min(tot) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS alphabet_size,
+           CAST(min(CASE WHEN cum * 1000000 >= {_CHAR_COV_PPM} * tot
+                         THEN rk END) AS BIGINT) AS chars_for_coverage
+    FROM r GROUP BY lang
+    """,
+)
+def char_coverage_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style character coverage per language: how many
+    distinct characters (frequency-ranked) does it take to cover
+    99.95% of the text — the character_coverage knob every tokenizer
+    training run sets, answered from the corpus itself. A
+    Latin-alphabet language needs a few dozen; a logographic one needs
+    thousands, and THAT difference decides byte-fallback strategy and
+    base-vocabulary size before any BPE merge runs. The coverage test
+    is integer cross-multiplied (cum·10^6 >= ppm·total), the rank
+    tiebreak is (count desc, char asc) — fully deterministic, no
+    float thresholds.
+
+    100 TB shape: the char histogram is at most |alphabet| x |langs|
+    rows after the map-side-combined fold (the scan dominates; the
+    windows run on histogram-sized data). The whitespace filter keeps
+    the statistic about glyph inventory, not formatting."""
+    d = table(spark, sf_dir, "documents")
+    ch = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != " ")
+        .groupBy("lang", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("lang")
+    wo = wp.orderBy(F.desc("n"), F.asc("ch"))
+    r = ch.select(
+        "lang",
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("n").over(wp).alias("tot"),
+        F.row_number().over(wo).alias("rk"),
+    )
+    return r.groupBy("lang").agg(
+        F.min("tot").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("alphabet_size"),
+        F.min(
+            F.when(
+                F.col("cum") * 1_000_000
+                >= F.lit(_CHAR_COV_PPM) * F.col("tot"),
+                F.col("rk"),
+            )
+        )
+        .cast("bigint")
+        .alias("chars_for_coverage"),
+    )

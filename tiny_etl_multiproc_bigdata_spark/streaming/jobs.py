@@ -1144,3 +1144,58 @@ def streaming_denylist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_cents"),
     )
     return _run_to_memory(agg, spark, "stream_denylist", "complete")
+
+
+@register(
+    "streaming_windowed_distinct_users",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+               AS window_start_epoch,
+             user_id
+      FROM events
+    )
+    SELECT window_start_epoch,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY window_start_epoch
+    """,
+)
+def streaming_windowed_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT distinct users per hour window on a stream — the second
+    chained-stateful shape (streaming_join_then_window pins join→agg;
+    this pins dedup→agg): streaming count(DISTINCT) is unsupported
+    directly, and the approx_count_distinct escape hatch trades
+    exactness away; the exact lowering is dropDuplicates on
+    (window, user) — state = one tombstone per (window, user), evicted
+    by the watermark — feeding an ordinary windowed count. Complete
+    mode keeps the final counts queryable at replay end (the dedup
+    state, not the output mode, carries the distinctness).
+
+    100 TB shape: dedup state is bounded by distinct (window, user)
+    pairs inside the watermark horizon — the exact cost of exactness;
+    when that dominates, the registered HLL entries are the
+    fixed-state alternative. Both stateful stages key on the same
+    window column, so the agg reuses the dedup's shuffle."""
+    ev = _events_stream(spark, sf_dir)
+    bucketed = (
+        ev.withWatermark("ts", "1 hour")
+        .select(
+            F.window("ts", "1 hour").alias("w"),
+            "user_id",
+            "ts",
+        )
+        .dropDuplicates(["w", "user_id"])
+    )
+    agg = (
+        bucketed.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start_epoch"
+            ),
+            "n_users",
+        )
+    )
+    return _run_to_memory(agg, spark, "stream_windowed_distinct", "complete")

@@ -817,3 +817,62 @@ def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="backward",
     )
     return out.to_spark().select("purchase_id", "user_id", "signup_id")
+
+
+@register(
+    "sql_table_function_lateral",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(floor(value * 100 + 0.5)
+                                              AS BIGINT) DESC,
+                                         event_id ASC) AS rn
+      FROM events WHERE user_id < 50
+    )
+    SELECT user_id, event_id, cents FROM r WHERE rn <= 2
+    """,
+)
+def sql_table_function_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language TABLE function (CREATE FUNCTION ... RETURNS TABLE,
+    Spark 4) applied per row through a correlated LATERAL join — the
+    declarative macro form of per-entity subqueries that
+    sql_udf_suite's scalar functions can't express. The function body
+    projects one user's events; the outer query ranks and keeps the
+    top 2 per user, and the hash-match against the window oracle pins
+    that decorrelation preserves per-user semantics.
+
+    MEASURED CAVEAT (why the top-2 LIMIT is OUTSIDE the function):
+    putting ORDER BY ... LIMIT 2 inside the TVF body silently applied
+    the limit GLOBALLY under lateral correlation on this Spark build —
+    2 rows total instead of 2 per user, no error raised. A correlated
+    TVF with LIMIT is therefore a silent-wrong-results trap, which
+    this entry documents and avoids rather than ships.
+
+    100 TB shape: after decorrelation this is one window over a
+    user-partitioned sort — per-row re-execution of the function body
+    never happens."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("sql_tf_events")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION user_events_tvf(uid BIGINT)
+        RETURNS TABLE (event_id BIGINT, cents BIGINT)
+        RETURN SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT)
+        FROM sql_tf_events WHERE user_id = uid
+        """
+    )
+    return spark.sql(
+        """
+        WITH applied AS (
+          SELECT u.user_id, t.event_id, t.cents,
+                 row_number() OVER (PARTITION BY u.user_id
+                                    ORDER BY t.cents DESC,
+                                             t.event_id ASC) AS rn
+          FROM (SELECT DISTINCT user_id FROM sql_tf_events
+                WHERE user_id < 50) u,
+          LATERAL user_events_tvf(u.user_id) t
+        )
+        SELECT user_id, event_id, cents FROM applied WHERE rn <= 2
+        """
+    )

@@ -1668,3 +1668,127 @@ def rank_biased_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             units.cast("double") / F.lit(float(_RBO_MAX)), 4
         ).alias("rbo_ratio"),
     )
+
+
+# ---- dedup token inflation ------------------------------------------------
+
+
+@register(
+    "dedup_token_inflation",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    surv AS (
+      SELECT source, h, min(doc_id) AS keeper, max(n_toks) AS n_toks,
+             count(*) AS n_copies
+      FROM t GROUP BY source, h
+    )
+    SELECT t.source,
+           CAST(sum(t.n_toks) AS BIGINT) AS raw_tokens,
+           CAST((SELECT sum(s.n_toks) FROM surv s
+                 WHERE s.source = t.source) AS BIGINT) AS unique_tokens,
+           (floor(CAST(sum(t.n_toks) AS DOUBLE)
+                  / nullif((SELECT sum(s.n_toks) FROM surv s
+                            WHERE s.source = t.source), 0)
+                  * 10000 + 0.5) / 10000) AS inflation
+    FROM t GROUP BY t.source
+    """,
+)
+def dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted dedup inflation per source: how many training
+    tokens does each source claim RAW versus after exact-text dedup —
+    the number that decides whether a source's advertised size is
+    real. Counting TOKENS (not documents) matters because duplicated
+    boilerplate is usually shorter or longer than the mean doc, so a
+    doc-count dedup rate misstates the token impact; inflation = raw /
+    unique is the per-source multiplier an epoch-budget calculation
+    must divide by. Exact-dup groups key on md5(text) — the
+    dedup_exact contract — with copies within a group all having
+    identical token counts by construction (max() is just the
+    portable pick).
+
+    100 TB shape: one token-count pass, one (source, hash) fold —
+    both map-side combined; no pair joins, no text shuffled beyond
+    its 32-hex digest."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(_toks()).cast("bigint").alias("n_toks"),
+    )
+    raw = t.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("raw_tokens")
+    )
+    surv = (
+        t.groupBy("source", "h")
+        .agg(F.max("n_toks").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("bigint").alias("unique_tokens"))
+    )
+    return raw.join(surv, "source").select(
+        "source",
+        "raw_tokens",
+        "unique_tokens",
+        round_half_up(
+            F.col("raw_tokens").cast("double")
+            / F.nullif(F.col("unique_tokens"), F.lit(0)),
+            4,
+        ).alias("inflation"),
+    )
+
+
+# ---- truncation loss grid --------------------------------------------------
+
+_TRUNC_GRID = (128, 256, 512)
+
+
+@register(
+    "truncation_loss_report",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n FROM documents
+    )
+    SELECT lang, g.max_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > g.max_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(CASE WHEN n > g.max_len THEN n - g.max_len ELSE 0 END)
+                AS BIGINT) AS tokens_lost,
+           CAST(sum(n) AS BIGINT) AS tokens_total
+    FROM t, (VALUES {", ".join(f"({g})" for g in _TRUNC_GRID)}) g(max_len)
+    GROUP BY lang, g.max_len
+    """,
+)
+def truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning: for each candidate max sequence length
+    (128/256/512), how many documents per language would truncate and
+    how many tokens fall off the end — the table that picks a training
+    max_len (or decides the chunking strategy: compare with
+    chunk_sliding_tokens, which is the zero-loss alternative). One
+    token-count pass crossed with the 3-row grid; all counts exact
+    integers, the grid tuple shared verbatim by both engines.
+
+    100 TB shape: per-doc token counts fold map-side; the grid
+    cross-join triples |langs x grid| partials, not the corpus. The
+    naive per-max-len re-scan runs the corpus |grid| times for the
+    same report."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("lang", F.size(_toks()).cast("bigint").alias("n"))
+    grid = F.explode(
+        F.array(*[F.lit(g) for g in _TRUNC_GRID])
+    ).alias("max_len")
+    crossed = t.select("lang", "n", grid)
+    over = F.col("n") > F.col("max_len")
+    return crossed.groupBy("lang", "max_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias(
+            "n_truncated"
+        ),
+        F.sum(F.when(over, F.col("n") - F.col("max_len")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_lost"),
+        F.sum("n").cast("bigint").alias("tokens_total"),
+    )

@@ -117,6 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "date_functions",
     "array_functions",
     "posexplode_embedding",
+    # session-3 refactors (values unchanged; re-queued per the
+    # changed-code hygiene): simhash factored into simhash_from_docs
+    "dedup_simhash",
     # multi-consumer re-execution fixes from the r07 plan audit
     # (values unchanged; re-queued per the changed-code hygiene)
     "pagerank_scaled",

@@ -10,6 +10,9 @@ Arrow-batched. These are cold paths by design — see README.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple  # module-level: pandas_udf resolves
+# string type hints against module globals, not closure locals
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -970,4 +973,52 @@ def pandas_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("event_type").agg(
         n_rows("cents").alias("n"),
         wavg("cents", "vol").alias("wavg_cents"),
+    )
+
+
+@register(
+    "pandas_iter_udf_scoring",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT)
+           * CASE event_type WHEN 'click' THEN 2 WHEN 'view' THEN 1
+                             WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
+                             ELSE 0 END AS score
+    FROM events
+    """,
+)
+def pandas_iter_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form scalar pandas UDF (Iterator[Series] ->
+    Iterator[Series]) — the UDF shape built for MODEL INFERENCE: the
+    expensive initialization (here a weight table standing in for a
+    loaded model/tokenizer) runs ONCE per python worker, then every
+    Arrow batch streams through the hot loop — the exact pattern for
+    embedding models or quality classifiers scoring a 100 TB corpus,
+    where per-batch model loading (what a plain scalar UDF does per
+    call-site misuse) dominates cost. Scoring itself is integer
+    (cents x per-type weight), so the oracle is pure SQL and the
+    comparison exact.
+
+    100 TB shape: Arrow-batched, partition-parallel; init cost is
+    O(workers), not O(batches). The multimodal decode entries use the
+    mapInPandas sibling; this pins the scalar-expression form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def score(
+        it: Iterator[Tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        # one-time init per worker (the "model load")
+        weights = {"click": 2, "view": 1, "purchase": 10, "signup": 5}
+        for cents, etype in it:
+            w = etype.map(weights).fillna(0).astype("int64")
+            yield cents.astype("int64") * w
+
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        score(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+            F.col("event_type"),
+        ).alias("score"),
     )

@@ -1449,3 +1449,61 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_simhash_only"),
     )
+
+
+# ---- near-time telemetry dedup --------------------------------------------
+
+
+@register(
+    "telemetry_near_time_dedup",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, event_type, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type,
+                            CAST(floor(value * 100 + 0.5) AS BIGINT)
+               ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, cents
+    FROM k WHERE gap_us IS NULL OR gap_us > 1000000
+    """,
+)
+def telemetry_near_time_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-time telemetry dedup: client retries and at-least-once
+    collectors emit the same measurement twice within milliseconds —
+    exact dedup misses them because the timestamps differ. The rule:
+    drop an event whose predecessor with the SAME (user, type, value)
+    lies within 1 second; the lag-gap formulation makes that one
+    ordered window pass per natural key (and deliberately NOT
+    chained-suppression semantics — each row compares to its immediate
+    predecessor, so a burst spaced at 0.9 s keeps only rows the
+    previous surviving row would also keep iff gaps exceed the
+    threshold; the streaming twin with true suppression is
+    streaming_dedup_within_watermark).
+
+    100 TB shape: one shuffle on the composite key; dedup state is
+    the window's single lag value — nothing like the distinct-set
+    state exact dedup carries, which is why telemetry pipelines run
+    this rule BEFORE content-hash dedup."""
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    t_us = (
+        F.unix_timestamp("ts") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("bigint")
+    )
+    w = Window.partitionBy("user_id", "event_type", "cents").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    k = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        cents.alias("cents"),
+        t_us.alias("t_us"),
+    ).withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+    return k.filter(
+        F.col("gap_us").isNull() | (F.col("gap_us") > 1_000_000)
+    ).select("user_id", "event_type", "event_id", "cents")

@@ -1084,3 +1084,104 @@ def right_to_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem", li_del, li))
         .unionAll(row("events", e_del, e))
     )
+
+
+# ---- replica drift repair plan --------------------------------------------
+
+
+@register(
+    "replica_drift_repair_plan",
+    oracle=f"""
+    WITH replica AS (
+      -- simulated drifted copy: 2%% of rows lost in transfer, 1%%
+      -- corrupted (status flipped) — md5-bucketed so both engines
+      -- build the identical replica
+      SELECT o_orderkey,
+             CASE WHEN CAST(('0x' || substr(md5('corrupt|' ||
+                        CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 100 < 1
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders
+      WHERE CAST(('0x' || substr(md5('drop|' ||
+                 CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= 2
+    ),
+    j AS (
+      SELECT p.o_orderkey AS pk, r.o_orderkey AS rk,
+             p.o_orderstatus AS ps, r.o_orderstatus AS rs
+      FROM orders p FULL JOIN replica r ON p.o_orderkey = r.o_orderkey
+    )
+    SELECT CAST(coalesce(pk, rk) % {_CKSUM_BUCKETS} AS BIGINT) AS bucket,
+           CAST(sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           CAST(sum(CASE WHEN pk IS NOT NULL AND rk IS NOT NULL
+                              AND ps <> rs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM j GROUP BY 1
+    HAVING sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END)
+           + sum(CASE WHEN pk IS NOT NULL AND rk IS NOT NULL
+                           AND ps <> rs THEN 1 ELSE 0 END) > 0
+    """,
+)
+def replica_drift_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reconciliation step AFTER merkle_partition_checksums flags
+    mismatched buckets: diff the primary against a drifted replica
+    (deterministically simulated — 2% of rows dropped, 1% status-
+    corrupted, both md5-bucketed) and emit the per-bucket repair plan:
+    how many keys to re-ship (missing) and how many to overwrite
+    (corrupt), only for buckets that actually need repair. Full outer
+    join on the key is the exhaustive form; in production it runs only
+    over the buckets the checksum pass flagged — 1/64th of the
+    keyspace per flagged bucket, which is the whole point of the
+    two-phase protocol.
+
+    100 TB shape: one co-partitioned full join on the primary key
+    (both sides cluster by it on disk in a real lake), counts fold
+    map-side; the HAVING keeps the output at |damaged buckets|."""
+    o = table(spark, sf_dir, "orders")
+    keep = (
+        md5_long(
+            F.concat(F.lit("drop|"), F.col("o_orderkey").cast("string"))
+        )
+        % 100
+        >= 2
+    )
+    corrupt = (
+        md5_long(
+            F.concat(F.lit("corrupt|"), F.col("o_orderkey").cast("string"))
+        )
+        % 100
+        < 1
+    )
+    replica = o.filter(keep).select(
+        F.col("o_orderkey").alias("rk"),
+        F.when(corrupt, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("rs"),
+    )
+    primary = o.select(
+        F.col("o_orderkey").alias("pk"), F.col("o_orderstatus").alias("ps")
+    )
+    j = primary.join(replica, primary["pk"] == replica["rk"], "full_outer")
+    missing = F.sum(F.when(F.col("rk").isNull(), 1).otherwise(0))
+    corrupted = F.sum(
+        F.when(
+            F.col("pk").isNotNull()
+            & F.col("rk").isNotNull()
+            & (F.col("ps") != F.col("rs")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        j.groupBy(
+            (F.coalesce("pk", "rk") % _CKSUM_BUCKETS)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            missing.cast("bigint").alias("n_missing"),
+            corrupted.cast("bigint").alias("n_corrupt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+        .filter(F.col("n_missing") + F.col("n_corrupt") > 0)
+    )

@@ -645,3 +645,91 @@ def _register_csv_permissive() -> None:
 
 
 _register_csv_permissive()
+
+
+def _register_federated_union() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "federated_union_agg",
+        oracle="""
+        SELECT lang,
+               CAST(3 * count(*) AS BIGINT) AS n_rows,
+               CAST(3 * sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+        """,
+    )
+    def federated_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-format federation: the same table staged as parquet,
+        CSV and JSONL, read back through three format-specific readers
+        and unioned BY NAME (each format surfaces columns in its own
+        order — positional union would silently misalign) into one
+        aggregation. This is the lake reality the reference's
+        one-format loaders never face: vendor drops arrive as CSV,
+        streams land as JSONL, curated zones are parquet, and the
+        query layer must treat them as one relation. The oracle states
+        the invariant directly: three lossless copies triple every
+        count exactly.
+
+        100 TB shape: each leg scans with its own reader
+        (pruning/pushdown quality differs per format — parquet prunes,
+        CSV cannot; that asymmetry is inherent) and the union is
+        plan-level, no materialized concatenation; partial aggregation
+        folds per leg before the shared shuffle."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_fedun_{tag}")
+        os.makedirs(root, exist_ok=True)
+        pq, csvd, jl = (os.path.join(root, x) for x in ("pq", "csv", "jl"))
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                d.write.mode("overwrite").parquet(pq)
+                d.select("lang", "n_chars", "doc_id").write.mode(
+                    "overwrite"
+                ).option("header", True).csv(csvd)
+                d.select("n_chars", "doc_id", "lang").write.mode(
+                    "overwrite"
+                ).json(jl)
+                a = spark.read.parquet(pq)
+                b = (
+                    spark.read.option("header", True)
+                    .option("inferSchema", True)
+                    .csv(csvd)
+                )
+                c = spark.read.json(jl)
+                back = (
+                    a.unionByName(
+                        b.select(
+                            F.col("doc_id").cast("long"),
+                            "lang",
+                            F.col("n_chars").cast("long"),
+                        )
+                    )
+                    .unionByName(
+                        c.select(
+                            F.col("doc_id").cast("long"),
+                            "lang",
+                            F.col("n_chars").cast("long"),
+                        )
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+
+
+_register_federated_union()

@@ -35,3 +35,45 @@ def test_partitioned_write_and_pruned_read(spark, sf_dir, tmp_path):
     # correctness: pruned read equals source-side filter
     expected = e.filter(F.col("event_type") == one_type).count()
     assert q.count() == expected
+
+
+def test_nested_leaf_pruning(spark, sf_dir):
+    """The nested_field_pruning_agg readback must push leaf selection
+    into the parquet scan: ReadSchema carries only meta.priority and
+    meta.money.cents — never odate/custkey/status."""
+    import re
+
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import queries
+
+    import contextlib
+    import io
+
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # run the entry once to stage the nested layout, then examine the
+    # raw read plan (the entry itself returns a checkpointed snapshot,
+    # whose plan no longer shows the scan)
+    queries()["nested_field_pruning_agg"](spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    data_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_nested_{tag}", "data"
+    )
+    df = spark.read.parquet(data_dir).select(
+        F.col("meta.priority"), F.col("meta.money.cents")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "priority" in schema and "cents" in schema, schema
+    for leaked in ("odate", "custkey", "status"):
+        assert leaked not in schema, (
+            f"nested pruning regressed: scan reads {leaked}: {schema}"
+        )

@@ -733,3 +733,82 @@ def _register_federated_union() -> None:
 
 
 _register_federated_union()
+
+
+def _register_nested_field_pruning() -> None:
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import register
+
+    @register(
+        "nested_field_pruning_agg",
+        oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
+    def nested_field_pruning_agg(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Nested-schema column pruning: stage orders with the payload
+        folded into a STRUCT (meta.priority, meta.money.cents — the
+        shape every event envelope and API dump arrives in), read back
+        selecting only two LEAVES, and aggregate. Correctness is the
+        roundtrip; the 100 TB property is that Spark's schema pruning
+        pushes the leaf selection INTO the parquet scan (ReadSchema
+        carries the pruned struct, not the whole envelope — pinned in
+        tests/test_partitioned_write.py::test_nested_leaf_pruning), so
+        a 2-leaf query over a 50-field envelope reads 2 columns. The
+        oracle aggregates the flat original — the fold/unfold must be
+        lossless.
+
+        100 TB shape: leaf-level I/O plus map-side combine; without
+        nested pruning the scan would materialize the full struct per
+        row — the usual envelope tax this entry exists to refuse."""
+        import fcntl
+        import hashlib
+        import os
+        import tempfile
+
+        from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.struct(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("bigint")
+                    .alias("cents"),
+                    F.col("o_orderstatus").alias("status"),
+                ).alias("money"),
+                F.col("o_orderdate").alias("odate"),
+                F.col("o_custkey").alias("custkey"),
+            ).alias("meta"),
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"spark_nested_{tag}")
+        data_dir = os.path.join(root, "data")
+        os.makedirs(root, exist_ok=True)
+        with open(root + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                o.write.mode("overwrite").parquet(data_dir)
+                back = (
+                    spark.read.parquet(data_dir)
+                    .select(
+                        F.col("meta.priority").alias("priority"),
+                        F.col("meta.money.cents").alias("cents"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return back.groupBy("priority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+
+
+_register_nested_field_pruning()

@@ -1199,3 +1199,94 @@ def streaming_windowed_distinct_users(
         )
     )
     return _run_to_memory(agg, spark, "stream_windowed_distinct", "complete")
+
+
+@register(
+    "streaming_stream_stream_right_outer",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT epoch_us(max(c_ts)) // 1000 FROM clicks),
+                   (SELECT epoch_us(max(p_ts)) // 1000 FROM purchases))
+             - 3600000 AS ms
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id,
+             CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT)
+               AS gap_s
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    )
+    SELECT click_id, purchase_id, user_id, gap_s FROM matched
+    UNION ALL
+    -- the preserved (right) side: unmatched purchases emit once the
+    -- watermark passes p_ts — the same asymmetric gate the full-outer
+    -- entry pins, isolated here without the click-side nulls
+    SELECT NULL, p.purchase_id, p.user_id, NULL
+    FROM purchases p, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m
+                      WHERE m.purchase_id = p.purchase_id)
+      AND (epoch_us(p.p_ts) // 1000) < wm.ms
+    """,
+)
+def streaming_stream_stream_right_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream RIGHT OUTER join — completes the
+    four-shape join family (inner / left / right / full all
+    registered, each hash-matched against an oracle that states its
+    eviction gates explicitly). Right outer preserves purchases: a
+    purchase with no qualifying click in its trailing 30-minute window
+    surfaces once, null-extended, when the watermark passes p_ts —
+    the short gate, because clicks can only precede their purchase;
+    unconverted clicks (the left side's concern) never appear here.
+
+    100 TB shape: identical state topology to the other three — the
+    outer variants differ only in which side's eviction emits."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "right_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        (
+            F.floor(F.unix_timestamp("p_ts"))
+            - F.floor(F.unix_timestamp("c_ts"))
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    return _run_to_memory(joined, spark, "stream_stream_roj", "append")

@@ -1847,3 +1847,121 @@ def embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_l2_dist"),
     )
+
+
+# ---- triplet margin violation rate ----------------------------------------
+
+_TRIPLET_ANCHORS = 16
+# violation when d2_pos >= (ratio) * d2_neg, integer cross-multiplied:
+# pos_num/pos_den is the squared-distance margin ratio (0.8)
+_TRIPLET_NUM, _TRIPLET_DEN = 4, 5
+
+
+@register(
+    "triplet_margin_violation_rate",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 10000 + 0.5)) AS qv
+      FROM embeddings
+    ),
+    a AS (SELECT * FROM q WHERE vec_id < {_TRIPLET_ANCHORS}),
+    d AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.label AS c_label,
+             CAST(list_dot_product(a.qv, a.qv)
+                  - 2 * list_dot_product(a.qv, c.qv)
+                  + list_dot_product(c.qv, c.qv) AS BIGINT) AS d2
+      FROM a JOIN q c ON c.vec_id <> a.vec_id
+    ),
+    best AS (
+      SELECT anchor_id, anchor_label,
+             min(CASE WHEN c_label = anchor_label THEN d2 END) AS d2_pos,
+             min(CASE WHEN c_label <> anchor_label THEN d2 END) AS d2_neg
+      FROM d GROUP BY anchor_id, anchor_label
+    )
+    SELECT anchor_label AS label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(CASE WHEN d2_pos * {_TRIPLET_DEN}
+                              >= d2_neg * {_TRIPLET_NUM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM best GROUP BY anchor_label
+    """,
+)
+def triplet_margin_violation_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive-readiness eval: for each anchor, compare its nearest
+    SAME-label and nearest OTHER-label squared distances — a margin
+    violation (d2_pos >= 0.8 * d2_neg, integer cross-multiplied, no
+    float ratio) means the anchor's positive is barely closer than its
+    hardest negative, i.e. a triplet loss would still be pushing that
+    region. The per-label violation counts say WHERE the embedding
+    space is under-separated — the diagnostic read before committing
+    to hard_negative_mining's mined batches. Distances are the exact
+    integer construction shared with that entry.
+
+    100 TB shape: anchors broadcast against one corpus scan (the
+    hard-negative topology), both minima fold in one conditional
+    aggregation — never two passes; corpus-scale anchor sets switch
+    to the IVF route."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 10_000 + 0.5).cast("bigint"),
+    )
+    base = e.select("vec_id", "label", qv.alias("qv"))
+    a = base.filter(F.col("vec_id") < _TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("qv").alias("a_qv"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("qv").alias("c_qv"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    d = (
+        c.join(F.broadcast(a), F.col("c_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "c_label",
+            (
+                dot(F.col("a_qv"), F.col("a_qv"))
+                - 2 * dot(F.col("a_qv"), F.col("c_qv"))
+                + dot(F.col("c_qv"), F.col("c_qv"))
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    best = d.groupBy("anchor_id", "anchor_label").agg(
+        F.min(
+            F.when(F.col("c_label") == F.col("anchor_label"), F.col("d2"))
+        ).alias("d2_pos"),
+        F.min(
+            F.when(F.col("c_label") != F.col("anchor_label"), F.col("d2"))
+        ).alias("d2_neg"),
+    )
+    return best.groupBy(F.col("anchor_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum(
+            F.when(
+                F.col("d2_pos") * _TRIPLET_DEN
+                >= F.col("d2_neg") * _TRIPLET_NUM,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    )

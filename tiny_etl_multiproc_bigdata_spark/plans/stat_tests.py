@@ -2547,3 +2547,81 @@ def kruskal_wallis_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).cast("bigint").alias("dof"),
         round_half_up(h / F.nullif(c, F.lit(0.0)), 6).alias("h_adj"),
     )
+
+
+# ---- Wilson score interval for conversion proportions ----------------------
+
+# z for 95% two-sided, squared as an exact decimal literal shared by
+# both engines (1.96^2) — never a runtime normal-quantile call
+_WILSON_Z2 = "3.8416"
+
+
+@register(
+    "wilson_ci_conversion",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS wd,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    agg AS (
+      SELECT wd, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM v GROUP BY wd
+    )
+    SELECT wd, n, k,
+           (floor((CAST(k AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+                   - sqrt({_WILSON_Z2})
+                     * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                            + {_WILSON_Z2} / (4.0 * n * n)))
+                  / (1 + {_WILSON_Z2} / n) * 1000000 + 0.5) / 1000000)
+             AS wilson_lo,
+           (floor((CAST(k AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+                   + sqrt({_WILSON_Z2})
+                     * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                            + {_WILSON_Z2} / (4.0 * n * n)))
+                  / (1 + {_WILSON_Z2} / n) * 1000000 + 0.5) / 1000000)
+             AS wilson_hi
+    FROM agg
+    """,
+)
+def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (95%) for the per-weekday purchase
+    conversion proportion — the CI that stays inside [0,1] and behaves
+    at small n where the naive Wald interval collapses; the reporting
+    companion to ab_power_mde (which sizes the experiment; this bounds
+    the measured rate). z² enters as the exact decimal literal 3.8416
+    on BOTH engines — no runtime normal quantile, no libm inverse-CDF
+    to disagree on; k and n are exact integers, so both engines run
+    the identical IEEE expression tree and the 1e-6 quantization is
+    stable everywhere off a half-boundary (the agg_correlation
+    argument).
+
+    100 TB shape: one map-side-combined fold to 7 rows; the interval
+    math is row-local arithmetic on the combine output."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        (
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") % 7
+        ).alias("wd"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    agg = v.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    z2 = F.expr(_WILSON_Z2)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    center = p + z2 / (2 * n)
+    half = F.sqrt(z2) * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    denom = 1 + z2 / n
+    return agg.select(
+        "wd",
+        "n",
+        "k",
+        round_half_up((center - half) / denom, 6).alias("wilson_lo"),
+        round_half_up((center + half) / denom, 6).alias("wilson_hi"),
+    )

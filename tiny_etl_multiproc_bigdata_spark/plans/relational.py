@@ -1846,3 +1846,61 @@ def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("intersect_all").alias("op"), "qty"
     )
     return ex.unionAll(ia)
+
+
+@register(
+    "orders_aging_buckets",
+    oracle="""
+    WITH snap AS (SELECT max(o_orderdate) AS today FROM orders),
+    v AS (
+      SELECT CAST(date_diff('day', o_orderdate, snap.today) AS BIGINT)
+               AS age_days,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders, snap WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 365 THEN '91-365'
+                ELSE '365+' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_open,
+           CAST(sum(cents) AS BIGINT) AS open_cents
+    FROM v GROUP BY 1
+    """,
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report (the receivables-aging shape): bucket
+    every still-open order by its age at the snapshot date — which is
+    max(o_orderdate), an aggregate broadcast, never a driver-side
+    now() that would make the result non-reproducible. Bucket
+    boundaries are closed-open on exact integer day counts; amounts
+    are exact cents. Ubiquitous in finance/ops reporting and a
+    deliberate contrast with half_life_weighted_revenue: same age
+    arithmetic, discrete buckets instead of continuous decay.
+
+    100 TB shape: one scan with the status filter pushed to the
+    parquet scan, a broadcast scalar, a 4-key map-side-combined
+    fold."""
+    o = table(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("today"))
+    v = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.datediff("today", "o_orderdate")
+            .cast("bigint")
+            .alias("age_days"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return v.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_open"),
+        F.sum("cents").cast("bigint").alias("open_cents"),
+    )

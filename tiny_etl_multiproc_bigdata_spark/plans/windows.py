@@ -2935,3 +2935,63 @@ def linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cents", lerp).cast("bigint").alias("cents"),
         F.col("cents").isNull().alias("imputed"),
     )
+
+
+@register(
+    "first_touch_type_distribution",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             arg_min(event_type, ts) AS first_type
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+      ) WHERE rn = 1
+      GROUP BY user_id
+    )
+    SELECT first_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           (floor(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM f) * 10000 + 0.5) / 10000)
+             AS share
+    FROM f GROUP BY first_type
+    """,
+)
+def first_touch_type_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entry-point analysis: the distribution of each user's FIRST
+    event type — which door do users arrive through, and what share
+    arrive already converting (first touch = purchase, the
+    attribution blind spot every lookback model has). First-touch is
+    a min-of-struct fold with the full (ts, event_id) tiebreak, so a
+    user's first event is deterministic even under timestamp ties;
+    shares quantize half-up against the exact user total.
+
+    100 TB shape: one map-side min-of-struct fold per user, then a
+    |types|-key rollup; the share denominator is a broadcast scalar.
+    No window, no sort — the rn=1 form in the oracle is the
+    SQL-readable twin of the same fold."""
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type")
+            )
+        ).alias("m")
+    ).select(F.col("m.event_type").alias("first_type"))
+    tot = first.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        first.groupBy("first_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_type",
+            "n_users",
+            round_half_up(
+                F.col("n_users").cast("double") / F.col("n_total"), 4
+            ).alias("share"),
+        )
+    )

@@ -121,3 +121,57 @@ def ensure_sf1(spark: SparkSession, sf01_dir: str, out_dir: str) -> None:
 
     with open(sentinel, "w") as f:
         f.write("ok\n")
+
+
+def ensure_sf1_events(
+    spark: SparkSession, sf01_dir: str, out_dir: str
+) -> None:
+    """Materialize sf1 events (r08, VERDICT r07 item 5: the new-tier
+    sf1 battery needs the events table, which the r07 fixture omitted).
+    ``event_id``/``user_id`` remap ``key*REP + r`` like the relational
+    keys; ``ts`` copies through unchanged, so the time range is
+    constant and event DENSITY grows 10x — which is how real traffic
+    growth hits windowed aggregations and stream-stream join state.
+    Guarded by its own sentinel so existing ``_BENCH_OK`` caches
+    upgrade in place."""
+    sentinel = os.path.join(out_dir, "_BENCH_OK_EVENTS")
+    if os.path.exists(sentinel):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+    ev = table(spark, sf01_dir, "events")
+    _replicate(ev, ["event_id", "user_id"]).drop("_r").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/events.parquet")
+    with open(sentinel, "w") as f:
+        f.write("ok\n")
+
+
+def ensure_layouts(spark: SparkSession, sf1_dir: str, out_dir: str) -> None:
+    """Materialize the two lineitem storage layouts for the BENCH
+    layout section (r08, VERDICT r07 item 6) if not already cached.
+
+    ``arrival/`` rewrites sf1 lineitem exactly as read — the replica-
+    interleaved key order ``_replicate`` produced, the layout a real
+    multi-writer ingest leaves behind. ``sorted/`` is the remedy the
+    r07 sf1 audit prescribed: one range shuffle on (l_shipdate,
+    l_orderkey) + sortWithinPartitions, so each row group holds a
+    narrow key range and dictionary/RLE encoding density survives the
+    10x key growth. Both go through the SAME writer in the same
+    session, so any size/scan-rate delta is purely row order. bench.py
+    times identical probes over both and reports the recovery."""
+    sentinel = os.path.join(out_dir, "_LAYOUT_OK")
+    if os.path.exists(sentinel):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    li = spark.read.parquet(f"{sf1_dir}/lineitem.parquet")
+    li.write.mode("overwrite").parquet(os.path.join(out_dir, "arrival"))
+    (
+        li.repartitionByRange(_N_FILES, "l_shipdate", "l_orderkey")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "sorted"))
+    )
+    with open(sentinel, "w") as f:
+        f.write("ok\n")

@@ -1185,3 +1185,125 @@ def replica_drift_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_missing") + F.col("n_corrupt") > 0)
     )
+
+
+# ---- sorted-write layout rewrite (r08) ------------------------------------
+#
+# The r07 sf1 cardinality audit found the one genuine key-growth effect
+# at scale: 10x distinct orderkey/partkey values defeat parquet
+# dictionary encoding (each row group sees ~the whole key space, the
+# dictionary page overflows, the writer falls back to PLAIN) and q1/q9
+# per-row scan cost rises ~1.6x (SCALE_NOTES "sf1 audit results"). The
+# remedy is a storage-layout rewrite, not a plan change: range-
+# repartition + sort-within-partitions on the hot key columns so each
+# row group holds a narrow key range and dictionary/RLE density comes
+# back. This entry executes that rewrite and pins its LOSSLESSNESS with
+# an oracle (identical fidelity aggregates from both layouts); the
+# scan-rate recovery itself is measured by bench.py's layout section at
+# sf1, where the effect exists (BENCH_r08 "layout").
+
+_LAYOUT_PARTS = 4
+
+
+@register(
+    "sorted_write_layout",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orderkeys,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS price_cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem
+    )
+    SELECT 'arrival' AS layout, n, n_orderkeys, price_cents, total_qty
+    FROM agg
+    UNION ALL
+    SELECT 'sorted', n, n_orderkeys, price_cents, total_qty FROM agg
+    """,
+)
+def sorted_write_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-key parquet rewrite (the OPTIMIZE ZORDER/SORT BY analog):
+    stage lineitem in its arrival layout AND key-sorted via
+    ``repartitionByRange(l_shipdate, l_orderkey)`` +
+    ``sortWithinPartitions`` — the idiom that keeps per-row-group key
+    ranges narrow so dictionary/RLE encoding survives key-space growth
+    (delta-encodable monotone runs, prunable min/max page stats on the
+    q1 shipdate predicate). Reads BOTH layouts back and returns one
+    fidelity-aggregate row per layout; the oracle computes the same
+    aggregates from the original table twice, so any row lost,
+    duplicated or mangled by the rewrite goes hash-red.
+
+    100 TB shape: the rewrite is a one-range-shuffle batch job over the
+    hot table (exactly how Delta/Iceberg implement OPTIMIZE SORT BY);
+    reads stay partition-parallel. Scan-cost recovery is measured in
+    bench.py at sf1 (real 10x key growth) rather than asserted here —
+    the sf0.01 fixture's key space never overflows a dictionary page,
+    so the effect only exists at scale. Staging discipline (fixed
+    per-sf dir, flock, eager snapshot under the lock) matches the
+    csv/orc/partitioned roundtrips in sources/files.py."""
+    import fcntl
+    import hashlib
+    import os
+    import tempfile
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_sortlayout_{tag}")
+    arrival_dir = os.path.join(root, "arrival")
+    sorted_dir = os.path.join(root, "sorted")
+    with open(root + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            li.write.mode("overwrite").parquet(arrival_dir)
+            (
+                li.repartitionByRange(
+                    _LAYOUT_PARTS, "l_shipdate", "l_orderkey"
+                )
+                .sortWithinPartitions("l_shipdate", "l_orderkey")
+                .write.mode("overwrite")
+                .parquet(sorted_dir)
+            )
+            snaps = {
+                name: spark.read.parquet(path).localCheckpoint(eager=True)
+                for name, path in (
+                    ("arrival", arrival_dir),
+                    ("sorted", sorted_dir),
+                )
+            }
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+    def fidelity(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("l_orderkey").cast("bigint").alias(
+                "n_orderkeys"
+            ),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("price_cents"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "n",
+            "n_orderkeys",
+            "price_cents",
+            "total_qty",
+        )
+
+    return fidelity("arrival", snaps["arrival"]).unionAll(
+        fidelity("sorted", snaps["sorted"])
+    )

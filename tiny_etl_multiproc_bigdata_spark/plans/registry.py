@@ -87,71 +87,178 @@ def _load_all() -> None:
 
 
 # Driver-sweep ordering: the verification driver checks a capped
-# prefix (~50) of the registry in iteration order. Cumulatively 252/255
-# entries have a driver row (none red). r07 order (VERDICT r06 item 1):
-# (a) the ONLY 3 entries never driver-checked — they landed after the
-# r06 sample was drawn and are green in every local driver-sim sweep;
-# (b) entries whose implementation changed in r07 (ADVICE fixes);
-# (c) entries NEW in r07, appended as they are built. Then (via
-# _ordered_names) any unlisted never-checked entries and finally
-# green entries in insertion order.
+# prefix (~50) of the registry in iteration order. After r07,
+# 279/434 entries have a driver row cumulatively (none ever red); the
+# remaining 155 never-checked entries are the r07 breadth that outran
+# the 50/round sample. r08 is a consolidation round (VERDICT r07 item
+# 1): _PRIORITY lists ALL 155 never-checked entries, newest code first
+# (VERDICT r07 item 7 names the first five), then insertion order, plus
+# the single r08 addition `sorted_write_layout` (VERDICT r07 item 6 —
+# the only registry growth this round). Drain plan: r08 attests the
+# first ~50, r09 the next ~50, r10 the remaining ~56 — each round the
+# newly-attested prefix moves into _CHECKED so the sweep keeps reaching
+# never-verified entries first. Entries whose implementation changes in
+# a round are re-queued at the END of the never-checked block (changed
+# code hygiene) so they draw a fresh row without displacing
+# never-checked entries.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-checked (r06 late additions) --
-    "partitioned_write_prune_agg",
-    "schema_evolution_merge_read",
-    "streaming_segment_dedup",
-    # -- (b) implementation changed in r07 --
-    "sssp_bellman_ford",
-    "hits_hub_authority",
-    "text_winnowing_fingerprint",
-    # rounding-sweep value changes (half-up floor form on both engines;
-    # re-queued per the changed-code hygiene even though local sweeps
-    # passed at sf0.01 AND sf0.1 post-change)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "sql_q6_forecast",
-    "agg_having",
-    "agg_rollup",
-    "agg_sum_over_distinct",
-    "date_functions",
-    "array_functions",
-    "posexplode_embedding",
-    # session-3 refactors (values unchanged; re-queued per the
-    # changed-code hygiene): simhash factored into simhash_from_docs
-    "dedup_simhash",
-    # multi-consumer re-execution fixes from the r07 plan audit
-    # (values unchanged; re-queued per the changed-code hygiene)
-    "pagerank_scaled",
-    "pagerank_personalized",
-    "triangle_count",
-    "data_quality_checks",
-    "basket_pair_lift",
-    "dedup_ngram_jaccard",
-    "rfm_segmentation",
-    "tfidf_topk_terms",
-    "sketch_count_min_topk",
-    # -- (c) new in r07 (appended as built) --
-    "text_neardup_recall_eval",
-    "text_repetition_strip",
-    "anomaly_rolling_zscore",
-    "mix_weights_temperature",
-    "asof_tolerance_join",
-    "ddsketch_quantiles",
-    "ccnet_perplexity_buckets",
-    "winnowing_neardup_pairs",
-    "embedding_power_iteration",
-    "jsonl_roundtrip_agg",
-    "bpe_merge_train_steps",
-    "pandas_api_groupby",
-    "streaming_anomaly_zscore",
-    "multimodal_feature_extract",
-    "multimodal_resize_plan",
-    "mix_token_allocation",
-    "dedup_incremental_embedding",
-    "interval_coverage_union",
-    "scd2_point_in_time_join",
-    "window_ntile_buckets",
+    "csv_permissive_corrupt_records",
+    "triplet_margin_violation_rate",
+    "wilson_ci_conversion",
+    "first_touch_type_distribution",
+    "orders_aging_buckets",
+    # the single r08 addition (VERDICT r07 item 6)
+    "sorted_write_layout",
+    "kaplan_meier_retention",
+    "caliper_nearest_match",
+    "diff_in_differences",
+    "sprt_sequential_test",
+    "poisson_bootstrap_ci",
+    "gbdt_boosted_stumps",
+    "bloom_membership_fpr",
+    "corr_matrix_features",
+    "weighted_median_exact",
+    "ndcg_ranking_eval",
+    "vocab_coverage_curve",
+    "segment_provenance_topk",
+    "source_overlap_matrix",
+    "silhouette_sampled_eval",
+    "mutual_nn_pairs",
+    "knn_label_eval",
+    "nearest_centroid_eval",
+    "lsh_recall_eval",
+    "int8_reconstruction_error",
+    "hamming_cosine_calibration",
+    "embedding_gram_matrix",
+    "hard_negative_mining",
+    "embedding_drift_centroids",
+    "minhash_lsh_sensitivity_curve",
+    "dedup_shingle_containment",
+    "dedup_method_agreement",
+    "telemetry_near_time_dedup",
+    "rake_keyword_extract",
+    "lang_confusion_matrix",
+    "char_coverage_vocab",
+    "dedup_cluster_size_histogram",
+    "quantile_normalize_histogram",
+    "funnel_latency_quantiles",
+    "map_hof_suite",
+    "label_propagation_communities",
+    "hilbert_cluster_assign",
+    "modularity_nations",
+    "local_clustering_coefficient",
+    "k_anonymity_audit",
+    "incremental_join_view",
+    "benford_digit_audit",
+    "dp_noisy_counts",
+    "equi_depth_histogram",
+    "merkle_partition_checksums",
+    "right_to_erasure_cascade",
+    "replica_drift_repair_plan",
+    "hashed_linear_classifier",
+    "dsir_importance_weights",
+    "stupid_backoff_score",
+    "roc_auc_eval",
+    "confusion_matrix_threshold",
+    "doc_compression_ratio",
+    "pr_curve_thresholds",
+    "naive_bayes_lang_confusion",
+    "rank_biased_overlap_eval",
+    "dedup_token_inflation",
+    "truncation_loss_report",
+    "itemcf_topk_similar",
+    "apriori_brand_triples",
+    "gini_acctbal_concentration",
+    "hhi_supplier_concentration",
+    "association_rules_confidence",
+    "revenue_share_hierarchy",
+    "setop_all_variants",
+    "hash_sample_extrapolation",
+    "execute_immediate_params",
+    "udtf_table_partitioned",
+    "collation_lcase_grouping",
+    "sql_scripting_iterative_trim",
+    "pandas_api_merge_asof",
+    "sql_table_function_lateral",
+    "mann_whitney_u",
+    "ks_two_sample",
+    "spearman_rho",
+    "autocorrelation_lags",
+    "degree_assortativity",
+    "resource_allocation_linkpred",
+    "theil_sen_grouped",
+    "mcnemar_paired_test",
+    "cohens_kappa_agreement",
+    "cramers_v_effect",
+    "zipf_fit_slope",
+    "template_skeleton_clusters",
+    "cuped_variance_reduction",
+    "ols_normal_equations",
+    "partial_correlation",
+    "ab_power_mde",
+    "runs_test_randomness",
+    "cross_correlation_lags",
+    "pinball_loss_eval",
+    "mutual_information_lang_source",
+    "trimmed_winsorized_means",
+    "qq_deciles_two_group",
+    "anova_weekday_revenue",
+    "ransac_slope_fit",
+    "kruskal_wallis_weekday",
+    "levenshtein_verify_match",
+    "as_of_snapshot_counts",
+    "kfold_assignment_balance",
+    "webdataset_shard_manifest",
+    "class_balance_downsample",
+    "largest_remainder_apportion",
+    "ctfidf_cluster_terms",
+    "skyline_pareto_parts",
+    "rolling_median_exact",
+    "cusum_changepoint",
+    "cusum_alert_path",
+    "markov_next_event_eval",
+    "markov_calibration_bins",
+    "locf_impute",
+    "session_path_signatures",
+    "markov_entropy_rate",
+    "interarrival_burstiness",
+    "bollinger_bands",
+    "markov_stationary_distribution",
+    "dau_wau_stickiness",
+    "sequential_pattern_support",
+    "window_groups_frame_sum",
+    "leave_one_out_encoding",
+    "ohlc_daily_candles",
+    "vwap_daily",
+    "monotone_streak_lengths",
+    "attribution_u_shaped",
+    "mase_forecast_eval",
+    "cumulative_distinct_users",
+    "half_life_weighted_revenue",
+    "window_range_interval_frame",
+    "session_gap_sensitivity",
+    "time_grouping_sets_rollup",
+    "linear_interpolate_gaps",
+    "streaming_cusum_alert",
+    "streaming_sprt_decision",
+    "holt_linear_forecast",
+    "streaming_state_timeout_sessions",
+    "pandas_grouped_agg_udf",
+    "pandas_iter_udf_scoring",
+    "dynamic_partition_overwrite",
+    "federated_union_agg",
+    "nested_field_pruning_agg",
+    "python_datasource_write",
+    "python_datasource_stream_write",
+    "streaming_dedup_within_watermark",
+    "streaming_stream_stream_left_outer",
+    "streaming_ohlc_candles",
+    "streaming_session_dynamic_gap",
+    "streaming_stream_stream_full_outer",
+    "streaming_join_then_window",
+    "streaming_denylist_filter",
+    "streaming_windowed_distinct_users",
+    "streaming_stream_stream_right_outer",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.
@@ -268,6 +375,29 @@ _CHECKED: frozenset[str] = frozenset(
         "span_corruption_targets", "sql_udf_suite", "sssp_bellman_ford",
         "text_winnowing_fingerprint", "tokenizer_vocab_coverage",
         "transpose_status_metrics", "xml_roundtrip_extract",
+        # r07 sweep
+        "agg_having", "agg_rollup", "agg_sum_over_distinct",
+        "anomaly_rolling_zscore", "array_functions", "asof_tolerance_join",
+        "basket_pair_lift", "bpe_merge_train_steps",
+        "ccnet_perplexity_buckets", "chi_square_independence",
+        "data_quality_checks", "date_functions", "ddsketch_quantiles",
+        "decision_stump_split", "dedup_incremental_embedding",
+        "dedup_ngram_jaccard", "dedup_simhash",
+        "embedding_power_iteration", "grouped_ols_trend",
+        "hits_hub_authority", "interval_coverage_union",
+        "jsonl_roundtrip_agg", "mix_token_allocation",
+        "mix_weights_temperature", "multimodal_feature_extract",
+        "multimodal_resize_plan", "pagerank_personalized",
+        "pagerank_scaled", "pandas_api_groupby",
+        "partitioned_write_prune_agg", "posexplode_embedding",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "rfm_segmentation", "scd2_point_in_time_join",
+        "schema_evolution_merge_read", "sketch_count_min_topk",
+        "sql_q6_forecast", "sssp_bellman_ford", "streaming_anomaly_zscore",
+        "streaming_segment_dedup", "text_neardup_recall_eval",
+        "text_repetition_strip", "text_winnowing_fingerprint",
+        "tfidf_topk_terms", "triangle_count", "welch_t_test_ab",
+        "window_ntile_buckets", "winnowing_neardup_pairs",
     }
 )
 

@@ -61,6 +61,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUN_SEQ = [0]
 
+# Structural stats of every _run_to_memory execution, appended in run
+# order (r08, VERDICT r07 item 3): tests/test_plan_budget.py reads this
+# to pin a per-entry budget on streaming STATE OPERATOR and SOURCE
+# counts — the streaming analog of the batch scan/Exchange budget. A
+# stateful-node count that silently grows (e.g. an accidental extra
+# dropDuplicates or agg in a refactor) multiplies state-store size and
+# checkpoint traffic at scale exactly like lineage re-execution
+# multiplies scans, and value sweeps cannot see it.
+RUN_STATS: list[dict] = []
+
 
 def _run_to_memory(df: DataFrame, spark: SparkSession, name: str, output_mode: str) -> DataFrame:
     """Run a bounded stream to a memory sink and return the result.
@@ -79,6 +89,18 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, name: str, output_mode: s
         .start()
     )
     q.awaitTermination()
+    prog = q.lastProgress or {}
+    RUN_STATS.append(
+        {
+            "name": name,
+            "num_state_operators": len(prog.get("stateOperators", [])),
+            "num_sources": len(prog.get("sources", [])),
+            "state_rows_total": sum(
+                int(op.get("numRowsTotal", 0))
+                for op in prog.get("stateOperators", [])
+            ),
+        }
+    )
     return spark.table(qname)
 
 

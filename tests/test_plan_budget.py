@@ -40,3 +40,93 @@ def test_plan_scan_budget(spark, name):
         f"{_SCAN_BUDGET}) — a multi-consumer subtree is probably "
         "re-executing; pin it with localCheckpoint (see SCALE_NOTES r07)"
     )
+
+
+# ---- Exchange (shuffle) budget (r08, VERDICT r07 item 3) -------------------
+#
+# The r07 plan audit's OTHER detector: shuffle count. Lineage
+# re-execution showed up as Exchange multiplication before the
+# localCheckpoint barriers (pagerank 27 shuffles -> 4, HITS 37 -> 5) —
+# the scan lint alone would miss a re-executing subtree whose source is
+# a checkpoint rather than parquet. Counts exclude BroadcastExchange
+# (broadcasts of bounded sides are the PREFERRED join shape, not a
+# scale cost) and ReusedExchange (a reuse is the fix, not the bug).
+# Budget 10 covers every multi-stage composition on the board; the two
+# documented exceptions are genuinely-staged pipelines whose CURRENT
+# count is pinned exactly so any regression still trips.
+
+_EXCHANGE_BUDGET = 10
+_EXCHANGE_EXCEPTIONS = {
+    # two fused retrieval pipelines (BM25 + vector ANN) each with their
+    # own doc-frequency/top-k stages, joined by RRF rank
+    "hybrid_search_rrf": 12,
+    # train/apply naive Bayes: per-class token likelihoods, priors,
+    # vocab smoothing and the scoring join are separate keyed stages
+    "naive_bayes_lang_confusion": 13,
+}
+
+
+@pytest.mark.parametrize("name", _batch_entries())
+def test_plan_exchange_budget(spark, name):
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan))
+    budget = _EXCHANGE_EXCEPTIONS.get(name, _EXCHANGE_BUDGET)
+    assert shuffles <= budget, (
+        f"{name}: {shuffles} shuffle Exchanges in one plan (budget "
+        f"{budget}) — either a re-executing multi-consumer subtree "
+        "(pin with localCheckpoint) or a new keyed stage that needs a "
+        "documented exception here"
+    )
+
+
+# ---- streaming structure budget (r08, VERDICT r07 item 3) ------------------
+#
+# Streaming entries execute their query inside the callable (memory
+# sink, availableNow) and return a batch result, so the batch plan
+# lints above never see them. _run_to_memory records each run's
+# structural stats from the final StreamingQueryProgress; the budget
+# pins STATE OPERATOR count (every stateful node is a state store — a
+# refactor that accidentally stacks an extra dropDuplicates/agg
+# multiplies checkpoint traffic at scale) and SOURCE count (2 = the
+# stream-stream join shape; 3+ means an unplanned extra scan of the
+# fixture per microbatch).
+
+_STATE_OP_BUDGET = 3
+_SOURCE_BUDGET = 2
+
+
+def _streaming_entries():
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    return sorted(n for n in REGISTRY if n.startswith("streaming_"))
+
+
+@pytest.mark.parametrize("name", _streaming_entries())
+def test_streaming_structure_budget(spark, name):
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
+    from tiny_etl_multiproc_bigdata_spark.streaming import jobs
+
+    before = len(jobs.RUN_STATS)
+    REGISTRY[name].fn(spark, SF_DIR)
+    runs = jobs.RUN_STATS[before:]
+    # entries not routed through _run_to_memory (foreachBatch, python
+    # datasource write paths) record nothing — the entry still executed
+    for run in runs:
+        assert run["num_state_operators"] <= _STATE_OP_BUDGET, (
+            f"{name} ({run['name']}): {run['num_state_operators']} "
+            f"stateful operators (budget {_STATE_OP_BUDGET}) — each one "
+            "is a state store; an accidental extra stateful node "
+            "multiplies checkpoint traffic at scale"
+        )
+        assert run["num_sources"] <= _SOURCE_BUDGET, (
+            f"{name} ({run['name']}): {run['num_sources']} stream "
+            f"sources (budget {_SOURCE_BUDGET}) — more than a "
+            "stream-stream join shape should ever need"
+        )

@@ -783,42 +783,57 @@ _WIN_K = 5  # shingle width (chars)
 _WIN_W = 4  # window width (hashes)
 _WIN_POS_CAP = 999_999
 
-# window-minimum operand list generated from _WIN_W on BOTH engines so
-# tuning the knob can never desynchronize them (the _CONTAM_N /
-# _DUCK_GRAM lesson): oracle fragment here, engine lambda below
-_WIN_LEAST = "least(" + ", ".join(
-    f"e[j+{off}]" if off else "e[j]" for off in range(_WIN_W)
-) + ")"
+# Window-minimum operand list and the whole CTE chain are GENERATED
+# from (k, w) on BOTH engines so tuning a knob can never desynchronize
+# them (the _CONTAM_N / _DUCK_GRAM lesson). The generators take
+# explicit (k, w) — the module constants are only defaults — so
+# tests/test_winnowing_lockstep.py can re-run engine-vs-oracle at
+# PERTURBED knob values and pin the lockstep mechanically (VERDICT r07
+# item 2: the regression class where one side hard-codes an operand
+# count and a later knob tweak silently skews only that side).
 
 
-# winnowing CTE chain through the selected-hash set `sel(doc_id, d)` —
-# shared by the fingerprint rollup entry and the near-dup pair join
-_WIN_CTES = rf"""
+def _win_least_sql(w: int) -> str:
+    return (
+        "least("
+        + ", ".join(f"e[j+{off}]" if off else "e[j]" for off in range(w))
+        + ")"
+    )
+
+
+def win_ctes_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """Winnowing CTE chain through the selected-hash set
+    ``sel(doc_id, d)`` — shared by the fingerprint rollup entry and the
+    near-dup pair join."""
+    return rf"""
     WITH t AS (
       SELECT doc_id, lower(text) AS low FROM documents
-      WHERE length(lower(text)) >= {_WIN_K + _WIN_W - 1}
+      WHERE length(lower(text)) >= {k + w - 1}
     ), enc AS (
       SELECT doc_id,
              list_transform(
-               range(1, length(low) - {_WIN_K - 1} + 1),
-               i -> md5(substr(low, CAST(i AS INT), {_WIN_K})) || '#' ||
+               range(1, length(low) - {k - 1} + 1),
+               i -> md5(substr(low, CAST(i AS INT), {k})) || '#' ||
                     lpad(CAST({_WIN_POS_CAP} - i AS VARCHAR), 6, '0')
              ) AS e
       FROM t
     ), sel AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               range(1, len(e) - {_WIN_W - 1} + 1),
-               j -> {_WIN_LEAST}
+               range(1, len(e) - {w - 1} + 1),
+               j -> {_win_least_sql(w)}
              )) AS d
       FROM enc
     )"""
 
 
-@register(
-    "text_winnowing_fingerprint",
-    oracle=_WIN_CTES
-    + rf""", ordered AS (
+_WIN_CTES = win_ctes_sql()
+
+
+def win_fingerprint_oracle(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """Full fingerprint-rollup oracle for a given (k, w) — the tail's
+    substr offsets are md5/positional-encoding widths, knob-independent."""
+    return win_ctes_sql(k, w) + rf""", ordered AS (
       SELECT doc_id,
              list_sort(list_transform(
                d,
@@ -833,7 +848,12 @@ _WIN_CTES = rf"""
            md5(array_to_string(list_transform(s, x -> substr(x, 7, 32)), ''))
              AS fingerprint
     FROM ordered
-    """,
+    """
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=win_fingerprint_oracle(),
 )
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (MOSS): per document, the set of
@@ -855,17 +875,24 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(base)
 
 
-def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
+def winnow_fingerprints(
+    base: DataFrame,
+    rollup: bool = True,
+    k: int = _WIN_K,
+    w: int = _WIN_W,
+) -> DataFrame:
     """Core winnowing pass over a (doc_id, low) frame — split out so the
     shared-substring guarantee is testable on constructed documents
     (tests/test_corpus_ops.py). ``rollup=False`` returns the exploded
     (doc_id, pos, kgram_hash) selections — the join-able form a
-    near-dup pass would self-join on kgram_hash."""
+    near-dup pass would self-join on kgram_hash. ``k``/``w`` default to
+    the module knobs; tests/test_winnowing_lockstep.py runs perturbed
+    values against ``win_fingerprint_oracle(k, w)``."""
     # docs too short to hold one full window select nothing (the Python
     # reference returns the empty set for them); without this filter the
     # sequence() bound goes DESCENDING and element_at reads out of
     # range — a job-killing crash under ANSI mode (r6 review finding)
-    base = base.where(F.length("low") >= _WIN_K + _WIN_W - 1)
+    base = base.where(F.length("low") >= k + w - 1)
     # documents anywhere near the positional-encoding cap would corrupt
     # the tie order silently — fail loudly instead (fixture max is ~1e3)
     base = base.select(
@@ -888,10 +915,10 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
             # DESCENDING through 0/negative positions (see sel below)
             F.sequence(
                 F.lit(1),
-                F.greatest(F.length("low") - (_WIN_K - 1), F.lit(1)),
+                F.greatest(F.length("low") - (k - 1), F.lit(1)),
             ),
             lambda i: F.concat(
-                F.md5(F.col("low").substr(i, F.lit(_WIN_K))),
+                F.md5(F.col("low").substr(i, F.lit(k))),
                 F.lit("#"),
                 F.lpad((F.lit(_WIN_POS_CAP) - i).cast("string"), 6, "0"),
             ),
@@ -909,13 +936,13 @@ def winnow_fingerprints(base: DataFrame, rollup: bool = True) -> DataFrame:
             F.transform(
                 F.sequence(
                     F.lit(1),
-                    F.greatest(F.size("e") - (_WIN_W - 1), F.lit(1)),
+                    F.greatest(F.size("e") - (w - 1), F.lit(1)),
                 ),
                 lambda j: F.least(
                     *[
                         F.try_element_at("e", j + off) if off
                         else F.try_element_at("e", j)
-                        for off in range(_WIN_W)
+                        for off in range(w)
                     ]
                 ),
             )

@@ -259,6 +259,10 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_denylist_filter",
     "streaming_windowed_distinct_users",
     "streaming_stream_stream_right_outer",
+    # re-queued: implementation changed in r08 (winnowing (k,w)
+    # parametrization — values unchanged, changed-code hygiene)
+    "text_winnowing_fingerprint",
+    "winnowing_neardup_pairs",
 )
 
 # Entries with a CORRECTNESS row from the r01-r04 driver sweeps.

@@ -28,20 +28,6 @@ def _batch_entries():
     return sorted(n for n in REGISTRY if not n.startswith("streaming_"))
 
 
-@pytest.mark.parametrize("name", _batch_entries())
-def test_plan_scan_budget(spark, name):
-    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
-
-    df = REGISTRY[name].fn(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    scans = len(re.findall(r"Scan parquet", plan))
-    assert scans <= _SCAN_BUDGET, (
-        f"{name}: {scans} parquet scans in one plan (budget "
-        f"{_SCAN_BUDGET}) — a multi-consumer subtree is probably "
-        "re-executing; pin it with localCheckpoint (see SCALE_NOTES r07)"
-    )
-
-
 # ---- Exchange (shuffle) budget (r08, VERDICT r07 item 3) -------------------
 #
 # The r07 plan audit's OTHER detector: shuffle count. Lineage
@@ -67,11 +53,20 @@ _EXCHANGE_EXCEPTIONS = {
 
 
 @pytest.mark.parametrize("name", _batch_entries())
-def test_plan_exchange_budget(spark, name):
+def test_plan_scan_budget(spark, name):
+    # one plan construction checks BOTH node budgets: graph/eval
+    # entries run real jobs at construction time (checkpoint barriers),
+    # so a second parametrized pass would double the suite's cost
     from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
 
     df = REGISTRY[name].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(r"Scan parquet", plan))
+    assert scans <= _SCAN_BUDGET, (
+        f"{name}: {scans} parquet scans in one plan (budget "
+        f"{_SCAN_BUDGET}) — a multi-consumer subtree is probably "
+        "re-executing; pin it with localCheckpoint (see SCALE_NOTES r07)"
+    )
     shuffles = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan))
     budget = _EXCHANGE_EXCEPTIONS.get(name, _EXCHANGE_BUDGET)
     assert shuffles <= budget, (

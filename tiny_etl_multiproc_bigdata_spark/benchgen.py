@@ -138,12 +138,32 @@ def ensure_sf1_events(
     if os.path.exists(sentinel):
         return
     os.makedirs(out_dir, exist_ok=True)
-    from tiny_etl_multiproc_bigdata_spark.catalog import table
+    # pyarrow, not a Spark write: streaming entries locate the fixture
+    # via pathGlobFilter on the literal FILE name "events.parquet"
+    # (streaming/jobs._events_stream), so the sf1 copy must be one file
+    # like the driver fixture — with explicit row groups so batch scans
+    # still parallelize.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
-    ev = table(spark, sf01_dir, "events")
-    _replicate(ev, ["event_id", "user_id"]).drop("_r").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/events.parquet")
+    src = pq.read_table(f"{sf01_dir}/events.parquet")
+    parts = []
+    for r in range(REP):
+        t = src
+        for c in ("event_id", "user_id"):
+            t = t.set_column(
+                t.schema.get_field_index(c),
+                c,
+                pc.add(pc.multiply(t[c], pa.scalar(REP)), pa.scalar(r)),
+            )
+        parts.append(t)
+    out = pa.concat_tables(parts)
+    pq.write_table(
+        out,
+        f"{out_dir}/events.parquet",
+        row_group_size=max(1, out.num_rows // _N_FILES),
+    )
     with open(sentinel, "w") as f:
         f.write("ok\n")
 

@@ -63,9 +63,12 @@ def test_entry_default_matches_registry_flagship(spark, monkeypatch):
 
 def test_driver_sweep_priority_contract():
     """The external driver samples a capped prefix of queries() —
-    ordering IS the re-queue mechanism. Pin the r07 contract: the three
-    never-driver-checked entries lead, every _PRIORITY entry precedes
-    every already-green _CHECKED entry, and _PRIORITY names all exist."""
+    ordering IS the re-queue mechanism. Pin the r08 consolidation
+    contract (VERDICT r07 item 1): the five newest entries plus the
+    single r08 addition lead, the ~50-row sample window contains NO
+    already-attested entry (it must drain the never-checked set), every
+    _PRIORITY entry precedes every checked-only entry, and _PRIORITY
+    names all exist."""
     E = _entry_module()
     from tiny_etl_multiproc_bigdata_spark.plans.registry import (
         _CHECKED,
@@ -74,11 +77,17 @@ def test_driver_sweep_priority_contract():
     )
 
     names = list(E.queries())
-    assert names[:3] == [
-        "partitioned_write_prune_agg",
-        "schema_evolution_merge_read",
-        "streaming_segment_dedup",
+    assert names[:6] == [
+        "csv_permissive_corrupt_records",
+        "triplet_margin_violation_rate",
+        "wilson_ci_conversion",
+        "first_touch_type_distribution",
+        "orders_aging_buckets",
+        "sorted_write_layout",
     ]
+    # the driver's ~50-row sample must be spent entirely on entries
+    # with no driver row yet (sorted_write_layout is new, hence unrowed)
+    assert not [n for n in names[:50] if n in _CHECKED]
     assert set(_PRIORITY) <= set(REGISTRY), (
         set(_PRIORITY) - set(REGISTRY)
     )

@@ -1,0 +1,88 @@
+"""Stage-cardinality audit for the sf1 new-tier battery (r08, VERDICT
+r07 item 5) — the method the sf1 section trusts over per-byte rates:
+prove the SCALING CLASS of each expensive entry by measuring the
+cardinality of its load-bearing intermediate at sf0.1 vs sf1, instead
+of arguing from wall-clock (which the r07 audit showed is load-noisy).
+
+Run AFTER a bench run has materialized the sf1 fixture:
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py  # builds .bench_sf1
+    python tools/sf1_cardinality_audit.py
+
+r08 results (recorded in SCALE_NOTES "sf1 new-tier battery"): every
+stage exactly linear — graph edges 1,173,742 -> 11,737,420 (10.000x,
+replica-disjoint key remap replicates distinct pairs exactly), nodes
+and users 10x, and the Kaplan-Meier curve CONSTANT at 4 distinct
+durations (bounded by the observation window, not input size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def audit(spark: SparkSession, sf_dir: str) -> dict:
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # the HITS / label-propagation edge build (graph_ops)
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    n_pairs = pairs.count()
+    n_cust = pairs.select("o_custkey").distinct().count()
+    n_supp = pairs.select("l_suppkey").distinct().count()
+    e = table(spark, sf_dir, "events")
+    # kaplan_meier_retention: per-user lifetimes, curve rows
+    n_dur = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+        .select(F.datediff(F.to_date("l"), F.to_date("f")).alias("d"))
+        .distinct()
+        .count()
+    )
+    return {
+        "graph_edges_directed": 2 * n_pairs,
+        "graph_nodes": n_cust + n_supp,
+        "events_rows": e.count(),
+        "km_users": e.select("user_id").distinct().count(),
+        "km_distinct_durations": n_dur,
+        "skyline_part_rows": table(spark, sf_dir, "part").count(),
+    }
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("sf1-cardinality-audit")
+        .getOrCreate()
+    )
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1 = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_sf1",
+    )
+    out = {"sf0.1": audit(spark, sf01)}
+    if os.path.exists(os.path.join(sf1, "_BENCH_OK_EVENTS")):
+        out["sf1"] = audit(spark, sf1)
+        out["ratios"] = {
+            k: round(out["sf1"][k] / max(1, out["sf0.1"][k]), 3)
+            for k in out["sf0.1"]
+        }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,3 +95,40 @@ def test_driver_sweep_priority_contract():
     checked_only = set(_CHECKED) - set(_PRIORITY)
     first_checked = min(names.index(n) for n in checked_only)
     assert last_priority < first_checked
+
+
+def test_driver_attestation_parsing(tmp_path):
+    """_CHECKED self-maintains from the committed CORRECTNESS files
+    (r08): green full-pass rows attest, the driver's rows-only form
+    attests, and red/errored rows do NOT — a red entry must re-queue at
+    the head of the sweep, not count as done."""
+    import json
+
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        _CHECKED,
+        _CHECKED_BASE,
+        _driver_attested,
+    )
+
+    rows = {
+        "green_full": {"rows_match": True, "schema_match": True,
+                       "hash_match": True, "spark_rows": 3,
+                       "oracle_rows": 3, "err": None},
+        "rows_only": {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "spark_rows": 5,
+                      "oracle_rows": None, "err": "no_oracle"},
+        "red_hash": {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "spark_rows": 3,
+                     "oracle_rows": 3, "err": None},
+        "crashed": {"rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None, "err": "Traceback ..."},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    got = _driver_attested(root=str(tmp_path))
+    assert got == {"green_full", "rows_only"}
+
+    # the live set derives from the repo's real files and must at least
+    # contain the static baseline; at r08 they are exactly equal
+    assert _CHECKED_BASE <= _CHECKED
+    assert _driver_attested() == _CHECKED_BASE

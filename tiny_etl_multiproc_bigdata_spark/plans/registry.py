@@ -265,10 +265,17 @@ _PRIORITY: tuple[str, ...] = (
     "winnowing_neardup_pairs",
 )
 
-# Entries with a CORRECTNESS row from the r01-r04 driver sweeps.
-# Unlisted entries WITHOUT a row sort ahead of these so a capped sweep
-# reaches never-verified entries first.
-_CHECKED: frozenset[str] = frozenset(
+# Baseline attestation set: entries with a green CORRECTNESS row from
+# the r01-r07 driver sweeps, kept as a static fallback for environments
+# where the CORRECTNESS_r*.json files are absent. The LIVE set below
+# (_CHECKED) is the union of this baseline with whatever the committed
+# driver files actually attest, so from r09 on the drain is
+# self-maintaining: a new CORRECTNESS_r{N}.json moves its green rows
+# into the checked set with NO manual edit, and a RED row never
+# attests — the entry automatically re-queues at the front of the
+# sweep. (Verified at r08: the file-derived set equals this baseline
+# exactly, 279/279 both directions.)
+_CHECKED_BASE: frozenset[str] = frozenset(
     {
         # r01 sweep
         "flagship_words", "agg_percentiles", "agg_moment_stats",
@@ -404,6 +411,52 @@ _CHECKED: frozenset[str] = frozenset(
         "window_ntile_buckets", "winnowing_neardup_pairs",
     }
 )
+
+
+def _driver_attested(root: str | None = None) -> frozenset[str]:
+    """Names with at least one GREEN driver row across every committed
+    CORRECTNESS_r*.json: full pass (rows+schema+hash all matched, no
+    error) or the rows-only form the driver records for entries without
+    an oracle (err == "no_oracle", a non-negative row count). Errored
+    or mismatched rows never attest, so a red entry re-queues itself at
+    the head of the sweep on the next round."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    if root is None:
+        root = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+    names: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            full = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            )
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and isinstance(row.get("spark_rows"), int)
+                and row["spark_rows"] >= 0
+            )
+            if full or rows_only:
+                names.add(name)
+    return frozenset(names)
+
+
+_CHECKED: frozenset[str] = _CHECKED_BASE | _driver_attested()
 
 
 def _ordered_names() -> list[str]:

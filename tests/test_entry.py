@@ -128,7 +128,9 @@ def test_driver_attestation_parsing(tmp_path):
     got = _driver_attested(root=str(tmp_path))
     assert got == {"green_full", "rows_only"}
 
-    # the live set derives from the repo's real files and must at least
-    # contain the static baseline; at r08 they are exactly equal
+    # the live set derives from the repo's real files and must contain
+    # the frozen r01-r07 baseline (exactly equal when r08 was built;
+    # a SUPERSET once later CORRECTNESS files land — equality here
+    # would go red the moment the driver commits the next round's file)
     assert _CHECKED_BASE <= _CHECKED
-    assert _driver_attested() == _CHECKED_BASE
+    assert _CHECKED_BASE <= _driver_attested()

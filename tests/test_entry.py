@@ -86,15 +86,29 @@ def test_driver_sweep_priority_contract():
         "sorted_write_layout",
     ]
     # the driver's ~50-row sample must be spent entirely on entries
-    # with no driver row yet (sorted_write_layout is new, hence unrowed)
+    # with no driver row yet (sorted_write_layout is new, hence
+    # unrowed). Because _CHECKED is file-derived and priority rank only
+    # applies while unattested, this invariant survives future
+    # CORRECTNESS files landing: newly-attested entries sink and the
+    # next never-checked block leads, with no manual reorder.
     assert not [n for n in names[:50] if n in _CHECKED]
     assert set(_PRIORITY) <= set(REGISTRY), (
         set(_PRIORITY) - set(REGISTRY)
     )
-    last_priority = max(names.index(n) for n in _PRIORITY)
-    checked_only = set(_CHECKED) - set(_PRIORITY)
-    first_checked = min(names.index(n) for n in checked_only)
-    assert last_priority < first_checked
+    # every never-attested entry precedes every attested one, except
+    # the _REQUEUE tier (changed code with stale attestation), which
+    # sits between them
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import _REQUEUE
+
+    last_unattested = max(
+        names.index(n) for n in names if n not in _CHECKED
+    )
+    attested_current = set(_CHECKED) - set(_REQUEUE)
+    first_attested = min(names.index(n) for n in attested_current)
+    assert last_unattested < first_attested
+    for n in _REQUEUE:
+        if n in _CHECKED:
+            assert last_unattested < names.index(n) < first_attested
 
 
 def test_driver_attestation_parsing(tmp_path):

@@ -95,12 +95,15 @@ def _load_all() -> None:
 # (VERDICT r07 item 7 names the first five), then insertion order, plus
 # the single r08 addition `sorted_write_layout` (VERDICT r07 item 6 —
 # the only registry growth this round). Drain plan: r08 attests the
-# first ~50, r09 the next ~50, r10 the remaining ~56 — each round the
-# newly-attested prefix moves into _CHECKED so the sweep keeps reaching
-# never-verified entries first. Entries whose implementation changes in
-# a round are re-queued at the END of the never-checked block (changed
-# code hygiene) so they draw a fresh row without displacing
-# never-checked entries.
+# first ~50, r09 the next ~50, r10 the remaining ~56 — and the drain is
+# SELF-MAINTAINING: _CHECKED derives from the committed
+# CORRECTNESS_r*.json files, priority rank applies only while an entry
+# is unattested (see _ordered_names), so each new driver file sinks its
+# green rows and the next ~50 never-checked entries lead automatically,
+# with no manual reorder. A listed name that gains a row is inert debt,
+# not a bug. Entries whose implementation changes in a round go in
+# _REQUEUE below (changed-code hygiene): after every never-checked
+# entry, before the attested tier.
 _PRIORITY: tuple[str, ...] = (
     "csv_permissive_corrupt_records",
     "triplet_margin_violation_rate",
@@ -259,8 +262,18 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_denylist_filter",
     "streaming_windowed_distinct_users",
     "streaming_stream_stream_right_outer",
-    # re-queued: implementation changed in r08 (winnowing (k,w)
-    # parametrization — values unchanged, changed-code hygiene)
+)
+
+# Changed-code re-queue tier: entries whose implementation changed this
+# round but which already hold a green driver row from an earlier
+# vintage. They sort AFTER every never-checked entry (a re-queue must
+# not displace first-time attestation) and BEFORE the attested tier, so
+# they draw one fresh row as soon as the never-checked set drains past
+# them. Once the fresh row lands in a committed CORRECTNESS file the
+# listing is inert debt — remove it at the next touch.
+_REQUEUE: tuple[str, ...] = (
+    # winnowing (k, w) parametrization (r08) — values unchanged,
+    # lockstep-tested and two-scale swept, changed-code hygiene only
     "text_winnowing_fingerprint",
     "winnowing_neardup_pairs",
 )
@@ -460,13 +473,25 @@ _CHECKED: frozenset[str] = _CHECKED_BASE | _driver_attested()
 
 
 def _ordered_names() -> list[str]:
+    """Sweep order, self-maintaining against the committed CORRECTNESS
+    files (r08): tier 0 = never-attested entries in _PRIORITY order
+    (unlisted ones by insertion order after the listed ones) — once a
+    driver file attests an entry its _PRIORITY listing becomes inert
+    and it sinks to tier 2 automatically, so the next round's ~50-row
+    sample always lands on fresh entries with no manual reorder;
+    tier 1 = _REQUEUE (changed code with only stale attestation);
+    tier 2 = attested, current."""
     rank = {n: i for i, n in enumerate(_PRIORITY)}
+    requeue = {n: i for i, n in enumerate(_REQUEUE)}
     insertion = {n: i for i, n in enumerate(REGISTRY)}
+    big = len(REGISTRY)
 
-    def key(n: str) -> tuple[int, int]:
-        if n in rank:
-            return (0, rank[n])
-        return (1 if n not in _CHECKED else 2, insertion[n])
+    def key(n: str) -> tuple[int, int, int]:
+        if n not in _CHECKED:
+            return (0, rank.get(n, big), insertion[n])
+        if n in requeue:
+            return (1, requeue[n], insertion[n])
+        return (2, big, insertion[n])
 
     return sorted(REGISTRY, key=key)
 

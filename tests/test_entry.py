@@ -77,7 +77,7 @@ def test_driver_sweep_priority_contract():
     )
 
     names = list(E.queries())
-    assert names[:6] == [
+    r08_head = [
         "csv_permissive_corrupt_records",
         "triplet_margin_violation_rate",
         "wilson_ci_conversion",
@@ -85,13 +85,19 @@ def test_driver_sweep_priority_contract():
         "orders_aging_buckets",
         "sorted_write_layout",
     ]
+    # literal head pin for the r08 sample; self-disarms once these draw
+    # driver rows (they then sink by design and a new head leads)
+    if all(n not in _CHECKED for n in r08_head):
+        assert names[: len(r08_head)] == r08_head
     # the driver's ~50-row sample must be spent entirely on entries
-    # with no driver row yet (sorted_write_layout is new, hence
-    # unrowed). Because _CHECKED is file-derived and priority rank only
-    # applies while unattested, this invariant survives future
-    # CORRECTNESS files landing: newly-attested entries sink and the
-    # next never-checked block leads, with no manual reorder.
-    assert not [n for n in names[:50] if n in _CHECKED]
+    # with no driver row yet, for as long as that many exist. Because
+    # _CHECKED is file-derived and priority rank only applies while
+    # unattested, this invariant survives future CORRECTNESS files
+    # landing: newly-attested entries sink and the next never-checked
+    # block leads, with no manual reorder.
+    n_unattested = sum(1 for n in names if n not in _CHECKED)
+    window = min(50, n_unattested)
+    assert not [n for n in names[:window] if n in _CHECKED]
     assert set(_PRIORITY) <= set(REGISTRY), (
         set(_PRIORITY) - set(REGISTRY)
     )
@@ -100,15 +106,17 @@ def test_driver_sweep_priority_contract():
     # sits between them
     from tiny_etl_multiproc_bigdata_spark.plans.registry import _REQUEUE
 
-    last_unattested = max(
+    unattested_idx = [
         names.index(n) for n in names if n not in _CHECKED
-    )
+    ]
     attested_current = set(_CHECKED) - set(_REQUEUE)
-    first_attested = min(names.index(n) for n in attested_current)
-    assert last_unattested < first_attested
-    for n in _REQUEUE:
-        if n in _CHECKED:
-            assert last_unattested < names.index(n) < first_attested
+    if unattested_idx and attested_current:  # drained board disarms
+        last_unattested = max(unattested_idx)
+        first_attested = min(names.index(n) for n in attested_current)
+        assert last_unattested < first_attested
+        for n in _REQUEUE:
+            if n in _CHECKED:
+                assert last_unattested < names.index(n) < first_attested
 
 
 def test_driver_attestation_parsing(tmp_path):

@@ -529,6 +529,24 @@ def main() -> None:
             ev1_bytes,
         )
 
+        # Causal/experimentation + telemetry tier (VERDICT r08 item 5):
+        # these had only sf0.1 evidence. Real key growth at sf1 —
+        # 10x customers for the caliper match, 10x event users for
+        # CUPED / diff-in-differences / near-time dedup. Cardinality
+        # notes in SCALE_NOTES ("sf1 causal battery").
+        timed_sf1_entry(
+            "caliper_nearest_match",
+            "parquet_mb_per_s",
+            _dir_bytes(f"{sf1_dir}/customer.parquet"),
+        )
+        timed_sf1_entry(
+            "cuped_variance_reduction", "parquet_mb_per_s", ev1_bytes
+        )
+        timed_sf1_entry("diff_in_differences", "parquet_mb_per_s", ev1_bytes)
+        timed_sf1_entry(
+            "telemetry_near_time_dedup", "parquet_mb_per_s", ev1_bytes
+        )
+
         # Layout section (VERDICT r07 item 6): the one real sf1 finding
         # was encoding density — 10x distinct keys defeat per-row-group
         # dictionary encoding and q1/q9 scan cost rises ~1.6x/row. The
@@ -680,30 +698,75 @@ def main() -> None:
     )
     timed_stream("streaming_segment_dedup", segs, "append", doc_rows)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "flagship_sustained_mb_per_s": round(mb_per_s, 2),
-                "amplified": amplified,
-                "sf1": sf1,
-                "layout": layout,
-                "streaming": streaming,
-                "load_avg": load_avg,
-                "protocol": (
-                    "warm-once per plan, then median of 5 (headline) / "
-                    "3 (sustained, amplified, layout) timed runs; sf1 "
-                    "warm-once + single steady-state run; load_avg is "
-                    "the 1-min load average sampled at each battery "
-                    "start (32 hardware threads)"
-                ),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "flagship_sustained_mb_per_s": round(mb_per_s, 2),
+        "amplified": amplified,
+        "sf1": sf1,
+        "layout": layout,
+        "streaming": streaming,
+        "load_avg": load_avg,
+        "protocol": (
+            "warm-once per plan, then median of 5 (headline) / "
+            "3 (sustained, amplified, layout) timed runs; sf1 "
+            "warm-once + single steady-state run; load_avg is "
+            "the 1-min load average sampled at each battery "
+            "start (32 hardware threads)"
+        ),
+    }
+
+    # VERDICT r08 item 2: the full battery JSON outgrew the driver's
+    # 2000-char stdout tail capture, so BENCH_r08.json came back
+    # `parsed: null` and the headline block was lost. Persist the FULL
+    # battery to a committed BENCH_FULL_r{N}.json next to this script
+    # (round inferred as 1 + the highest committed BENCH_r* file, the
+    # round currently being driven; overridable via SPARK_GRAFT_ROUND)
+    # and keep stdout's LAST line a compact summary that always fits
+    # the capture window.
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round is not None:
+        n = int(env_round)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = max(rounds) + 1 if rounds else 0
+    full_name = f"BENCH_FULL_r{n:02d}.json" if n > 0 else "BENCH_FULL.json"
+    full_path = os.path.join(repo, full_name)
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(f"# full battery written to {full_path}", file=sys.stderr)
+
+    compact = {
+        "metric": "headline_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "flagship_sustained_mb_per_s": round(mb_per_s, 2),
+        "load_avg": load_avg,
+        "full": full_name,
+    }
+    line = json.dumps(compact)
+    # belt-and-braces: degrade gracefully rather than ever exceeding
+    # the 1500-char budget the driver's tail capture guarantees to hold
+    for drop in ("load_avg", "queries"):
+        if len(line) <= 1500:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -109,50 +109,105 @@ def test_driver_sweep_priority_contract():
     unattested_idx = [
         names.index(n) for n in names if n not in _CHECKED
     ]
-    attested_current = set(_CHECKED) - set(_REQUEUE)
+    # _CHECKED derives from historical CORRECTNESS files and may name
+    # entries since renamed/removed — intersect with the live registry
+    # before names.index (ADVICE r08) so drift reads as a clean skip,
+    # not a ValueError
+    attested_current = (set(_CHECKED) - set(_REQUEUE)) & set(names)
     if unattested_idx and attested_current:  # drained board disarms
         last_unattested = max(unattested_idx)
         first_attested = min(names.index(n) for n in attested_current)
         assert last_unattested < first_attested
         for n in _REQUEUE:
-            if n in _CHECKED:
+            if n in _CHECKED and n in names:
                 assert last_unattested < names.index(n) < first_attested
 
 
 def test_driver_attestation_parsing(tmp_path):
-    """_CHECKED self-maintains from the committed CORRECTNESS files
-    (r08): green full-pass rows attest, the driver's rows-only form
-    attests, and red/errored rows do NOT — a red entry must re-queue at
-    the head of the sweep, not count as done."""
+    """_CHECKED self-maintains from the committed CORRECTNESS files,
+    latest-wins (ADVICE r08): green full-pass rows attest, the
+    rows-only form attests ONLY for entries registered oracle=None,
+    red/errored rows do NOT, and a red row in a LATER round un-attests
+    an entry that was green earlier — regressions re-queue at the head
+    of the sweep instead of staying counted as done."""
     import json
 
     from tiny_etl_multiproc_bigdata_spark.plans.registry import (
         _CHECKED,
         _CHECKED_BASE,
+        _ROWS_ONLY_BY_DESIGN,
         _driver_attested,
     )
 
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "spark_rows": 3,
+             "oracle_rows": 3, "err": None}
+    no_oracle = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5,
+                 "oracle_rows": None, "err": "no_oracle"}
     rows = {
-        "green_full": {"rows_match": True, "schema_match": True,
-                       "hash_match": True, "spark_rows": 3,
-                       "oracle_rows": 3, "err": None},
-        "rows_only": {"rows_match": None, "schema_match": None,
-                      "hash_match": None, "spark_rows": 5,
-                      "oracle_rows": None, "err": "no_oracle"},
+        "green_full": green,
+        # designed rows-only entry: no_oracle attests
+        "kmeans_lloyd": no_oracle,
+        # value-checked entry whose oracle broke driver-side: the
+        # no_oracle row must NOT attest (ADVICE r08) — it re-queues
+        "green_full_broken_oracle": no_oracle,
         "red_hash": {"rows_match": True, "schema_match": True,
                      "hash_match": False, "spark_rows": 3,
                      "oracle_rows": 3, "err": None},
         "crashed": {"rows_match": None, "schema_match": None,
                     "hash_match": None, "spark_rows": None,
                     "oracle_rows": None, "err": "Traceback ..."},
+        # boolean spark_rows is not a row count
+        "table_sample": dict(no_oracle, spark_rows=True),
     }
-    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    assert "kmeans_lloyd" in _ROWS_ONLY_BY_DESIGN
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(rows))
     got = _driver_attested(root=str(tmp_path))
-    assert got == {"green_full", "rows_only"}
+    assert got == {"green_full", "kmeans_lloyd"}
 
-    # the live set derives from the repo's real files and must contain
-    # the frozen r01-r07 baseline (exactly equal when r08 was built;
-    # a SUPERSET once later CORRECTNESS files land — equality here
-    # would go red the moment the driver commits the next round's file)
-    assert _CHECKED_BASE <= _CHECKED
-    assert _CHECKED_BASE <= _driver_attested()
+    # latest-wins: a red row in r99 un-attests r98's green entries, and
+    # a green row in r99 attests an entry that was red in r98
+    later = {
+        "green_full": {"rows_match": True, "schema_match": True,
+                       "hash_match": False, "spark_rows": 3,
+                       "oracle_rows": 3, "err": None},
+        "red_hash": green,
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(later))
+    got = _driver_attested(root=str(tmp_path))
+    assert got == {"kmeans_lloyd", "red_hash"}
+
+    # no parseable file at all → _driver_attested is empty (the live
+    # _CHECKED then falls back to the static baseline)
+    assert _driver_attested(root=str(tmp_path / "nowhere")) == frozenset()
+
+    # the live set derives from the repo's real files. When they are
+    # present (this checkout), latest-wins must cover the frozen
+    # r01-r07 baseline — every historically-red entry was re-attested
+    # green in a later round. In a checkout WITHOUT the CORRECTNESS
+    # files the registry falls back to _CHECKED_BASE by design, so
+    # only assert the subset when files actually parsed (ADVICE r08).
+    live = _driver_attested()
+    if live:
+        assert _CHECKED_BASE <= live
+        assert _CHECKED_BASE <= _CHECKED
+    else:
+        assert _CHECKED == _CHECKED_BASE
+
+
+def test_rows_only_design_set_matches_registry():
+    """_ROWS_ONLY_BY_DESIGN (the static set gating the driver's
+    no_oracle attestation form) must equal the live set of entries
+    registered with oracle=None — drift in either direction would let
+    a broken oracle attest or make a designed rows-only entry
+    unattestable."""
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        REGISTRY,
+        _ROWS_ONLY_BY_DESIGN,
+        _load_all,
+    )
+
+    _load_all()
+    live = {n for n, spec in REGISTRY.items() if spec.oracle is None}
+    assert live == set(_ROWS_ONLY_BY_DESIGN)

@@ -279,15 +279,19 @@ _REQUEUE: tuple[str, ...] = (
 )
 
 # Baseline attestation set: entries with a green CORRECTNESS row from
-# the r01-r07 driver sweeps, kept as a static fallback for environments
-# where the CORRECTNESS_r*.json files are absent. The LIVE set below
-# (_CHECKED) is the union of this baseline with whatever the committed
-# driver files actually attest, so from r09 on the drain is
-# self-maintaining: a new CORRECTNESS_r{N}.json moves its green rows
-# into the checked set with NO manual edit, and a RED row never
-# attests — the entry automatically re-queues at the front of the
-# sweep. (Verified at r08: the file-derived set equals this baseline
-# exactly, 279/279 both directions.)
+# the r01-r07 driver sweeps, kept as a static fallback ONLY for
+# environments where no CORRECTNESS_r*.json file can be parsed at all
+# (ADVICE r08: it must not be union'd into the live set, or a later
+# red row could never un-attest a baseline entry). The LIVE set below
+# (_CHECKED) is derived latest-wins from the committed driver files,
+# so from r09 on the drain is self-maintaining: a new
+# CORRECTNESS_r{N}.json moves its green rows into the checked set with
+# NO manual edit, and a red/errored row in the LATEST round an entry
+# was sampled un-attests it — the entry automatically re-queues at the
+# front of the sweep even if it was green in an earlier round.
+# (Verified at r08: the file-derived set equals this baseline exactly,
+# 279/279 both directions, and latest-wins equals the historical union
+# because every historically-red entry was re-attested green later.)
 _CHECKED_BASE: frozenset[str] = frozenset(
     {
         # r01 sweep
@@ -426,23 +430,57 @@ _CHECKED_BASE: frozenset[str] = frozenset(
 )
 
 
-def _driver_attested(root: str | None = None) -> frozenset[str]:
-    """Names with at least one GREEN driver row across every committed
-    CORRECTNESS_r*.json: full pass (rows+schema+hash all matched, no
-    error) or the rows-only form the driver records for entries without
-    an oracle (err == "no_oracle", a non-negative row count). Errored
-    or mismatched rows never attest, so a red entry re-queues itself at
-    the head of the sweep on the next round."""
+# Entries REGISTERED with oracle=None — the only names for which the
+# driver's rows-only form (err == "no_oracle") is a designed outcome.
+# A no_oracle row for any OTHER name means oracle construction broke
+# on the driver side, and must re-queue the entry instead of attesting
+# it (ADVICE r08). Pinned against the live registry by
+# tests/test_entry.py::test_rows_only_design_set_matches_registry.
+_ROWS_ONLY_BY_DESIGN: frozenset[str] = frozenset(
+    {
+        "approx_count_distinct_hll",
+        "approx_percentile_tdigest",
+        "table_sample",
+        "hll_sketch_partition_merge",
+        "kmeans_lloyd",
+        "doc_compression_ratio",
+    }
+)
+
+
+def _attestation_rows(
+    root: str | None = None,
+) -> tuple[dict[str, bool], int]:
+    """Latest driver verdict per entry across the committed
+    CORRECTNESS_r*.json files, iterated in ROUND order so a later row
+    overrides an earlier one (ADVICE r08: latest-wins — a red/errored
+    row in the most recent round an entry was sampled un-attests it,
+    even if it was green before, so regressions re-queue at the head
+    of the sweep). A verdict is green when the row is a full pass
+    (rows+schema+hash matched, no error) or the rows-only form for an
+    entry that is rows-only BY DESIGN (registered with oracle=None);
+    a no_oracle row for a value-checked entry is a broken oracle, not
+    a pass. Returns (verdicts, files_parsed) — files_parsed == 0 lets
+    the caller fall back to the static baseline."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     if root is None:
         root = _os.path.dirname(
             _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         )
-    names: set[str] = set()
-    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    verdicts: dict[str, bool] = {}
+    parsed = 0
+    for path in sorted(
+        _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
             with open(path) as f:
                 data = _json.load(f)
@@ -450,6 +488,7 @@ def _driver_attested(root: str | None = None) -> frozenset[str]:
             continue
         if not isinstance(data, dict):
             continue
+        parsed += 1
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -459,17 +498,32 @@ def _driver_attested(root: str | None = None) -> frozenset[str]:
                 and row.get("schema_match") is True
                 and row.get("hash_match") is True
             )
+            spark_rows = row.get("spark_rows")
             rows_only = (
                 row.get("err") == "no_oracle"
-                and isinstance(row.get("spark_rows"), int)
-                and row["spark_rows"] >= 0
+                and name in _ROWS_ONLY_BY_DESIGN
+                and isinstance(spark_rows, int)
+                and not isinstance(spark_rows, bool)
+                and spark_rows >= 0
             )
-            if full or rows_only:
-                names.add(name)
-    return frozenset(names)
+            verdicts[name] = full or rows_only
+    return verdicts, parsed
 
 
-_CHECKED: frozenset[str] = _CHECKED_BASE | _driver_attested()
+def _driver_attested(root: str | None = None) -> frozenset[str]:
+    """Names whose LATEST committed driver row is green (see
+    _attestation_rows). Empty when no CORRECTNESS file parses."""
+    verdicts, _ = _attestation_rows(root)
+    return frozenset(n for n, ok in verdicts.items() if ok)
+
+
+_verdicts, _files_parsed = _attestation_rows()
+_CHECKED: frozenset[str] = (
+    frozenset(n for n, ok in _verdicts.items() if ok)
+    if _files_parsed
+    else _CHECKED_BASE
+)
+del _verdicts, _files_parsed
 
 
 def _ordered_names() -> list[str]:

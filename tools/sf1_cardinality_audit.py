@@ -14,6 +14,12 @@ stage exactly linear — graph edges 1,173,742 -> 11,737,420 (10.000x,
 replica-disjoint key remap replicates distinct pairs exactly), nodes
 and users 10x, and the Kaplan-Meier curve CONSTANT at 4 distinct
 durations (bounded by the observation window, not input size).
+
+r09 extends the audit to the causal/telemetry battery (VERDICT r08
+item 5): caliper segment count must stay CONSTANT with max-segment
+rows LINEAR (per-partition sort size), diff-in-differences cells
+CONSTANT, telemetry window keys LINEAR with bounded rows-per-key.
+Results recorded in SCALE_NOTES ("sf1 causal battery").
 """
 
 from __future__ import annotations
@@ -58,6 +64,35 @@ def audit(spark: SparkSession, sf_dir: str) -> dict:
         "km_users": e.select("user_id").distinct().count(),
         "km_distinct_durations": n_dur,
         "skyline_part_rows": table(spark, sf_dir, "part").count(),
+        # sf1 causal battery (r09, VERDICT r08 item 5) — load-bearing
+        # intermediates:
+        # caliper_nearest_match sorts customers per market segment
+        # (segment = partition key): segments must stay CONSTANT and
+        # max segment rows LINEAR (the per-partition sort size)
+        "caliper_segments": (c := table(spark, sf_dir, "customer"))
+        .select("c_mktsegment")
+        .distinct()
+        .count(),
+        "caliper_max_segment_rows": c.groupBy("c_mktsegment")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0],
+        # cuped_variance_reduction folds events to user grain — its
+        # intermediate is km_users above; diff_in_differences folds to
+        # event_type cells, which must stay CONSTANT:
+        "did_cells": e.select("event_type").distinct().count(),
+        # telemetry_near_time_dedup windows by (user, type, cents):
+        # distinct partition keys must grow LINEAR, max rows-per-key
+        # (the lag-window state) must stay BOUNDED
+        "telemetry_window_keys": e.groupBy(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .count()
+        .count(),
     }
 
 

@@ -75,6 +75,29 @@ def test_plan_scan_budget(spark, name):
         "(pin with localCheckpoint) or a new keyed stage that needs a "
         "documented exception here"
     )
+    # quadratic window frames (r09): any frame ending at
+    # unboundedfollowing whose start MOVES is executed by re-aggregating
+    # the remaining partition per row — O(p^2) in the partition size, a
+    # silent stall on skewed keys that value sweeps can't see (measured:
+    # 33.1s -> 0.57s on 150k rows / 5 partitions when
+    # caliper_nearest_match's (0, unboundedFollowing) min became a DESC
+    # running frame). Whole-partition frames (unboundedpreceding ->
+    # unboundedfollowing) are computed once per partition and stay
+    # allowed; everything else has a linear DESC-running rewrite.
+    bad_frames = [
+        lower
+        for lower in re.findall(
+            r"specifiedwindowframe\(\w+, ([^,]+), unboundedfollowing\$\(\)\)",
+            plan,
+        )
+        if lower != "unboundedpreceding$()"
+    ]
+    assert not bad_frames, (
+        f"{name}: window frame(s) with a moving start and an "
+        f"unboundedfollowing end {bad_frames} — per-row re-aggregation, "
+        "quadratic in partition size; rewrite as a running frame over "
+        "the DESC ordering (see caliper_nearest_match)"
+    )
 
 
 # ---- streaming structure budget (r08, VERDICT r07 item 3) ------------------

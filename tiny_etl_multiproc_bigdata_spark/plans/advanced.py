@@ -1360,10 +1360,17 @@ def caliper_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bal")
         .rangeBetween(Window.unboundedPreceding, 0)
     )
+    # the forward-looking min ("nearest control with bal >= mine") is
+    # expressed as a RUNNING frame over the DESC ordering — the same
+    # row set (RANGE frames include equal-balance peers on both
+    # orderings), but Spark executes running frames with a streaming
+    # accumulator while a (0, unboundedFollowing) frame re-aggregates
+    # per row, quadratic in the partition: 33.1s -> 0.57s on the sf1
+    # fixture's 150k customers / 5 segments (r09 bench finding)
     wf = (
         Window.partitionBy("seg")
-        .orderBy("bal")
-        .rangeBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("bal"))
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
     ctrl_prev = F.when(
         ~F.col("treated"),

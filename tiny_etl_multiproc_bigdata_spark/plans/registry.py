@@ -276,6 +276,11 @@ _REQUEUE: tuple[str, ...] = (
     # lockstep-tested and two-scale swept, changed-code hygiene only
     "text_winnowing_fingerprint",
     "winnowing_neardup_pairs",
+    # shifted-unboundedFollowing window frames rewritten as DESC
+    # running frames (r09) — identical row sets, three-scale
+    # oracle-swept; quadratic-frame removal, changed-code hygiene only
+    "caliper_nearest_match",
+    "asof_next_purchase",
 )
 
 # Baseline attestation set: entries with a green CORRECTNESS row from

@@ -631,10 +631,18 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.date_format("ts", "SSSSSS").cast("bigint")
     ).alias("t_us")
     t = e.select("user_id", "event_id", "event_type", t_us)
+    # the FOLLOWING frame is expressed as a running (unboundedPreceding,
+    # -1) frame over the DESC total order: identical row set ((t_us,
+    # event_id) is unique, so ROWS frames map exactly), but Spark
+    # executes running frames with a streaming accumulator while a
+    # shifted-unboundedFollowing frame re-aggregates per row — O(p^2)
+    # in the partition, a real stall on power-user skew at scale (the
+    # caliper_nearest_match r09 finding: 33.1s -> 0.57s on 150k rows /
+    # 5 partitions)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("t_us"), F.asc("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("t_us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     return t.select(
         "user_id",

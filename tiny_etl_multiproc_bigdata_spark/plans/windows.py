@@ -2909,10 +2909,18 @@ def linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # "first observed value on a LATER day" as a running frame over the
+    # DESC ordering (day is unique within the spine, so ROWS frames map
+    # exactly): F.last over desc-preceding == F.first over
+    # asc-following, but runs as a streaming accumulator instead of the
+    # per-row re-aggregation a shifted-unboundedFollowing frame costs —
+    # O(p^2) in the partition (the caliper_nearest_match r09 finding).
+    # Here p is calendar-bounded, but the linear form costs only a
+    # second in-partition sort.
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
     j2 = j.select(
@@ -2921,8 +2929,8 @@ def linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.last("cents", ignorenulls=True).over(wp).alias("prev_v"),
         F.last(obs_day, ignorenulls=True).over(wp).alias("prev_d"),
-        F.first("cents", ignorenulls=True).over(wf).alias("next_v"),
-        F.first(obs_day, ignorenulls=True).over(wf).alias("next_d"),
+        F.last("cents", ignorenulls=True).over(wf).alias("next_v"),
+        F.last(obs_day, ignorenulls=True).over(wf).alias("next_d"),
     )
     lerp = F.col("prev_v") + F.floor(
         (F.col("next_v") - F.col("prev_v"))

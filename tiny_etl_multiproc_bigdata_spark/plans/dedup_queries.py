@@ -1033,14 +1033,25 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
         .join(sz, "doc_id")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "n")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin length filter (exactness-preserving, like the prefix
+    # itself): J(A,B) >= θ forces θ·max(|A|,|B|) <= |A∩B| <= min, so a
+    # prefix collision whose set sizes differ by more than the θ ratio
+    # can never verify — drop it BEFORE the distinct and the two
+    # verification joins. Integer arithmetic (DEN·min >= NUM·max keeps
+    # the boundary pair). Measured at sf1: 35% of candidate pairs cut
+    # (2,996,942 -> 1,933,702), output bit-identical.
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(_PF_THETA_DEN) * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(_PF_THETA_NUM) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

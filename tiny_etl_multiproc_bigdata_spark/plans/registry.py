@@ -281,6 +281,9 @@ _REQUEUE: tuple[str, ...] = (
     # oracle-swept; quadratic-frame removal, changed-code hygiene only
     "caliper_nearest_match",
     "asof_next_purchase",
+    # PPJoin length filter added to the candidate join (r09) — 35%
+    # candidate cut, exactness-preserving, three-scale oracle-swept
+    "dedup_jaccard_prefix_filter",
 )
 
 # Baseline attestation set: entries with a green CORRECTNESS row from

@@ -145,12 +145,20 @@ def main() -> None:
     mark_load("amplified")
 
     def timed_amp(name: str, run, basis_key: str, basis_bytes: int) -> None:
-        run()  # warm-once (r08 protocol)
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run()
-            samples.append(time.perf_counter() - t0)
+        # a single failing battery entry must not lose the rest of the
+        # run's evidence (the BENCH_r08 lesson, generalized): record
+        # the error in-JSON and keep going
+        try:
+            run()  # warm-once (r08 protocol)
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run()
+                samples.append(time.perf_counter() - t0)
+        except Exception as ex:  # noqa: BLE001 — recorded, not hidden
+            amplified[name] = {"rep": amp_rep, "error": f"{type(ex).__name__}: {ex}"[:300]}
+            print(f"# {name} amplified FAILED: {ex}", file=sys.stderr)
+            return
         dt = sorted(samples)[1]
         amplified[name] = {
             "rep": amp_rep,
@@ -412,10 +420,15 @@ def main() -> None:
             # fill + fresh-schema codegen (~9s on q1 — larger than the
             # warm query itself); the steady-state number is what
             # detects super-linear scaling
-            run()
-            t0 = time.perf_counter()
-            run()
-            dt = time.perf_counter() - t0
+            try:
+                run()
+                t0 = time.perf_counter()
+                run()
+                dt = time.perf_counter() - t0
+            except Exception as ex:  # noqa: BLE001 — recorded, not hidden
+                sf1[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+                print(f"# sf1 {name} FAILED: {ex}", file=sys.stderr)
+                return
             sf1[name] = {
                 "sec": round(dt, 3),
                 basis_key: round(basis_bytes / 1e6 / dt, 2),
@@ -640,6 +653,9 @@ def main() -> None:
                 f"({in_rows / dt:,.0f} rows/s, state={state_rows})",
                 file=sys.stderr,
             )
+        except Exception as ex:  # noqa: BLE001 — recorded, not hidden
+            streaming[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+            print(f"# streaming {name} FAILED: {ex}", file=sys.stderr)
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -386,230 +386,236 @@ def main() -> None:
     sf1: dict[str, dict[str, float]] = {}
     layout: dict[str, dict[str, float]] = {}
     if float(sf) >= 0.1:
-        mark_load("sf1")
-        from tiny_etl_multiproc_bigdata_spark.benchgen import ensure_sf1
+        # a fixture-build or probe failure here must not lose the
+        # streaming battery's evidence (r09 hardening)
+        try:
+            mark_load("sf1")
+            from tiny_etl_multiproc_bigdata_spark.benchgen import ensure_sf1
 
-        sf1_dir = os.path.join(os.path.dirname(__file__), ".bench_sf1")
-        t0 = time.perf_counter()
-        ensure_sf1(spark, sf_dir, sf1_dir)
-        print(
-            f"# sf1 fixture ready in {time.perf_counter() - t0:.1f}s",
-            file=sys.stderr,
-        )
-
-        def _dir_bytes(path: str) -> int:
-            # sf1 tables are directories of part files, EXCEPT events,
-            # which must be one file (the streaming source glob-matches
-            # the literal file name)
-            if os.path.isfile(path):
-                return os.path.getsize(path)
-            return sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(path)
-                for f in fs
+            sf1_dir = os.path.join(os.path.dirname(__file__), ".bench_sf1")
+            t0 = time.perf_counter()
+            ensure_sf1(spark, sf_dir, sf1_dir)
+            print(
+                f"# sf1 fixture ready in {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
             )
 
-        li1_bytes = _dir_bytes(f"{sf1_dir}/lineitem.parquet")
-        docs1 = spark.read.parquet(f"{sf1_dir}/documents.parquet")
-        docs1_bytes = docs1.select(
-            F.sum(F.length(F.col("text").cast("binary")))
-        ).collect()[0][0]
+            def _dir_bytes(path: str) -> int:
+                # sf1 tables are directories of part files, EXCEPT events,
+                # which must be one file (the streaming source glob-matches
+                # the literal file name)
+                if os.path.isfile(path):
+                    return os.path.getsize(path)
+                return sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(path)
+                    for f in fs
+                )
 
-        def timed_sf1(name: str, run, basis_key: str, basis_bytes: int) -> None:
-            # one untimed warm run first: the cold pass pays page-cache
-            # fill + fresh-schema codegen (~9s on q1 — larger than the
-            # warm query itself); the steady-state number is what
-            # detects super-linear scaling
-            try:
-                run()
-                t0 = time.perf_counter()
-                run()
-                dt = time.perf_counter() - t0
-            except Exception as ex:  # noqa: BLE001 — recorded, not hidden
-                sf1[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
-                print(f"# sf1 {name} FAILED: {ex}", file=sys.stderr)
-                return
-            sf1[name] = {
-                "sec": round(dt, 3),
-                basis_key: round(basis_bytes / 1e6 / dt, 2),
-            }
-            print(f"# sf1 {name}: {dt:.1f}s", file=sys.stderr)
+            li1_bytes = _dir_bytes(f"{sf1_dir}/lineitem.parquet")
+            docs1 = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+            docs1_bytes = docs1.select(
+                F.sum(F.length(F.col("text").cast("binary")))
+            ).collect()[0][0]
 
-        li1 = lambda: spark.read.parquet(f"{sf1_dir}/lineitem.parquet")  # noqa: E731
-        timed_sf1(
-            "q1_pricing_summary",
-            lambda: q1_from_lineitem(li1())
-            .write.format("noop")
-            .mode("overwrite")
-            .save(),
-            "parquet_mb_per_s",
-            li1_bytes,
-        )
-        timed_sf1(
-            "q9_product_profit",
-            lambda: q9_from_tables(
-                li1(),
-                spark.read.parquet(f"{sf1_dir}/orders.parquet"),
-                spark.read.parquet(f"{sf1_dir}/supplier.parquet"),
-                spark.read.parquet(f"{sf1_dir}/nation.parquet"),
-                spark.read.parquet(f"{sf1_dir}/part.parquet"),
-            )
-            .write.format("noop")
-            .mode("overwrite")
-            .save(),
-            "parquet_mb_per_s",
-            li1_bytes,
-        )
-        d1 = docs1.select("doc_id", "text")
-        timed_sf1(
-            "dedup_minhash_lsh",
-            lambda: minhash_pairs_from_docs(d1)
-            .write.format("noop")
-            .mode("overwrite")
-            .save(),
-            "text_mb_per_s",
-            docs1_bytes,
-        )
-        timed_sf1(
-            "dedup_jaccard_prefix_filter",
-            lambda: prefix_filter_pairs_from_docs(d1)
-            .write.format("noop")
-            .mode("overwrite")
-            .save(),
-            "text_mb_per_s",
-            docs1_bytes,
-        )
-        timed_sf1(
-            "corpus_curation",
-            lambda: curation_from_docs(d1)
-            .write.format("noop")
-            .mode("overwrite")
-            .save(),
-            "text_mb_per_s",
-            docs1_bytes,
-        )
-        timed_sf1(
-            "pretrain_corpus_pipeline",
-            lambda: pipeline_from_docs(
-                docs1.select("doc_id", "source", "lang", "text")
-            )
-            .write.format("noop")
-            .mode("overwrite")
-            .save(),
-            "text_mb_per_s",
-            docs1_bytes,
-        )
-
-        # New-tier sf1 battery (VERDICT r07 item 5): the r07 additions
-        # (graph structure, survival analysis, skyline, stream-stream
-        # join family) had only sf0.1 evidence. Run the 5 most
-        # expensive via their registry callables against the sf1
-        # fixture — real key growth (10x users/orders), not cloning.
-        # Entries that run Spark jobs at plan-construction time (graph
-        # iteration barriers) are timed construction + materialization,
-        # same convention as corpus_curation. Cardinality-audit notes
-        # per entry live in SCALE_NOTES ("sf1 new-tier battery").
-        from tiny_etl_multiproc_bigdata_spark.benchgen import (
-            ensure_sf1_events,
-        )
-
-        ensure_sf1_events(spark, sf_dir, sf1_dir)
-        ev1_bytes = _dir_bytes(f"{sf1_dir}/events.parquet")
-
-        def timed_sf1_entry(name: str, basis_key: str, basis_bytes: int) -> None:
-            fn = all_queries[name]
-
-            def run():
-                fn(spark, sf1_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-
-            timed_sf1(name, run, basis_key, basis_bytes)
-
-        timed_sf1_entry("hits_hub_authority", "parquet_mb_per_s", li1_bytes)
-        timed_sf1_entry(
-            "label_propagation_communities", "parquet_mb_per_s", li1_bytes
-        )
-        timed_sf1_entry("kaplan_meier_retention", "parquet_mb_per_s", ev1_bytes)
-        timed_sf1_entry(
-            "skyline_pareto_parts",
-            "parquet_mb_per_s",
-            _dir_bytes(f"{sf1_dir}/part.parquet"),
-        )
-        timed_sf1_entry(
-            "streaming_stream_stream_full_outer",
-            "parquet_mb_per_s",
-            ev1_bytes,
-        )
-
-        # Causal/experimentation + telemetry tier (VERDICT r08 item 5):
-        # these had only sf0.1 evidence. Real key growth at sf1 —
-        # 10x customers for the caliper match, 10x event users for
-        # CUPED / diff-in-differences / near-time dedup. Cardinality
-        # notes in SCALE_NOTES ("sf1 causal battery").
-        timed_sf1_entry(
-            "caliper_nearest_match",
-            "parquet_mb_per_s",
-            _dir_bytes(f"{sf1_dir}/customer.parquet"),
-        )
-        timed_sf1_entry(
-            "cuped_variance_reduction", "parquet_mb_per_s", ev1_bytes
-        )
-        timed_sf1_entry("diff_in_differences", "parquet_mb_per_s", ev1_bytes)
-        timed_sf1_entry(
-            "telemetry_near_time_dedup", "parquet_mb_per_s", ev1_bytes
-        )
-
-        # Layout section (VERDICT r07 item 6): the one real sf1 finding
-        # was encoding density — 10x distinct keys defeat per-row-group
-        # dictionary encoding and q1/q9 scan cost rises ~1.6x/row. The
-        # sorted_write_layout registry entry pins the rewrite's
-        # losslessness; THIS measures the remedy: identical probes over
-        # the same rows in arrival order vs sorted
-        # (range-partition + sortWithinPartitions on l_shipdate,
-        # l_orderkey), plus on-disk bytes — dictionary recovery shows
-        # up as both smaller files and faster decode.
-        mark_load("layout")
-        from tiny_etl_multiproc_bigdata_spark.benchgen import ensure_layouts
-
-        layout_dir = os.path.join(os.path.dirname(__file__), ".bench_layout")
-        t0 = time.perf_counter()
-        ensure_layouts(spark, sf1_dir, layout_dir)
-        print(
-            f"# layout fixtures ready in {time.perf_counter() - t0:.1f}s",
-            file=sys.stderr,
-        )
-
-        def key_scan_probe(df):
-            # map-only decode probe over the KEY columns — isolates the
-            # encoding-density effect from join/shuffle work
-            return df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("l_orderkey").alias("s1"),
-                F.sum("l_partkey").alias("s2"),
-                F.sum("l_suppkey").alias("s3"),
-            )
-
-        for lname in ("arrival", "sorted"):
-            ldir = os.path.join(layout_dir, lname)
-            lbytes = _dir_bytes(ldir)
-            probes: dict[str, float] = {"bytes_mb": round(lbytes / 1e6, 1)}
-            for pname, probe in (
-                ("key_scan", lambda: key_scan_probe(
-                    spark.read.parquet(ldir))),
-                ("q1", lambda: q1_from_lineitem(spark.read.parquet(ldir))),
-            ):
-                probe().write.format("noop").mode("overwrite").save()  # warm
-                samples = []
-                for _ in range(3):
+            def timed_sf1(name: str, run, basis_key: str, basis_bytes: int) -> None:
+                # one untimed warm run first: the cold pass pays page-cache
+                # fill + fresh-schema codegen (~9s on q1 — larger than the
+                # warm query itself); the steady-state number is what
+                # detects super-linear scaling
+                try:
+                    run()
                     t0 = time.perf_counter()
-                    probe().write.format("noop").mode("overwrite").save()
-                    samples.append(time.perf_counter() - t0)
-                dt = sorted(samples)[1]
-                probes[f"{pname}_sec"] = round(dt, 3)
-                probes[f"{pname}_mb_per_s"] = round(lbytes / 1e6 / dt, 1)
-            layout[lname] = probes
-            print(f"# layout {lname}: {probes}", file=sys.stderr)
+                    run()
+                    dt = time.perf_counter() - t0
+                except Exception as ex:  # noqa: BLE001 — recorded, not hidden
+                    sf1[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+                    print(f"# sf1 {name} FAILED: {ex}", file=sys.stderr)
+                    return
+                sf1[name] = {
+                    "sec": round(dt, 3),
+                    basis_key: round(basis_bytes / 1e6 / dt, 2),
+                }
+                print(f"# sf1 {name}: {dt:.1f}s", file=sys.stderr)
+
+            li1 = lambda: spark.read.parquet(f"{sf1_dir}/lineitem.parquet")  # noqa: E731
+            timed_sf1(
+                "q1_pricing_summary",
+                lambda: q1_from_lineitem(li1())
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                "parquet_mb_per_s",
+                li1_bytes,
+            )
+            timed_sf1(
+                "q9_product_profit",
+                lambda: q9_from_tables(
+                    li1(),
+                    spark.read.parquet(f"{sf1_dir}/orders.parquet"),
+                    spark.read.parquet(f"{sf1_dir}/supplier.parquet"),
+                    spark.read.parquet(f"{sf1_dir}/nation.parquet"),
+                    spark.read.parquet(f"{sf1_dir}/part.parquet"),
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                "parquet_mb_per_s",
+                li1_bytes,
+            )
+            d1 = docs1.select("doc_id", "text")
+            timed_sf1(
+                "dedup_minhash_lsh",
+                lambda: minhash_pairs_from_docs(d1)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                "text_mb_per_s",
+                docs1_bytes,
+            )
+            timed_sf1(
+                "dedup_jaccard_prefix_filter",
+                lambda: prefix_filter_pairs_from_docs(d1)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                "text_mb_per_s",
+                docs1_bytes,
+            )
+            timed_sf1(
+                "corpus_curation",
+                lambda: curation_from_docs(d1)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                "text_mb_per_s",
+                docs1_bytes,
+            )
+            timed_sf1(
+                "pretrain_corpus_pipeline",
+                lambda: pipeline_from_docs(
+                    docs1.select("doc_id", "source", "lang", "text")
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                "text_mb_per_s",
+                docs1_bytes,
+            )
+
+            # New-tier sf1 battery (VERDICT r07 item 5): the r07 additions
+            # (graph structure, survival analysis, skyline, stream-stream
+            # join family) had only sf0.1 evidence. Run the 5 most
+            # expensive via their registry callables against the sf1
+            # fixture — real key growth (10x users/orders), not cloning.
+            # Entries that run Spark jobs at plan-construction time (graph
+            # iteration barriers) are timed construction + materialization,
+            # same convention as corpus_curation. Cardinality-audit notes
+            # per entry live in SCALE_NOTES ("sf1 new-tier battery").
+            from tiny_etl_multiproc_bigdata_spark.benchgen import (
+                ensure_sf1_events,
+            )
+
+            ensure_sf1_events(spark, sf_dir, sf1_dir)
+            ev1_bytes = _dir_bytes(f"{sf1_dir}/events.parquet")
+
+            def timed_sf1_entry(name: str, basis_key: str, basis_bytes: int) -> None:
+                fn = all_queries[name]
+
+                def run():
+                    fn(spark, sf1_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+
+                timed_sf1(name, run, basis_key, basis_bytes)
+
+            timed_sf1_entry("hits_hub_authority", "parquet_mb_per_s", li1_bytes)
+            timed_sf1_entry(
+                "label_propagation_communities", "parquet_mb_per_s", li1_bytes
+            )
+            timed_sf1_entry("kaplan_meier_retention", "parquet_mb_per_s", ev1_bytes)
+            timed_sf1_entry(
+                "skyline_pareto_parts",
+                "parquet_mb_per_s",
+                _dir_bytes(f"{sf1_dir}/part.parquet"),
+            )
+            timed_sf1_entry(
+                "streaming_stream_stream_full_outer",
+                "parquet_mb_per_s",
+                ev1_bytes,
+            )
+
+            # Causal/experimentation + telemetry tier (VERDICT r08 item 5):
+            # these had only sf0.1 evidence. Real key growth at sf1 —
+            # 10x customers for the caliper match, 10x event users for
+            # CUPED / diff-in-differences / near-time dedup. Cardinality
+            # notes in SCALE_NOTES ("sf1 causal battery").
+            timed_sf1_entry(
+                "caliper_nearest_match",
+                "parquet_mb_per_s",
+                _dir_bytes(f"{sf1_dir}/customer.parquet"),
+            )
+            timed_sf1_entry(
+                "cuped_variance_reduction", "parquet_mb_per_s", ev1_bytes
+            )
+            timed_sf1_entry("diff_in_differences", "parquet_mb_per_s", ev1_bytes)
+            timed_sf1_entry(
+                "telemetry_near_time_dedup", "parquet_mb_per_s", ev1_bytes
+            )
+
+            # Layout section (VERDICT r07 item 6): the one real sf1 finding
+            # was encoding density — 10x distinct keys defeat per-row-group
+            # dictionary encoding and q1/q9 scan cost rises ~1.6x/row. The
+            # sorted_write_layout registry entry pins the rewrite's
+            # losslessness; THIS measures the remedy: identical probes over
+            # the same rows in arrival order vs sorted
+            # (range-partition + sortWithinPartitions on l_shipdate,
+            # l_orderkey), plus on-disk bytes — dictionary recovery shows
+            # up as both smaller files and faster decode.
+            mark_load("layout")
+            from tiny_etl_multiproc_bigdata_spark.benchgen import ensure_layouts
+
+            layout_dir = os.path.join(os.path.dirname(__file__), ".bench_layout")
+            t0 = time.perf_counter()
+            ensure_layouts(spark, sf1_dir, layout_dir)
+            print(
+                f"# layout fixtures ready in {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+
+            def key_scan_probe(df):
+                # map-only decode probe over the KEY columns — isolates the
+                # encoding-density effect from join/shuffle work
+                return df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("l_orderkey").alias("s1"),
+                    F.sum("l_partkey").alias("s2"),
+                    F.sum("l_suppkey").alias("s3"),
+                )
+
+            for lname in ("arrival", "sorted"):
+                ldir = os.path.join(layout_dir, lname)
+                lbytes = _dir_bytes(ldir)
+                probes: dict[str, float] = {"bytes_mb": round(lbytes / 1e6, 1)}
+                for pname, probe in (
+                    ("key_scan", lambda: key_scan_probe(
+                        spark.read.parquet(ldir))),
+                    ("q1", lambda: q1_from_lineitem(spark.read.parquet(ldir))),
+                ):
+                    probe().write.format("noop").mode("overwrite").save()  # warm
+                    samples = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        probe().write.format("noop").mode("overwrite").save()
+                        samples.append(time.perf_counter() - t0)
+                    dt = sorted(samples)[1]
+                    probes[f"{pname}_sec"] = round(dt, 3)
+                    probes[f"{pname}_mb_per_s"] = round(lbytes / 1e6 / dt, 1)
+                layout[lname] = probes
+                print(f"# layout {lname}: {probes}", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001 — recorded, not hidden
+            sf1["_section_error"] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+            print(f"# sf1/layout section FAILED: {ex}", file=sys.stderr)
 
     # Streaming throughput (VERDICT r06 item 6): replay the fixtures
     # through the two load-bearing stateful topologies with availableNow

@@ -211,3 +211,38 @@ def test_rows_only_design_set_matches_registry():
     _load_all()
     live = {n for n, spec in REGISTRY.items() if spec.oracle is None}
     assert live == set(_ROWS_ONLY_BY_DESIGN)
+
+
+def test_attestation_ledger_tool_agrees_with_registry():
+    """tools/attestation_ledger.py (the drain's audit trail) must agree
+    with the live registry: same counts, a clean next sample window,
+    and no red or unexpected-no_oracle row counted as attested."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "attestation_ledger.py",
+    )
+    spec = importlib.util.spec_from_file_location("attestation_ledger", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ledger = mod.build_ledger()
+
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        REGISTRY,
+        _CHECKED,
+    )
+
+    assert ledger["registry"] == len(REGISTRY)
+    assert ledger["attested"] == len(_CHECKED & set(REGISTRY))
+    # while entries remain never-sampled, the window must be spent on
+    # them exclusively (drain discipline); disarms on a drained board
+    if ledger["never_sampled"]:
+        assert ledger["next_sample_window_clean"]
+    # latest-wins coherence: no attested entry's latest verdict is red
+    # or an unexpected rows-only form
+    for e in ledger["entries"]:
+        if e["name"] in _CHECKED:
+            assert e["verdict"] in ("pass", "rows_only"), e

@@ -536,13 +536,14 @@ del _verdicts, _files_parsed
 
 def _ordered_names() -> list[str]:
     """Sweep order, self-maintaining against the committed CORRECTNESS
-    files (r08): tier 0 = never-attested entries in _PRIORITY order
-    (unlisted ones by insertion order after the listed ones) — once a
-    driver file attests an entry its _PRIORITY listing becomes inert
-    and it sinks to tier 2 automatically, so the next round's ~50-row
-    sample always lands on fresh entries with no manual reorder;
-    tier 1 = _REQUEUE (changed code with only stale attestation);
-    tier 2 = attested, current."""
+    files (r08; latest-wins since r09): tier 0 = never-attested entries
+    in _PRIORITY order (unlisted ones by insertion order after the
+    listed ones) — once a driver file attests an entry its _PRIORITY
+    listing becomes inert and it sinks to tier 2 automatically, and an
+    entry whose LATEST row went red un-attests and rejoins tier 0, so
+    the next round's ~50-row sample always lands on fresh-or-regressed
+    entries with no manual reorder; tier 1 = _REQUEUE (changed code
+    with only stale attestation); tier 2 = attested, current."""
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     requeue = {n: i for i, n in enumerate(_REQUEUE)}
     insertion = {n: i for i, n in enumerate(REGISTRY)}

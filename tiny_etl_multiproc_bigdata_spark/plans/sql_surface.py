@@ -783,13 +783,18 @@ def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic without a tiebreak (merge_asof offers none — a
     semantic limit of the pandas API worth pinning).
 
-    100 TB note (measured, not theoretical): ps.merge_asof's lowering
-    is NOT the co-partitioned per-key scan the native asof entries
-    build — at sf0.1 on an 8-thread session its single-task stage
-    stalled outright, so the entry runs on a bounded user slice and
-    the docstring's verdict is that pandas-API asof is an ergonomics
-    surface, not the 100 TB path (use asof_last_signup's plan for
-    scale)."""
+    100 TB note (measured AND plan-diagnosed, r09): ps.merge_asof's
+    lowering is NOT the co-partitioned per-key scan the native asof
+    entries build — `.explain` on the unsliced sf0.1 frame shows a
+    BroadcastNestedLoopJoin BuildLeft on the bare `ts >= right_ts`
+    inequality (the by-key equality is applied downstream), i.e. an
+    O(|left|·|right|) pair loop — ~400M pairs at sf0.1, quadratic in
+    corpus size, hangs regardless of partitioning or the
+    pandas-on-Spark default-index choice (a distributed index removes
+    the single-task index-attach window but not the nested loop). So
+    the entry runs on a bounded user slice and the verdict stands:
+    pandas-API asof is an ergonomics surface, not the 100 TB path
+    (asof_last_signup's per-key window plan carries scale)."""
     import pyspark.pandas as ps
 
     # fixture slice: pandas-on-Spark's merge_asof lowering degrades

@@ -754,9 +754,19 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    n = None
     if env_round is not None:
-        n = int(env_round)
-    else:
+        try:
+            n = int(env_round)
+        except ValueError:
+            # ADVICE r09: a malformed override must not throw AFTER the
+            # whole battery has run — fall back to file inference.
+            print(
+                f"# SPARK_GRAFT_ROUND={env_round!r} is not an int; "
+                "inferring round from committed BENCH_r* files",
+                file=sys.stderr,
+            )
+    if n is None:
         rounds = [
             int(m.group(1))
             for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))

@@ -251,3 +251,36 @@ def test_cogroup_asof_includes_exact_timestamp_ties(spark):
         10: (100, 0),  # exact tie matched, zero seconds since
         20: (150, 50),
     }
+
+
+def test_ps_merge_asof_backward_constructed_semantics(spark):
+    """The r10 scale-safe merge_asof lowering must keep pandas'
+    backward contract on constructed edges the fixture can't exercise:
+    a right row at EXACTLY the left timestamp matches (at-or-before is
+    inclusive), an earlier right row is superseded by a later one, and
+    a left row with no right row at-or-before keeps NULL."""
+    from tiny_etl_multiproc_bigdata_spark.plans.sql_surface import (
+        _ps_merge_asof_backward,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, 100),  # signup at exactly 100 → inclusive match
+            (1, 11, 50),   # before any signup → NULL
+            (1, 12, 300),  # two signups before → the LATER one (200)
+            (2, 20, 500),  # other user's signups must not leak
+        ],
+        "user_id long, purchase_id long, ts long",
+    ).pandas_api()
+    right = spark.createDataFrame(
+        [(1, 900, 100), (1, 901, 200), (3, 902, 1)],
+        "user_id long, signup_id long, ts long",
+    ).pandas_api()
+    out = _ps_merge_asof_backward(
+        left, right, on="ts", by="user_id", right_value="signup_id"
+    )
+    got = {
+        r["purchase_id"]: r["signup_id"]
+        for r in out.to_spark().collect()
+    }
+    assert got == {10: 900, 11: None, 12: 901, 20: None}

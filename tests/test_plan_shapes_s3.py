@@ -101,3 +101,18 @@ def test_ransac_scoring_broadcasts_models(spark, sf_dir):
         tree
     )
     assert "Exchange rangepartitioning" not in tree.split("Window")[0], tree
+
+
+def test_pandas_api_merge_asof_has_no_nested_loop(spark, sf_dir):
+    """r10 lowering pin (VERDICT r09 item 4): the pandas-API asof
+    entry must compile to the union + running-window shape — one
+    Exchange on user_id, one Window, and NO join node at all. The
+    r01–r09 formulation lowered to a conditioned corpus×corpus
+    BroadcastNestedLoopJoin on the bare ts inequality; this test
+    fails any regression back to ps.merge_asof's native plan."""
+    tree = _tree(_plan(_q("pandas_api_merge_asof", spark, sf_dir)))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Exchange") == 1, tree

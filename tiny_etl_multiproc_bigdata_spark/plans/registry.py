@@ -284,6 +284,10 @@ _REQUEUE: tuple[str, ...] = (
     # PPJoin length filter added to the candidate join (r09) — 35%
     # candidate cut, exactness-preserving, three-scale oracle-swept
     "dedup_jaccard_prefix_filter",
+    # scale-safe union+running-window lowering replaced ps.merge_asof's
+    # quadratic BNLJ and the user_id<200 slice was removed (r10,
+    # VERDICT r09 item 4) — oracle re-swept green at all three scales
+    "pandas_api_merge_asof",
 )
 
 # Baseline attestation set: entries with a green CORRECTNESS row from

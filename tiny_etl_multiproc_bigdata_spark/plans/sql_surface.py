@@ -15,7 +15,7 @@ are valid at scale; the CTE form keeps short traversals in one query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
@@ -749,16 +749,55 @@ def sql_scripting_iterative_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ps_merge_asof_backward(
+    left_ps, right_ps, *, on: str, by: str, right_value: str
+):
+    """Scale-safe backward ``merge_asof`` over pandas-on-Spark frames:
+    same contract as ``ps.merge_asof(left, right, on=, by=,
+    direction="backward")`` restricted to one right-side value column,
+    but lowered as a tagged UNION + running ``last(ignorenulls)``
+    window instead of the inequality join pandas-on-Spark emits.
+
+    Why: ps.merge_asof lowers to a BroadcastNestedLoopJoin on the bare
+    ``on`` inequality (by-key equality applied downstream) —
+    O(|left|x|right|) pairs, quadratic in corpus size (measured r09,
+    ~400M pairs at sf0.1). This lowering is the asof_last_signup plan:
+    one shuffle on the ``by`` key, a single running frame, linear.
+    Right rows sort BEFORE left rows at equal ``on`` values (backward
+    is at-or-before inclusive); unmatched left rows keep NULL, exactly
+    pandas' left-asof contract. Takes and returns pandas-on-Spark
+    DataFrames so the pandas API surface stays at the edges."""
+    left = left_ps.to_spark()
+    right = right_ps.to_spark()
+    left_cols = left.columns
+    tagged = left.withColumn("_is_left", F.lit(1)).unionByName(
+        right.withColumn("_is_left", F.lit(0)), allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.asc(on), F.asc("_is_left"), F.asc(right_value))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        tagged.withColumn(
+            right_value, F.last(right_value, ignorenulls=True).over(w)
+        )
+        .filter(F.col("_is_left") == 1)
+        .select(*left_cols, right_value)
+    )
+    return out.pandas_api()
+
+
 @register(
     "pandas_api_merge_asof",
     oracle="""
     WITH s AS (
       SELECT user_id, event_id, ts FROM events
-      WHERE event_type = 'signup' AND user_id < 200
+      WHERE event_type = 'signup'
     ),
     p AS (
       SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
-      WHERE event_type = 'purchase' AND user_id < 200
+      WHERE event_type = 'purchase'
     ),
     m AS (
       SELECT p.purchase_id, p.user_id,
@@ -771,37 +810,27 @@ def sql_scripting_iterative_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pandas-on-Spark ``merge_asof`` — the pandas idiom for the as-of
-    join (each purchase picks the LATEST signup at or before it, per
-    user), compiled by the pandas API front-end into the same
-    broadcast/range plan the native asof entries build by hand
-    (asof_last_signup is the DataFrame twin; this pins that a pandas
-    user gets identical semantics with the pandas call signature).
-    The oracle is the max_by formulation; unmatched purchases keep a
-    NULL signup, exactly pandas' left-asof contract. Timestamps in the
-    fixture are unique per user, so the latest-at-or-before pick is
-    deterministic without a tiebreak (merge_asof offers none — a
-    semantic limit of the pandas API worth pinning).
+    """pandas-API ``merge_asof`` surface (each purchase picks the
+    LATEST signup at or before it, per user) with a scale-safe
+    lowering: pandas-on-Spark frames at the edges,
+    ``_ps_merge_asof_backward``'s union + running-window plan inside —
+    the asof_last_signup shape (one shuffle on user_id, zero joins).
+    The oracle is the max_by inequality-join formulation over the FULL
+    table; unmatched purchases keep a NULL signup, exactly pandas'
+    left-asof contract. Timestamps in the fixture are unique per user
+    (checked at all three scales), so the latest-at-or-before pick is
+    deterministic without a tiebreak (ps.merge_asof offers none — the
+    helper adds a value-column tiebreak for safety).
 
-    100 TB note (measured AND plan-diagnosed, r09): ps.merge_asof's
-    lowering is NOT the co-partitioned per-key scan the native asof
-    entries build — `.explain` on the unsliced sf0.1 frame shows a
-    BroadcastNestedLoopJoin BuildLeft on the bare `ts >= right_ts`
-    inequality (the by-key equality is applied downstream), i.e. an
-    O(|left|·|right|) pair loop — ~400M pairs at sf0.1, quadratic in
-    corpus size, hangs regardless of partitioning or the
-    pandas-on-Spark default-index choice (a distributed index removes
-    the single-task index-attach window but not the nested loop). So
-    the entry runs on a bounded user slice and the verdict stands:
-    pandas-API asof is an ergonomics surface, not the 100 TB path
-    (asof_last_signup's per-key window plan carries scale)."""
-    import pyspark.pandas as ps
-
-    # fixture slice: pandas-on-Spark's merge_asof lowering degrades
-    # sharply with large per-sort-key inputs on few partitions (observed
-    # hang at sf0.1 under the local[8] test session) — the entry pins
-    # the API semantics, the native asof entries carry the scale path
-    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    History (r09 → r10): the native ``ps.merge_asof`` call lowers to a
+    BroadcastNestedLoopJoin BuildLeft on the bare ``ts >= right_ts``
+    inequality — O(|left|x|right|), ~400M pairs at sf0.1, quadratic in
+    corpus size and not fixable by indexing — which forced a
+    user_id < 200 slice in r01–r09. r10 replaces the lowering per
+    VERDICT r09 item 4: the slice is REMOVED, the plan shows no
+    conditioned corpus x corpus BNLJ (one window over the user_id
+    shuffle), and the entry now runs the full table at every scale."""
+    e = table(spark, sf_dir, "events")
     s = (
         e.filter(F.col("event_type") == "signup")
         .select("user_id", F.col("event_id").alias("signup_id"), "ts")
@@ -814,12 +843,8 @@ def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .pandas_api()
     )
-    out = ps.merge_asof(
-        p.sort_values("ts"),
-        s.sort_values("ts"),
-        on="ts",
-        by="user_id",
-        direction="backward",
+    out = _ps_merge_asof_backward(
+        p, s, on="ts", by="user_id", right_value="signup_id"
     )
     return out.to_spark().select("purchase_id", "user_id", "signup_id")
 

@@ -563,6 +563,25 @@ def main() -> None:
                 "telemetry_near_time_dedup", "parquet_mb_per_s", ev1_bytes
             )
 
+            # Pair-stage tier (VERDICT r09 item 3): the r09-attested
+            # blocked-quadratic entries, sf1-timed with candidate counts
+            # measured by tools/sf1_cardinality_audit.py — itemcf /
+            # apriori / RA-linkpred hold exactly linear (x10, caps
+            # constant); theil_sen's uncapped pairs grew x100.7, which
+            # r10 fixed with the _TS_FAMILY_CAP sample (SCALE_NOTES).
+            timed_sf1_entry("itemcf_topk_similar", "parquet_mb_per_s", li1_bytes)
+            timed_sf1_entry(
+                "apriori_brand_triples", "parquet_mb_per_s", li1_bytes
+            )
+            timed_sf1_entry(
+                "resource_allocation_linkpred", "parquet_mb_per_s", li1_bytes
+            )
+            timed_sf1_entry(
+                "theil_sen_grouped",
+                "parquet_mb_per_s",
+                _dir_bytes(f"{sf1_dir}/part.parquet"),
+            )
+
             # Layout section (VERDICT r07 item 6): the one real sf1 finding
             # was encoding density — 10x distinct keys defeat per-row-group
             # dictionary encoding and q1/q9 scan cost rises ~1.6x/row. The

@@ -49,6 +49,14 @@ _EXCHANGE_EXCEPTIONS = {
     # train/apply naive Bayes: per-class token likelihoods, priors,
     # vocab smoothing and the scoring join are separate keyed stages
     "naive_bayes_lang_confusion": 13,
+    # r10: the 3-round label recurrence is deliberately FUSED into one
+    # plan (the per-round eager localCheckpoint was measured as pure
+    # overhead: sf1 17.1s -> 11.9s, -30%, bit-identical output — see
+    # SCALE_NOTES r10). Each round contributes its join + two agg
+    # shuffles to the single executed plan; nothing re-executes (every
+    # intermediate has exactly one consumer). Pinned exactly so a
+    # fourth round or a re-executing subtree still trips.
+    "label_propagation_communities": 11,
 }
 
 

@@ -87,8 +87,12 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization barriers (r07 plan audit: 28 parquet scans —
     # every per-iteration reference of nodes/e2 re-executed the
     # lineitem-orders edge build; the kcore/sssp convention applied):
-    # edges once, the node table and degree-annotated edges once, the
-    # rank table per iteration
+    # edges once, the node table and degree-annotated edges once. The
+    # rank recurrence itself is NOT barriered (r10, the LPA finding
+    # applied): each iteration's pr has exactly ONE consumer (the next
+    # contrib join), so the fused ITERS-deep plan recomputes nothing —
+    # the per-round eager localCheckpoint measured as pure overhead at
+    # sf1 (21.0s -> 10.2s mean, -51%, bit-identical at two scales).
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -100,7 +104,6 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.join(outdeg, "src").localCheckpoint(eager=True)
     pr = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("bigint"))
     for _ in range(_PR_ITERS):
-        pr = pr.localCheckpoint(eager=True)
         contrib = (
             e2.join(pr, e2.src == pr.node)
             .select(F.col("dst").alias("node"), F.expr("pr div d").alias("c"))
@@ -600,7 +603,8 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.max("seed").alias("seed"))
     )
-    # same barriers as pagerank_scaled (r07 plan audit)
+    # same barriers as pagerank_scaled (r07 plan audit); like there,
+    # the single-consumer rank recurrence is left un-barriered (r10)
     edges = edges.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -618,7 +622,6 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pr"),
     )
     for _ in range(_PR_ITERS):
-        pr = pr.localCheckpoint(eager=True)
         contrib = (
             e2.join(pr.select("node", "pr"), e2.src == F.col("node"))
             .select(F.col("dst").alias("node"), F.expr("pr div d").alias("c"))
@@ -806,9 +809,16 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     round under AQE) + a partially-aggregated (node,label) count + a
     partial-agg argmax via min(struct(-cnt, lbl)) — NO per-node sort
     and no window: the argmax folds map-side, so the second shuffle
-    moves at most one candidate struct per (node,label) group. Label
-    table and edge list localCheckpointed per round (the kcore/sssp
-    lineage-doubling convention)."""
+    moves at most one candidate struct per (node,label) group. Only
+    the edge list is localCheckpointed (it is consumed once per
+    round); the label recurrence is deliberately left UN-barriered —
+    each round's table is consumed exactly once, so the fused
+    ITERS-deep plan recomputes nothing, and the r10 A/B (SCALE_NOTES)
+    measured the per-round eager localCheckpoint as pure overhead:
+    sf1 17.1s -> 11.9s (-30%, bit-identical at two scales) from
+    removing it. Lineage depth is bounded by the fixed iteration
+    count; a LARGE-iteration LPA variant would reinstate a periodic
+    (every-k-rounds) checkpoint, the kcore/sssp convention."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -828,7 +838,6 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     lbl = e.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
     for _ in range(_LPA_ITERS):
-        lbl = lbl.localCheckpoint(eager=True)
         counts = (
             e.join(lbl.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "lbl")

@@ -288,6 +288,20 @@ _REQUEUE: tuple[str, ...] = (
     # quadratic BNLJ and the user_id<200 slice was removed (r10,
     # VERDICT r09 item 4) — oracle re-swept green at all three scales
     "pandas_api_merge_asof",
+    # per-round label-table localCheckpoint removed (r10, VERDICT r09
+    # item 5 A/B: sf1 17.1s -> 11.9s, -30%, bit-identical at two
+    # scales) — changed-code hygiene, oracle re-swept at all three
+    "label_propagation_communities",
+    # pair stage capped at _TS_FAMILY_CAP smallest-partkey points per
+    # family (r10 sf1 cardinality audit: uncapped pairs grew x100.7
+    # sf0.1 -> sf1) — bit-identical at all committed driver scales
+    # (cap 200 > max sf0.1 family 165), oracle knob in lockstep
+    "theil_sen_grouped",
+    # single-consumer rank recurrence un-barriered (r10, the LPA
+    # finding applied; sf1 A/B -51%, bit-identical at two scales) —
+    # changed-code hygiene, oracle re-swept at all three
+    "pagerank_scaled",
+    "pagerank_personalized",
 )
 
 # Baseline attestation set: entries with a green CORRECTNESS row from

@@ -623,15 +623,37 @@ def resource_allocation_linkpred(
 
 # ---- grouped Theil-Sen robust slope ----------------------------------------
 
+# Pair-stage sample budget (r10, found by the sf1 cardinality audit):
+# (brand, type) families are sliced from the part TABLE by dimension
+# values, so |family| grows linearly with sf and the pair stage grows
+# QUADRATICALLY — measured 1,333,422 pairs at sf0.1 -> 134,242,200 at
+# sf1 (x100.7), the caliper class of silent scale stall. The estimator
+# therefore runs on a deterministic sample: the _TS_FAMILY_CAP
+# smallest-partkey points per family (sampled Theil-Sen, the standard
+# scaling form — the median-of-pairwise-slopes over a size-K sample is
+# a consistent slope estimator with breakdown unchanged). The cap is
+# chosen ABOVE the largest sf0.1 family (165), so every committed
+# driver-scale value is bit-identical to the uncapped r01-r09 entry;
+# above the cap, pairs are bounded at C(200,2) per family regardless
+# of sf. ONE knob feeds engine and oracle (the winnowing lockstep
+# convention).
+_TS_FAMILY_CAP = 200
+
 
 @register(
     "theil_sen_grouped",
-    oracle="""
-    WITH p AS (
+    oracle=f"""
+    WITH ranked AS (
       SELECT p_brand, p_type, p_partkey,
              CAST(p_size AS BIGINT) AS x,
-             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY p_brand, p_type
+                                ORDER BY p_partkey ASC) AS rn
       FROM part
+    ),
+    p AS (
+      SELECT p_brand, p_type, p_partkey, x, y FROM ranked
+      WHERE rn <= {_TS_FAMILY_CAP}
     ),
     slopes AS (
       SELECT a.p_brand, a.p_type,
@@ -660,20 +682,34 @@ def theil_sen_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_percentiles precedent), on operands that are themselves
     deterministic doubles.
 
-    100 TB shape: the O(n^2) pair stage is confined WITHIN
-    (brand, type) groups — part families are dimension-sized
-    (tens of rows), so per-group fan-out is bounded at C(|family|,2)
-    and the join key carries both grouping columns; this is the
-    classic 'quadratic only inside a blocked group' pattern
-    (dedup_embedding_cosine's argument, at dimension scale where it
-    is safe by construction). One shuffle on the family key, one
-    partial-agg'd median per family."""
-    p = table(spark, sf_dir, "part").select(
-        "p_brand",
-        "p_type",
-        "p_partkey",
-        F.col("p_size").cast("bigint").alias("x"),
-        exact_round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("y"),
+    100 TB shape (r10 revision — the sf1 cardinality audit measured
+    the original "families are dimension-sized" claim WRONG at scale:
+    families grow with the part table, pairs grew x100.7 from sf0.1
+    to sf1): the pair stage now runs on the {_TS_FAMILY_CAP} smallest-
+    partkey points per family (sampled Theil-Sen), so per-group
+    fan-out is bounded at C({_TS_FAMILY_CAP},2) at ANY sf —
+    deterministic, oracle in lockstep via the shared knob, and
+    bit-identical to the uncapped form at every committed driver
+    scale (max sf0.1 family = 165 < cap 200). One shuffle on the
+    family key (the rank window and the
+    pair join share it), one partial-agg'd median per family."""
+    w_fam = Window.partitionBy("p_brand", "p_type").orderBy(
+        F.asc("p_partkey")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_type",
+            "p_partkey",
+            F.col("p_size").cast("bigint").alias("x"),
+            exact_round(F.col("p_retailprice") * 100, 0)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(w_fam))
+        .filter(F.col("rn") <= _TS_FAMILY_CAP)
+        .drop("rn")
     )
     a = p.select(
         "p_brand",

@@ -93,6 +93,100 @@ def audit(spark: SparkSession, sf_dir: str) -> dict:
         )
         .count()
         .count(),
+        # r10 (VERDICT r09 item 3): pair-stage candidate counts for the
+        # r09-attested blocked-quadratic entries, computed in CLOSED
+        # FORM from the blocking-key histograms (sum of C(n,2) / C(n,3)
+        # per block = exactly what each self-join generates) — no pair
+        # join runs, so the audit itself stays linear.
+        **_pair_stage_counts(spark, sf_dir),
+    }
+
+
+def _pair_stage_counts(spark: SparkSession, sf_dir: str) -> dict:
+    from tiny_etl_multiproc_bigdata_spark.catalog import table
+
+    c2 = lambda n: (F.col(n) * (F.col(n) - 1) / 2).cast("bigint")  # noqa: E731
+    c3 = lambda n: (  # noqa: E731
+        F.col(n) * (F.col(n) - 1) * (F.col(n) - 2) / 6
+    ).cast("bigint")
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = table(spark, sf_dir, "part")
+
+    # itemcf_topk_similar: distinct (order, part) baskets self-joined
+    # on the order key — candidates = sum_ok C(|basket|, 2)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    itemcf = baskets.agg(
+        F.sum(c2("n")).alias("pairs"), F.max("n").alias("mx")
+    ).collect()[0]
+
+    # apriori_brand_triples: distinct (order, brand) baskets, 3-way
+    # self-join — candidates = sum_ok C(|brand basket|, 3); alphabet 25
+    # bounds |brand basket|
+    bb = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == p.p_partkey,
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    apriori = bb.agg(
+        F.sum(c3("n")).alias("triples"), F.max("n").alias("mx")
+    ).collect()[0]
+
+    # resource_allocation_linkpred: customer-supplier edges, degree-
+    # capped at 25 BEFORE pairing — candidates = sum_c C(deg_kept, 2)
+    deg = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ra = deg.filter(F.col("n") <= 25).agg(
+        F.sum(c2("n")).alias("pairs"), F.max("n").alias("mx")
+    ).collect()[0]
+
+    # theil_sen_grouped: part pairs within each (brand, type) family.
+    # r10 finding: families are sliced from the part TABLE by
+    # dimension values, so UNCAPPED candidates grow QUADRATICALLY
+    # (measured x100.7 sf0.1 -> sf1) — which is why the entry now
+    # samples _TS_FAMILY_CAP points per family. Report both: raw
+    # (the hazard) and capped (what the entry actually generates).
+    from tiny_etl_multiproc_bigdata_spark.plans.stat_tests import (
+        _TS_FAMILY_CAP,
+    )
+
+    fam = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
+    ts = fam.agg(
+        F.sum(c2("n")).alias("pairs"), F.max("n").alias("mx")
+    ).collect()[0]
+    ts_capped = (
+        fam.select(F.least(F.col("n"), F.lit(_TS_FAMILY_CAP)).alias("n"))
+        .agg(F.sum(c2("n")).alias("pairs"))
+        .collect()[0]
+    )
+
+    return {
+        "itemcf_pair_candidates": itemcf["pairs"],
+        "itemcf_max_basket": itemcf["mx"],
+        "apriori_triple_candidates": apriori["triples"],
+        "apriori_max_brand_basket": apriori["mx"],
+        "ra_pair_candidates": ra["pairs"],
+        "ra_max_kept_degree": ra["mx"],
+        "theilsen_pair_candidates_uncapped": ts["pairs"],
+        "theilsen_pair_candidates": ts_capped["pairs"],
+        "theilsen_max_family": ts["mx"],
     }
 
 

@@ -106,6 +106,39 @@ def test_plan_scan_budget(spark, name):
         "quadratic in partition size; rewrite as a running frame over "
         "the DESC ordering (see caliper_nearest_match)"
     )
+    # value-offset RANGE frames (r10): Spark executes a moving-start
+    # bounded-end frame by re-aggregating the in-frame buffer on every
+    # frame change (SlidingWindowFunctionFrame has no retraction), and
+    # a value/interval RANGE frame's row count grows with data DENSITY
+    # — O(rows x rows-per-range), quadratic in corpus density when the
+    # order key is near-unique (measured: window_range_interval_frame
+    # 81-92s -> 2-5s at sf1 after the probe-union rewrite). Allowed
+    # only where the re-aggregated buffer is bounded by construction,
+    # pinned here:
+    range_offset_frames = [
+        m
+        for m in re.findall(
+            r"specifiedwindowframe\(RangeFrame, ([^,]+), [^)]+\)", plan
+        )
+        if m not in ("unboundedpreceding$()", "currentrow$()")
+    ]
+    _RANGE_OFFSET_OK = {
+        # trailing 7d per CUSTOMER: frame rows bounded by per-customer
+        # order density (~1 in 7 days at any TPC-H sf — customers scale
+        # out, per-key density doesn't)
+        "window_range_frame",
+        # GROUPS-mode lowering: RANGE ±1 over dense_rank — tied rows
+        # share identical frames, so re-aggregation is per tie-GROUP
+        # (per observed day), not per row
+        "window_groups_frame_sum",
+    }
+    assert not range_offset_frames or name in _RANGE_OFFSET_OK, (
+        f"{name}: value-offset RANGE frame(s) {range_offset_frames} — "
+        "per-frame-change re-aggregation over a density-sized buffer; "
+        "rewrite with the probe-union running-cumsum form (see "
+        "window_range_interval_frame) or pin a boundedness argument "
+        "in _RANGE_OFFSET_OK"
+    )
 
 
 # ---- streaming structure budget (r08, VERDICT r07 item 3) ------------------

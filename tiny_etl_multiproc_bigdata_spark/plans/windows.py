@@ -2633,6 +2633,8 @@ def half_life_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- interval-based RANGE frame ------------------------------------------
 
+_RI_7D_US = 7 * 86400 * 1_000_000  # the oracle's INTERVAL 7 DAY, in micros
+
 
 @register(
     "window_range_interval_frame",
@@ -2656,31 +2658,94 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is), the semantics neither ROWS frames nor day-bucketed
     rollups give: two events 1 second apart across midnight share
     almost their whole frame. Tie-safety is inherent to RANGE (peers
-    share a frame), so no id tiebreak is needed — or allowed. Spark
-    only exposes interval bounds through the SQL frame syntax
-    (rangeBetween takes longs), so the engine side IS spark.sql — an
-    API-parity point worth pinning.
+    share a frame). The oracle IS the naive interval-RANGE window —
+    the semantic spec.
 
-    100 TB shape: one shuffle on event_type + one sort; the running
-    frame advances two pointers over the sorted partition — state is
-    the in-frame aggregate, not the frame's rows (sum/count are
-    invertible; max would pay a different cost)."""
-    table(spark, sf_dir, "events").createOrReplaceTempView(
-        "range_interval_ev"
+    100 TB shape (r10 REWRITE — the r09 docstring's "two pointers,
+    invertible sum" claim was WRONG for Spark's engine): Spark
+    executes a moving-start bounded-end frame by re-aggregating the
+    in-frame row buffer PER ROW (SlidingWindowFunctionFrame has no
+    retraction), and an interval-RANGE frame's row count grows with
+    data density — O(rows × rows-per-7d), quadratic in corpus
+    density: measured 81-92s at sf1 on 1M rows vs 2.3-5s for this
+    formulation (−97%, bit-identical at three scales, r10 full-board
+    sf1 timing sweep finding). The rewrite uses only GROWING frames
+    (which Spark executes incrementally): collapse RANGE peers to per
+    (type, distinct ts) sums, then trailing(t) = running_cumsum(≤ t)
+    − cumsum(< t−7d), the second term read by a 0-contribution PROBE
+    row at t−7d merged into the same running window (probes sort
+    before data at equal timestamps, so the probe sees strictly-less
+    rows — the at-or-after-t−7d boundary stays inside the frame,
+    matching RANGE's inclusive lower bound). One shuffle on
+    event_type for the window; two (type, ts) equi-joins hand the
+    per-timestamp result back to events."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (
+            F.unix_timestamp("ts") * 1_000_000
+            + F.date_format("ts", "SSSSSS").cast("bigint")
+        ).alias("t_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
     )
-    return spark.sql(
-        """
-        SELECT event_id, event_type,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
-                 PARTITION BY event_type ORDER BY ts
-                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS trailing7d_cents,
-               CAST(count(*) OVER (
-                 PARTITION BY event_type ORDER BY ts
-                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS trailing7d_events
-        FROM range_interval_ev
-        """
+    per_ts = e.groupBy("event_type", "t_us").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    data = per_ts.select(
+        "event_type",
+        F.col("t_us").alias("o_us"),
+        "s",
+        "c",
+        F.lit(1).alias("tag"),
+        F.col("t_us").alias("key_us"),
+    )
+    probes = per_ts.select(
+        "event_type",
+        (F.col("t_us") - F.lit(_RI_7D_US)).alias("o_us"),
+        F.lit(0).alias("s"),
+        F.lit(0).alias("c"),
+        F.lit(0).alias("tag"),
+        F.col("t_us").alias("key_us"),
+    )
+    u = data.unionByName(probes)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("o_us"), F.asc("tag"), F.asc("key_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = u.select(
+        "event_type",
+        "tag",
+        "key_us",
+        F.sum("s").over(w).alias("rs"),
+        F.sum("c").over(w).alias("rc"),
+    )
+    cum = run.filter(F.col("tag") == 1).select(
+        "event_type",
+        F.col("key_us").alias("t_us"),
+        F.col("rs").alias("cum_s"),
+        F.col("rc").alias("cum_c"),
+    )
+    before = run.filter(F.col("tag") == 0).select(
+        "event_type",
+        F.col("key_us").alias("t_us"),
+        F.col("rs").alias("bef_s"),
+        F.col("rc").alias("bef_c"),
+    )
+    res = cum.join(before, ["event_type", "t_us"]).select(
+        "event_type",
+        "t_us",
+        (F.col("cum_s") - F.col("bef_s"))
+        .cast("bigint")
+        .alias("trailing7d_cents"),
+        (F.col("cum_c") - F.col("bef_c"))
+        .cast("bigint")
+        .alias("trailing7d_events"),
+    )
+    return e.join(res, ["event_type", "t_us"]).select(
+        "event_id", "event_type", "trailing7d_cents", "trailing7d_events"
     )
 
 

@@ -581,6 +581,12 @@ def main() -> None:
                 "parquet_mb_per_s",
                 _dir_bytes(f"{sf1_dir}/part.parquet"),
             )
+            # r10: the probe-union rewrite target — was 89.9s at sf1
+            # under the old interval-RANGE frame (quadratic in density,
+            # found by tools/sf1_timing_sweep.py), now a running-cumsum
+            timed_sf1_entry(
+                "window_range_interval_frame", "parquet_mb_per_s", ev1_bytes
+            )
 
             # Layout section (VERDICT r07 item 6): the one real sf1 finding
             # was encoding density — 10x distinct keys defeat per-row-group

@@ -104,6 +104,10 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.join(outdeg, "src").localCheckpoint(eager=True)
     pr = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("bigint"))
     for _ in range(_PR_ITERS):
+        # shuffle_hash hint: same rationale as LPA's — keep the rank
+        # recurrence off the driver (no per-round broadcast collect);
+        # measured −25% at sf1 in the bench session, bit-identical
+        pr = pr.hint("shuffle_hash")
         contrib = (
             e2.join(pr, e2.src == pr.node)
             .select(F.col("dst").alias("node"), F.expr("pr div d").alias("c"))
@@ -622,8 +626,10 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pr"),
     )
     for _ in range(_PR_ITERS):
+        # shuffle_hash hint: same rationale as pagerank_scaled's
+        prs = pr.select("node", "pr").hint("shuffle_hash")
         contrib = (
-            e2.join(pr.select("node", "pr"), e2.src == F.col("node"))
+            e2.join(prs, e2.src == F.col("node"))
             .select(F.col("dst").alias("node"), F.expr("pr div d").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
@@ -838,8 +844,18 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     lbl = e.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
     for _ in range(_LPA_ITERS):
+        # shuffle_hash hint (r10): without it, small-sf sessions with a
+        # raised broadcast threshold BROADCAST the label recurrence —
+        # collecting each round's labels to the driver, exactly the
+        # round-trip the un-barriered plan avoids (measured in the
+        # bench session at sf1: 20.3s -> 16.1s mean, every paired rep
+        # faster, bit-identical). It is also the honest 100 TB plan: a
+        # |V|-row label table never broadcasts at scale.
         counts = (
-            e.join(lbl.withColumnRenamed("node", "src"), "src")
+            e.join(
+                lbl.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

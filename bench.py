@@ -581,6 +581,22 @@ def main() -> None:
                 "parquet_mb_per_s",
                 _dir_bytes(f"{sf1_dir}/part.parquet"),
             )
+            # Vector tier (VERDICT r10 item 2): the embeddings table
+            # joined the sf1 fixture in r11 (vec_id/label remap +
+            # per-replica orthogonal dimension shift — benchgen). Two
+            # representatives track round-over-round: the LSH-bucketed
+            # ANN scale path and the banded embedding dedup; the full
+            # 34-entry tier is timed by tools/sf1_timing_sweep.py.
+            from tiny_etl_multiproc_bigdata_spark.benchgen import (
+                ensure_sf1_embeddings,
+            )
+
+            ensure_sf1_embeddings(spark, sf_dir, sf1_dir)
+            emb1_bytes = _dir_bytes(f"{sf1_dir}/embeddings.parquet")
+            timed_sf1_entry("ann_lsh_topk", "parquet_mb_per_s", emb1_bytes)
+            timed_sf1_entry(
+                "dedup_embedding_lsh", "parquet_mb_per_s", emb1_bytes
+            )
             # r10: the probe-union rewrite target — was 89.9s at sf1
             # under the old interval-RANGE frame (quadratic in density,
             # found by tools/sf1_timing_sweep.py), now a running-cumsum

@@ -18,6 +18,45 @@ from conftest import SF_DIR
 _SCAN_BUDGET = 8
 
 
+def _window_frames(plan: str) -> list[tuple[str, str, str]]:
+    """Every ``specifiedwindowframe(<type>, <lower>, <upper>)`` in a
+    plan string as (frame_type, lower, upper), parsed PAREN-BALANCED
+    (ADVICE r10): frame bounds can be arbitrary expressions — a
+    multi-arg ``cast(... as ...)`` or function call embeds commas and
+    nested parens that a ``[^,]+``/``[^)]+`` regex mis-captures, which
+    could mis-bucket a frame on future Spark plan-string changes.
+    Shared by both window-frame lints below."""
+    out = []
+    marker = "specifiedwindowframe("
+    i = plan.find(marker)
+    while i != -1:
+        j = i + len(marker)
+        depth = 1
+        args, cur = [], []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+                j += 1
+                continue
+            cur.append(ch)
+            j += 1
+        args.append("".join(cur).strip())
+        assert depth == 0 and len(args) == 3, (
+            f"unparseable specifiedwindowframe at offset {i}: {args}"
+        )
+        out.append((args[0], args[1], args[2]))
+        i = plan.find(marker, j)
+    return out
+
+
 def _batch_entries():
     from tiny_etl_multiproc_bigdata_spark.plans.registry import (
         REGISTRY,
@@ -92,13 +131,12 @@ def test_plan_scan_budget(spark, name):
     # running frame). Whole-partition frames (unboundedpreceding ->
     # unboundedfollowing) are computed once per partition and stay
     # allowed; everything else has a linear DESC-running rewrite.
+    frames = _window_frames(plan)
     bad_frames = [
         lower
-        for lower in re.findall(
-            r"specifiedwindowframe\(\w+, ([^,]+), unboundedfollowing\$\(\)\)",
-            plan,
-        )
-        if lower != "unboundedpreceding$()"
+        for (_ftype, lower, upper) in frames
+        if upper == "unboundedfollowing$()"
+        and lower != "unboundedpreceding$()"
     ]
     assert not bad_frames, (
         f"{name}: window frame(s) with a moving start and an "
@@ -116,11 +154,10 @@ def test_plan_scan_budget(spark, name):
     # only where the re-aggregated buffer is bounded by construction,
     # pinned here:
     range_offset_frames = [
-        m
-        for m in re.findall(
-            r"specifiedwindowframe\(RangeFrame, ([^,]+), [^)]+\)", plan
-        )
-        if m not in ("unboundedpreceding$()", "currentrow$()")
+        lower
+        for (ftype, lower, _upper) in frames
+        if ftype == "RangeFrame"
+        and lower not in ("unboundedpreceding$()", "currentrow$()")
     ]
     _RANGE_OFFSET_OK = {
         # trailing 7d per CUSTOMER: frame rows bounded by per-customer

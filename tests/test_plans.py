@@ -448,6 +448,73 @@ def test_rolling_median_frame_parity(spark, tmp_path):
     assert got == want
 
 
+def test_interval_range_frame_all_null_is_null(spark, tmp_path):
+    """NULL parity of the probe-union interval-RANGE lowering (ADVICE
+    r10): a trailing-7d frame whose values are ALL NULL must yield a
+    NULL sum (SQL windowed-SUM semantics), not the 0 a plain cumsum
+    subtraction produces; a mixed frame ignores NULLs; a frame summing
+    to exactly zero stays 0 (not NULL); count(*) is NULL-blind.
+    Constructed fixture (the driver tables carry no NULL values, so
+    the sweep can't see this edge), checked BOTH against pinned
+    expectations and the entry's own DuckDB oracle."""
+    import datetime
+
+    import duckdb
+
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    rows = [
+        # type "a": leading all-NULL frames, then a gap > 7d isolates
+        # a non-null value, a NULL joins its frame, then a lone 0.00
+        (0, base + 0 * day, 1, "a", None, "{}"),
+        (1, base + 1 * day, 1, "a", None, "{}"),
+        (2, base + 10 * day, 1, "a", 1.00, "{}"),
+        (3, base + 12 * day, 1, "a", None, "{}"),
+        (4, base + 30 * day, 1, "a", 0.00, "{}"),
+        # type "b": all-NULL frame NOT at partition start (non-null
+        # history > 7d before) — the case coalesce alone gets wrong
+        (5, base + 0 * day, 2, "b", 2.50, "{}"),
+        (6, base + 20 * day, 2, "b", None, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    spec = REGISTRY["window_range_interval_frame"]
+    got = {
+        r["event_id"]: (r["trailing7d_cents"], r["trailing7d_events"])
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    want = {
+        0: (None, 1),   # frame {NULL}
+        1: (None, 2),   # frame {NULL, NULL}
+        2: (100, 1),    # isolated
+        3: (100, 2),    # frame {100, NULL} — NULL ignored
+        4: (0, 1),      # frame {0.00} — zero, not NULL
+        5: (250, 1),
+        6: (None, 1),   # all-NULL frame with non-null history
+    }
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path / 'events.parquet'}/*.parquet')"
+    )
+    oracle = {
+        r[0]: (r[2], r[3]) for r in con.execute(spec.oracle).fetchall()
+    }
+    assert oracle == want
+
+
 def test_hilbert_curve_is_space_filling():
     """Exhaustive proof over the full 256x256 key grid (via DuckDB on
     the SAME generated round fragments the engine chains): the xy2d

@@ -18,8 +18,10 @@ Measured numbers live in SCALE_NOTES.md §"Skew under amplification".
 
 from __future__ import annotations
 
+import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import confs
@@ -69,36 +71,63 @@ def _salted(spark):
     )
 
 
+# 1-min load above which a LOSING wall-clock comparison is attributed
+# to machine contention, not a salting regression (the r10 board saw
+# one spurious red when a concurrent local[16] sf0.1 sweep ran during
+# this test). A WIN always passes regardless of load; a loss on a
+# quiet machine still fails after the retries.
+_LOAD_SKIP = 12.0
+_ATTEMPTS = 3
+
+
 def test_salted_join_beats_unsalted_under_skew(spark):
     """AQE and broadcast OFF so both plans are shuffle sort-merge joins
     and the only difference is the salt: unsalted puts ~9M rows of key
     0 in ONE reducer task; salted spreads them over N_SALT (key, salt)
     groups. Same answer, bounded max task — the wall-clock gap is the
-    point."""
-    with confs(
-        spark,
-        spark__sql__adaptive__enabled="false",
-        spark__sql__autoBroadcastJoinThreshold="-1",
-    ):
-        un = _unsalted(spark)
-        sa = _salted(spark)
-        assert "SortMergeJoin" in un._jdf.queryExecution().executedPlan().toString()
+    point. Deflaked (VERDICT r10 item 4): retries on a loss, and a
+    loss measured while the machine is loaded skips instead of
+    failing — wall-clock under contention says nothing about the
+    plan."""
+    attempts = []
+    for _ in range(_ATTEMPTS):
+        with confs(
+            spark,
+            spark__sql__adaptive__enabled="false",
+            spark__sql__autoBroadcastJoinThreshold="-1",
+        ):
+            un = _unsalted(spark)
+            sa = _salted(spark)
+            assert (
+                "SortMergeJoin"
+                in un._jdf.queryExecution().executedPlan().toString()
+            )
 
-        t0 = time.monotonic()
-        r_un = un.collect()
-        t_un = time.monotonic() - t0
+            t0 = time.monotonic()
+            r_un = un.collect()
+            t_un = time.monotonic() - t0
 
-        t0 = time.monotonic()
-        r_sa = sa.collect()
-        t_sa = time.monotonic() - t0
+            t0 = time.monotonic()
+            r_sa = sa.collect()
+            t_sa = time.monotonic() - t0
 
-    assert [tuple(r) for r in r_un] == [tuple(r) for r in r_sa]
-    assert r_un[0]["n"] == N_ROWS
-    # the hot reducer is ~9M rows vs ~max(1/N_SALT) after salting; even
-    # with scheduling noise the salted run must win clearly
-    assert t_sa < t_un * 0.8, (
-        f"salting no longer pays under skew: salted={t_sa:.2f}s "
-        f"unsalted={t_un:.2f}s"
+        # value equality is load-independent — asserted on every attempt
+        assert [tuple(r) for r in r_un] == [tuple(r) for r in r_sa]
+        assert r_un[0]["n"] == N_ROWS
+        # the hot reducer is ~9M rows vs ~max(1/N_SALT) after salting;
+        # even with scheduling noise the salted run must win clearly
+        if t_sa < t_un * 0.8:
+            return
+        load = os.getloadavg()[0]
+        attempts.append(f"salted={t_sa:.2f}s unsalted={t_un:.2f}s load={load:.1f}")
+        if load > _LOAD_SKIP:
+            pytest.skip(
+                "machine loaded during a losing attempt — wall-clock "
+                f"comparison not meaningful: {attempts[-1]}"
+            )
+    pytest.fail(
+        "salting no longer pays under skew (quiet machine, "
+        f"{_ATTEMPTS} attempts): " + "; ".join(attempts)
     )
 
 

@@ -1227,8 +1227,10 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def ratios(batches):
-        # local closure: module-level fns of this package don't pickle
-        # under the external driver (see .claude verify gotchas)
+        # local closure, not a module-level fn: module-level functions
+        # pickle BY REFERENCE (worker re-imports this package), which
+        # breaks under any driver whose executors don't have the repo
+        # on sys.path; a closure pickles by value and is self-contained
         import zlib
 
         for pdf in batches:

@@ -302,6 +302,13 @@ _REQUEUE: tuple[str, ...] = (
     # changed-code hygiene, oracle re-swept at all three
     "pagerank_scaled",
     "pagerank_personalized",
+    # NULL-frame parity fix (r11, ADVICE r10): probe rows now carry a
+    # NULL sum contribution and a non-null running counter maps an
+    # all-NULL trailing frame back to NULL (SQL windowed-SUM
+    # semantics). Values identical on the NULL-free driver fixtures
+    # (three-scale re-swept); the divergence was latent-only, pinned
+    # in test_interval_range_frame_all_null_is_null
+    "window_range_interval_frame",
 )
 
 # Baseline attestation set: entries with a green CORRECTNESS row from

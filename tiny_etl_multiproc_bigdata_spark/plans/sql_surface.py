@@ -766,10 +766,24 @@ def _ps_merge_asof_backward(
     Right rows sort BEFORE left rows at equal ``on`` values (backward
     is at-or-before inclusive); unmatched left rows keep NULL, exactly
     pandas' left-asof contract. Takes and returns pandas-on-Spark
-    DataFrames so the pandas API surface stays at the edges."""
+    DataFrames so the pandas API surface stays at the edges.
+
+    Precondition (ADVICE r10): the left frame must not already carry
+    the right-side value column (or the ``_is_left`` tag) — the tagged
+    unionByName would merge them and ``last(ignorenulls)`` would pick
+    the left row's OWN value instead of the asof match, silently.
+    Asserted here so a future general-purpose call site fails loudly."""
     left = left_ps.to_spark()
     right = right_ps.to_spark()
     left_cols = left.columns
+    assert right_value not in left_cols, (
+        f"left frame already has a column named {right_value!r}: the "
+        "union+last(ignorenulls) lowering would read left rows' own "
+        "values as asof matches — rename it before calling"
+    )
+    assert "_is_left" not in left_cols and "_is_left" not in right.columns, (
+        "'_is_left' collides with the lowering's internal tag column"
+    )
     tagged = left.withColumn("_is_left", F.lit(1)).unionByName(
         right.withColumn("_is_left", F.lit(0)), allowMissingColumns=True
     )

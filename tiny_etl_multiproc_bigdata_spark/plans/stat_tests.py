@@ -685,9 +685,10 @@ def theil_sen_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape (r10 revision — the sf1 cardinality audit measured
     the original "families are dimension-sized" claim WRONG at scale:
     families grow with the part table, pairs grew x100.7 from sf0.1
-    to sf1): the pair stage now runs on the {_TS_FAMILY_CAP} smallest-
-    partkey points per family (sampled Theil-Sen), so per-group
-    fan-out is bounded at C({_TS_FAMILY_CAP},2) at ANY sf —
+    to sf1): the pair stage now runs on the 200 smallest-partkey
+    points per family (sampled Theil-Sen; _TS_FAMILY_CAP is the knob,
+    shared with the oracle), so per-group fan-out is bounded at
+    C(200, 2) at ANY sf —
     deterministic, oracle in lockstep via the shared knob, and
     bit-identical to the uncapped form at every committed driver
     scale (max sf0.1 family = 165 < cap 200). One shuffle on the

@@ -2678,7 +2678,17 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the at-or-after-t−7d boundary stays inside the frame,
     matching RANGE's inclusive lower bound). One shuffle on
     event_type for the window; two (type, ts) equi-joins hand the
-    per-timestamp result back to events."""
+    per-timestamp result back to events.
+
+    NULL parity (ADVICE r10): SQL's windowed SUM over a frame whose
+    values are ALL NULL yields NULL, not 0 — which a plain cumsum
+    subtraction can't see (two equal running sums subtract to 0
+    whether the frame was all-NULL or summed to zero). Probe rows
+    therefore carry a NULL sum contribution (only the count probe is
+    0), and a third running counter tracks NON-NULL values so the
+    final projection maps an all-NULL frame back to NULL; count(*)
+    stays NULL-blind per SQL. Pinned on constructed data in
+    tests/test_plans.py::test_interval_range_frame_all_null_is_null."""
     e = table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -2691,21 +2701,25 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     per_ts = e.groupBy("event_type", "t_us").agg(
-        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c")
+        F.sum("cents").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.count("cents").alias("nn"),
     )
     data = per_ts.select(
         "event_type",
         F.col("t_us").alias("o_us"),
         "s",
         "c",
+        "nn",
         F.lit(1).alias("tag"),
         F.col("t_us").alias("key_us"),
     )
     probes = per_ts.select(
         "event_type",
         (F.col("t_us") - F.lit(_RI_7D_US)).alias("o_us"),
-        F.lit(0).alias("s"),
+        F.lit(None).cast("bigint").alias("s"),
         F.lit(0).alias("c"),
+        F.lit(0).alias("nn"),
         F.lit(0).alias("tag"),
         F.col("t_us").alias("key_us"),
     )
@@ -2721,23 +2735,30 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_us",
         F.sum("s").over(w).alias("rs"),
         F.sum("c").over(w).alias("rc"),
+        F.sum("nn").over(w).alias("rn"),
     )
     cum = run.filter(F.col("tag") == 1).select(
         "event_type",
         F.col("key_us").alias("t_us"),
         F.col("rs").alias("cum_s"),
         F.col("rc").alias("cum_c"),
+        F.col("rn").alias("cum_n"),
     )
     before = run.filter(F.col("tag") == 0).select(
         "event_type",
         F.col("key_us").alias("t_us"),
         F.col("rs").alias("bef_s"),
         F.col("rc").alias("bef_c"),
+        F.col("rn").alias("bef_n"),
     )
     res = cum.join(before, ["event_type", "t_us"]).select(
         "event_type",
         "t_us",
-        (F.col("cum_s") - F.col("bef_s"))
+        F.when(
+            F.col("cum_n") - F.col("bef_n") > 0,
+            F.coalesce(F.col("cum_s"), F.lit(0))
+            - F.coalesce(F.col("bef_s"), F.lit(0)),
+        )
         .cast("bigint")
         .alias("trailing7d_cents"),
         (F.col("cum_c") - F.col("bef_c"))

@@ -112,6 +112,9 @@ def main() -> None:
     slow = sorted(ok.items(), key=lambda kv: -kv[1])[:25]
     print("SLOWEST 25:", json.dumps(slow), flush=True)
     print("NON-OK:", json.dumps(bad, indent=1), flush=True)
+    # full per-entry map for offline tier analysis (e.g. the vector
+    # tier joined the fixture in r11) — one JSON line, ~10 KB
+    print("ALL:", json.dumps(results, sort_keys=True), flush=True)
 
 
 if __name__ == "__main__":

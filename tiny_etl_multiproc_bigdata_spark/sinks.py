@@ -113,7 +113,12 @@ def jdbc_load(
     ``repartition(n_shards)`` + ``numPartitions`` gives N concurrent
     transactional writers into ONE table. Requires a JDBC driver jar on
     the classpath; the writer configuration and call shape are asserted
-    in tests/test_jdbc_sink.py against a captured writer."""
+    in tests/test_jdbc_sink.py against a captured writer, and
+    tests/test_jdbc_live.py runs this function against a live SQL
+    endpoint (Spark's own Thrift server via hive-jdbc): connection,
+    overwrite DDL, and type mapping execute for real; only the row
+    batching stops at hive-jdbc's unimplemented addBatch (the API the
+    reference's MySQL driver does implement)."""
     props = jdbc_writer_properties(n_shards, batch_size, properties)
     df.repartition(n_shards).write.jdbc(url, table, mode=mode, properties=props)
 

@@ -61,6 +61,7 @@ def test_jdbc_live_roundtrip_via_thrift_server():
     out = json.loads(line.removeprefix("JDBC_LIVE_PROBE "))
 
     assert out["server_up"], "Thrift server never opened its port"
+    assert "error" not in out, f"probe aborted mid-run: {out}"
 
     # The sink ran live up to the driver boundary: DDL landed, and the
     # ONLY failure is hive-jdbc's missing addBatch. Anything else

@@ -453,7 +453,11 @@ def test_interval_range_frame_all_null_is_null(spark, tmp_path):
     r10): a trailing-7d frame whose values are ALL NULL must yield a
     NULL sum (SQL windowed-SUM semantics), not the 0 a plain cumsum
     subtraction produces; a mixed frame ignores NULLs; a frame summing
-    to exactly zero stays 0 (not NULL); count(*) is NULL-blind.
+    to exactly zero stays 0 (not NULL); count(*) is NULL-blind. Also
+    NULL-KEY parity: a NULL ts is a real peer group (SQL RANGE frames
+    NULL order keys as exactly their peers) and a NULL event_type is a
+    real partition — both must survive the lowering's hand-back joins
+    (plain equi-joins dropped them until the r11 null-safe fix).
     Constructed fixture (the driver tables carry no NULL values, so
     the sweep can't see this edge), checked BOTH against pinned
     expectations and the entry's own DuckDB oracle."""
@@ -481,6 +485,15 @@ def test_interval_range_frame_all_null_is_null(spark, tmp_path):
         # history > 7d before) — the case coalesce alone gets wrong
         (5, base + 0 * day, 2, "b", 2.50, "{}"),
         (6, base + 20 * day, 2, "b", None, "{}"),
+        # NULL ts inside type "a": peers of each other, frame = the
+        # NULL peer group {5.00, NULL} regardless of the non-NULL rows
+        (7, None, 1, "a", 5.00, "{}"),
+        (8, None, 1, "a", None, "{}"),
+        # NULL event_type: its own partition — row 10 sees row 9
+        # within 7d; row 11's NULL ts is its own peer group
+        (9, base + 2 * day, 3, None, 3.00, "{}"),
+        (10, base + 4 * day, 3, None, 1.00, "{}"),
+        (11, None, 3, None, 7.00, "{}"),
     ]
     spark.createDataFrame(
         rows,
@@ -502,6 +515,11 @@ def test_interval_range_frame_all_null_is_null(spark, tmp_path):
         4: (0, 1),      # frame {0.00} — zero, not NULL
         5: (250, 1),
         6: (None, 1),   # all-NULL frame with non-null history
+        7: (500, 2),    # NULL-ts peer group {500, NULL} in "a"
+        8: (500, 2),    # its peer — same frame
+        9: (300, 1),    # NULL event_type is a real partition
+        10: (400, 2),   # sees row 9 within 7d
+        11: (700, 1),   # NULL ts within the NULL partition
     }
     assert got == want
     con = duckdb.connect()

@@ -85,11 +85,12 @@ def test_salted_join_beats_unsalted_under_skew(spark):
     and the only difference is the salt: unsalted puts ~9M rows of key
     0 in ONE reducer task; salted spreads them over N_SALT (key, salt)
     groups. Same answer, bounded max task — the wall-clock gap is the
-    point. Deflaked (VERDICT r10 item 4): retries on a loss, and a
-    loss measured while the machine is loaded skips instead of
-    failing — wall-clock under contention says nothing about the
-    plan."""
+    point. Deflaked (VERDICT r10 item 4): retries on a loss, and skips
+    only when EVERY losing attempt coincided with a loaded machine —
+    wall-clock under contention says nothing about the plan, but one
+    quiet losing attempt is a real signal and still fails."""
     attempts = []
+    loads = []
     for _ in range(_ATTEMPTS):
         with confs(
             spark,
@@ -118,16 +119,22 @@ def test_salted_join_beats_unsalted_under_skew(spark):
         # even with scheduling noise the salted run must win clearly
         if t_sa < t_un * 0.8:
             return
-        load = os.getloadavg()[0]
-        attempts.append(f"salted={t_sa:.2f}s unsalted={t_un:.2f}s load={load:.1f}")
-        if load > _LOAD_SKIP:
-            pytest.skip(
-                "machine loaded during a losing attempt — wall-clock "
-                f"comparison not meaningful: {attempts[-1]}"
-            )
+        loads.append(os.getloadavg()[0])
+        attempts.append(
+            f"salted={t_sa:.2f}s unsalted={t_un:.2f}s load={loads[-1]:.1f}"
+        )
+    # All attempts lost. Skip ONLY if every loss coincided with a
+    # loaded machine — skipping on the first loaded loss would let a
+    # real salting regression hide forever on a busy box, and would
+    # waste the remaining retries on a transient spike.
+    if min(loads) > _LOAD_SKIP:
+        pytest.skip(
+            "machine loaded during every losing attempt — wall-clock "
+            "comparison not meaningful: " + "; ".join(attempts)
+        )
     pytest.fail(
-        "salting no longer pays under skew (quiet machine, "
-        f"{_ATTEMPTS} attempts): " + "; ".join(attempts)
+        "salting no longer pays under skew (quiet machine on at least "
+        f"one of {_ATTEMPTS} attempts): " + "; ".join(attempts)
     )
 
 

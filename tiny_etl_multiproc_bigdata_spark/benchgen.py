@@ -73,14 +73,13 @@ def _replicate(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return out.repartition(_N_FILES)
 
 
-def _rotated_text(r_col, text_col):
-    """Apply the replica-indexed letter rotation. Built as a CASE over
-    the REP literal translate() variants: translate's mapping argument
-    must be foldable, and a 10-arm CASE on a tiny int is codegen-friendly."""
+def _case_over_replicas(r_col, branch_fn):
+    """CASE over the REP literal branches of ``branch_fn(r)``: the
+    per-replica transforms (translate mappings, slice offsets) must be
+    foldable, and a 10-arm CASE on a tiny int stays codegen-friendly."""
     expr = None
     for r in range(REP):
-        rot = _ROT_SRC[r:] + _ROT_SRC[:r]
-        branch = F.translate(text_col, _ROT_SRC, rot)
+        branch = branch_fn(r)
         expr = (
             F.when(r_col == r, branch)
             if expr is None
@@ -89,12 +88,23 @@ def _rotated_text(r_col, text_col):
     return expr
 
 
-# bump to invalidate stale .bench_sf1 caches when the generation rules
+def _rotated_text(r_col, text_col):
+    """Apply the replica-indexed letter rotation."""
+    return _case_over_replicas(
+        r_col,
+        lambda r: F.translate(text_col, _ROT_SRC, _ROT_SRC[r:] + _ROT_SRC[:r]),
+    )
+
+
+# bump to invalidate stale fixture caches when the generation rules
 # change (v2: replica 0 keeps the ORIGINAL source value — r11, VERDICT
 # r10 item 2: suffixing ALL replicas emptied roc_auc_eval's positive
 # class, whose label is source == target; with replica 0 the identity,
 # both classes survive at sf1 while source cardinality still grows
-# ~10x for the source-keyed entries)
+# ~10x for the source-keyed entries). One version covers EVERY
+# sentinel in this module — a bump rebuilds all fixtures, which is
+# cheap, idempotent, and avoids the unversioned-sentinel trap that
+# kept a stale documents cache alive until v2.
 _FIXTURE_VERSION = "v2"
 
 
@@ -162,7 +172,7 @@ def ensure_sf1_events(
     Guarded by its own sentinel so existing ``_BENCH_OK`` caches
     upgrade in place."""
     sentinel = os.path.join(out_dir, "_BENCH_OK_EVENTS")
-    if os.path.exists(sentinel):
+    if _fresh(sentinel):
         return
     os.makedirs(out_dir, exist_ok=True)
     # pyarrow, not a Spark write: streaming entries locate the fixture
@@ -191,8 +201,7 @@ def ensure_sf1_events(
         f"{out_dir}/events.parquet",
         row_group_size=max(1, out.num_rows // _N_FILES),
     )
-    with open(sentinel, "w") as f:
-        f.write("ok\n")
+    _stamp(sentinel)
 
 
 _EMB_DIM = 64
@@ -225,25 +234,14 @@ def ensure_sf1_embeddings(
     emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
 
     def _shifted(r_col, vec_col):
-        # CASE over the REP literal rotations, like _rotated_text:
-        # slice offsets must be foldable, and a 10-arm CASE on a tiny
-        # int stays codegen-friendly
-        expr = None
-        for r in range(REP):
-            branch = (
-                vec_col
-                if r == 0
-                else F.concat(
-                    F.slice(vec_col, r + 1, _EMB_DIM - r),
-                    F.slice(vec_col, 1, r),
-                )
-            )
-            expr = (
-                F.when(r_col == r, branch)
-                if expr is None
-                else expr.when(r_col == r, branch)
-            )
-        return expr
+        return _case_over_replicas(
+            r_col,
+            lambda r: vec_col
+            if r == 0
+            else F.concat(
+                F.slice(vec_col, r + 1, _EMB_DIM - r), F.slice(vec_col, 1, r)
+            ),
+        )
 
     rep = _replicate(emb, ["vec_id", "label"]).select(
         "vec_id",
@@ -268,7 +266,7 @@ def ensure_layouts(spark: SparkSession, sf1_dir: str, out_dir: str) -> None:
     session, so any size/scan-rate delta is purely row order. bench.py
     times identical probes over both and reports the recovery."""
     sentinel = os.path.join(out_dir, "_LAYOUT_OK")
-    if os.path.exists(sentinel):
+    if _fresh(sentinel):
         return
     os.makedirs(out_dir, exist_ok=True)
     li = spark.read.parquet(f"{sf1_dir}/lineitem.parquet")
@@ -279,5 +277,4 @@ def ensure_layouts(spark: SparkSession, sf1_dir: str, out_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "sorted"))
     )
-    with open(sentinel, "w") as f:
-        f.write("ok\n")
+    _stamp(sentinel)

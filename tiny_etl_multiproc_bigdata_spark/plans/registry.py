@@ -305,8 +305,11 @@ _REQUEUE: tuple[str, ...] = (
     # NULL-frame parity fix (r11, ADVICE r10): probe rows now carry a
     # NULL sum contribution and a non-null running counter maps an
     # all-NULL trailing frame back to NULL (SQL windowed-SUM
-    # semantics). Values identical on the NULL-free driver fixtures
-    # (three-scale re-swept); the divergence was latent-only, pinned
+    # semantics); the two hand-back joins were then made NULL-SAFE
+    # (r11 self-review): NULL partition/order keys are real output
+    # rows SQL keeps that plain equi-joins dropped. Values identical
+    # on the NULL-free driver fixtures (re-swept at sf0.01/sf0.1
+    # after each change); both divergences were latent-only, pinned
     # in test_interval_range_frame_all_null_is_null
     "window_range_interval_frame",
 )

@@ -2687,7 +2687,10 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore carry a NULL sum contribution (only the count probe is
     0), and a third running counter tracks NON-NULL values so the
     final projection maps an all-NULL frame back to NULL; count(*)
-    stays NULL-blind per SQL. Pinned on constructed data in
+    stays NULL-blind per SQL. The two hand-back joins are NULL-SAFE:
+    a NULL partition key (event_type) and a NULL order key (ts — SQL
+    frames NULL order keys as their peer group) are real output rows
+    that plain equi-joins would drop. Pinned on constructed data in
     tests/test_plans.py::test_interval_range_frame_all_null_is_null."""
     e = table(spark, sf_dir, "events").select(
         "event_id",
@@ -2745,13 +2748,27 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").alias("cum_n"),
     )
     before = run.filter(F.col("tag") == 0).select(
-        "event_type",
-        F.col("key_us").alias("t_us"),
+        F.col("event_type").alias("b_type"),
+        F.col("key_us").alias("b_us"),
         F.col("rs").alias("bef_s"),
         F.col("rc").alias("bef_c"),
         F.col("rn").alias("bef_n"),
     )
-    res = cum.join(before, ["event_type", "t_us"]).select(
+    # Null-safe hand-back joins: a NULL event_type is a real window
+    # PARTITION (SQL: one NULL group) and a NULL ts is a real peer
+    # group (SQL RANGE: NULL order keys frame exactly their peers —
+    # which the probe-union arithmetic already computes, since the
+    # NULL-keyed probe's running sums see only the NULL block). Plain
+    # equi-joins would silently DROP those rows from the output — a
+    # row-count divergence from the oracle, latent on the NULL-free
+    # driver fixtures; pinned with NULL-key rows in
+    # tests/test_plans.py::test_interval_range_frame_all_null_is_null.
+    # EqualNullSafe keys stay on the hash/sort-merge equi-join path.
+    res = cum.join(
+        before,
+        F.col("event_type").eqNullSafe(F.col("b_type"))
+        & F.col("t_us").eqNullSafe(F.col("b_us")),
+    ).select(
         "event_type",
         "t_us",
         F.when(
@@ -2765,9 +2782,17 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("trailing7d_events"),
     )
-    return e.join(res, ["event_type", "t_us"]).select(
-        "event_id", "event_type", "trailing7d_cents", "trailing7d_events"
+    res = res.select(
+        F.col("event_type").alias("r_type"),
+        F.col("t_us").alias("r_us"),
+        "trailing7d_cents",
+        "trailing7d_events",
     )
+    return e.join(
+        res,
+        F.col("event_type").eqNullSafe(F.col("r_type"))
+        & F.col("t_us").eqNullSafe(F.col("r_us")),
+    ).select("event_id", "event_type", "trailing7d_cents", "trailing7d_events")
 
 
 # ---- session-gap sensitivity curve ---------------------------------------

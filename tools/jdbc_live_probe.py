@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import socket
 import sys
 import time
@@ -123,56 +124,69 @@ def run_probe(port: int | None = None) -> dict:
             [("alpha", 3), ("beta", 1), ("gamma", 7)], "word string, cnt int"
         )
 
-        # (1)+(2): the sink's own write path, against the live server.
+        # Past this point any exception must still surface the fields
+        # gathered so far (a bare raise would otherwise discard e.g.
+        # write/table_exists and misreport as a server failure).
         try:
-            jdbc_load(df, url, "words_live", mode="overwrite", n_shards=2, properties=props)
-            result["write"] = "ok"  # a future driver jar makes this pass
-        except Exception as e:  # noqa: BLE001 — probe records, test asserts
-            msg = str(e)
-            result["write"] = "addBatch-unsupported" if (
-                "addBatch" in msg and "Method not supported" in msg
-            ) else f"unexpected: {msg[:400]}"
+            # (1)+(2): the sink's own write path, against the live server.
+            try:
+                jdbc_load(
+                    df, url, "words_live", mode="overwrite", n_shards=2, properties=props
+                )
+                result["write"] = "ok"  # a future batch-capable driver jar
+            except Exception as e:  # noqa: BLE001 — probe records, test asserts
+                msg = str(e)
+                result["write"] = "addBatch-unsupported" if (
+                    "addBatch" in msg and "Method not supported" in msg
+                ) else f"unexpected: {msg[:400]}"
 
-        # DDL landed server-side even though the insert could not batch.
-        result["table_exists"] = bool(
-            spark.sql("SHOW TABLES IN default LIKE 'words_live'").count()
-        )
-
-        # (3): live DML through the same driver, via the non-batch API.
-        dm = jvm.java.sql.DriverManager
-        conn = dm.getConnection(url, "", "")
-        try:
-            st = conn.createStatement()
-            st.execute(
-                "INSERT INTO words_live VALUES ('alpha', 3), ('beta', 1), ('gamma', 7)"
+            # DDL landed server-side even though the insert could not batch.
+            result["table_exists"] = bool(
+                spark.sql("SHOW TABLES IN default LIKE 'words_live'").count()
             )
-            st.close()
-        finally:
-            conn.close()
 
-        # (4): the Spark JDBC source, live — plain and partitioned scans.
-        read_props = {"driver": "org.apache.hive.jdbc.HiveDriver"}
-        got = spark.read.jdbc(url, "words_live", properties=read_props)
-        result["read_schema"] = got.schema.simpleString()
-        result["read_rows"] = sorted(map(list, got.collect()))
+            # (3): live DML through the same driver, via the non-batch API —
+            # only when the batch write could not land the rows itself
+            # (otherwise the reads below would see every row twice).
+            if result["write"] != "ok":
+                dm = jvm.java.sql.DriverManager
+                conn = dm.getConnection(url, "", "")
+                try:
+                    st = conn.createStatement()
+                    st.execute(
+                        "INSERT INTO words_live VALUES "
+                        "('alpha', 3), ('beta', 1), ('gamma', 7)"
+                    )
+                    st.close()
+                finally:
+                    conn.close()
 
-        part = spark.read.jdbc(
-            url,
-            "words_live",
-            column="cnt",
-            lowerBound=0,
-            upperBound=8,
-            numPartitions=2,
-            properties=read_props,
-        )
-        result["partitioned_nparts"] = part.rdd.getNumPartitions()
-        result["partitioned_rows"] = sorted(map(list, part.collect()))
+            # (4): the Spark JDBC source, live — plain and partitioned scans.
+            read_props = {"driver": "org.apache.hive.jdbc.HiveDriver"}
+            got = spark.read.jdbc(url, "words_live", properties=read_props)
+            result["read_schema"] = got.schema.simpleString()
+            result["read_rows"] = sorted(map(list, got.collect()))
 
-        filtered = got.filter("cnt > 2").select("word")
-        result["filtered_words"] = sorted(r[0] for r in filtered.collect())
+            part = spark.read.jdbc(
+                url,
+                "words_live",
+                column="cnt",
+                lowerBound=0,
+                upperBound=8,
+                numPartitions=2,
+                properties=read_props,
+            )
+            result["partitioned_nparts"] = part.rdd.getNumPartitions()
+            result["partitioned_rows"] = sorted(map(list, part.collect()))
+
+            filtered = got.filter("cnt > 2").select("word")
+            result["filtered_words"] = sorted(r[0] for r in filtered.collect())
+        except Exception as e:  # noqa: BLE001 — keep partial results
+            result["error"] = f"{type(e).__name__}: {e}"[:800]
         return result
     finally:
         spark.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -184,7 +184,13 @@ def grouped_arrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_cents = pc.sum(cents).as_py() or 0
         return pa.table(
             {
-                "event_type": [t.column("event_type")[0].as_py()],
+                # explicit string type: a NULL event_type group would
+                # otherwise infer an all-null column as type null and
+                # fail RESULT_COLUMN_TYPES_MISMATCH — SQL GROUP BY
+                # keeps the NULL group (r11 NULL-parity audit)
+                "event_type": pa.array(
+                    [t.column("event_type")[0].as_py()], pa.string()
+                ),
                 "n": pa.array([t.num_rows], pa.int64()),
                 "sum_value": [total_cents / 100.0],
                 "min_value": [pc.min(v).as_py()],
@@ -266,7 +272,7 @@ def arrow_map_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
                OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC)
                AS last_click_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, event_id,
            CAST(floor(last_click_us / 1000000) AS BIGINT)
@@ -293,8 +299,12 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases. Prefer the native window twin when semantics allow —
     this entry exists because real pipelines reach cogroup for logic
     only pandas has (merge_asof tolerances, interpolation, model
-    scoring against per-key reference frames)."""
-    e = table(spark, sf_dir, "events")
+    scoring against per-key reference frames).
+
+    Input contract (r11 NULL-parity audit): merge_asof requires
+    sortable keys — NULL-ts rows excluded on both engines (pandas
+    raises on NaN merge keys in the worker otherwise)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     t_us = (
         F.unix_timestamp("ts") * 1_000_000
         + F.date_format("ts", "SSSSSS").cast("bigint")
@@ -537,7 +547,9 @@ def _register_streaming_cusum_alert() -> None:
         H = windows._CUSUM_H
 
         def advance(key, pdf_iter, state: GroupState):
-            s_run, s_min = state.get if state.exists else (0, 0)
+            s_run, s_min, seen = (
+                state.get if state.exists else (0, 0, False)
+            )
             frames = [pdf for pdf in pdf_iter]
             pdf = pd.concat(frames).sort_values(
                 ["ts", "event_id"], kind="mergesort"
@@ -545,27 +557,47 @@ def _register_streaming_cusum_alert() -> None:
             v = pdf["value"].to_numpy(dtype="float64")
             import numpy as np
 
+            # NULL values contribute NOTHING to the running sums (SQL
+            # sum skips NULL d — no -K either) but still emit a row
+            # with the current g; astype(int64) on NaN is undefined
+            # garbage, so mask first. Rows before the FIRST non-null
+            # value see an all-NULL running sum — g and alert are NULL
+            # there, exactly like the shared oracle (DuckDB least()
+            # ignores NULLs, so g = NULL - 0 = NULL). (r11 NULL-parity
+            # audit)
+            valid = ~np.isnan(v)
             cents = (
-                np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
+                np.sign(np.nan_to_num(v))
+                * np.floor(np.abs(np.nan_to_num(v)) * 100 + 0.5)
             ).astype("int64")
-            n = len(v)
-            gs = np.zeros(n, dtype="int64")
-            for j in range(n):
-                s_run += int(cents[j]) - K
-                s_min = min(s_min, s_run)
-                gs[j] = s_run - min(0, s_min)
-            state.update((s_run, s_min))
+            gs: list = []
+            for j in range(len(v)):
+                if valid[j]:
+                    seen = True
+                    s_run += int(cents[j]) - K
+                    s_min = min(s_min, s_run)
+                gs.append(s_run - min(0, s_min) if seen else None)
+            state.update((s_run, s_min, seen))
+            g_col = pd.array(gs, dtype="Int64")
             yield pd.DataFrame(
                 {
                     "event_type": pdf["event_type"].to_numpy(),
                     "event_id": pdf["event_id"].to_numpy(),
-                    "g": gs,
-                    "alert": gs > H,
+                    "g": g_col,
+                    "alert": pd.array(
+                        [None if g is None else g > H for g in gs],
+                        dtype="boolean",
+                    ),
                 }
             )
 
-        ev = _events_stream(spark, sf_dir).select(
-            "event_type", "event_id", "value", "ts"
+        # event-time contract (r11 NULL-parity audit): the watermarked
+        # detector has no place for rows without an event time —
+        # excluded explicitly, mirrored in the shared batch oracle
+        ev = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("ts").isNotNull())
+            .select("event_type", "event_id", "value", "ts")
         )
         out = (
             ev.withWatermark("ts", "1 hour")
@@ -576,7 +608,7 @@ def _register_streaming_cusum_alert() -> None:
                     "event_type string, event_id long, g long, "
                     "alert boolean"
                 ),
-                stateStructType="s_run long, s_min long",
+                stateStructType="s_run long, s_min long, seen boolean",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
@@ -794,6 +826,7 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT user_id, ts, event_id, epoch_us(ts) AS t_us FROM events
+      WHERE ts IS NOT NULL
     ),
     wm AS (
       SELECT (SELECT epoch_us(max(ts)) // 1000 FROM events) - 3600000 AS ms
@@ -886,13 +919,20 @@ def streaming_state_timeout_sessions(
             rows, columns=["user_id", "session_start_epoch", "n_events"]
         )
 
-    ev = _events_stream(spark, sf_dir).select(
-        "user_id",
-        "ts",
-        (
-            F.unix_timestamp("ts") * 1_000_000
-            + F.date_format("ts", "SSSSSS").cast("bigint")
-        ).alias("t_us"),
+    # event-time contract (r11 NULL-parity audit): a session state
+    # machine with event-time timeouts cannot place a NULL-ts row —
+    # excluded explicitly, mirrored in the oracle
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            (
+                F.unix_timestamp("ts") * 1_000_000
+                + F.date_format("ts", "SSSSSS").cast("bigint")
+            ).alias("t_us"),
+        )
     )
     out = (
         ev.withWatermark("ts", "1 hour")
@@ -1012,7 +1052,11 @@ def pandas_iter_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights = {"click": 2, "view": 1, "purchase": 10, "signup": 5}
         for cents, etype in it:
             w = etype.map(weights).fillna(0).astype("int64")
-            yield cents.astype("int64") * w
+            # nullable Int64, not int64: a NULL value arrives as NaN
+            # (pandas upcasts the int column) and must yield a NULL
+            # score like the oracle's NULL*CASE — plain astype("int64")
+            # raises on NaN in the worker (r11 NULL-parity audit)
+            yield cents.astype("Int64") * w
 
     e = table(spark, sf_dir, "events")
     return e.select(

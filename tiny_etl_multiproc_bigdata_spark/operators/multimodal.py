@@ -113,7 +113,7 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
            CASE WHEN regexp_matches(substr(text, 1, 1), '[A-Za-z]')
                 THEN 'txt' ELSE 'bin' END              AS format_guess
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +122,9 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed metadata DataFrame. The decode function is the only stub; the
     oracle checks the plumbing produces exactly the declared schema and
     values."""
-    d = table(spark, sf_dir, "documents")
+    # input contract (r11 NULL-parity audit): a NULL payload can't be
+    # decoded — the worker would TypeError on len(None)
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return decode_binary_column(payloads)
 
@@ -147,6 +149,7 @@ _FRAME_STRIDE = 2
     FROM documents,
          unnest(range(0, octet_length(encode(text)) % 7 + 2,
                       {_FRAME_STRIDE})) AS i(idx)
+    WHERE text IS NOT NULL
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,8 +159,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't express (output cardinality differs per input row). The
     "decode" is a deterministic fake (frame count from byte length,
     frame id = md5 of payload#idx); a real ffmpeg-backed sampler swaps
-    into the same batch function, schema, and partitioning untouched."""
-    d = table(spark, sf_dir, "documents")
+    into the same batch function, schema, and partitioning untouched.
+    Input contract (r11 NULL-parity audit): NULL payloads excluded on
+    both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,7 +215,7 @@ def _duck_feat(i: int) -> str:
              AS features_csv,
            CAST({" + ".join(f"abs({_duck_feat(i)})" for i in range(_N_FEATURES))}
                 AS BIGINT) AS feat_l1
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,8 +233,9 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: map-only Arrow batches; at real scale the batch
     function holds the model and `maxRecordsPerBatch` bounds activation
-    memory — the plumbing is identical."""
-    d = table(spark, sf_dir, "documents")
+    memory — the plumbing is identical. Input contract (r11
+    NULL-parity audit): NULL payloads excluded on both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payloads = d.select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )

@@ -1025,7 +1025,7 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     per_h AS (
       SELECT event_type, h, count(*) AS nh, sum(y) AS sh
@@ -1077,8 +1077,12 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the fact table reduces to |groups| × 24 sufficient-
     statistic rows before any window; split search cost is independent
     of row count — the property that makes distributed GBDT histogram
-    training (LightGBM-style) work."""
-    e = table(spark, sf_dir, "events")
+    training (LightGBM-style) work.
+
+    Input contract (r11 NULL-parity audit): an hour threshold cannot
+    place a row with no timestamp on either side — NULL-ts rows
+    excluded explicitly on both engines."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     v = e.select(
         "event_type",
         F.hour("ts").cast("bigint").alias("h"),
@@ -1597,7 +1601,7 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_SPRT_LB))
         .alias("inc"),
     )
-    wo = Window.partitionBy("cohort").orderBy("ts", "event_id")
+    wo = Window.partitionBy("cohort").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     walk = v.select(
         "cohort",
         F.row_number().over(wo).alias("n"),
@@ -1815,7 +1819,7 @@ def _gbdt_round_ctes(k: int) -> str:
       SELECT CAST(hour(ts) AS BIGINT) AS h,
              CAST(user_id % 7 AS BIGINT) AS c,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ),{_gbdt_round_ctes(1)},{_gbdt_round_ctes(2)}
     SELECT 1 AS round, w1.feature, w1.thr AS threshold,
            w1.gl AS gamma_left, w1.gr AS gamma_right,
@@ -1846,8 +1850,14 @@ def gbdt_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient-statistic rows before any window (the LightGBM
     histogram property — split cost independent of row count); the
     1-row winner broadcasts back for the residual map. Adding rounds
-    or features grows the plan linearly, never the shuffles."""
-    e = table(spark, sf_dir, "events")
+    or features grows the plan linearly, never the shuffles.
+
+    Input contract (r11 NULL-parity audit): a stump threshold cannot
+    place a row with a NULL feature (no timestamp / no user) on either
+    side — excluded explicitly on both engines."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     v = e.select(
         F.hour("ts").cast("bigint").alias("h"),
         (F.col("user_id") % 7).cast("bigint").alias("c"),

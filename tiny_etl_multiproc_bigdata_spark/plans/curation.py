@@ -387,7 +387,7 @@ def contamination_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sh AS (
       SELECT source, n_chars AS v, count(*) AS cnt
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
     ),
     shc AS (
       SELECT source, v, cnt,
@@ -435,10 +435,19 @@ def quantile_normalize_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram x histogram with the global side broadcast (bounded by
     the value domain, independent of corpus size), and rows are
     touched exactly twice: once to count, once to apply via a
-    broadcast mapping join."""
+    broadcast mapping join.
+
+    Input contract (r11 NULL-parity audit): a doc with no length can't
+    be placed on a CDF — NULL n_chars rows are excluded from the
+    histograms explicitly on both engines (the final equi-join already
+    drops them from the output; unexcluded they'd still shift every
+    cumulative count differently under the engines' opposite NULL
+    sort defaults)."""
     d = table(spark, sf_dir, "documents")
-    sh = d.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    sh = (
+        d.filter(F.col("n_chars").isNotNull())
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     ws = Window.partitionBy("source")
     shc = sh.select(

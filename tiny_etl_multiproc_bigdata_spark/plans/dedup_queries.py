@@ -857,7 +857,7 @@ def _embedding_topk_oracle(block_col: str, v_select: str) -> str:
     "dedup_embedding_cosine",
     oracle=_embedding_topk_oracle(
         "label", "SELECT vec_id, embedding::DOUBLE[] AS emb, label"
-        " AS label FROM embeddings"
+        " AS label FROM embeddings WHERE embedding IS NOT NULL"
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,8 +873,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hard guard (VERDICT r04 item 5): before building the quadratic
     self-join, the largest label block is counted; above
     ``_COSINE_BLOCK_CAP`` rows (≈5e9 pairs) this raises instead of
-    degenerating — the demotion is mechanical, not just a docstring."""
-    e = table(spark, sf_dir, "embeddings")
+    degenerating — the demotion is mechanical, not just a docstring.
+
+    Input contract (r11 NULL-parity audit): NULL vectors have no
+    cosine — excluded on both engines."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     # checkpoint first so the guard's count job and the pair join share
     # ONE input scan instead of re-reading the table (r05 review)
     blocked = e.select(
@@ -901,7 +906,8 @@ def _dedup_embedding_lsh_oracle() -> str:
     return _embedding_topk_oracle(
         "bucket",
         "SELECT vec_id, embedding::DOUBLE[] AS emb, "
-        f"{_duck_bucket('embedding::DOUBLE[]')} AS bucket FROM embeddings",
+        f"{_duck_bucket('embedding::DOUBLE[]')} AS bucket FROM embeddings"
+        " WHERE embedding IS NOT NULL",
     )
 
 
@@ -913,10 +919,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a label column — the 100 TB path, since bucket population is bounded
     by the corpus/256 on average and more planes shrink it further. The
     bucketed view is localCheckpoint'ed so the 8 hyperplane dot products
-    run once, not once per join side."""
+    run once, not once per join side. Input contract (r11 NULL-parity
+    audit): NULL vectors have no bucket — excluded on both engines."""
     from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import _bucket
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     blocked = e.select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
     ).localCheckpoint(eager=True)

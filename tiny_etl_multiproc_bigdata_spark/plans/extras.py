@@ -85,7 +85,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return e.select(

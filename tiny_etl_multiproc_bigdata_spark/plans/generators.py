@@ -102,7 +102,7 @@ def regexp_capture_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              count(*) AS n,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
-      FROM events WHERE user_id < 40
+      FROM events WHERE user_id < 40 AND event_type IS NOT NULL
       GROUP BY user_id, event_type
     )
     SELECT user_id,
@@ -134,8 +134,15 @@ def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one shuffle to (user, type) partial aggregates, one
     to the per-user map build; every map op after that is a per-row
     expression — the explode-regroup alternative would add a third
-    shuffle on the re-group."""
-    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    shuffle on the re-group.
+
+    Input contract (r11 NULL-parity audit): a metric map needs a key —
+    NULL event_types are excluded on both engines (map_from_entries
+    THROWS on a NULL map key; the oracle's string_agg would silently
+    drop the entry while still counting it in n_types)."""
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 40) & F.col("event_type").isNotNull()
+    )
     c = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(

@@ -1224,7 +1224,13 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed level=6 keeps output independent of zlib's default drift."""
     import pandas as pd
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # input contract (r11 NULL-parity audit): a NULL text has no
+    # compression ratio — zlib would TypeError on NaN in the worker
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def ratios(batches):
         # local closure, not a module-level fn: module-level functions
@@ -1691,10 +1697,11 @@ def rank_biased_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.source,
            CAST(sum(t.n_toks) AS BIGINT) AS raw_tokens,
            CAST((SELECT sum(s.n_toks) FROM surv s
-                 WHERE s.source = t.source) AS BIGINT) AS unique_tokens,
+                 WHERE s.source IS NOT DISTINCT FROM t.source)
+                AS BIGINT) AS unique_tokens,
            (floor(CAST(sum(t.n_toks) AS DOUBLE)
                   / nullif((SELECT sum(s.n_toks) FROM surv s
-                            WHERE s.source = t.source), 0)
+                            WHERE s.source IS NOT DISTINCT FROM t.source), 0)
                   * 10000 + 0.5) / 10000) AS inflation
     FROM t GROUP BY t.source
     """,
@@ -1730,7 +1737,13 @@ def dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_toks").cast("bigint").alias("unique_tokens"))
     )
-    return raw.join(surv, "source").select(
+    # null-safe: a NULL source is a real GROUP BY group on both
+    # engines (oracle: IS NOT DISTINCT FROM) — a plain equi-join would
+    # drop it (r11 NULL-parity audit class)
+    surv = surv.withColumnRenamed("source", "s_source")
+    return raw.join(
+        surv, F.col("source").eqNullSafe(F.col("s_source"))
+    ).select(
         "source",
         "raw_tokens",
         "unique_tokens",

@@ -312,6 +312,86 @@ _REQUEUE: tuple[str, ...] = (
     # after each change); both divergences were latent-only, pinned
     # in test_interval_range_frame_all_null_is_null
     "window_range_interval_frame",
+    # --- r11 NULL-parity audit (tools/null_parity_audit.py) ---
+    # The instrument version of the interval-RANGE finding: a
+    # NULL-spiked sf0.001 fixture diffed every oracle entry Spark-vs-
+    # DuckDB and surfaced 57 latent divergences in three classes —
+    # (a) Spark's ASC default is NULLS FIRST vs DuckDB's NULLS LAST
+    # (window orderings now asc_nulls_last), (b) rows silently dropped
+    # or crashed on one side only (explicit symmetric IS NOT NULL
+    # input contracts in engine AND oracle), (c) NULL-group
+    # representation gaps ('' vs NULL paths, inferred null Arrow
+    # columns, 3VL CASE polarity). Every touched entry below is
+    # value-identical on the NULL-free driver fixtures (sf0.01 driver-
+    # sim re-swept green) — changed-code hygiene rows only. Appended
+    # AFTER the r08-r11 carry so the original drain completes first.
+    "asof_last_signup",
+    "asof_tolerance_join",
+    "anomaly_rolling_zscore",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "as_of_snapshot_counts",
+    "cogroup_asof_pandas",
+    "cumulative_distinct_users",
+    "cusum_alert_path",
+    "cusum_changepoint",
+    "decision_stump_split",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_token_inflation",
+    "doc_compression_ratio",
+    "dynamic_partition_overwrite",
+    "embedding_quantize_int8",
+    "event_transition_matrix",
+    "ewma_fixed_horizon",
+    "gbdt_boosted_stumps",
+    "grouped_arrow_value_stats",
+    "hard_negative_mining",
+    "interarrival_burstiness",
+    "interval_coverage_union",
+    "kruskal_wallis_weekday",
+    "locf_impute",
+    "lsh_recall_eval",
+    "map_hof_suite",
+    "markov_calibration_bins",
+    "markov_entropy_rate",
+    "markov_next_event_eval",
+    "markov_stationary_distribution",
+    "monotone_streak_lengths",
+    "multimodal_decode_stub",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "ohlc_daily_candles",
+    "pandas_iter_udf_scoring",
+    "pq_adc_topk",
+    "pq_code_assign",
+    "pq_recall_eval",
+    "quantile_normalize_histogram",
+    "rolling_median_exact",
+    "scd2_intervals",
+    "scd2_point_in_time_join",
+    "session_gap_sensitivity",
+    "session_path_signatures",
+    "sessionize_events",
+    "sprt_sequential_test",
+    "streaming_cusum_alert",
+    "streaming_denylist_filter",
+    "streaming_ohlc_candles",
+    "streaming_session_dynamic_gap",
+    "streaming_session_window",
+    "streaming_sliding_counts",
+    "streaming_state_timeout_sessions",
+    "streaming_tumbling_counts",
+    "streaming_windowed_distinct_users",
+    "text_boilerplate_strip",
+    "text_ngram_topk",
+    "time_weighted_average",
+    "udtf_table_partitioned",
+    "vector_norm_stats",
+    "window_first_last_nth",
+    "window_groups_frame_sum",
+    "window_lag_lead",
+    "window_sliding_counts",
 )
 
 # Baseline attestation set: entries with a green CORRECTNESS row from

@@ -559,7 +559,7 @@ _UDTF_BUDGET = 10_000  # per-source char budget (shared with the oracle)
       SELECT source, doc_id, n_chars,
              sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                                 ROWS UNBOUNDED PRECEDING) AS cum
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT source,
            CAST(count(*) FILTER (WHERE cum <= {_UDTF_BUDGET}) AS BIGINT)
@@ -594,12 +594,16 @@ def udtf_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def __init__(self):
             self.src = None
+            self.seen = False  # NULL source is a real partition — a
+            # `src is not None` guard would swallow it (r11 NULL-
+            # parity audit); this flag only suppresses empty input
             self.n = 0
             self.used = 0
             self.stopped = False
 
         def eval(self, row):  # noqa: ANN001
             self.src = row["source"]
+            self.seen = True
             if self.stopped:
                 return
             if self.used + row["n_chars"] > self.BUDGET:
@@ -609,13 +613,17 @@ def udtf_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.n += 1
 
         def terminate(self):
-            if self.src is not None:
+            if self.seen:
                 yield self.src, self.n, self.used
 
     spark.udtf.register("budget_pack_udtf", BudgetPack)
-    table(spark, sf_dir, "documents").select(
-        "source", "doc_id", "n_chars"
-    ).createOrReplaceTempView("budget_pack_input")
+    # input contract (r11 NULL-parity audit): a doc with no length
+    # can't be budgeted — the UDTF would TypeError on None arithmetic
+    table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select("source", "doc_id", "n_chars").createOrReplaceTempView(
+        "budget_pack_input"
+    )
     return spark.sql(
         """
         SELECT * FROM budget_pack_udtf(
@@ -784,12 +792,24 @@ def _ps_merge_asof_backward(
     assert "_is_left" not in left_cols and "_is_left" not in right.columns, (
         "'_is_left' collides with the lowering's internal tag column"
     )
+    # NULL-key semantics (r11 NULL-parity audit): a right row with no
+    # ``on`` value can never be an asof match (the inequality join's
+    # s.ts <= p.ts is never true) — filtered out; a LEFT row with no
+    # ``on`` value is kept with a NULL match, which the explicit
+    # nulls-FIRST ordering guarantees (the NULL block leads the
+    # partition and, with NULL-keyed right rows gone, contains only
+    # left rows — their running last(ignorenulls) sees nothing).
     tagged = left.withColumn("_is_left", F.lit(1)).unionByName(
-        right.withColumn("_is_left", F.lit(0)), allowMissingColumns=True
+        right.filter(F.col(on).isNotNull()).withColumn(
+            "_is_left", F.lit(0)
+        ),
+        allowMissingColumns=True,
     )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.asc(on), F.asc("_is_left"), F.asc(right_value))
+        .orderBy(
+            F.asc_nulls_first(on), F.asc("_is_left"), F.asc(right_value)
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (

@@ -2473,7 +2473,7 @@ def ransac_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS wd,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     gv AS (SELECT wd, cents, count(*) AS c FROM v GROUP BY wd, cents),
     tv AS (
@@ -2525,8 +2525,16 @@ def kruskal_wallis_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: two histogram-sized aggregations (values x groups,
     then values), a 7-row combine — no global rank sort, no per-row
     window; the classic rank-test scan-sort is designed out exactly
-    as in mann_whitney_u."""
-    e = table(spark, sf_dir, "events")
+    as in mann_whitney_u.
+
+    Input contract (r11 NULL-parity audit): a rank test needs a value
+    and a group — rows with NULL ts (no weekday) or NULL value (no
+    rank) are excluded explicitly on both engines; a NULL "value"
+    would otherwise shift every midrank differently under the
+    engines' opposite NULL sort defaults and add a bogus 8th group."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     v = e.select(
         (
             F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") % 7

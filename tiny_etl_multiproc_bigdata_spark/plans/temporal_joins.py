@@ -49,9 +49,13 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     t_us = (F.unix_timestamp("ts") * 1_000_000 + F.date_format("ts", "SSSSSS").cast("bigint")).alias("t_us")
     marked = e.select("user_id", "event_id", "event_type", t_us)
+    # asc_nulls_last matches DuckDB's ASC default (NULLS LAST): a
+    # NULL-ts purchase must see every signup in its running frame like
+    # the oracle does, not sort first and see none (r11 NULL-parity
+    # audit class; latent on the NULL-free driver fixtures)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("t_us"), F.asc("event_id"))
+        .orderBy(F.asc_nulls_last("t_us"), F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     last_signup = F.max(
@@ -180,9 +184,11 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.date_format("ts", "SSSSSS").cast("bigint")
     ).alias("t_us")
     marked = e.select("user_id", "event_id", "event_type", t_us)
+    # asc_nulls_last: same NULL-ordering parity as asof_last_signup
+    # (r11 NULL-parity audit class)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("t_us"), F.asc("event_id"))
+        .orderBy(F.asc_nulls_last("t_us"), F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     last_click = F.max(
@@ -271,8 +277,14 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("t_us")
     base = e.select("user_id", "event_id", "event_type", t_us)
     np_ = base.filter(F.col("event_type") != "purchase")
+    # asc_nulls_last mirrors the oracle's change-detection sequence;
+    # NULL-ts changes then become NULL-valid_from versions, which the
+    # oracle's interval predicate (valid_from <= pt) can never match —
+    # dropping them from the tagged stream is exactly that invisibility
+    # (they sort last, so they never affect earlier rows' lag either)
+    # (r11 NULL-parity audit class)
     wlag = Window.partitionBy("user_id").orderBy(
-        F.asc("t_us"), F.asc("event_id")
+        F.asc_nulls_last("t_us"), F.asc_nulls_last("event_id")
     )
     changes = (
         np_.withColumn("prev_type", F.lag("event_type").over(wlag))
@@ -280,6 +292,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("prev_type") != F.col("event_type"))
         )
+        .filter(F.col("t_us").isNotNull())
         .select(
             "user_id",
             F.col("event_type").alias("state"),
@@ -309,6 +322,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "purchase_id",
         "tag",
+        "t_us",
         F.last("state", ignorenulls=True).over(wrun).alias("cur_state"),
         F.last(
             F.when(F.col("tag") == 0, F.col("t_us")), ignorenulls=True
@@ -316,9 +330,17 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wrun)
         .alias("valid_from_us"),
     )
+    # a purchase with no event time OR no user key matches no version
+    # in the oracle (valid_from <= NULL and user = NULL are never
+    # true) — mask the running state so it reports 'none' instead of
+    # whatever sorted nearby (window partitions group NULL users
+    # together; the oracle's equi-join never does)
+    no_time = F.col("t_us").isNull() | F.col("user_id").isNull()
     return tagged.filter(F.col("tag") == 1).select(
         "user_id",
         "purchase_id",
-        F.coalesce("cur_state", F.lit("none")).alias("state_at_purchase"),
-        "valid_from_us",
+        F.coalesce(
+            F.when(~no_time, F.col("cur_state")), F.lit("none")
+        ).alias("state_at_purchase"),
+        F.when(~no_time, F.col("valid_from_us")).alias("valid_from_us"),
     )

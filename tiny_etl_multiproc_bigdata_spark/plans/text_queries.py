@@ -262,6 +262,7 @@ def _boilerplate_oracle() -> str:
                                         s -> trim(lower(s))),
                          s -> s <> '') AS l
       FROM {docs} d
+      WHERE text IS NOT NULL
     ), ex AS (""".replace(
         "{docs}", fixture_docs_sql(_BOILERPLATE_ROWS)
     ) + r"""
@@ -300,8 +301,15 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order-preserving (pos, sent) sort inside one groupBy. The
     naive alternative — referencing the computed sentence array
     several times in one projection — re-inlines the split+transform
-    derivation per reference (CollapseProject), ~4x the per-row CPU."""
-    d = fixture_docs(spark, sf_dir, _BOILERPLATE_ROWS)
+    derivation per reference (CollapseProject), ~4x the per-row CPU.
+
+    Input contract (r11 NULL-parity audit): stripping a NULL text is
+    undefined — excluded explicitly on both engines (the lowering
+    would otherwise render it as an empty doc while the oracle
+    propagates NULL)."""
+    d = fixture_docs(spark, sf_dir, _BOILERPLATE_ROWS).filter(
+        F.col("text").isNotNull()
+    )
     sents = F.filter(
         F.transform(F.split(F.col("text"), r"\."), lambda s: F.trim(F.lower(s))),
         lambda s: s != "",
@@ -330,9 +338,18 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_bl"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_boilerplate"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["sent"]),
-            ". ",
+        # nullif: a fully-boilerplate (or sentence-less) doc joins to
+        # '' in Spark but the oracle's array_to_string([]) is NULL —
+        # and kept sentences are non-empty by the split filter, so ''
+        # can arise no other way (r11 NULL-parity audit)
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["sent"]
+                ),
+                ". ",
+            ),
+            F.lit(""),
         ).alias("cleaned_text"),
     )
 

@@ -156,7 +156,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering → ONE shuffle, windows pipelined in a single sort. At
     scale this is the standard event-log → dimension-snapshot job."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     changes = (
         e.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(
@@ -175,9 +175,12 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # state tiebreak: two changes can land on the same microsecond
-    # (distinct event_ids, equal ts); lead() must stay deterministic
+    # (distinct event_ids, equal ts); lead() must stay deterministic.
+    # asc_nulls_last on both keys: a NULL valid_from (no event time) or
+    # NULL state must take the oracle's NULLS LAST position (r11
+    # NULL-parity audit class)
     w2 = Window.partitionBy("user_id").orderBy(
-        F.asc("valid_from_us"), F.asc("state")
+        F.asc_nulls_last("valid_from_us"), F.asc_nulls_last("state")
     )
     lead = F.lead("valid_from_us").over(w2)
     return changes.select(
@@ -639,9 +642,15 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the partition, a real stall on power-user skew at scale (the
     # caliper_nearest_match r09 finding: 33.1s -> 0.57s on 150k rows /
     # 5 partitions)
+    # desc_nulls_first: the mirror of the oracle's ASC NULLS LAST
+    # (DuckDB's default) is DESC NULLS FIRST, not Spark's desc default
+    # of NULLS LAST — with plain desc a NULL-ts row's running frame
+    # would span the whole partition (spurious next-purchase) instead
+    # of being empty like the oracle's FOLLOWING frame (r11 NULL-parity
+    # audit finding; latent on the NULL-free driver fixtures)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.desc("t_us"), F.desc("event_id"))
+        .orderBy(F.desc_nulls_first("t_us"), F.desc_nulls_first("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return t.select(
@@ -1857,7 +1866,7 @@ def as_of_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the as-of predicate is a broadcast-range join against it —
     |intervals| x 3 at worst, partial-agg'd to |states| x 3."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     t_us = (
         F.unix_timestamp("ts") * 1_000_000
         + F.date_format("ts", "SSSSSS").cast("bigint")

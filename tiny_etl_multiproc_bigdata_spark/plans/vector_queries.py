@@ -139,14 +139,18 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_vectors,
            min(vec_id) AS min_vec_id
     FROM embeddings
+    WHERE embedding IS NOT NULL
     GROUP BY 1
     """,
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment + histogram: the
     partitioning primitive for sub-linear similarity search (bucket id =
-    8 sign bits → 256 buckets)."""
-    e = table(spark, sf_dir, "embeddings")
+    8 sign bits → 256 buckets). Input contract (r11 NULL-parity
+    audit): a NULL vector has no bucket — excluded on both engines."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return (
         e.select(_bucket(F.col("embedding")).alias("bucket"), "vec_id")
         .groupBy("bucket")
@@ -160,7 +164,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              {_duck_bucket("embedding::DOUBLE[]")} AS bucket
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), q AS (
       SELECT vec_id AS query_id, emb AS qv, bucket FROM v WHERE vec_id < {_N_QUERIES}
     ), scored AS (
@@ -181,8 +185,12 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates restricted to the query's bucket —
     the sub-linear scale path (compares ~1/256 of the corpus per query;
-    recall grows with multi-probe / more tables, same plan shape)."""
-    e = table(spark, sf_dir, "embeddings")
+    recall grows with multi-probe / more tables, same plan shape).
+    Input contract (r11 NULL-parity audit): NULL vectors have no
+    bucket — excluded on both engines."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     v = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
     q = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -218,16 +226,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AS DECIMAL(20,8))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000)
              AS avg_l2_norm
     FROM embeddings
+    WHERE embedding IS NOT NULL
     GROUP BY label
     """,
 )
 def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector norm stats. The cross-row mean goes through a
     per-row DECIMAL cast so the sum is order-independent (shuffle-safe)
-    — same recipe as the money aggregates."""
+    — same recipe as the money aggregates. Input contract (r11
+    NULL-parity audit): a NULL vector has no norm — excluded on both
+    engines (a NULL label stays a real group)."""
     from tiny_etl_multiproc_bigdata_spark.functions.vectors import l2_norm
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     norm_dec = l2_norm(F.col("embedding")).cast("decimal(20,8)")
     return e.groupBy("label").agg(
         F.count("*").alias("n"),
@@ -331,9 +344,14 @@ def _pq_oracle() -> str:
             f"WHEN d{s}_{j} = m{s} THEN {j}" for j in range(_PQ_CODES)
         )
         codes.append((f"{m} AS m{s}", f"CAST(CASE {case} END AS BIGINT) AS code{s}"))
+    # NULL vectors can't be coded (r11 NULL-parity audit): a NULL
+    # embedding yields NULL codes whose NULL ADC sums rank FIRST under
+    # Spark's ASC default but LAST under DuckDB's — excluded here and
+    # in the engine twins (pq_code_assign, pq_adc_topk)
     return f"""
     WITH dists AS (
       SELECT vec_id, {", ".join(dist_cols)} FROM embeddings
+      WHERE embedding IS NOT NULL
     ), mins AS (
       SELECT vec_id, {", ".join(c[0] for c in codes)}, * FROM dists
     )
@@ -355,8 +373,12 @@ def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each per-dimension squared difference quantizes to
     integer micro-units BEFORE summing (order-independent integer
     distance); argmin ties break to the lowest code in both engines
-    via the identical first-match CASE."""
-    e = table(spark, sf_dir, "embeddings")
+    via the identical first-match CASE. Input contract (r11
+    NULL-parity audit): a NULL vector can't be coded — excluded on
+    both engines (mirrored in _pq_oracle)."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     cols = {"vec_id": F.col("vec_id")}
     dist_names: list[list[str]] = []
     for s in range(_PQ_SUBS):
@@ -424,7 +446,8 @@ def _pq_adc_oracle() -> str:
     WITH codes AS ({codes_sql}),
     qlut AS (
       SELECT vec_id AS query_id, {", ".join(_pq_qdist_exprs(""))}
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM embeddings
+      WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL
     ), scored AS (
       SELECT q.query_id, c.vec_id AS candidate_id,
              CAST({" + ".join(adc_terms)} AS BIGINT) AS adc_dist
@@ -460,7 +483,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((adc, candidate_id)) are engine-identical."""
     codes = pq_code_assign(spark, sf_dir)
     q = table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < _N_QUERIES
+        (F.col("vec_id") < _N_QUERIES) & F.col("embedding").isNotNull()
     )
     lut_cols = {"query_id": F.col("vec_id")}
     for s in range(_PQ_SUBS):
@@ -677,7 +700,8 @@ def _register_pq_recall_eval() -> None:
         WITH pq AS ({pq_sql}),
         q AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-          FROM embeddings WHERE vec_id < {_N_QUERIES}
+          FROM embeddings
+          WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL
         ), exact AS (
           SELECT query_id, candidate_id FROM (
             SELECT q.query_id, e.vec_id AS candidate_id,
@@ -687,7 +711,8 @@ def _register_pq_recall_eval() -> None:
                        {l2.format(a="q.qv", b="e.embedding::DOUBLE[]")}
                        * 1000000 + 0.5) AS BIGINT) ASC,
                        e.vec_id ASC) AS rn
-            FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            FROM q JOIN embeddings e
+              ON e.vec_id <> q.query_id AND e.embedding IS NOT NULL
           ) WHERE rn <= {_TOP_K}
         )
         SELECT x.query_id,
@@ -708,8 +733,14 @@ def _register_pq_recall_eval() -> None:
         decides codebook size before a 100 TB index build (the PQ twin
         of ivf_recall_eval; both metrics are L2, so the gap measured is
         pure quantization loss, not metric mismatch). Composes the
-        registered pq_adc_topk unchanged."""
-        e = table(spark, sf_dir, "embeddings")
+        registered pq_adc_topk unchanged. Input contract (r11
+        NULL-parity audit): NULL vectors have no distance — excluded
+        from queries and the exact-scan corpus on both engines (a NULL
+        L2 would rank FIRST under Spark's ASC default, LAST under
+        DuckDB's)."""
+        e = table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
         q = e.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
@@ -1656,13 +1687,14 @@ _HARDNEG_K = 2  # hard negatives per query
       SELECT vec_id AS query_id, label AS query_label,
              list_transform(embedding::DOUBLE[],
                             x -> floor(x * 10000 + 0.5)) AS qv
-      FROM embeddings WHERE vec_id < {_HARDNEG_QUERIES}
+      FROM embeddings
+      WHERE vec_id < {_HARDNEG_QUERIES} AND embedding IS NOT NULL
     ),
     c AS (
       SELECT vec_id AS candidate_id, label AS candidate_label,
              list_transform(embedding::DOUBLE[],
                             x -> floor(x * 10000 + 0.5)) AS cv
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     scored AS (
       SELECT q.query_id, q.query_label, c.candidate_id, c.candidate_label,
@@ -1697,8 +1729,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     set against the corpus — one scan, map-side top-k via
     WindowGroupLimit per query; for corpus-scale query sets, swap the
     broadcast for the IVF route (ann_ivf_topk) with a post-filter on
-    label — same protocol, bucketed candidate generation."""
-    e = table(spark, sf_dir, "embeddings")
+    label — same protocol, bucketed candidate generation.
+
+    Input contract (r11 NULL-parity audit): NULL vectors have no
+    distance — excluded on both engines (a NULL label already drops
+    identically through the <> join on both)."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 10_000 + 0.5).cast("bigint"),

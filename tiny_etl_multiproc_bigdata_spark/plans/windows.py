@@ -121,7 +121,12 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # asc_nulls_last matches DuckDB's ASC default — a NULL-ts row must
+    # sit at the partition END like the oracle's, or its lag/lead
+    # neighbors differ (r11 NULL-parity audit class)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     return e.select(
         "user_id",
         "event_id",
@@ -166,6 +171,7 @@ def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
              AS sum_value
     FROM events, unnest([0, 300]) AS o(off)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -175,8 +181,14 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``window()`` replicates each row per covering window before the
     aggregation — same partial+final agg shape as tumbling, with a
     constant span/slide row-amplification factor (the oracle mirrors it
-    with an explicit 2-offset unnest)."""
-    e = table(spark, sf_dir, "events")
+    with an explicit 2-offset unnest).
+
+    Input contract (r11 NULL-parity audit): rows without an event time
+    have no window — ``F.window`` already drops them silently; the
+    explicit filter makes the contract visible and the oracle mirrors
+    it (unlike batch tumbling above, whose NULL bucket survives
+    identically on both engines)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = F.window("ts", "10 minutes", "5 minutes").alias("w")
     return (
         e.groupBy(w, "event_type")
@@ -207,6 +219,7 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
       SELECT user_id, ts, event_id,
@@ -227,9 +240,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) via gaps-and-islands:
     lag → new-session flag → running sum → group. One shuffle on
     user_id; the streaming analog is session_window (streaming/jobs.py).
-    """
-    e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+
+    Input contract (r11 NULL-parity audit): a session is an event-TIME
+    construct — rows without a timestamp are excluded explicitly on
+    both engines (they'd otherwise sessionize at opposite partition
+    ends under the engines' opposite NULL sort defaults)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = e.withColumn(
         "new_session",
@@ -278,7 +295,7 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-order-independent; (ts, event_id) ordering breaks
     simultaneous-event ties identically in both engines."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     wt = (
         F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
     ).cast("bigint")
@@ -404,7 +421,11 @@ def ewma_fixed_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         "user_id", "event_id", "ts", cents.cast("bigint").alias("cents")
     )
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # asc_nulls_last: match the oracle's DuckDB NULLS LAST default so a
+    # NULL-ts row reads the same lag taps (r11 NULL-parity audit class)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     acc = F.lit(0.0)
     for k in range(_EWMA_HORIZON):
         acc = acc + F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * F.lit(
@@ -449,7 +470,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition space; the probability is one double division, 4-dp
     quantized."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # asc_nulls_last: a NULL-ts row must take the same sequence
+    # position as in the oracle's NULLS LAST order, or different
+    # transition pairs exist (r11 NULL-parity audit class)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
@@ -679,9 +705,12 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState over the same power sums."""
     e = table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(30,2)")
+    # asc_nulls_last: a NULL-ts row must read the same trailing
+    # baseline as under the oracle's NULLS LAST order (r11 NULL-parity
+    # audit class)
     win = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(-6, -1)
     )
     w = e.select(
@@ -716,6 +745,7 @@ _COV_WIN_S = 1800  # each event covers [ts, ts + 30 min)
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+      WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, t_us,
              CASE WHEN lag(t_us) OVER w IS NULL
@@ -753,14 +783,17 @@ def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the standard two-window gaps-and-islands — one
     shuffle on user_id, per-partition sort shared by both windows
     (Catalyst plans them in a single WindowExec), then a partial-agg'd
-    rollup on (user, island)."""
-    e = table(spark, sf_dir, "events")
+    rollup on (user, island).
+
+    Input contract (r11 NULL-parity audit): an interval needs a start
+    time — NULL-ts rows excluded explicitly on both engines."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     t_us = (
         F.unix_timestamp("ts") * 1_000_000
         + F.date_format("ts", "SSSSSS").cast("bigint")
     ).alias("t_us")
     base = e.select("user_id", "event_id", t_us)
-    w = Window.partitionBy("user_id").orderBy(F.asc("t_us"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("t_us"), F.asc_nulls_last("event_id"))
     gap = F.col("t_us") - F.lag("t_us").over(w)
     flagged = base.select(
         "user_id",
@@ -943,14 +976,18 @@ def rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(-6, Window.currentRow)
     )
     vals = F.array_sort(F.collect_list("cents").over(w))
     n = F.size(vals)
     lo = ((n + 1) / 2).cast("int")  # n odd: the middle; n even: lower middle
     hi = (n / 2 + 1).cast("int")
-    med = F.when(
+    # n == 0 guard: collect_list skips NULL cents, so an all-NULL frame
+    # yields an empty array — element_at(vals, 0) would THROW (SQL
+    # arrays are 1-based) where the oracle's median over an all-NULL
+    # frame is NULL (r11 NULL-parity audit class)
+    med = F.when(n == 0, F.lit(None).cast("double")).when(
         n % 2 == 1, F.element_at(vals, lo).cast("double")
     ).otherwise((F.element_at(vals, lo) + F.element_at(vals, hi)) / 2.0)
     return e.select("user_id", "event_id", med.alias("med_cents"))
@@ -965,7 +1002,8 @@ def rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
     ),
     c AS (
       SELECT event_type, day,
@@ -998,8 +1036,11 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partially-aggregated groupBy before any window touches it; the
     per-type running sums then act on tiny ordered series, and the
     final argmax folds map-side via min(struct). No global sort, no
-    per-event window."""
-    e = table(spark, sf_dir, "events")
+    per-event window.
+
+    Input contract (r11 NULL-parity audit): a change-POINT needs a
+    date — NULL-ts rows excluded explicitly on both engines."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = (
         e.groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(
@@ -1049,7 +1090,7 @@ CUSUM_ALERT_ORACLE = f"""
     WITH v AS (
       SELECT event_type, event_id, ts,
              CAST(floor(value * 100 + 0.5) AS BIGINT) - {_CUSUM_K} AS d
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT event_type, event_id, ts,
@@ -1086,8 +1127,13 @@ def cusum_alert_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from series count. For few-series/many-rows inputs the right move
     is pre-aggregating to a time grain first (the cusum_changepoint
     entry's shape) — documented here as the substitution, same
-    caveat class as window_ntile_buckets."""
-    e = table(spark, sf_dir, "events")
+    caveat class as window_ntile_buckets.
+
+    Input contract (r11 NULL-parity audit): an ONLINE detector is an
+    event-time state machine — NULL-ts rows excluded explicitly on
+    both engines (the streaming twin's watermark drops them anyway,
+    so this also harmonizes the batch and streaming twins)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     v = e.select(
         "event_type",
         "event_id",
@@ -1096,7 +1142,7 @@ def cusum_alert_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_round(F.col("value") * 100, 0).cast("bigint") - _CUSUM_K
         ).alias("d"),
     )
-    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wo = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     s = v.select(
         "event_type",
         "event_id",
@@ -1167,7 +1213,7 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/eval split is a pure expression on the partition key — zero
     extra passes."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     seq = e.select(
         "user_id",
         "event_type",
@@ -1256,7 +1302,7 @@ def markov_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast |states|-row model, one partially-aggregated groupBy
     on the (few) confidence bins."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     seq = e.select(
         "user_id",
         "event_type",
@@ -1358,12 +1404,18 @@ def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
+        # mirror the oracle's CASE polarity exactly: only event_type =
+        # 'error' masks the reading — a NULL event_type must KEEP its
+        # value (the `!= 'error'` spelling is three-valued-logic NULL
+        # for NULL types and silently masked them; r11 NULL-parity
+        # audit class)
         F.when(
-            F.col("event_type") != "error",
-            exact_round(F.col("value") * 100, 0).cast("bigint"),
-        ).alias("cents"),
+            F.col("event_type") == "error", F.lit(None).cast("bigint")
+        )
+        .otherwise(exact_round(F.col("value") * 100, 0).cast("bigint"))
+        .alias("cents"),
     )
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     rn = F.row_number().over(wo)
     carry = F.max(
         F.when(
@@ -1399,6 +1451,7 @@ def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ),
     sess AS (
@@ -1435,9 +1488,12 @@ def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one user-partitioned ordered pass for session ids
     (same as sessionize_events), the rn<=3 filter drops everything
     else BEFORE the path aggregation, and the final count groups on
-    |distinct paths| ≤ |event types|³ keys — tiny."""
-    e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    |distinct paths| ≤ |event types|³ keys — tiny.
+
+    Input contract (r11 NULL-parity audit): sessions are event-TIME
+    constructs — NULL-ts rows excluded explicitly on both engines."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     flagged = e.select(
         "user_id",
@@ -1462,6 +1518,10 @@ def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered = sess.withColumn("rn", F.row_number().over(ws)).filter(
         F.col("rn") <= 3
     )
+    # array_join skips NULL event_types exactly like the oracle's
+    # string_agg, but an ALL-NULL session must yield a NULL path (SQL
+    # string_agg over no non-null inputs), not '' — hence the non-null
+    # count guard (r11 NULL-parity audit class)
     paths = numbered.groupBy("user_id", "session_id").agg(
         F.array_join(
             F.transform(
@@ -1471,7 +1531,11 @@ def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.event_type,
             ),
             ">",
-        ).alias("path")
+        ).alias("joined"),
+        F.count("event_type").alias("k_nonnull"),
+    )
+    paths = paths.select(
+        F.when(F.col("k_nonnull") > 0, F.col("joined")).alias("path")
     )
     return paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
@@ -1532,7 +1596,7 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic happens on the |states|² transition table. Nothing else
     touches row-scale data."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
@@ -1615,7 +1679,7 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     is evaluated in double (exact through ~2^53): a century of
     per-second gaps per user stays clear by orders of magnitude."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     g = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     gaps = e.select("user_id", g.alias("g")).filter(F.col("g").isNotNull())
     stats = (
@@ -1798,7 +1862,7 @@ def markov_stationary_distribution(
     |states|^2 matrix — dimension-sized at any corpus scale, so the
     whole recurrence is effectively free after the count build."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
@@ -2006,7 +2070,12 @@ def window_groups_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
-    wd = Window.partitionBy("event_type").orderBy("day")
+    # asc_nulls_last: DuckDB's ASC default is NULLS LAST while Spark's
+    # is NULLS FIRST — with plain asc a NULL-day tie group would rank
+    # FIRST here but LAST in the oracle, putting it adjacent to a
+    # different observed day (r11 NULL-parity audit finding; latent on
+    # the NULL-free driver fixtures, identical ranks otherwise)
+    wd = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("day"))
     r = v.withColumn("grp", F.dense_rank().over(wd))
     wr = (
         Window.partitionBy("event_type")
@@ -2136,7 +2205,7 @@ def ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cents",
         F.row_number()
-        .over(wb.orderBy(F.asc("ts"), F.asc("event_id")))
+        .over(wb.orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")))
         .alias("rn_a"),
         F.row_number()
         .over(wb.orderBy(F.desc("ts"), F.desc("event_id")))
@@ -2259,7 +2328,7 @@ def monotone_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per rising run, and the final join is per-user — all keys
     natural, no global ordering anywhere."""
     e = table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wu = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     v = e.select(
         "user_id",
         exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
@@ -2560,7 +2629,12 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     news = firsts.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # asc_nulls_last: the NULL-day group (events without a timestamp)
+    # must accumulate at the END of the running sum like the oracle's
+    # NULLS LAST order (r11 NULL-parity audit class)
+    w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     return (
         daily.join(news, "day", "left")
         .select(
@@ -2832,7 +2906,7 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization per candidate gap — the naive tuning loop — scans
     the corpus |grid| times for the same numbers."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     t_us = (
         F.unix_timestamp("ts") * 1_000_000
         + F.date_format("ts", "SSSSSS").cast("bigint")

@@ -463,11 +463,15 @@ def _register_dynamic_partition_overwrite() -> None:
         oracle="""
         SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT)
                  AS total_chars
-        FROM documents WHERE lang <> 'en' GROUP BY lang
+        FROM documents WHERE lang IS DISTINCT FROM 'en' GROUP BY lang
         UNION ALL
         SELECT lang, count(*), CAST(sum(n_chars) AS BIGINT)
         FROM documents WHERE lang = 'en' AND doc_id % 2 = 0 GROUP BY lang
         """,
+        # IS DISTINCT FROM, not <>: a NULL lang is a REAL partition
+        # (Spark writes it as __HIVE_DEFAULT_PARTITION__) that the en
+        # overwrite leaves untouched — plain <> would drop it from the
+        # oracle under 3VL (r11 NULL-parity audit class)
     )
     def dynamic_partition_overwrite(
         spark: SparkSession, sf_dir: str

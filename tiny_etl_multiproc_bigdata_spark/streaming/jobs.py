@@ -111,13 +111,16 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, name: str, output_mode: s
            event_type,
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute windowed aggregation with a 10-minute
     watermark — the streaming twin of window_tumbling_counts."""
-    ev = _events_stream(spark, sf_dir)
+    # event-time contract (r11 NULL-parity audit): a watermarked
+    # operator has no place for a row without an event time —
+    # excluded explicitly, mirrored in the oracle
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -170,6 +173,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- µs gap comparison: session_window splits at the ts
              -- precision, not floored seconds
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
       SELECT user_id, ts,
@@ -190,7 +194,10 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) with watermark — the
     streaming analog of sessionize_events (gaps-and-islands); session
     state merges incrementally as events arrive."""
-    ev = _events_stream(spark, sf_dir)
+    # event-time contract (r11 NULL-parity audit): a watermarked
+    # operator has no place for a row without an event time —
+    # excluded explicitly, mirrored in the oracle
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     sess = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
@@ -523,6 +530,7 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n
     FROM events, unnest([0, 300]) AS o(off)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -532,7 +540,10 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap shape the tumbling entry cannot exercise (state holds
     window-count × key rows; watermark closes both). Streaming twin of
     window_sliding_counts with the same two-offset oracle."""
-    ev = _events_stream(spark, sf_dir)
+    # event-time contract (r11 NULL-parity audit): a watermarked
+    # operator has no place for a row without an event time —
+    # excluded explicitly, mirrored in the oracle
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(
@@ -788,7 +799,7 @@ def streaming_stream_stream_left_outer(
              CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
              ts, event_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     r AS (
       SELECT event_type, day_epoch, cents,
@@ -823,7 +834,10 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, day) window — constant per key per day regardless of
     event volume; the watermark bounds how many day-windows stay
     open."""
-    ev = _events_stream(spark, sf_dir)
+    # event-time contract (r11 NULL-parity audit): a watermarked
+    # operator has no place for a row without an event time —
+    # excluded explicitly, mirrored in the oracle
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     key = F.struct(F.col("ts"), F.col("event_id"))
     agg = (
@@ -859,7 +873,7 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, epoch_us(ts) AS t_us,
              CASE WHEN event_type = 'purchase'
                   THEN 600000000 ELSE 1800000000 END AS gap_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, ts, event_id, t_us, gap_us,
@@ -901,7 +915,10 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB shape: same merging state store as the fixed-gap entry,
     partitioned by user; the gap expression evaluates row-local at
     ingest, adding nothing to state."""
-    ev = _events_stream(spark, sf_dir)
+    # event-time contract (r11 NULL-parity audit): a watermarked
+    # operator has no place for a row without an event time —
+    # excluded explicitly, mirrored in the oracle
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     gap = F.when(
         F.col("event_type") == "purchase", F.lit("10 minutes")
     ).otherwise(F.lit("30 minutes"))
@@ -1125,7 +1142,10 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS kept_cents
     FROM events
-    WHERE user_id NOT IN (SELECT k FROM deny)
+    WHERE ts IS NOT NULL
+      -- anti-join semantics: a NULL user matches no denylist key and
+      -- is KEPT; bare NOT IN would 3VL-drop it (r11 NULL-parity audit)
+      AND (user_id NOT IN (SELECT k FROM deny) OR user_id IS NULL)
     GROUP BY event_type
     """,
 )
@@ -1153,7 +1173,10 @@ def streaming_denylist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("k"))
     )
-    ev = _events_stream(spark, sf_dir)
+    # event-time contract (r11 NULL-parity audit): a watermarked
+    # operator has no place for a row without an event time —
+    # excluded explicitly, mirrored in the oracle
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     kept = ev.join(
         F.broadcast(deny), ev["user_id"] == deny["k"], "left_anti"
     )
@@ -1175,7 +1198,7 @@ def streaming_denylist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
                AS window_start_epoch,
              user_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT window_start_epoch,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -1200,7 +1223,10 @@ def streaming_windowed_distinct_users(
     when that dominates, the registered HLL entries are the
     fixed-state alternative. Both stateful stages key on the same
     window column, so the agg reuses the dedup's shuffle."""
-    ev = _events_stream(spark, sf_dir)
+    # event-time contract (r11 NULL-parity audit): a watermarked
+    # operator has no place for a row without an event time —
+    # excluded explicitly, mirrored in the oracle
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     bucketed = (
         ev.withWatermark("ts", "1 hour")
         .select(
@@ -1212,7 +1238,11 @@ def streaming_windowed_distinct_users(
     )
     agg = (
         bucketed.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+        # count the user COLUMN, not the rows: SQL count(DISTINCT
+        # user_id) skips NULL users, and the dedup keeps one
+        # (window, NULL) tombstone that a count(*) would tally
+        # (r11 NULL-parity audit)
+        .agg(F.count("user_id").alias("n_users"))
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
                 "window_start_epoch"

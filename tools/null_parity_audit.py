@@ -1,0 +1,224 @@
+"""NULL-injection differential audit — the instrument version of the
+r11 `window_range_interval_frame` null-safe-join finding.
+
+That bug's CLASS: a lowering that computes per-row results and hands
+them back through an equi-join on columns the oracle's semantics keep
+as NULL groups (window PARTITION BY / ORDER BY, GROUP BY) silently
+drops NULL-keyed rows — and stays green forever on the NULL-free
+driver fixtures. Hand-auditing every join-back is hopeless at 435
+entries; this tool finds the class mechanically:
+
+  1. build a fixture dir that is sf0.001 verbatim EXCEPT events /
+     documents / embeddings get a handful of NULL-spiked rows (every
+     nullable column, alone and in combination, appended with the
+     exact pyarrow schema so physical types survive);
+  2. run EVERY oracle-paired registry entry on Spark AND DuckDB over
+     that same dir and diff with the driver's comparator
+     (tests/compare.py — row count + columns + normalized values);
+  3. report ok / MISMATCH / error per entry.
+
+PARITY is the bar, not "handles NULLs gracefully": if both engines
+drop a NULL row the same way (e.g. an inner join key), that's green —
+only behavioral DIVERGENCE between the engine and its own declared
+oracle is a finding. Entries without an oracle are smoke-run
+(.count()) to catch NULL-input crashes.
+
+The relational TPC-H tables are NOT spiked: their columns are NOT NULL
+by spec, so NULL behavior there is not a contract anyone holds.
+
+    python tools/null_parity_audit.py            # full board
+    python tools/null_parity_audit.py name1 ...  # just these entries
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+WATCHDOG_S = 120
+
+_TS = datetime.datetime(2021, 6, 15, 12, 0, 0)
+
+
+def _spiked_events() -> list[dict]:
+    """NULLs in every nullable column, alone and combined. event_ids
+    continue past the fixture's range so spikes never collide."""
+    base = dict(
+        event_id=0, ts=_TS, user_id=7, event_type="click", value=1.5, props="{}"
+    )
+    out = []
+    combos = [
+        {"ts": None},
+        {"event_type": None},
+        {"value": None},
+        {"user_id": None},
+        {"props": None},
+        {"ts": None, "event_type": None},
+        {"ts": None, "value": None},
+        {"event_type": None, "value": None},
+        {"user_id": None, "event_type": None},
+        {"ts": None, "user_id": None, "event_type": None, "value": None,
+         "props": None},
+        # duplicates of a NULL key — NULL groups with >1 member
+        {"event_type": None},
+        {"ts": None},
+        # NULL keys on the event types entries FILTER on (the asof
+        # family keeps purchase rows and scans signup/click context —
+        # a NULL-ts click alone never reaches their output)
+        {"ts": None, "event_type": "purchase"},
+        {"ts": None, "event_type": "signup"},
+        {"value": None, "event_type": "purchase"},
+        {"user_id": None, "event_type": "purchase"},
+    ]
+    for i, combo in enumerate(combos):
+        row = dict(base, event_id=1_000_000 + i)
+        row.update(combo)
+        # vary the non-null values a little so aggregates are non-trivial
+        if row["value"] is not None:
+            row["value"] = 1.5 + i
+        if row["ts"] is not None:
+            row["ts"] = _TS + datetime.timedelta(hours=i)
+        out.append(row)
+    return out
+
+
+def _spiked_documents() -> list[dict]:
+    base = dict(doc_id=0, text="the quick brown fox", lang="en",
+                source="src0", n_chars=19)
+    combos = [
+        {"text": None},
+        {"lang": None},
+        {"source": None},
+        {"n_chars": None},
+        {"text": None, "lang": None, "source": None, "n_chars": None},
+        {"source": None},
+    ]
+    out = []
+    for i, combo in enumerate(combos):
+        row = dict(base, doc_id=1_000_000 + i)
+        row.update(combo)
+        out.append(row)
+    return out
+
+
+def _spiked_embeddings() -> list[dict]:
+    out = [
+        {"vec_id": 1_000_000, "embedding": None, "label": 3},
+        {"vec_id": 1_000_001, "embedding": [0.5] * 64, "label": None},
+        {"vec_id": 1_000_002, "embedding": None, "label": None},
+    ]
+    return out
+
+
+def build_fixture(dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    spikes = {
+        "events": _spiked_events(),
+        "documents": _spiked_documents(),
+        "embeddings": _spiked_embeddings(),
+    }
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{name}.parquet", f"{dst}/{name}.parquet")
+    for name, rows in spikes.items():
+        src = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        # strip pandas metadata; build the spike batch on the SAME
+        # physical schema so e.g. timestamp[us] survives verbatim
+        schema = pa.schema([src.schema.field(i) for i in range(len(src.schema))])
+        cols = {
+            f.name: [r[f.name] for r in rows] for f in schema
+        }
+        spike = pa.table(cols, schema=schema)
+        out = pa.concat_tables([src.cast(schema), spike])
+        pq.write_table(out, f"{dst}/{name}.parquet")
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    from pyspark.sql import SparkSession
+
+    from compare import compare  # tests/compare.py
+    import duckdb
+
+    from tiny_etl_multiproc_bigdata_spark.catalog import TABLES
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    scratch = tempfile.mkdtemp(prefix="null_audit_")
+    fix = os.path.join(scratch, "fixture")
+    build_fixture(fix)
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("null-parity-audit")
+        .getOrCreate()
+    )
+    sc = spark.sparkContext
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix}/{t}.parquet')"
+        )
+
+    results: dict[str, str] = {}
+    names = [n for n in sorted(REGISTRY) if not only or n in only]
+    t_all = time.time()
+    for i, name in enumerate(names):
+        spec = REGISTRY[name]
+        group = f"nullaudit-{name}"
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        cancelled = [False]
+
+        def cancel():
+            cancelled[0] = True
+            sc.cancelJobGroup(group)
+
+        timer = threading.Timer(WATCHDOG_S, cancel)
+        timer.start()
+        try:
+            df = spec.fn(spark, fix)
+            if spec.oracle is None:
+                df.count()
+                results[name] = "ok (rows-only)"
+            else:
+                problems = compare(df, con, spec.oracle, spec.ulp_sensitive)
+                results[name] = (
+                    "ok" if not problems else "MISMATCH: " + "; ".join(problems)[:400]
+                )
+        except Exception as ex:  # noqa: BLE001 — per-entry isolation
+            kind = "WATCHDOG" if cancelled[0] else "error"
+            results[name] = f"{kind}: {repr(ex)[:300]}"
+        finally:
+            timer.cancel()
+            sc.setJobGroup("idle", "idle")
+        if (i + 1) % 25 == 0:
+            print(f"{i + 1}/{len(names)} {time.time() - t_all:.0f}s", flush=True)
+
+    ok = sum(1 for v in results.values() if v.startswith("ok"))
+    bad = {n: v for n, v in results.items() if not v.startswith("ok")}
+    print(f"TOTAL {time.time() - t_all:.1f}s; {ok} ok, {len(bad)} non-ok", flush=True)
+    print("NON-OK:", json.dumps(bad, indent=1, sort_keys=True), flush=True)
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

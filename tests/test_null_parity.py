@@ -1,0 +1,69 @@
+"""Sentinel NULL-parity tests — the suite-sized slice of
+tools/null_parity_audit.py
+(the full 435-entry audit runs ~6 min and stays a tool; this pins one
+representative entry per FIXED divergence class so a regression in any
+class reds the board, and proves the harness itself keeps working).
+
+Classes (r11 audit — see OPERATORS.md):
+  ordering   — Spark ASC NULLS FIRST vs DuckDB ASC NULLS LAST
+  mirror     — DESC-mirror rewrites need desc_nulls_first
+  contract   — explicit symmetric IS NOT NULL input contracts
+  kernel     — Python/Arrow kernels that crashed on NULL inputs
+  null-group — representation of NULL groups ('' vs NULL, 3VL CASE,
+               NOT IN vs anti-join, count(*) vs count(col))
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from compare import compare  # noqa: E402
+from null_parity_audit import build_fixture  # noqa: E402
+
+from tiny_etl_multiproc_bigdata_spark.catalog import TABLES  # noqa: E402
+from tiny_etl_multiproc_bigdata_spark.plans.registry import (  # noqa: E402
+    REGISTRY,
+    _load_all,
+)
+
+# one per fixed class, plus the two audit-era windows rewrites
+SENTINELS = [
+    "window_lag_lead",           # ordering
+    "asof_next_purchase",        # mirror
+    "sessionize_events",         # contract (batch event-time)
+    "streaming_cusum_alert",     # contract + leading-NULL state machine
+    "pandas_iter_udf_scoring",   # kernel (astype-on-NaN)
+    "rolling_median_exact",      # kernel (element_at on empty frame)
+    "locf_impute",               # null-group (3VL CASE polarity)
+    "session_path_signatures",   # null-group ('' vs NULL path)
+    "window_range_interval_frame",  # the class's original finding
+    "pandas_api_merge_asof",     # widened-matrix finding
+]
+
+
+@pytest.fixture(scope="module")
+def null_fixture(tmp_path_factory):
+    fix = str(tmp_path_factory.mktemp("null_parity") / "fixture")
+    build_fixture(fix)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix}/{t}.parquet')"
+        )
+    return fix, con
+
+
+@pytest.mark.parametrize("name", SENTINELS)
+def test_null_parity_sentinel(spark, null_fixture, name):
+    _load_all()
+    fix, con = null_fixture
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    problems = compare(spec.fn(spark, fix), con, spec.oracle, spec.ulp_sensitive)
+    assert not problems, f"{name} diverges on NULL-spiked input: {problems}"

@@ -120,7 +120,7 @@ def test_streaming_anomaly_zscore_tail_carries_across_batches(spark, tmp_path):
 
     real_stream = jobs._events_stream
 
-    def split_stream(spark_, _sf_dir):
+    def split_stream(spark_, _sf_dir, *, require_event_time=False):
         from pyspark.sql.types import LongType, TimestampType
 
         raw = (
@@ -131,15 +131,19 @@ def test_streaming_anomaly_zscore_tail_carries_across_batches(spark, tmp_path):
         # same ts normalization as the real _events_stream: watermarks
         # need TIMESTAMP (with local tz)
         if isinstance(schema["ts"].dataType, LongType):
-            return raw.withColumn(
+            out = raw.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        if isinstance(schema["ts"].dataType, TimestampType):
-            return raw
-        epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
-            "bigint"
-        ) + F.date_format("ts", "SSSSSS").cast("bigint")
-        return raw.withColumn("ts", F.timestamp_micros(epoch_us))
+        elif isinstance(schema["ts"].dataType, TimestampType):
+            out = raw
+        else:
+            epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
+                "bigint"
+            ) + F.date_format("ts", "SSSSSS").cast("bigint")
+            out = raw.withColumn("ts", F.timestamp_micros(epoch_us))
+        if require_event_time:
+            out = out.filter(F.col("ts").isNotNull())
+        return out
 
     jobs._events_stream = split_stream
     try:
@@ -195,7 +199,7 @@ def _stage_two_batch_split(spark, tmp_path):
     shutil.rmtree(stage + "/f2.dir")
     schema = spark.read.parquet(stage).schema
 
-    def split_stream(spark_, _sf_dir):
+    def split_stream(spark_, _sf_dir, *, require_event_time=False):
         from pyspark.sql.types import LongType, TimestampType
 
         raw = (
@@ -204,15 +208,19 @@ def _stage_two_batch_split(spark, tmp_path):
             .parquet(stage)
         )
         if isinstance(schema["ts"].dataType, LongType):
-            return raw.withColumn(
+            out = raw.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        if isinstance(schema["ts"].dataType, TimestampType):
-            return raw
-        epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
-            "bigint"
-        ) + F.date_format("ts", "SSSSSS").cast("bigint")
-        return raw.withColumn("ts", F.timestamp_micros(epoch_us))
+        elif isinstance(schema["ts"].dataType, TimestampType):
+            out = raw
+        else:
+            epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
+                "bigint"
+            ) + F.date_format("ts", "SSSSSS").cast("bigint")
+            out = raw.withColumn("ts", F.timestamp_micros(epoch_us))
+        if require_event_time:
+            out = out.filter(F.col("ts").isNotNull())
+        return out
 
     return split_stream
 

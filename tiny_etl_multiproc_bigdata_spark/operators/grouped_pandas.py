@@ -181,7 +181,9 @@ def grouped_arrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             sign,
         )
-        total_cents = pc.sum(cents).as_py() or 0
+        # SQL sum over an all-NULL group is NULL, not 0 — `or 0` would
+        # diverge from the oracle exactly on that group
+        total_cents = pc.sum(cents).as_py()
         return pa.table(
             {
                 # explicit string type: a NULL event_type group would
@@ -192,9 +194,14 @@ def grouped_arrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [t.column("event_type")[0].as_py()], pa.string()
                 ),
                 "n": pa.array([t.num_rows], pa.int64()),
-                "sum_value": [total_cents / 100.0],
-                "min_value": [pc.min(v).as_py()],
-                "max_value": [pc.max(v).as_py()],
+                # explicit float64 like event_type above: an all-NULL
+                # value group would infer null-typed min/max columns
+                "sum_value": pa.array(
+                    [None if total_cents is None else total_cents / 100.0],
+                    pa.float64(),
+                ),
+                "min_value": pa.array([pc.min(v).as_py()], pa.float64()),
+                "max_value": pa.array([pc.max(v).as_py()], pa.float64()),
             }
         )
 
@@ -591,14 +598,10 @@ def _register_streaming_cusum_alert() -> None:
                 }
             )
 
-        # event-time contract (r11 NULL-parity audit): the watermarked
-        # detector has no place for rows without an event time —
-        # excluded explicitly, mirrored in the shared batch oracle
-        ev = (
-            _events_stream(spark, sf_dir)
-            .filter(F.col("ts").isNotNull())
-            .select("event_type", "event_id", "value", "ts")
-        )
+        # event-time contract mirrored in the shared batch oracle
+        ev = _events_stream(
+            spark, sf_dir, require_event_time=True
+        ).select("event_type", "event_id", "value", "ts")
         out = (
             ev.withWatermark("ts", "1 hour")
             .groupBy("event_type")
@@ -919,12 +922,10 @@ def streaming_state_timeout_sessions(
             rows, columns=["user_id", "session_start_epoch", "n_events"]
         )
 
-    # event-time contract (r11 NULL-parity audit): a session state
-    # machine with event-time timeouts cannot place a NULL-ts row —
-    # excluded explicitly, mirrored in the oracle
+    # event-time contract mirrored in the oracle (state machine with
+    # event-time timeouts)
     ev = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("ts").isNotNull())
+        _events_stream(spark, sf_dir, require_event_time=True)
         .select(
             "user_id",
             "ts",

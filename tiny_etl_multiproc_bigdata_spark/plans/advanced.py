@@ -18,6 +18,9 @@ import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
+    event_time_order,
+)
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import stable_token_hash
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
@@ -1601,7 +1604,7 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_SPRT_LB))
         .alias("inc"),
     )
-    wo = Window.partitionBy("cohort").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    wo = Window.partitionBy("cohort").orderBy(*event_time_order())
     walk = v.select(
         "cohort",
         F.row_number().over(wo).alias("n"),
@@ -1669,6 +1672,7 @@ def _pois_w_sql(u: str) -> str:
                  f" / {_U_DENOM})"
              )} AS w
       FROM events e, range(0, {_BOOT_B}) b(b)
+      WHERE e.value IS NOT NULL
     ),
     means AS (
       SELECT event_type, b,
@@ -1690,7 +1694,8 @@ def _pois_w_sql(u: str) -> str:
     JOIN (SELECT event_type,
                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
                  count(*) AS n
-          FROM events GROUP BY event_type) p
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type) p
       ON s.event_type = p.event_type
     """,
 )
@@ -1708,8 +1713,14 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one row-local {B}× fan-out (map-only), one partial-
     agg per (group, replica), then a {B}-element array per group — the
-    shuffle moves |groups|·{B} aggregates, never resampled data."""
-    e = table(spark, sf_dir, "events")
+    shuffle moves |groups|·{B} aggregates, never resampled data.
+
+    Input contract (r11 NULL-parity audit, widened matrix): a
+    bootstrap resamples MEASURED values — rows with NULL value are
+    excluded on both engines (an all-NULL group's replica means would
+    otherwise be an empty collect_list and element_at(ms, 1) throws,
+    while DuckDB's list() keeps NULLs and emits a NULL CI)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     reps = e.crossJoin(
         spark.range(_BOOT_B).select(F.col("id").alias("b"))
     ).select(

@@ -8,6 +8,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
+    event_time_order,
+)
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
@@ -85,7 +88,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+        .orderBy(*event_time_order())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return e.select(

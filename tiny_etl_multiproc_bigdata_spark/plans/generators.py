@@ -102,7 +102,9 @@ def regexp_capture_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              count(*) AS n,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
-      FROM events WHERE user_id < 40 AND event_type IS NOT NULL
+      FROM events
+      WHERE user_id < 40 AND event_type IS NOT NULL
+        AND value IS NOT NULL
       GROUP BY user_id, event_type
     )
     SELECT user_id,
@@ -139,9 +141,14 @@ def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Input contract (r11 NULL-parity audit): a metric map needs a key —
     NULL event_types are excluded on both engines (map_from_entries
     THROWS on a NULL map key; the oracle's string_agg would silently
-    drop the entry while still counting it in n_types)."""
+    drop the entry while still counting it in n_types), and so are
+    NULL values (an all-NULL-value type would put a NULL avg in the
+    Spark map that to_json renders as \"TYPE\":null while the oracle's
+    string_agg drops the element — the maps are over PRICED events)."""
     e = table(spark, sf_dir, "events").filter(
-        (F.col("user_id") < 40) & F.col("event_type").isNotNull()
+        (F.col("user_id") < 40)
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
     )
     c = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"),

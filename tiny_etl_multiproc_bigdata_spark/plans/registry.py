@@ -363,6 +363,7 @@ _REQUEUE: tuple[str, ...] = (
     "multimodal_frame_sample",
     "ohlc_daily_candles",
     "pandas_iter_udf_scoring",
+    "poisson_bootstrap_ci",
     "pq_adc_topk",
     "pq_code_assign",
     "pq_recall_eval",

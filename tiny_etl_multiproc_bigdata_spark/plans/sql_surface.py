@@ -792,17 +792,19 @@ def _ps_merge_asof_backward(
     assert "_is_left" not in left_cols and "_is_left" not in right.columns, (
         "'_is_left' collides with the lowering's internal tag column"
     )
-    # NULL-key semantics (r11 NULL-parity audit): a right row with no
-    # ``on`` value can never be an asof match (the inequality join's
-    # s.ts <= p.ts is never true) — filtered out; a LEFT row with no
-    # ``on`` value is kept with a NULL match, which the explicit
-    # nulls-FIRST ordering guarantees (the NULL block leads the
-    # partition and, with NULL-keyed right rows gone, contains only
-    # left rows — their running last(ignorenulls) sees nothing).
+    # NULL-key semantics (r11 NULL-parity audit + review): a right row
+    # with no ``on`` value can never be an asof match (the inequality
+    # join's s.ts <= p.ts is never true), and neither can one with no
+    # ``by`` value (the oracle's equi-join never matches NULL = NULL,
+    # while partitionBy would group NULL by-keys together) — both
+    # filtered out; a LEFT row with a NULL key is kept with a NULL
+    # match, which follows automatically: NULL-by left rows share
+    # their partition with no surviving right rows, and NULL-on left
+    # rows lead theirs under the explicit nulls-FIRST ordering.
     tagged = left.withColumn("_is_left", F.lit(1)).unionByName(
-        right.filter(F.col(on).isNotNull()).withColumn(
-            "_is_left", F.lit(0)
-        ),
+        right.filter(
+            F.col(on).isNotNull() & F.col(by).isNotNull()
+        ).withColumn("_is_left", F.lit(0)),
         allowMissingColumns=True,
     )
     w = (

@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
+    event_time_order,
+)
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -55,7 +58,7 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit class; latent on the NULL-free driver fixtures)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("t_us"), F.asc_nulls_last("event_id"))
+        .orderBy(*event_time_order("t_us"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     last_signup = F.max(
@@ -188,7 +191,7 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r11 NULL-parity audit class)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("t_us"), F.asc_nulls_last("event_id"))
+        .orderBy(*event_time_order("t_us"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     last_click = F.max(

@@ -32,6 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
+    event_time_order,
+)
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
@@ -156,7 +159,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering → ONE shuffle, windows pipelined in a single sort. At
     scale this is the standard event-log → dimension-snapshot job."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     changes = (
         e.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(
@@ -1866,7 +1869,7 @@ def as_of_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the as-of predicate is a broadcast-range join against it —
     |intervals| x 3 at worst, partial-agg'd to |states| x 3."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     t_us = (
         F.unix_timestamp("ts") * 1_000_000
         + F.date_format("ts", "SSSSSS").cast("bigint")

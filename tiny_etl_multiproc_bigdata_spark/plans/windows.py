@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
+    event_time_order,
+)
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
@@ -246,7 +249,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (they'd otherwise sessionize at opposite partition
     ends under the engines' opposite NULL sort defaults)."""
     e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = e.withColumn(
         "new_session",
@@ -295,7 +298,7 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-order-independent; (ts, event_id) ordering breaks
     simultaneous-event ties identically in both engines."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     wt = (
         F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
     ).cast("bigint")
@@ -710,7 +713,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit class)
     win = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+        .orderBy(*event_time_order())
         .rowsBetween(-6, -1)
     )
     w = e.select(
@@ -793,7 +796,7 @@ def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.date_format("ts", "SSSSSS").cast("bigint")
     ).alias("t_us")
     base = e.select("user_id", "event_id", t_us)
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("t_us"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order("t_us"))
     gap = F.col("t_us") - F.lag("t_us").over(w)
     flagged = base.select(
         "user_id",
@@ -976,7 +979,7 @@ def rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+        .orderBy(*event_time_order())
         .rowsBetween(-6, Window.currentRow)
     )
     vals = F.array_sort(F.collect_list("cents").over(w))
@@ -1142,7 +1145,7 @@ def cusum_alert_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_round(F.col("value") * 100, 0).cast("bigint") - _CUSUM_K
         ).alias("d"),
     )
-    wo = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    wo = Window.partitionBy("event_type").orderBy(*event_time_order())
     s = v.select(
         "event_type",
         "event_id",
@@ -1213,7 +1216,7 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/eval split is a pure expression on the partition key — zero
     extra passes."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     seq = e.select(
         "user_id",
         "event_type",
@@ -1302,7 +1305,7 @@ def markov_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast |states|-row model, one partially-aggregated groupBy
     on the (few) confidence bins."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     seq = e.select(
         "user_id",
         "event_type",
@@ -1415,7 +1418,7 @@ def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(exact_round(F.col("value") * 100, 0).cast("bigint"))
         .alias("cents"),
     )
-    wo = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    wo = Window.partitionBy("user_id").orderBy(*event_time_order())
     rn = F.row_number().over(wo)
     carry = F.max(
         F.when(
@@ -1493,7 +1496,7 @@ def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Input contract (r11 NULL-parity audit): sessions are event-TIME
     constructs — NULL-ts rows excluded explicitly on both engines."""
     e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     flagged = e.select(
         "user_id",
@@ -1596,7 +1599,7 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic happens on the |states|² transition table. Nothing else
     touches row-scale data."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
@@ -1679,7 +1682,7 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     is evaluated in double (exact through ~2^53): a century of
     per-second gaps per user stays clear by orders of magnitude."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     g = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     gaps = e.select("user_id", g.alias("g")).filter(F.col("g").isNotNull())
     stats = (
@@ -1862,7 +1865,7 @@ def markov_stationary_distribution(
     |states|^2 matrix — dimension-sized at any corpus scale, so the
     whole recurrence is effectively free after the count build."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
@@ -2205,7 +2208,7 @@ def ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cents",
         F.row_number()
-        .over(wb.orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")))
+        .over(wb.orderBy(*event_time_order()))
         .alias("rn_a"),
         F.row_number()
         .over(wb.orderBy(F.desc("ts"), F.desc("event_id")))
@@ -2328,7 +2331,7 @@ def monotone_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per rising run, and the final join is per-user — all keys
     natural, no global ordering anywhere."""
     e = table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    wu = Window.partitionBy("user_id").orderBy(*event_time_order())
     v = e.select(
         "user_id",
         exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
@@ -2906,7 +2909,7 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization per candidate gap — the naive tuning loop — scans
     the corpus |grid| times for the same numbers."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*event_time_order())
     t_us = (
         F.unix_timestamp("ts") * 1_000_000
         + F.date_format("ts", "SSSSSS").cast("bigint")

@@ -29,9 +29,21 @@ from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, *, require_event_time: bool = False
+) -> DataFrame:
     """File-source stream of the events table (schema from a batch
-    read). Watermarks require TIMESTAMP (with local tz), so both
+    read).
+
+    ``require_event_time=True`` states the event-time contract of a
+    watermarked operator explicitly (r11 NULL-parity audit + review):
+    rows without a ``ts`` are dropped with a scan-pushed filter, and
+    the caller's oracle carries the same ``WHERE ts IS NOT NULL`` —
+    Spark's watermark machinery would drop them anyway, but silently
+    and only on aggregated paths; the parameter makes the contract one
+    declaration instead of nine copy-pasted filters.
+
+    Watermarks require TIMESTAMP (with local tz), so both
     fixture vintages of `ts` normalize to an absolute-epoch LTZ where
     the instant equals the naive value interpreted as UTC (matching the
     DuckDB oracles' `epoch(ts)`): int64 nanos are already epoch-encoded;
@@ -52,11 +64,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if isinstance(schema["ts"].dataType, LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
-        "bigint"
-    ) + F.date_format("ts", "SSSSSS").cast("bigint")
-    return raw.withColumn("ts", F.timestamp_micros(epoch_us))
+        out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
+            "bigint"
+        ) + F.date_format("ts", "SSSSSS").cast("bigint")
+        out = raw.withColumn("ts", F.timestamp_micros(epoch_us))
+    if require_event_time:
+        out = out.filter(F.col("ts").isNotNull())
+    return out
 
 
 _RUN_SEQ = [0]
@@ -117,10 +133,7 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, name: str, output_mode: s
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute windowed aggregation with a 10-minute
     watermark — the streaming twin of window_tumbling_counts."""
-    # event-time contract (r11 NULL-parity audit): a watermarked
-    # operator has no place for a row without an event time —
-    # excluded explicitly, mirrored in the oracle
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ev = _events_stream(spark, sf_dir, require_event_time=True)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -194,10 +207,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) with watermark — the
     streaming analog of sessionize_events (gaps-and-islands); session
     state merges incrementally as events arrive."""
-    # event-time contract (r11 NULL-parity audit): a watermarked
-    # operator has no place for a row without an event time —
-    # excluded explicitly, mirrored in the oracle
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ev = _events_stream(spark, sf_dir, require_event_time=True)
     sess = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
@@ -540,10 +550,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap shape the tumbling entry cannot exercise (state holds
     window-count × key rows; watermark closes both). Streaming twin of
     window_sliding_counts with the same two-offset oracle."""
-    # event-time contract (r11 NULL-parity audit): a watermarked
-    # operator has no place for a row without an event time —
-    # excluded explicitly, mirrored in the oracle
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ev = _events_stream(spark, sf_dir, require_event_time=True)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(
@@ -834,10 +841,7 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, day) window — constant per key per day regardless of
     event volume; the watermark bounds how many day-windows stay
     open."""
-    # event-time contract (r11 NULL-parity audit): a watermarked
-    # operator has no place for a row without an event time —
-    # excluded explicitly, mirrored in the oracle
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ev = _events_stream(spark, sf_dir, require_event_time=True)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     key = F.struct(F.col("ts"), F.col("event_id"))
     agg = (
@@ -915,10 +919,7 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB shape: same merging state store as the fixed-gap entry,
     partitioned by user; the gap expression evaluates row-local at
     ingest, adding nothing to state."""
-    # event-time contract (r11 NULL-parity audit): a watermarked
-    # operator has no place for a row without an event time —
-    # excluded explicitly, mirrored in the oracle
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ev = _events_stream(spark, sf_dir, require_event_time=True)
     gap = F.when(
         F.col("event_type") == "purchase", F.lit("10 minutes")
     ).otherwise(F.lit("30 minutes"))
@@ -1173,10 +1174,7 @@ def streaming_denylist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("k"))
     )
-    # event-time contract (r11 NULL-parity audit): a watermarked
-    # operator has no place for a row without an event time —
-    # excluded explicitly, mirrored in the oracle
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ev = _events_stream(spark, sf_dir, require_event_time=True)
     kept = ev.join(
         F.broadcast(deny), ev["user_id"] == deny["k"], "left_anti"
     )
@@ -1223,10 +1221,7 @@ def streaming_windowed_distinct_users(
     when that dominates, the registered HLL entries are the
     fixed-state alternative. Both stateful stages key on the same
     window column, so the agg reuses the dedup's shuffle."""
-    # event-time contract (r11 NULL-parity audit): a watermarked
-    # operator has no place for a row without an event time —
-    # excluded explicitly, mirrored in the oracle
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ev = _events_stream(spark, sf_dir, require_event_time=True)
     bucketed = (
         ev.withWatermark("ts", "1 hour")
         .select(

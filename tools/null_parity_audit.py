@@ -82,6 +82,18 @@ def _spiked_events() -> list[dict]:
         {"ts": None, "event_type": "signup"},
         {"value": None, "event_type": "purchase"},
         {"user_id": None, "event_type": "purchase"},
+        # NULL-user CONTEXT rows (review of the r11 audit): without a
+        # NULL-user signup/click, a by-key window that wrongly groups
+        # NULL users has no right-side rows to mis-match, so the
+        # divergence class stays invisible (found live in
+        # _ps_merge_asof_backward)
+        {"user_id": None, "event_type": "signup"},
+        {"user_id": None, "event_type": "click"},
+        # an all-NULL-value group: kernels that build typed output
+        # from min/max of a group's values must not infer a null
+        # Arrow column
+        {"value": None, "event_type": "refund"},
+        {"value": None, "event_type": "refund"},
     ]
     for i, combo in enumerate(combos):
         row = dict(base, event_id=1_000_000 + i)

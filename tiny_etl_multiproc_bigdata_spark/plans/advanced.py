@@ -266,6 +266,10 @@ def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
         .qs
+        # empty input: approx_percentile returns NULL, not [] — with no
+        # boundaries every (nonexistent) row lands in chunk 0 and the
+        # output is empty like the oracle's (r11 empty-input audit)
+        or []
     )
     chunk = F.lit(0)
     for b in bounds:

@@ -627,12 +627,18 @@ def text_neardup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_planted",
             "mh_detected",
             round_half_up(
-                F.col("mh_detected").cast("double") / F.col("n_planted"), 4
+                # nullif: zero planted pairs (empty corpus) yields a
+                # NULL recall like the oracle's x/0 (r11 empty-input audit)
+                F.col("mh_detected").cast("double")
+                / F.nullif(F.col("n_planted"), F.lit(0)),
+                4,
             ).alias("mh_recall"),
             "mh_pairs_total",
             "seg_detected",
             round_half_up(
-                F.col("seg_detected").cast("double") / F.col("n_planted"), 4
+                F.col("seg_detected").cast("double")
+                / F.nullif(F.col("n_planted"), F.lit(0)),
+                4,
             ).alias("seg_recall"),
         )
     )

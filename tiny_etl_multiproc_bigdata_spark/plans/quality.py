@@ -1196,8 +1196,13 @@ def confusion_matrix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0)),
             4,
         ).alias("f1_at_0"),
+        # nullif: an empty corpus yields NULL accuracy like the
+        # oracle's x/0 (DuckDB → NULL), not an ANSI crash (r11
+        # empty-input audit)
         round_half_up(
-            (tp + tn).cast("double") / (tp + fp + fn + tn), 4
+            (tp + tn).cast("double")
+            / F.nullif(tp + fp + fn + tn, F.lit(0)),
+            4,
         ).alias("accuracy"),
     )
 

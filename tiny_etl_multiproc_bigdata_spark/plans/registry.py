@@ -393,6 +393,25 @@ _REQUEUE: tuple[str, ...] = (
     "window_groups_frame_sum",
     "window_lag_lead",
     "window_sliding_counts",
+    # --- r11 EMPTY-INPUT audit (null_parity_audit.py --empty) ---
+    # zero-row tables (the empty-date-slice shape) exposed an ANSI
+    # divide-by-zero crash class (nullif-guarded to the oracle's
+    # x/0 -> NULL), driver-side .first() guards, empty-write-then-read
+    # schema inference, and agg-over-empty NULL-vs-0 gaps. Values on
+    # non-empty fixtures unchanged (spiked-NULL audit re-run green);
+    # changed-code hygiene rows only.
+    "cohens_kappa_agreement",
+    "confusion_matrix_threshold",
+    "corpus_stats_summary",
+    "csv_permissive_corrupt_records",
+    "federated_union_agg",
+    "partitioned_write_prune_agg",
+    "python_datasource_write",
+    "python_datasource_stream_write",
+    "qq_deciles_two_group",
+    "runs_test_randomness",
+    "text_neardup_recall_eval",
+    "window_distribution_fns",
 )
 
 # Baseline attestation set: entries with a green CORRECTNESS row from

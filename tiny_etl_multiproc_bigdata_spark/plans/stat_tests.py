@@ -934,7 +934,10 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n00"),
     )
-    n = F.col("n").cast("double")
+    # nullif(n, 0): an EMPTY corpus must yield a NULL kappa row like
+    # the oracle (DuckDB's x/0 is NULL), not an ANSI DIVIDE_BY_ZERO
+    # crash (r11 empty-input audit)
+    n = F.nullif(F.col("n").cast("double"), F.lit(0.0))
     po = (F.col("n11") + F.col("n00")).cast("double") / n
     pe = (
         (F.col("n11") + F.col("n10")).cast("double")
@@ -1762,8 +1765,14 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
     n = n1 + n2
-    mu = 1 + 2.0 * n1 * n2 / n
-    sigma = F.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1)))
+    # nullif on both denominators: an empty (n = 0) or degenerate
+    # (n = 1) series yields NULL z like the oracle (DuckDB x/0 is
+    # NULL), not an ANSI DIVIDE_BY_ZERO crash (r11 empty-input audit)
+    mu = 1 + 2.0 * n1 * n2 / F.nullif(n, F.lit(0.0))
+    sigma = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / F.nullif(n * n * (n - 1), F.lit(0.0))
+    )
     return runs.select(
         "n1",
         "n2",
@@ -2194,12 +2203,25 @@ def qq_deciles_two_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").alias("pos"),
     )
     pcts = F.array(*[F.lit(float(q)) for q in _QQ_DECILES])
+    # coalesce to 9 NULL slots: percentile over an EMPTY group returns
+    # NULL (not an empty array), which would explode to zero rows —
+    # the oracle's unnest(range) grid always emits the 9 decile rows
+    # with NULL quantiles (r11 empty-input audit)
+    nulls9 = F.array(
+        *[F.lit(None).cast("double") for _ in _QQ_DECILES]
+    )
     qs = v.agg(
-        F.percentile(
-            F.when(F.col("pos"), F.col("y").cast("double")), pcts
+        F.coalesce(
+            F.percentile(
+                F.when(F.col("pos"), F.col("y").cast("double")), pcts
+            ),
+            nulls9,
         ).alias("qa"),
-        F.percentile(
-            F.when(~F.col("pos"), F.col("y").cast("double")), pcts
+        F.coalesce(
+            F.percentile(
+                F.when(~F.col("pos"), F.col("y").cast("double")), pcts
+            ),
+            nulls9,
         ).alias("qb"),
     )
     ex = qs.select(

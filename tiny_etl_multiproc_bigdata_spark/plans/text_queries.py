@@ -431,11 +431,17 @@ def corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_tokens",
         "vocab_size",
+        # nullif: an empty corpus yields NULL ratios like the oracle's
+        # x/0 (DuckDB → NULL), not an ANSI crash (r11 empty-input audit)
         round_half_up(
-            F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+            F.col("total_tokens").cast("double")
+            / F.nullif(F.col("n_docs"), F.lit(0)),
+            4,
         ).alias("avg_doc_tokens"),
         round_half_up(
-            F.col("vocab_size").cast("double") / F.col("total_tokens"), 4
+            F.col("vocab_size").cast("double")
+            / F.nullif(F.col("total_tokens"), F.lit(0)),
+            4,
         ).alias("type_token_ratio"),
     )
 

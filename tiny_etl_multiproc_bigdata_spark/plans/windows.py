@@ -2918,17 +2918,26 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_users = e.agg(
         F.count_distinct("user_id").alias("n_users")
     )
-    counts = g.crossJoin(F.broadcast(n_users)).agg(
-        F.first("n_users").alias("n_users"),
+    # aggregate the gaps ALONE, then attach the user count: the old
+    # crossJoin-then-agg collapsed to a single all-NULL row on an
+    # EMPTY events table (first() over nothing) where the oracle's
+    # grid yields n_sessions = 0 (r11 empty-input audit); a global
+    # agg always returns one row, and coalesce pins the empty sums
+    # to the oracle's count(*) = 0
+    over = g.agg(
         *[
-            F.sum(
-                F.when(
-                    F.col("gap_us") > gap * 1_000_000, 1
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("gap_us") > gap * 1_000_000, 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias(f"over_{gap}")
             for gap in _GAP_GRID_S
-        ],
+        ]
     )
+    counts = over.crossJoin(F.broadcast(n_users))
     rows = F.array(
         *[
             F.struct(

@@ -363,8 +363,12 @@ def _register_partitioned_roundtrip() -> None:
                 d.write.mode("overwrite").partitionBy("lang").parquet(
                     data_dir
                 )
+                # explicit schema (r11 empty-input audit): an EMPTY
+                # write leaves no files to infer from — production
+                # readers of a partitioned table carry the schema
                 back = (
-                    spark.read.parquet(data_dir)
+                    spark.read.schema(d.schema)
+                    .parquet(data_dir)
                     .where(F.col("lang") == "en")
                     .localCheckpoint(eager=True)
                 )
@@ -525,8 +529,11 @@ def _register_dynamic_partition_overwrite() -> None:
                 en_half.write.mode("overwrite").partitionBy("lang").parquet(
                     data_dir
                 )
+                # explicit schema (r11 empty-input audit): an EMPTY
+                # staging write leaves nothing to infer from
                 back = (
-                    spark.read.parquet(data_dir)
+                    spark.read.schema(d.schema)
+                    .parquet(data_dir)
                     .localCheckpoint(eager=True)
                 )
             finally:
@@ -630,13 +637,11 @@ def _register_csv_permissive() -> None:
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
         good = F.col("_corrupt_record").isNull()
+        # count_if, not sum(when): the oracle's count(CASE) is 0 over
+        # an empty file while sum is NULL (r11 empty-input audit)
         return back.agg(
-            F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias(
-                "n_good"
-            ),
-            F.sum(F.when(~good, 1).otherwise(0)).cast("bigint").alias(
-                "n_corrupt"
-            ),
+            F.count_if(good).cast("bigint").alias("n_good"),
+            F.count_if(~good).cast("bigint").alias("n_corrupt"),
             F.sum(F.when(good, F.col("n_chars"))).cast("bigint").alias(
                 "good_chars"
             ),
@@ -704,13 +709,16 @@ def _register_federated_union() -> None:
                 d.select("n_chars", "doc_id", "lang").write.mode(
                     "overwrite"
                 ).json(jl)
-                a = spark.read.parquet(pq)
-                b = (
-                    spark.read.option("header", True)
-                    .option("inferSchema", True)
-                    .csv(csvd)
-                )
-                c = spark.read.json(jl)
+                a = spark.read.schema(d.schema).parquet(pq)
+                # explicit schemas (r11 empty-input audit): CSV/JSON
+                # legs of an empty federation have no rows (or even no
+                # header files) to infer from
+                b = spark.read.option("header", True).schema(
+                    "lang string, n_chars bigint, doc_id bigint"
+                ).csv(csvd)
+                c = spark.read.schema(
+                    "n_chars bigint, doc_id bigint, lang string"
+                ).json(jl)
                 back = (
                     a.unionByName(
                         b.select(

@@ -241,8 +241,13 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.write.format("tiny_etl_jsonl_sink").option(
                 "path", data_dir
             ).mode("append").save()
+            # explicit schema (r11 empty-input audit): an empty sink
+            # dir has no JSONL to infer columns from
             back = (
-                spark.read.json(data_dir)
+                spark.read.schema(
+                    "lang string, n_docs bigint, total_chars bigint"
+                )
+                .json(data_dir)
                 .select(
                     "lang",
                     F.col("n_docs").cast("bigint").alias("n_docs"),
@@ -358,8 +363,10 @@ def python_datasource_stream_write(
                 .start()
             )
             q.awaitTermination()
+            # explicit schema (r11 empty-input audit), as above
             back = (
-                spark.read.json(data_dir)
+                spark.read.schema("event_type string, cents bigint")
+                .json(data_dir)
                 .groupBy("event_type")
                 .agg(
                     F.count("*").alias("n"),

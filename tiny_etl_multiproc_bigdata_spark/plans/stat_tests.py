@@ -1769,9 +1769,17 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (n = 1) series yields NULL z like the oracle (DuckDB x/0 is
     # NULL), not an ANSI DIVIDE_BY_ZERO crash (r11 empty-input audit)
     mu = 1 + 2.0 * n1 * n2 / F.nullif(n, F.lit(0.0))
-    sigma = F.sqrt(
-        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-        / F.nullif(n * n * (n - 1), F.lit(0.0))
+    # sigma itself is ALSO nullif-guarded: a one-sided series (n1 or
+    # n2 = 0, e.g. every kept day above the median) gives sigma = 0.0
+    # with a non-zero inner denominator, and z's division would raise
+    # the same ANSI DIVIDE_BY_ZERO the outer guards prevent — the
+    # oracle's x/0 is NULL (r11 empty-input audit, review pass)
+    sigma = F.nullif(
+        F.sqrt(
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / F.nullif(n * n * (n - 1), F.lit(0.0))
+        ),
+        F.lit(0.0),
     )
     return runs.select(
         "n1",

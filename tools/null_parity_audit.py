@@ -26,8 +26,11 @@ oracle is a finding. Entries without an oracle are smoke-run
 The relational TPC-H tables are NOT spiked: their columns are NOT NULL
 by spec, so NULL behavior there is not a contract anyone holds.
 
-    python tools/null_parity_audit.py            # full board
+    python tools/null_parity_audit.py            # full board, NULL spikes
     python tools/null_parity_audit.py name1 ...  # just these entries
+    python tools/null_parity_audit.py --empty    # zero-row tables instead
+                                                 # (the empty-date-slice
+                                                 # robustness board)
 """
 
 from __future__ import annotations
@@ -169,11 +172,13 @@ def build_empty_fixture(dst: str) -> None:
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents",
                  "embeddings"):
-        src = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        # schema-only read: no reason to deserialize data pages just
+        # to slice them away (metadata stripped like build_fixture)
+        src_schema = pq.read_schema(f"{SF_DIR}/{name}.parquet")
         schema = pa.schema(
-            [src.schema.field(i) for i in range(len(src.schema))]
+            [src_schema.field(i) for i in range(len(src_schema))]
         )
-        pq.write_table(src.cast(schema).slice(0, 0), f"{dst}/{name}.parquet")
+        pq.write_table(schema.empty_table(), f"{dst}/{name}.parquet")
 
 
 # --empty mode only: engine-level semantic deviations on ZERO-row
@@ -188,19 +193,35 @@ def build_empty_fixture(dst: str) -> None:
 #   an empty summary frame transposes to a key-only schema while the
 #   oracle's static F/O/P columns exist regardless — the documented
 #   contract of a data-dependent-schema API.
-_KNOWN_EMPTY_DEVIATIONS: dict[str, str] = {
-    "agg_rollup": "Spark rollup omits the () grouping set on empty input",
-    "agg_cube": "Spark cube omits the () grouping set on empty input",
-    "time_grouping_sets_rollup":
+# value = (expected-result-prefix, reason): the mask applies ONLY when
+# the failure matches the documented signature — any OTHER failure in
+# these entries (crash, wrong per-key values) still reds the board.
+_KNOWN_EMPTY_DEVIATIONS: dict[str, tuple[str, str]] = {
+    "agg_rollup": (
+        "MISMATCH: row count differs: spark=0 duckdb=",
+        "Spark rollup omits the () grouping set on empty input",
+    ),
+    "agg_cube": (
+        "MISMATCH: row count differs: spark=0 duckdb=",
+        "Spark cube omits the () grouping set on empty input",
+    ),
+    "time_grouping_sets_rollup": (
+        "MISMATCH: row count differs: spark=0 duckdb=",
         "Spark grouping-sets omit the () grouping set on empty input",
-    "transpose_status_metrics":
+    ),
+    "transpose_status_metrics": (
+        "MISMATCH: columns differ:",
         "transpose derives columns from data; empty input has none",
+    ),
 }
 
 
 def main() -> None:
     args = sys.argv[1:]
     empty_mode = "--empty" in args
+    unknown = [a for a in args if a.startswith("--") and a != "--empty"]
+    if unknown:
+        raise SystemExit(f"unknown flag(s): {unknown}; only --empty is supported")
     only = set(a for a in args if a != "--empty")
     from pyspark.sql import SparkSession
 
@@ -214,6 +235,10 @@ def main() -> None:
     )
 
     _load_all()
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY as _R
+    bad_names = sorted(only - set(_R))
+    if bad_names:
+        raise SystemExit(f"not registry entries: {bad_names}")
     scratch = tempfile.mkdtemp(prefix="null_audit_")
     fix = os.path.join(scratch, "fixture")
     (build_empty_fixture if empty_mode else build_fixture)(fix)
@@ -267,8 +292,8 @@ def main() -> None:
             print(f"{i + 1}/{len(names)} {time.time() - t_all:.0f}s", flush=True)
 
     if empty_mode:
-        for n, why in _KNOWN_EMPTY_DEVIATIONS.items():
-            if n in results and not results[n].startswith("ok"):
+        for n, (sig, why) in _KNOWN_EMPTY_DEVIATIONS.items():
+            if n in results and results[n].startswith(sig):
                 results[n] = f"ok (known empty-input deviation: {why})"
     ok = sum(1 for v in results.values() if v.startswith("ok"))
     bad = {n: v for n, v in results.items() if not v.startswith("ok")}

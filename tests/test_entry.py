@@ -102,9 +102,15 @@ def test_driver_sweep_priority_contract():
         set(_PRIORITY) - set(REGISTRY)
     )
     # every never-attested entry precedes every attested one, except
-    # the _REQUEUE tier (changed code with stale attestation), which
-    # sits between them
-    from tiny_etl_multiproc_bigdata_spark.plans.registry import _REQUEUE
+    # the PENDING subset of the _REQUEUE tier (changed code whose
+    # latest driver row predates the change, see _requeue_pending),
+    # which sits between them; an INERT requeue listing (fresh row
+    # already drawn) must sink into the attested tier (r12, VERDICT
+    # r11 item 2 — inert listings must not occupy sample-window slots)
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        _REQUEUE,
+        _REQUEUE_PENDING,
+    )
 
     unattested_idx = [
         names.index(n) for n in names if n not in _CHECKED
@@ -113,14 +119,21 @@ def test_driver_sweep_priority_contract():
     # entries since renamed/removed — intersect with the live registry
     # before names.index (ADVICE r08) so drift reads as a clean skip,
     # not a ValueError
-    attested_current = (set(_CHECKED) - set(_REQUEUE)) & set(names)
+    attested_current = (set(_CHECKED) - _REQUEUE_PENDING) & set(names)
     if unattested_idx and attested_current:  # drained board disarms
         last_unattested = max(unattested_idx)
         first_attested = min(names.index(n) for n in attested_current)
         assert last_unattested < first_attested
         for n in _REQUEUE:
-            if n in _CHECKED and n in names:
+            if n in _CHECKED and n in names and n in _REQUEUE_PENDING:
                 assert last_unattested < names.index(n) < first_attested
+    elif attested_current:
+        # never-checked set fully drained: the pending requeues (if
+        # any) must lead the order, before any current-attested entry
+        first_attested = min(names.index(n) for n in attested_current)
+        for n in _REQUEUE:
+            if n in _CHECKED and n in names and n in _REQUEUE_PENDING:
+                assert names.index(n) < first_attested
 
 
 def test_driver_attestation_parsing(tmp_path):
@@ -246,3 +259,73 @@ def test_attestation_ledger_tool_agrees_with_registry():
     for e in ledger["entries"]:
         if e["name"] in _CHECKED:
             assert e["verdict"] in ("pass", "rows_only"), e
+    # requeue vintage coherence (r12, VERDICT r11 item 2): the ledger's
+    # pending/inert split must agree with the registry's, pending ∪
+    # inert = the whole listed tier, and every pending requeue must
+    # appear in the next sample window (they are the next rows the
+    # driver owes) while no inert one does
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        _REQUEUE,
+        _REQUEUE_PENDING,
+    )
+
+    assert set(ledger["requeue_pending"]) == set(_REQUEUE_PENDING)
+    assert (
+        set(ledger["requeue_pending"]) | set(ledger["requeue_inert"])
+        == set(_REQUEUE) & set(REGISTRY)
+    )
+    window = set(ledger["next_sample_window"])
+    n_owed = ledger["never_sampled"] + len(ledger["requeue_pending"])
+    if n_owed <= mod.WINDOW:
+        assert set(ledger["requeue_pending"]) <= window
+    assert not (set(ledger["requeue_inert"]) & window)
+
+
+def test_requeue_vintage_pending_vs_inert(tmp_path):
+    """_requeue_pending distinguishes live requeue debt from inert
+    history by ROUND VINTAGE (r12, VERDICT r11 item 2): a name whose
+    latest driver row predates its requeue round is pending; a row of
+    round >= vintage (the driver samples at round end, so a same-round
+    row post-dates the change) turns it inert with no manual edit; and
+    with no parseable CORRECTNESS file the whole tier is conservatively
+    pending. Exercised against a synthetic CORRECTNESS set so the pin
+    survives the real files evolving."""
+    import json
+
+    from tiny_etl_multiproc_bigdata_spark.plans.registry import (
+        _REQUEUE_VINTAGE,
+        _requeue_pending,
+    )
+
+    names = sorted(_REQUEUE_VINTAGE)[:3]
+    if len(names) < 3:
+        import pytest
+
+        pytest.skip("fewer than 3 requeued entries to exercise")
+    a, b, c = names
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 1,
+        "oracle_rows": 1,
+        "err": None,
+    }
+    va, vb = _REQUEUE_VINTAGE[a], _REQUEUE_VINTAGE[b]
+    # a: latest row BEFORE its vintage -> pending
+    (tmp_path / f"CORRECTNESS_r{va - 1:02d}.json").write_text(
+        json.dumps({a: green})
+    )
+    # b: row in the SAME round as its vintage -> inert
+    (tmp_path / f"CORRECTNESS_r{vb:02d}.json").write_text(
+        json.dumps({b: green})
+    )
+    # c: no row at all -> pending
+    pending = _requeue_pending(str(tmp_path))
+    assert a in pending
+    assert b not in pending
+    assert c in pending
+    # no parseable file -> conservatively the whole tier
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _requeue_pending(str(empty)) == frozenset(_REQUEUE_VINTAGE)

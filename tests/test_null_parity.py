@@ -24,7 +24,15 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from compare import compare  # noqa: E402
-from null_parity_audit import build_fixture  # noqa: E402
+from null_parity_audit import SF_DIR, build_fixture  # noqa: E402
+
+# build_fixture derives the spiked tables from the real sf0.001
+# parquet; SF_DIR honors SPARK_GRAFT_TEST_SF_DIR like conftest.py
+# (ADVICE r11) — skip cleanly when neither exists instead of erroring.
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"fixture source dir missing: {SF_DIR}",
+)
 
 from tiny_etl_multiproc_bigdata_spark.catalog import TABLES  # noqa: E402
 from tiny_etl_multiproc_bigdata_spark.plans.registry import (  # noqa: E402

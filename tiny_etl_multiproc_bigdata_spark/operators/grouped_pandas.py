@@ -611,6 +611,16 @@ def _register_streaming_cusum_alert() -> None:
                     "event_type string, event_id long, g long, "
                     "alert boolean"
                 ),
+                # STATE-SCHEMA BREAK (r11, documented per ADVICE r11):
+                # 'seen boolean' was added to the pre-r11 (s_run,
+                # s_min) layout for the leading-NULL contract. A
+                # checkpoint written by the old layout cannot restore
+                # against this one (the state-store deserializer
+                # rejects the row count before Python could default
+                # it), so a production upgrade must restart from a
+                # fresh checkpoint dir or replay the source; the
+                # registry twin is unaffected (ephemeral availableNow
+                # + in-memory sink, no persisted checkpoint survives).
                 stateStructType="s_run long, s_min long, seen boolean",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,

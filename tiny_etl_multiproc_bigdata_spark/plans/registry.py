@@ -264,155 +264,92 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stream_stream_right_outer",
 )
 
-# Changed-code re-queue tier: entries whose implementation changed this
-# round but which already hold a green driver row from an earlier
-# vintage. They sort AFTER every never-checked entry (a re-queue must
-# not displace first-time attestation) and BEFORE the attested tier, so
-# they draw one fresh row as soon as the never-checked set drains past
-# them. Once the fresh row lands in a committed CORRECTNESS file the
-# listing is inert debt — remove it at the next touch.
-_REQUEUE: tuple[str, ...] = (
-    # winnowing (k, w) parametrization (r08) — values unchanged,
-    # lockstep-tested and two-scale swept, changed-code hygiene only
-    "text_winnowing_fingerprint",
-    "winnowing_neardup_pairs",
-    # shifted-unboundedFollowing window frames rewritten as DESC
-    # running frames (r09) — identical row sets, three-scale
-    # oracle-swept; quadratic-frame removal, changed-code hygiene only
-    "caliper_nearest_match",
-    "asof_next_purchase",
-    # PPJoin length filter added to the candidate join (r09) — 35%
-    # candidate cut, exactness-preserving, three-scale oracle-swept
-    "dedup_jaccard_prefix_filter",
-    # scale-safe union+running-window lowering replaced ps.merge_asof's
-    # quadratic BNLJ and the user_id<200 slice was removed (r10,
-    # VERDICT r09 item 4) — oracle re-swept green at all three scales
-    "pandas_api_merge_asof",
-    # per-round label-table localCheckpoint removed (r10, VERDICT r09
-    # item 5 A/B: sf1 17.1s -> 11.9s, -30%, bit-identical at two
-    # scales) — changed-code hygiene, oracle re-swept at all three
-    "label_propagation_communities",
-    # pair stage capped at _TS_FAMILY_CAP smallest-partkey points per
-    # family (r10 sf1 cardinality audit: uncapped pairs grew x100.7
-    # sf0.1 -> sf1) — bit-identical at all committed driver scales
-    # (cap 200 > max sf0.1 family 165), oracle knob in lockstep
-    "theil_sen_grouped",
-    # single-consumer rank recurrence un-barriered (r10, the LPA
-    # finding applied; sf1 A/B -51%, bit-identical at two scales) —
-    # changed-code hygiene, oracle re-swept at all three
-    "pagerank_scaled",
-    "pagerank_personalized",
-    # NULL-frame parity fix (r11, ADVICE r10): probe rows now carry a
-    # NULL sum contribution and a non-null running counter maps an
-    # all-NULL trailing frame back to NULL (SQL windowed-SUM
-    # semantics); the two hand-back joins were then made NULL-SAFE
-    # (r11 self-review): NULL partition/order keys are real output
-    # rows SQL keeps that plain equi-joins dropped. Values identical
-    # on the NULL-free driver fixtures (re-swept at sf0.01/sf0.1
-    # after each change); both divergences were latent-only, pinned
-    # in test_interval_range_frame_all_null_is_null
-    "window_range_interval_frame",
+# Changed-code re-queue tier: entries whose implementation changed in
+# round R but which already hold a green driver row from an EARLIER
+# vintage. _REQUEUE_VINTAGE maps each name to the round its change
+# landed; an entry is PENDING while its latest committed driver row
+# (any verdict) predates that round, and INERT once a row of round
+# >= vintage lands (the driver samples at round end, so a same-round
+# row post-dates the change). Only PENDING entries occupy tier 1 —
+# they sort AFTER every never-checked entry (a re-queue must not
+# displace first-time attestation) and BEFORE the attested tier, so
+# each draws one fresh row as soon as the never-checked set drains
+# past it. Inert entries sink to tier 2 AUTOMATICALLY (r12, VERDICT
+# r11 items 2-3: before vintages, inert listings occupied sample-
+# window slots and the ledger could not tell pending from inert);
+# the remove-at-next-touch policy still applies — prune inert names
+# when touching this dict so it lists only live debt. Future
+# requeues: add (name, round-of-change) here.
+_REQUEUE_VINTAGE: dict[str, int] = {
     # --- r11 NULL-parity audit (tools/null_parity_audit.py) ---
-    # The instrument version of the interval-RANGE finding: a
-    # NULL-spiked sf0.001 fixture diffed every oracle entry Spark-vs-
-    # DuckDB and surfaced 57 latent divergences in three classes —
-    # (a) Spark's ASC default is NULLS FIRST vs DuckDB's NULLS LAST
-    # (window orderings now asc_nulls_last), (b) rows silently dropped
-    # or crashed on one side only (explicit symmetric IS NOT NULL
-    # input contracts in engine AND oracle), (c) NULL-group
-    # representation gaps ('' vs NULL paths, inferred null Arrow
-    # columns, 3VL CASE polarity). Every touched entry below is
-    # value-identical on the NULL-free driver fixtures (sf0.01 driver-
-    # sim re-swept green) — changed-code hygiene rows only. Appended
-    # AFTER the r08-r11 carry so the original drain completes first.
-    "asof_last_signup",
-    "asof_tolerance_join",
-    "anomaly_rolling_zscore",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "as_of_snapshot_counts",
-    "cogroup_asof_pandas",
-    "cumulative_distinct_users",
-    "cusum_alert_path",
-    "cusum_changepoint",
-    "decision_stump_split",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_token_inflation",
-    "doc_compression_ratio",
-    "dynamic_partition_overwrite",
-    "embedding_quantize_int8",
-    "event_transition_matrix",
-    "ewma_fixed_horizon",
-    "gbdt_boosted_stumps",
-    "grouped_arrow_value_stats",
-    "hard_negative_mining",
-    "interarrival_burstiness",
-    "interval_coverage_union",
-    "kruskal_wallis_weekday",
-    "locf_impute",
-    "lsh_recall_eval",
-    "map_hof_suite",
-    "markov_calibration_bins",
-    "markov_entropy_rate",
-    "markov_next_event_eval",
-    "markov_stationary_distribution",
-    "monotone_streak_lengths",
-    "multimodal_decode_stub",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "ohlc_daily_candles",
-    "pandas_iter_udf_scoring",
-    "poisson_bootstrap_ci",
-    "pq_adc_topk",
-    "pq_code_assign",
-    "pq_recall_eval",
-    "quantile_normalize_histogram",
-    "rolling_median_exact",
-    "scd2_intervals",
-    "scd2_point_in_time_join",
-    "session_gap_sensitivity",
-    "session_path_signatures",
-    "sessionize_events",
-    "sprt_sequential_test",
-    "streaming_cusum_alert",
-    "streaming_denylist_filter",
-    "streaming_ohlc_candles",
-    "streaming_session_dynamic_gap",
-    "streaming_session_window",
-    "streaming_sliding_counts",
-    "streaming_state_timeout_sessions",
-    "streaming_tumbling_counts",
-    "streaming_windowed_distinct_users",
-    "text_boilerplate_strip",
-    "text_ngram_topk",
-    "time_weighted_average",
-    "udtf_table_partitioned",
-    "vector_norm_stats",
-    "window_first_last_nth",
-    "window_groups_frame_sum",
-    "window_lag_lead",
-    "window_sliding_counts",
+    # A NULL-spiked sf0.001 fixture diffed every oracle entry
+    # Spark-vs-DuckDB and surfaced 57 latent divergences in three
+    # classes — (a) Spark's ASC default is NULLS FIRST vs DuckDB's
+    # NULLS LAST (window orderings now asc_nulls_last), (b) rows
+    # silently dropped or crashed on one side only (explicit
+    # symmetric IS NOT NULL input contracts in engine AND oracle),
+    # (c) NULL-group representation gaps ('' vs NULL paths, inferred
+    # null Arrow columns, 3VL CASE polarity). Every entry below is
+    # value-identical on the NULL-free driver fixtures (sf0.01
+    # driver-sim re-swept green) — changed-code hygiene rows only.
+    # (The 47 r08-r11 names that drew their fresh row in the r11
+    # sample were pruned at r12 per the policy above.)
+    "multimodal_decode_stub": 11,
+    "multimodal_feature_extract": 11,
+    "multimodal_frame_sample": 11,
+    "ohlc_daily_candles": 11,
+    "pandas_iter_udf_scoring": 11,
+    "poisson_bootstrap_ci": 11,
+    "pq_adc_topk": 11,
+    "pq_code_assign": 11,
+    "pq_recall_eval": 11,
+    "quantile_normalize_histogram": 11,
+    "rolling_median_exact": 11,
+    "scd2_intervals": 11,
+    "scd2_point_in_time_join": 11,
+    "session_gap_sensitivity": 11,
+    "session_path_signatures": 11,
+    "sessionize_events": 11,
+    "sprt_sequential_test": 11,
+    "streaming_cusum_alert": 11,
+    "streaming_ohlc_candles": 11,
+    "streaming_session_window": 11,
+    "streaming_sliding_counts": 11,
+    "streaming_state_timeout_sessions": 11,
+    "streaming_tumbling_counts": 11,
+    "text_boilerplate_strip": 11,
+    "text_ngram_topk": 11,
+    "time_weighted_average": 11,
+    "udtf_table_partitioned": 11,
+    "vector_norm_stats": 11,
+    "window_first_last_nth": 11,
+    "window_groups_frame_sum": 11,
+    "window_lag_lead": 11,
+    "window_sliding_counts": 11,
     # --- r11 EMPTY-INPUT audit (null_parity_audit.py --empty) ---
     # zero-row tables (the empty-date-slice shape) exposed an ANSI
     # divide-by-zero crash class (nullif-guarded to the oracle's
-    # x/0 -> NULL), driver-side .first() guards, empty-write-then-read
-    # schema inference, and agg-over-empty NULL-vs-0 gaps. Values on
-    # non-empty fixtures unchanged (spiked-NULL audit re-run green);
-    # changed-code hygiene rows only.
-    "cohens_kappa_agreement",
-    "confusion_matrix_threshold",
-    "corpus_stats_summary",
-    "csv_permissive_corrupt_records",
-    "federated_union_agg",
-    "partitioned_write_prune_agg",
-    "python_datasource_write",
-    "python_datasource_stream_write",
-    "qq_deciles_two_group",
-    "runs_test_randomness",
-    "text_neardup_recall_eval",
-    "window_distribution_fns",
-)
+    # x/0 -> NULL), driver-side .first() guards, empty-write-then-
+    # read schema inference, and agg-over-empty NULL-vs-0 gaps.
+    # Values on non-empty fixtures unchanged (spiked-NULL audit
+    # re-run green); changed-code hygiene rows only.
+    "cohens_kappa_agreement": 11,
+    "confusion_matrix_threshold": 11,
+    "corpus_stats_summary": 11,
+    "csv_permissive_corrupt_records": 11,
+    "federated_union_agg": 11,
+    "partitioned_write_prune_agg": 11,
+    "python_datasource_write": 11,
+    "python_datasource_stream_write": 11,
+    "qq_deciles_two_group": 11,
+    "runs_test_randomness": 11,
+    "text_neardup_recall_eval": 11,
+    "window_distribution_fns": 11,
+}
+
+# Names-only view (insertion order preserved) for consumers that only
+# need membership/order; tier math uses the vintages above.
+_REQUEUE: tuple[str, ...] = tuple(_REQUEUE_VINTAGE)
 
 # Baseline attestation set: entries with a green CORRECTNESS row from
 # the r01-r07 driver sweeps, kept as a static fallback ONLY for
@@ -586,7 +523,7 @@ _ROWS_ONLY_BY_DESIGN: frozenset[str] = frozenset(
 
 def _attestation_rows(
     root: str | None = None,
-) -> tuple[dict[str, bool], int]:
+) -> tuple[dict[str, bool], int, dict[str, int]]:
     """Latest driver verdict per entry across the committed
     CORRECTNESS_r*.json files, iterated in ROUND order so a later row
     overrides an earlier one (ADVICE r08: latest-wins — a red/errored
@@ -596,8 +533,11 @@ def _attestation_rows(
     (rows+schema+hash matched, no error) or the rows-only form for an
     entry that is rows-only BY DESIGN (registered with oracle=None);
     a no_oracle row for a value-checked entry is a broken oracle, not
-    a pass. Returns (verdicts, files_parsed) — files_parsed == 0 lets
-    the caller fall back to the static baseline."""
+    a pass. Returns (verdicts, files_parsed, last_round) —
+    files_parsed == 0 lets the caller fall back to the static
+    baseline; last_round maps each name to the highest round it drew
+    ANY row (any verdict), the vintage input for _requeue_pending
+    (r12, VERDICT r11 item 2)."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -613,6 +553,7 @@ def _attestation_rows(
         return int(m.group(1)) if m else -1
 
     verdicts: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
     parsed = 0
     for path in sorted(
         _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")), key=_round_no
@@ -625,6 +566,7 @@ def _attestation_rows(
         if not isinstance(data, dict):
             continue
         parsed += 1
+        rnd = _round_no(path)
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -643,23 +585,47 @@ def _attestation_rows(
                 and spark_rows >= 0
             )
             verdicts[name] = full or rows_only
-    return verdicts, parsed
+            last_round[name] = max(rnd, last_round.get(name, -1))
+    return verdicts, parsed, last_round
 
 
 def _driver_attested(root: str | None = None) -> frozenset[str]:
     """Names whose LATEST committed driver row is green (see
     _attestation_rows). Empty when no CORRECTNESS file parses."""
-    verdicts, _ = _attestation_rows(root)
+    verdicts, _, _ = _attestation_rows(root)
     return frozenset(n for n, ok in verdicts.items() if ok)
 
 
-_verdicts, _files_parsed = _attestation_rows()
+def _requeue_pending(root: str | None = None) -> frozenset[str]:
+    """The LIVE subset of the re-queue tier (r12, VERDICT r11 item 2):
+    names in _REQUEUE_VINTAGE whose latest committed driver row (any
+    verdict) predates the round their change landed — i.e. the fresh
+    post-change row the policy requires has not been drawn yet. Once
+    a row of round >= vintage lands, the name turns inert and sinks
+    out of tier 1 with no manual edit; a red fresh row un-attests via
+    _CHECKED and the entry rejoins tier 0 instead. With no parseable
+    CORRECTNESS file the whole tier is conservatively pending."""
+    _, parsed, last_round = _attestation_rows(root)
+    if not parsed:
+        return frozenset(_REQUEUE_VINTAGE)
+    return frozenset(
+        n
+        for n, vintage in _REQUEUE_VINTAGE.items()
+        if last_round.get(n, -1) < vintage
+    )
+
+
+_verdicts, _files_parsed, _ = _attestation_rows()
 _CHECKED: frozenset[str] = (
     frozenset(n for n, ok in _verdicts.items() if ok)
     if _files_parsed
     else _CHECKED_BASE
 )
 del _verdicts, _files_parsed
+
+# Pending re-queues on the COMMITTED files at import time — the set
+# tier 1 is built from. Derived, never hand-edited.
+_REQUEUE_PENDING: frozenset[str] = _requeue_pending()
 
 
 def _ordered_names() -> list[str]:
@@ -670,8 +636,10 @@ def _ordered_names() -> list[str]:
     listing becomes inert and it sinks to tier 2 automatically, and an
     entry whose LATEST row went red un-attests and rejoins tier 0, so
     the next round's ~50-row sample always lands on fresh-or-regressed
-    entries with no manual reorder; tier 1 = _REQUEUE (changed code
-    with only stale attestation); tier 2 = attested, current."""
+    entries with no manual reorder; tier 1 = the PENDING subset of
+    _REQUEUE (changed code whose latest driver row predates the
+    change — see _requeue_pending; an inert listing sinks to tier 2
+    automatically, r12), tier 2 = attested, current."""
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     requeue = {n: i for i, n in enumerate(_REQUEUE)}
     insertion = {n: i for i, n in enumerate(REGISTRY)}
@@ -680,7 +648,7 @@ def _ordered_names() -> list[str]:
     def key(n: str) -> tuple[int, int, int]:
         if n not in _CHECKED:
             return (0, rank.get(n, big), insertion[n])
-        if n in requeue:
+        if n in _REQUEUE_PENDING:
             return (1, requeue[n], insertion[n])
         return (2, big, insertion[n])
 

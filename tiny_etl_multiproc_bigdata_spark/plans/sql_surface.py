@@ -780,7 +780,15 @@ def _ps_merge_asof_backward(
     the right-side value column (or the ``_is_left`` tag) — the tagged
     unionByName would merge them and ``last(ignorenulls)`` would pick
     the left row's OWN value instead of the asof match, silently.
-    Asserted here so a future general-purpose call site fails loudly."""
+    Asserted here so a future general-purpose call site fails loudly.
+
+    KNOWN DEVIATION from the pandas API it emulates (ADVICE r11):
+    real ``pandas.merge_asof`` RAISES ``ValueError: Merge keys contain
+    null values`` on a NULL ``on``/``by`` key on either side. This
+    lowering instead follows the SQL contract its oracle declares —
+    NULL-key RIGHT rows are filtered (never a match), NULL-key LEFT
+    rows are kept with a NULL match. Callers porting pandas code that
+    relies on the raise must pre-validate key nullability themselves."""
     left = left_ps.to_spark()
     right = right_ps.to_spark()
     left_cols = left.columns

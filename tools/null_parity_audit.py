@@ -50,7 +50,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SF_DIR = "/root/testdata/sf0.001"
+# Same override tests/conftest.py honors (ADVICE r11): the spiked
+# fixture derives from the real sf0.001 tables, so point both at the
+# same place on machines where /root/testdata does not exist.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 WATCHDOG_S = 120
 
 _TS = datetime.datetime(2021, 6, 15, 12, 0, 0)
@@ -269,6 +272,18 @@ def main() -> None:
         def cancel():
             cancelled[0] = True
             sc.cancelJobGroup(group)
+            # Job groups are thread-local: a registry entry that runs a
+            # StreamingQuery executes its micro-batches on the stream
+            # execution thread and blocks this one in awaitTermination,
+            # so cancelJobGroup alone cannot interrupt it (ADVICE r11).
+            # Stop every active query too — the audit runs entries
+            # serially, so anything active belongs to the hung entry,
+            # and stop() unblocks awaitTermination on the main thread.
+            try:
+                for q in spark.streams.active:
+                    q.stop()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
 
         timer = threading.Timer(WATCHDOG_S, cancel)
         timer.start()

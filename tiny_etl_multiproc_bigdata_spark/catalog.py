@@ -48,8 +48,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
+            # NTZ-pure conversion: epoch micros added to an NTZ zero
+            # point stays in the NTZ domain end to end. The previous
+            # lowering (timestamp_micros(..).cast("timestamp_ntz"))
+            # went through TIMESTAMP_LTZ, and LTZ->NTZ renders the
+            # instant in the SESSION time zone — on any cluster whose
+            # TZ isn't UTC, every nanos-vintage event shifted by the
+            # zone offset while the oracle read the same bytes as
+            # naive UTC wall-clock (found by the r12 TZ-perturbation
+            # arm of tools/partition_invariance_audit.py; latent-only:
+            # committed fixtures are micros-vintage and this branch is
+            # untaken on them).
             return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

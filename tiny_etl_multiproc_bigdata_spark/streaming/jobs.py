@@ -477,10 +477,23 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["event_id", "ts"]
             )
             ts = src.column("ts")
-            if ts.type == "int64":  # nanos vintage → µs timestamps
-                import pyarrow as pa
+            import pyarrow as pa
 
+            if ts.type == "int64":  # raw epoch-nanos longs
                 ts = pc.divide(ts, 1000).cast(pa.timestamp("us"))
+                src = src.set_column(1, "ts", ts)
+            elif pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+                # the TIMESTAMP(NANOS) vintage reads as timestamp[ns]
+                # in PYARROW (the int64 manifestation above is Spark's
+                # nanosAsLong view, which pyarrow never produces) — the
+                # original check missed this, so the stage re-wrote
+                # nanos parquet verbatim and this entry's own
+                # readStream below choked on it (PARQUET_TYPE_ILLEGAL
+                # without the legacy conf, a long ts with it). Found by
+                # the r12 partition-invariance audit's nanos-vintage
+                # fixture; latent-only on the committed micros
+                # fixtures. Staged files are always TIMESTAMP(MICROS).
+                ts = ts.cast(pa.timestamp("us"))
                 src = src.set_column(1, "ts", ts)
             j16 = datetime.datetime(2024, 1, 16)
             j24 = datetime.datetime(2024, 1, 24)

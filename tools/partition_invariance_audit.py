@@ -29,11 +29,18 @@ class mechanically:
   2. run EVERY registry entry on that scratch fixture under the
      baseline layout (driver-like: 16 shuffle partitions, 128 MiB
      input splits = one partition per file, AQE on);
-  3. re-run under an adversarial layout — 5 shuffle partitions, 64 KiB
+  3. re-run under an adversarial layout — 5 shuffle partitions, 16 KiB
      max input split (now every row group is its own partition, so
      the partition COUNT, each row's PARTITION INDEX, and the
      row-to-task distribution of every scan all change), AQE off
-     (different physical planning);
+     (different physical planning), 64-row Arrow batches (a
+     mapInPandas kernel that assumes batch == partition breaks), and
+     a non-UTC session time zone (executors inherit the CLUSTER's
+     zone — any result that moves with it detoured through
+     TIMESTAMP_LTZ). The scratch fixture also ships events as the
+     NANOS vintage so catalog.table's int64 conversion branch — dead
+     on the committed micros-vintage fixtures — is exercised
+     board-wide; that branch is where the r12 zone finding lived;
   4. canonicalize both results with the driver's own comparator
      normalization (tests/compare.py canon: column-name sort +
      row sort + 12-significant-digit float rounding, so benign
@@ -71,11 +78,15 @@ WATCHDOG_S = 120
 ROW_GROUPS = 8  # splittable units per re-materialized table file
 
 # Baseline: what the driver-sim and the sf0.001 pytest board run with.
+# (Arrow batch size and session TZ pinned to Spark's defaults so the
+# baseline is explicit about the dimensions the perturbed pass moves.)
 BASELINE_CONFS = {
     "spark.sql.shuffle.partitions": "16",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
     "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "Etc/UTC",
 }
 
 # Adversarial: different shuffle fan-out, shattered input splits
@@ -88,6 +99,21 @@ PERTURBED_CONFS = {
     "spark.sql.files.maxPartitionBytes": str(16 * 1024),
     "spark.sql.files.openCostInBytes": str(1024),
     "spark.sql.adaptive.enabled": "false",
+    # A mapInPandas / iterator-pandas_udf kernel receives its
+    # partition as an ITERATOR of Arrow batches. At sf0.001 every
+    # table is under the default 10000-row batch size, so locally
+    # every kernel sees exactly one batch per partition and a kernel
+    # that silently assumes batch == partition (cross-row state not
+    # carried across next(it)) can never be caught — until real data
+    # splits it. 64 rows shatters every partition into many batches.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    # Executors inherit the cluster's zone, not the dev box's. Any
+    # result that moves with this conf is wall-clock arithmetic that
+    # silently detoured through TIMESTAMP_LTZ (the engine's event
+    # time is TIMESTAMP_NTZ end to end; unix_timestamp/window on NTZ
+    # are zone-free in Spark 4 — verified — so a hit here is a real
+    # lowering bug, not noise). Anchorage: -9h and observes DST.
+    "spark.sql.session.timeZone": "America/Anchorage",
 }
 
 
@@ -99,6 +125,7 @@ def build_fixture(dst: str) -> None:
     SPLITTABLE, which the driver's single-row-group files are not.
     Both passes read this same fixture; only the session confs differ,
     so any result difference is attributable to layout alone."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
@@ -106,6 +133,20 @@ def build_fixture(dst: str) -> None:
 
     for name in TABLES:
         src = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        if name == "events":
+            # ship events as the NANOS vintage (the OTHER encoding
+            # catalog.table supports) so the audit exercises the
+            # int64-nanos conversion branch board-wide — the branch
+            # where the r12 TZ finding lived (LTZ-detour rendered
+            # every event in session TZ); committed fixtures are all
+            # micros-vintage, leaving that branch otherwise untested
+            # against layout/zone perturbation
+            i = src.schema.get_field_index("ts")
+            src = src.set_column(
+                i,
+                pa.field("ts", pa.timestamp("ns")),
+                src.column("ts").cast(pa.timestamp("ns")),
+            )
         n = max(1, src.num_rows // ROW_GROUPS)
         with pq.ParquetWriter(
             f"{dst}/{name}.parquet", src.schema

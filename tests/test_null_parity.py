@@ -52,6 +52,16 @@ SENTINELS = [
     "session_path_signatures",   # null-group ('' vs NULL path)
     "window_range_interval_frame",  # the class's original finding
     "pandas_api_merge_asof",     # widened-matrix finding
+    # r12 NULL-ELEMENT matrix extension: an embedding with NULL
+    # elements (partial decode; distinct from embedding-IS-NULL)
+    # crash-diverged DuckDB's list_inner_product vs Spark's
+    # NULL-propagating folds across 18 vector entries — fixed with the
+    # symmetric complete-vector contract (functions/vectors.py). One
+    # sentinel per fix shape: the shared-helper read and a PQ-tier
+    # value mismatch (DuckDB list_sum SKIPS NULL terms, Spark's fold
+    # NULL-propagates — a biased partial distance, not a crash).
+    "vector_norm_stats",
+    "pq_code_assign",
 ]
 
 

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
+from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
+    complete_vector_sql,
+    is_complete_vector,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.text import (
     tokenize_words_nonempty,
 )
@@ -863,7 +867,8 @@ def _embedding_topk_oracle(block_col: str, v_select: str) -> str:
     "dedup_embedding_cosine",
     oracle=_embedding_topk_oracle(
         "label", "SELECT vec_id, embedding::DOUBLE[] AS emb, label"
-        " AS label FROM embeddings WHERE embedding IS NOT NULL"
+        " AS label FROM embeddings WHERE "
+        + complete_vector_sql("embedding")
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,10 +886,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_COSINE_BLOCK_CAP`` rows (≈5e9 pairs) this raises instead of
     degenerating — the demotion is mechanical, not just a docstring.
 
-    Input contract (r11 NULL-parity audit): NULL vectors have no
-    cosine — excluded on both engines."""
+    Input contract (r11 NULL-parity audit, widened to NULL elements by
+    the r12 matrix): incomplete vectors have no cosine — excluded on
+    both engines."""
     e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        is_complete_vector(F.col("embedding"))
     )
     # checkpoint first so the guard's count job and the pair join share
     # ONE input scan instead of re-reading the table (r05 review)
@@ -913,7 +919,7 @@ def _dedup_embedding_lsh_oracle() -> str:
         "bucket",
         "SELECT vec_id, embedding::DOUBLE[] AS emb, "
         f"{_duck_bucket('embedding::DOUBLE[]')} AS bucket FROM embeddings"
-        " WHERE embedding IS NOT NULL",
+        f" WHERE {complete_vector_sql('embedding')}",
     )
 
 
@@ -926,11 +932,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the corpus/256 on average and more planes shrink it further. The
     bucketed view is localCheckpoint'ed so the 8 hyperplane dot products
     run once, not once per join side. Input contract (r11 NULL-parity
-    audit): NULL vectors have no bucket — excluded on both engines."""
+    audit, widened to NULL elements by the r12 matrix): incomplete
+    vectors have no bucket — excluded on both engines."""
     from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import _bucket
 
     e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        is_complete_vector(F.col("embedding"))
     )
     blocked = e.select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
@@ -1122,6 +1129,7 @@ def _dedup_incremental_embedding_oracle() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              {_duck_bucket('embedding::DOUBLE[]')} AS bucket
       FROM embeddings
+      WHERE {complete_vector_sql('embedding')}
     ), corpus AS (
       SELECT * FROM v WHERE vec_id % 2 = 0
     ), batch AS (
@@ -1165,13 +1173,17 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket key and can stay bucket-partitioned on disk between
     nightly runs; the batch side is ingest-sized. Bucket population
     (corpus/2^planes) bounds every join group, and more planes shrink
-    it — the same lever as dedup_embedding_lsh."""
+    it — the same lever as dedup_embedding_lsh. Input contract (r12
+    NULL-element matrix): incomplete vectors excluded from both the
+    corpus and the batch on both engines."""
     from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
         cosine_similarity,
     )
     from tiny_etl_multiproc_bigdata_spark.plans.vector_queries import _bucket
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(
+        is_complete_vector(F.col("embedding"))
+    )
     bucketed = e.select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
     ).localCheckpoint(eager=True)  # 8 hyperplane dot products run once

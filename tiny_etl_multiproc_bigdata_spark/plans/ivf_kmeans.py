@@ -21,10 +21,18 @@ from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
 )
-from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
+    complete_vector_sql,
+    cosine_similarity,
+    is_complete_vector,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 _CENTROID_MOD = 100  # vec_id % 100 == 7 → deterministic centroid sample
+# The embeddings INPUT CONTRACT (r12 NULL-parity matrix extension; see
+# functions/vectors.py::is_complete_vector): incomplete vectors have no
+# distance/cell/code - excluded symmetrically on both engines.
+_VEC_OK = complete_vector_sql("embedding")
 _N_QUERIES = 5
 _TOP_K = 10
 
@@ -72,7 +80,7 @@ _DUCK_COS = (
     oracle=f"""
     WITH centroids AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 7
+      FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 7 AND {_VEC_OK}
     ), assigned AS (
       SELECT vec_id, emb, cell FROM (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid AS cell,
@@ -81,6 +89,7 @@ _DUCK_COS = (
                  ORDER BY CAST(floor({_DUCK_L2SQ.format(a="e.embedding::DOUBLE[]", b="c.cvec")} * 1000000 + 0.5) AS BIGINT) ASC,
                           c.cid ASC) AS rn
         FROM embeddings e, centroids c
+        WHERE {complete_vector_sql("e.embedding")}
       ) WHERE rn = 1
     ), q AS (
       SELECT vec_id AS query_id, emb AS qv, cell FROM assigned
@@ -106,7 +115,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the query's cell. Cells ≈ corpus/|centroids|, so each query
     compares ~1/50th of the corpus; recall rises with multi-cell
     probing, same plan shape."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(
+        is_complete_vector(F.col("embedding"))
+    )
     centroids = e.filter(F.col("vec_id") % _CENTROID_MOD == 7).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
@@ -356,7 +367,7 @@ _N_PROBES = 2
     oracle=f"""
     WITH centroids AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 7
+      FROM embeddings WHERE vec_id % {_CENTROID_MOD} = 7 AND {_VEC_OK}
     ), assigned AS (
       SELECT vec_id, emb, cell FROM (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid AS cell,
@@ -365,6 +376,7 @@ _N_PROBES = 2
                  ORDER BY CAST(floor({_DUCK_L2SQ.format(a="e.embedding::DOUBLE[]", b="c.cvec")} * 1000000 + 0.5) AS BIGINT) ASC,
                           c.cid ASC) AS rn
         FROM embeddings e, centroids c
+        WHERE {complete_vector_sql("e.embedding")}
       ) WHERE rn = 1
     ), qcells AS (
       SELECT vec_id AS query_id, emb AS qv, cell AS qcell FROM (
@@ -375,6 +387,7 @@ _N_PROBES = 2
                           c.cid ASC) AS rn
         FROM embeddings e, centroids c
         WHERE e.vec_id < {_N_QUERIES}
+          AND {complete_vector_sql("e.embedding")}
       ) WHERE rn <= {_N_PROBES}
     ), scored AS (
       SELECT q.query_id, a.vec_id AS candidate_id,
@@ -403,7 +416,9 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape to ann_ivf_topk. Candidate sets from different probes are
     disjoint by construction (each corpus vector lives in exactly one
     cell), so no dedup stage is needed."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(
+        is_complete_vector(F.col("embedding"))
+    )
     centroids = e.filter(F.col("vec_id") % _CENTROID_MOD == 7).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
@@ -477,6 +492,8 @@ _DUCK_QV = (
     "SELECT vec_id, list_transform(embedding::DOUBLE[],"
     " v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qa"
     " FROM embeddings"
+    # r12 NULL-element contract (used only by dedup_semantic_kmeans)
+    f" WHERE {complete_vector_sql('embedding')}"
 )
 _DUCK_IDOT = (
     "CAST(list_aggregate(list_transform(range(1, len({a}) + 1),"
@@ -544,8 +561,12 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SEM_CLUSTER_CAP rows in one cluster this raises rather than
     building |cluster|² pairs. Distance uses ||x||² − 2x·y + ||y||²
     with array dot products (no component explode — three broadcast-
-    joined integer dots per candidate)."""
-    e = table(spark, sf_dir, "embeddings")
+    joined integer dots per candidate). Input contract (r12
+    NULL-element matrix): incomplete vectors excluded on both
+    engines."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        is_complete_vector(F.col("embedding"))
+    )
     qv = e.select(
         "vec_id",
         F.transform(

@@ -300,9 +300,6 @@ _REQUEUE_VINTAGE: dict[str, int] = {
     "ohlc_daily_candles": 11,
     "pandas_iter_udf_scoring": 11,
     "poisson_bootstrap_ci": 11,
-    "pq_adc_topk": 11,
-    "pq_code_assign": 11,
-    "pq_recall_eval": 11,
     "quantile_normalize_histogram": 11,
     "rolling_median_exact": 11,
     "scd2_intervals": 11,
@@ -321,7 +318,6 @@ _REQUEUE_VINTAGE: dict[str, int] = {
     "text_ngram_topk": 11,
     "time_weighted_average": 11,
     "udtf_table_partitioned": 11,
-    "vector_norm_stats": 11,
     "window_first_last_nth": 11,
     "window_groups_frame_sum": 11,
     "window_lag_lead": 11,
@@ -358,6 +354,41 @@ _REQUEUE_VINTAGE: dict[str, int] = {
     # branch is unreachable on every committed fixture, pinned instead
     # by tests/test_catalog_vintages.py + the audit's nanos fixture.
     "streaming_late_data_drop": 12,
+    # --- r12 NULL-ELEMENT matrix extension (null_parity_audit.py) ---
+    # A schema-legal embedding with NULL *elements* (partial decode
+    # shape; distinct from embedding-IS-NULL, which the r11 contract
+    # covered) diverged 18 entries: Spark's aggregate/zip_with folds
+    # NULL-propagate element-wise while DuckDB's list_inner_product
+    # ERRORS outright and its list_sum SKIPS NULL terms (a biased
+    # partial distance). Fixed with one symmetric contract —
+    # functions/vectors.py::is_complete_vector in the engine,
+    # complete_vector_sql in every oracle: incomplete vectors are
+    # DROPPED on both sides (a vector missing a dimension is not
+    # comparable; zero-filling would bias every distance). Values on
+    # the committed fixtures (no NULL elements) are unchanged —
+    # changed-code hygiene rows only. The pending tier is now 59 (44
+    # r11 carries + streaming_late_data_drop + 18 here, 4 of which
+    # upgraded their r11 vintage in place); the 50-row window drains
+    # the first 50 and the last 9 drain in r13 via the vintage
+    # machinery — no manual reorder.
+    "ann_bruteforce_topk": 12,
+    "ann_ivf_multiprobe": 12,
+    "ann_ivf_topk": 12,
+    "ann_lsh_buckets": 12,
+    "ann_lsh_topk": 12,
+    "dedup_embedding_cosine": 12,
+    "dedup_embedding_lsh": 12,
+    "dedup_incremental_embedding": 12,
+    "dedup_semantic_kmeans": 12,
+    "hard_negative_mining": 12,
+    "int8_reconstruction_error": 12,
+    "knn_label_eval": 12,
+    "mutual_nn_pairs": 12,
+    "pq_adc_topk": 12,
+    "pq_code_assign": 12,
+    "pq_recall_eval": 12,
+    "triplet_margin_violation_rate": 12,
+    "vector_norm_stats": 12,
 }
 
 # Names-only view (insertion order preserved) for consumers that only

@@ -23,13 +23,40 @@ from pyspark.sql import functions as F
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long  # noqa: F401 (doc ref)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
-from tiny_etl_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
+    complete_vector_sql,
+    cosine_similarity,
+    is_complete_vector,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 _DIM = 64
 _N_PLANES = 8
 _N_QUERIES = 5  # vec_id < 5 act as the query set
 _TOP_K = 10
+
+# The embeddings INPUT CONTRACT (r12 NULL-parity matrix extension): a
+# usable vector is non-NULL with no NULL elements. Spark's
+# aggregate/zip_with folds NULL-propagate element-wise while DuckDB's
+# list_inner_product ERRORS on NULL elements, so before this contract a
+# single partially-decoded vector crash-diverged every similarity
+# entry. See functions/vectors.py::is_complete_vector for the full
+# rationale; `_VEC_OK` is the oracle-side twin.
+_VEC_OK = complete_vector_sql("embedding")
+
+
+def _complete_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the input contract. The 12 entries
+    the r12 audit found divergent read through here (their oracles
+    carry `_VEC_OK`), so the contract is one declaration per side;
+    entries whose Spark/DuckDB NULL-element behavior already AGREED
+    (e.g. embedding_quantize_int8's per-row transform) keep their
+    measured-parity lowerings untouched — parity, not prettiness, is
+    the bar, and touching them would re-queue attested entries for no
+    behavioral reason."""
+    return table(spark, sf_dir, "embeddings").filter(
+        is_complete_vector(F.col("embedding"))
+    )
 
 
 def _plane(i: int) -> list[float]:
@@ -89,11 +116,12 @@ _DUCK_COS = (
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM embeddings WHERE vec_id < {_N_QUERIES} AND {_VEC_OK}
     ), scored AS (
       SELECT q.query_id, e.vec_id AS candidate_id,
              {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS cos
       FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        AND {complete_vector_sql("e.embedding")}
     ), ranked AS (
       SELECT query_id, candidate_id, cos,
              row_number() OVER (PARTITION BY query_id
@@ -108,8 +136,9 @@ _DUCK_COS = (
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors, scan the corpus
     once, per-query row_number over a micro-scaled integer score
-    (cross-engine-stable ordering)."""
-    e = table(spark, sf_dir, "embeddings")
+    (cross-engine-stable ordering). Input contract (r12 NULL-element
+    matrix): incomplete vectors excluded on both engines."""
+    e = _complete_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -139,18 +168,17 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_vectors,
            min(vec_id) AS min_vec_id
     FROM embeddings
-    WHERE embedding IS NOT NULL
+    WHERE {_VEC_OK}
     GROUP BY 1
     """,
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment + histogram: the
     partitioning primitive for sub-linear similarity search (bucket id =
-    8 sign bits → 256 buckets). Input contract (r11 NULL-parity
-    audit): a NULL vector has no bucket — excluded on both engines."""
-    e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    8 sign bits → 256 buckets). Input contract (r11 NULL-parity audit,
+    widened to NULL elements by the r12 matrix): an incomplete vector
+    has no bucket — excluded on both engines."""
+    e = _complete_embeddings(spark, sf_dir)
     return (
         e.select(_bucket(F.col("embedding")).alias("bucket"), "vec_id")
         .groupBy("bucket")
@@ -164,7 +192,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              {_duck_bucket("embedding::DOUBLE[]")} AS bucket
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE {_VEC_OK}
     ), q AS (
       SELECT vec_id AS query_id, emb AS qv, bucket FROM v WHERE vec_id < {_N_QUERIES}
     ), scored AS (
@@ -186,11 +214,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates restricted to the query's bucket —
     the sub-linear scale path (compares ~1/256 of the corpus per query;
     recall grows with multi-probe / more tables, same plan shape).
-    Input contract (r11 NULL-parity audit): NULL vectors have no
-    bucket — excluded on both engines."""
-    e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    Input contract (r11 NULL-parity audit, widened to NULL elements by
+    the r12 matrix): incomplete vectors have no bucket — excluded on
+    both engines."""
+    e = _complete_embeddings(spark, sf_dir)
     v = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
     q = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -218,7 +245,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vector_norm_stats",
-    oracle="""
+    oracle=f"""
     SELECT label,
            count(*) AS n,
            (floor(CAST(sum(CAST(sqrt(list_dot_product(embedding::DOUBLE[],
@@ -226,7 +253,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AS DECIMAL(20,8))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000)
              AS avg_l2_norm
     FROM embeddings
-    WHERE embedding IS NOT NULL
+    WHERE {_VEC_OK}
     GROUP BY label
     """,
 )
@@ -234,13 +261,12 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector norm stats. The cross-row mean goes through a
     per-row DECIMAL cast so the sum is order-independent (shuffle-safe)
     — same recipe as the money aggregates. Input contract (r11
-    NULL-parity audit): a NULL vector has no norm — excluded on both
-    engines (a NULL label stays a real group)."""
+    NULL-parity audit, widened to NULL elements by the r12 matrix): an
+    incomplete vector has no norm — excluded on both engines (a NULL
+    label stays a real group)."""
     from tiny_etl_multiproc_bigdata_spark.functions.vectors import l2_norm
 
-    e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    e = _complete_embeddings(spark, sf_dir)
     norm_dec = l2_norm(F.col("embedding")).cast("decimal(20,8)")
     return e.groupBy("label").agg(
         F.count("*").alias("n"),
@@ -344,14 +370,18 @@ def _pq_oracle() -> str:
             f"WHEN d{s}_{j} = m{s} THEN {j}" for j in range(_PQ_CODES)
         )
         codes.append((f"{m} AS m{s}", f"CAST(CASE {case} END AS BIGINT) AS code{s}"))
-    # NULL vectors can't be coded (r11 NULL-parity audit): a NULL
-    # embedding yields NULL codes whose NULL ADC sums rank FIRST under
-    # Spark's ASC default but LAST under DuckDB's — excluded here and
-    # in the engine twins (pq_code_assign, pq_adc_topk)
+    # Incomplete vectors can't be coded (r11 NULL-parity audit; r12
+    # widened to NULL elements): a NULL embedding yields NULL codes
+    # whose NULL ADC sums rank FIRST under Spark's ASC default but
+    # LAST under DuckDB's, and a NULL ELEMENT makes the two engines'
+    # list arithmetic disagree outright (Spark NULL-propagates the
+    # fold, DuckDB's list_sum skips NULL terms — a biased partial
+    # distance) — excluded here and in the engine twins
+    # (pq_code_assign, pq_adc_topk)
     return f"""
     WITH dists AS (
       SELECT vec_id, {", ".join(dist_cols)} FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE {_VEC_OK}
     ), mins AS (
       SELECT vec_id, {", ".join(c[0] for c in codes)}, * FROM dists
     )
@@ -374,11 +404,10 @@ def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units BEFORE summing (order-independent integer
     distance); argmin ties break to the lowest code in both engines
     via the identical first-match CASE. Input contract (r11
-    NULL-parity audit): a NULL vector can't be coded — excluded on
-    both engines (mirrored in _pq_oracle)."""
-    e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    NULL-parity audit, widened to NULL elements by the r12 matrix): an
+    incomplete vector can't be coded — excluded on both engines
+    (mirrored in _pq_oracle)."""
+    e = _complete_embeddings(spark, sf_dir)
     cols = {"vec_id": F.col("vec_id")}
     dist_names: list[list[str]] = []
     for s in range(_PQ_SUBS):
@@ -447,7 +476,7 @@ def _pq_adc_oracle() -> str:
     qlut AS (
       SELECT vec_id AS query_id, {", ".join(_pq_qdist_exprs(""))}
       FROM embeddings
-      WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL
+      WHERE vec_id < {_N_QUERIES} AND {_VEC_OK}
     ), scored AS (
       SELECT q.query_id, c.vec_id AS candidate_id,
              CAST({" + ".join(adc_terms)} AS BIGINT) AS adc_dist
@@ -482,8 +511,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (the assignment recipe), so ranking and ties
     ((adc, candidate_id)) are engine-identical."""
     codes = pq_code_assign(spark, sf_dir)
-    q = table(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") < _N_QUERIES) & F.col("embedding").isNotNull()
+    q = _complete_embeddings(spark, sf_dir).filter(
+        F.col("vec_id") < _N_QUERIES
     )
     lut_cols = {"query_id": F.col("vec_id")}
     for s in range(_PQ_SUBS):
@@ -701,7 +730,7 @@ def _register_pq_recall_eval() -> None:
         q AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
           FROM embeddings
-          WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL
+          WHERE vec_id < {_N_QUERIES} AND {_VEC_OK}
         ), exact AS (
           SELECT query_id, candidate_id FROM (
             SELECT q.query_id, e.vec_id AS candidate_id,
@@ -712,7 +741,8 @@ def _register_pq_recall_eval() -> None:
                        * 1000000 + 0.5) AS BIGINT) ASC,
                        e.vec_id ASC) AS rn
             FROM q JOIN embeddings e
-              ON e.vec_id <> q.query_id AND e.embedding IS NOT NULL
+              ON e.vec_id <> q.query_id
+              AND {complete_vector_sql("e.embedding")}
           ) WHERE rn <= {_TOP_K}
         )
         SELECT x.query_id,
@@ -734,13 +764,12 @@ def _register_pq_recall_eval() -> None:
         of ivf_recall_eval; both metrics are L2, so the gap measured is
         pure quantization loss, not metric mismatch). Composes the
         registered pq_adc_topk unchanged. Input contract (r11
-        NULL-parity audit): NULL vectors have no distance — excluded
-        from queries and the exact-scan corpus on both engines (a NULL
+        NULL-parity audit, widened to NULL elements by the r12
+        matrix): incomplete vectors have no distance — excluded from
+        queries and the exact-scan corpus on both engines (a NULL
         L2 would rank FIRST under Spark's ASC default, LAST under
         DuckDB's)."""
-        e = table(spark, sf_dir, "embeddings").filter(
-            F.col("embedding").isNotNull()
-        )
+        e = _complete_embeddings(spark, sf_dir)
         q = e.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
@@ -1076,6 +1105,7 @@ def _mnn_oracle() -> str:
              {_duck_bucket("embedding::DOUBLE[]")} AS bucket,
              vec_id % 2 AS side
       FROM embeddings
+      WHERE {_VEC_OK}
     ),
     pairs AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1124,8 +1154,10 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(struct) folds (no per-key sort), keyed by each side's id; the
     final mutuality check is an equi-join of two NN tables each at
     most one row per vector. Pairs are localCheckpointed once —
-    both argmaxes read the same materialized candidate set."""
-    e = table(spark, sf_dir, "embeddings").select(
+    both argmaxes read the same materialized candidate set. Input
+    contract (r12 NULL-element matrix): incomplete vectors excluded on
+    both engines."""
+    e = _complete_embeddings(spark, sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
         _bucket(F.col("embedding").cast("array<double>")).alias("bucket"),
@@ -1173,7 +1205,7 @@ _KNN_K = 5
     WITH q AS (
       SELECT vec_id AS query_id, label AS true_label,
              embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {_KNN_Q}
+      FROM embeddings WHERE vec_id < {_KNN_Q} AND {_VEC_OK}
     ),
     scored AS (
       SELECT q.query_id, q.true_label, e.label,
@@ -1183,6 +1215,7 @@ _KNN_K = 5
                  {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")}
                  * 1000000 + 0.5) AS BIGINT) DESC, e.vec_id ASC) AS rn
       FROM q JOIN embeddings e ON e.vec_id >= {_KNN_Q}
+        AND {complete_vector_sql("e.embedding")}
     ),
     votes AS (
       SELECT query_id, true_label, label,
@@ -1222,8 +1255,9 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; the production path swaps in ann_ivf_topk's bucketed
     candidates and reuses the same vote/argmax tail). Both argmaxes
     are windows over per-query bounded sets ({K} votes, |labels|
-    rows)."""
-    e = table(spark, sf_dir, "embeddings")
+    rows). Input contract (r12 NULL-element matrix): incomplete
+    vectors excluded from queries and train set on both engines."""
+    e = _complete_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _KNN_Q).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
@@ -1438,12 +1472,13 @@ _register_lsh_recall_eval()
 
 @register(
     "int8_reconstruction_error",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS emb,
              list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
                / 127.0 AS scale
       FROM embeddings
+      WHERE {_VEC_OK}
     ),
     err AS (
       SELECT label,
@@ -1481,8 +1516,11 @@ def int8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: pure map work plus one partial-agg'd groupBy on
     |labels| keys — the eval rides the same single scan the quantizer
-    itself costs."""
-    e = table(spark, sf_dir, "embeddings")
+    itself costs. Input contract (r12 NULL-element matrix): incomplete
+    vectors have no reconstruction error — excluded on both engines
+    (pre-contract, Spark's fold NULL-propagated the squared error while
+    DuckDB's list_sum skipped the NULL term, shifting the label mean)."""
+    e = _complete_embeddings(spark, sf_dir)
     emb = F.col("embedding").cast("array<double>")
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
     s = e.select("vec_id", "label", emb.alias("emb"), scale.alias("scale"))
@@ -1688,13 +1726,13 @@ _HARDNEG_K = 2  # hard negatives per query
              list_transform(embedding::DOUBLE[],
                             x -> floor(x * 10000 + 0.5)) AS qv
       FROM embeddings
-      WHERE vec_id < {_HARDNEG_QUERIES} AND embedding IS NOT NULL
+      WHERE vec_id < {_HARDNEG_QUERIES} AND {_VEC_OK}
     ),
     c AS (
       SELECT vec_id AS candidate_id, label AS candidate_label,
              list_transform(embedding::DOUBLE[],
                             x -> floor(x * 10000 + 0.5)) AS cv
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE {_VEC_OK}
     ),
     scored AS (
       SELECT q.query_id, q.query_label, c.candidate_id, c.candidate_label,
@@ -1731,12 +1769,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast for the IVF route (ann_ivf_topk) with a post-filter on
     label — same protocol, bucketed candidate generation.
 
-    Input contract (r11 NULL-parity audit): NULL vectors have no
-    distance — excluded on both engines (a NULL label already drops
-    identically through the <> join on both)."""
-    e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    Input contract (r11 NULL-parity audit, widened to NULL elements by
+    the r12 matrix): incomplete vectors have no distance — excluded on
+    both engines (a NULL label already drops identically through the
+    <> join on both)."""
+    e = _complete_embeddings(spark, sf_dir)
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 10_000 + 0.5).cast("bigint"),
@@ -1903,6 +1940,7 @@ _TRIPLET_NUM, _TRIPLET_DEN = 4, 5
              list_transform(embedding::DOUBLE[],
                             x -> floor(x * 10000 + 0.5)) AS qv
       FROM embeddings
+      WHERE {_VEC_OK}
     ),
     a AS (SELECT * FROM q WHERE vec_id < {_TRIPLET_ANCHORS}),
     d AS (
@@ -1943,8 +1981,9 @@ def triplet_margin_violation_rate(
     100 TB shape: anchors broadcast against one corpus scan (the
     hard-negative topology), both minima fold in one conditional
     aggregation — never two passes; corpus-scale anchor sets switch
-    to the IVF route."""
-    e = table(spark, sf_dir, "embeddings")
+    to the IVF route. Input contract (r12 NULL-element matrix):
+    incomplete vectors excluded on both engines."""
+    e = _complete_embeddings(spark, sf_dir)
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 10_000 + 0.5).cast("bigint"),

@@ -137,6 +137,20 @@ def _spiked_embeddings() -> list[dict]:
         {"vec_id": 1_000_000, "embedding": None, "label": 3},
         {"vec_id": 1_000_001, "embedding": [0.5] * 64, "label": None},
         {"vec_id": 1_000_002, "embedding": None, "label": None},
+        # NULL ELEMENTS inside a non-NULL array (r12 matrix extension
+        # per the standing obligation): schema-legal (list<element:
+        # float> is element-nullable) and the realistic shape of a
+        # partially-failed decode at corpus scale — a DIFFERENT class
+        # from embedding-IS-NULL, exercising element-wise kernels
+        # (F.aggregate/zip_with dot products, Arrow-batched numpy
+        # paths, PQ code assignment) where one NULL term must not
+        # silently zero/crash while the oracle's list arithmetic
+        # NULL-propagates.
+        {
+            "vec_id": 1_000_003,
+            "embedding": [0.5] * 32 + [None] + [0.25] * 31,
+            "label": 3,
+        },
     ]
     return out
 

@@ -85,3 +85,49 @@ def test_nanos_ts_type_is_ntz(spark, nanos_events_dir):
 
     df = table(spark, nanos_events_dir, "events")
     assert isinstance(df.schema["ts"].dataType, TimestampNTZType)
+
+
+def test_nanos_preepoch_parity(spark, tmp_path):
+    """Pre-epoch sub-microsecond nanos: Spark's `ts div 1000` truncates
+    toward zero, and so does DuckDB's native TIMESTAMP(NANOS)→micros
+    parquet read (-1500ns → -1µs, -999ns → 0µs — verified r13). Parity
+    is the bar, so trunc — not floor — is the correct lowering; this
+    pins the two engines byte-identical on every sign/boundary case
+    (r12 ADVICE item 3)."""
+    import datetime
+
+    import duckdb
+
+    ns_vals = [-1500, -1001, -1000, -999, -1, 0, 1, 999, 1000, 1500]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(ns_vals)), type=pa.int64()),
+            "ts": pa.array(ns_vals, type=pa.timestamp("ns")),
+        }
+    )
+    d = tmp_path / "preepoch"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    rows = (
+        table(spark, str(d), "events")
+        .orderBy("event_id")
+        .collect()
+    )
+    got_spark = [(r.event_id, r.ts) for r in rows]
+
+    con = duckdb.connect()
+    got_duck = con.execute(
+        "SELECT event_id, ts FROM read_parquet(?) ORDER BY event_id",
+        [str(d / "events.parquet")],
+    ).fetchall()
+    con.close()
+
+    assert got_spark == got_duck
+    # and the boundary values are the trunc-toward-zero ones, so the
+    # assertion can't pass vacuously if both engines changed together
+    by_id = dict(got_spark)
+    epoch = datetime.datetime(1970, 1, 1)
+    assert by_id[0] == epoch - datetime.timedelta(microseconds=1)  # -1500ns
+    assert by_id[4] == epoch  # -1ns truncates to 0, not floor(-1µs)
+    assert by_id[7] == epoch  # 999ns

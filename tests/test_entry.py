@@ -275,7 +275,9 @@ def test_attestation_ledger_tool_agrees_with_registry():
         == set(_REQUEUE) & set(REGISTRY)
     )
     window = set(ledger["next_sample_window"])
-    n_owed = ledger["never_sampled"] + len(ledger["requeue_pending"])
+    # mirror the ledger's tier-based owed count (r12 ADVICE item 1):
+    # tier 0 covers never-sampled AND regressed-red, tier 1 = pending
+    n_owed = sum(1 for e in ledger["entries"] if e["tier"] in (0, 1))
     if n_owed <= mod.WINDOW:
         assert set(ledger["requeue_pending"]) <= window
     assert not (set(ledger["requeue_inert"]) & window)
@@ -329,3 +331,39 @@ def test_requeue_vintage_pending_vs_inert(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert _requeue_pending(str(empty)) == frozenset(_REQUEUE_VINTAGE)
+
+
+def test_certification_guard_internal_consistency():
+    """tools/certification_guard.py (r13, VERDICT r12 item 2) must (a)
+    find the r12 certification events in PROGRESS.jsonl, (b) find a
+    last source change, and (c) derive `certified` exactly as
+    cert_ts >= src_ts — the rule the round-close step enforces. It
+    cannot assert certified=True here: mid-round the tree legitimately
+    carries uncertified diffs (that state is what the tool exists to
+    detect)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "certification_guard.py",
+    )
+    spec = importlib.util.spec_from_file_location("certification_guard", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    root = os.path.dirname(os.path.dirname(path))
+    rep = mod.build_report(root)
+    assert "certification" in rep["last_certification_event"]
+    assert rep["last_certification_ts"] > 0
+    assert rep["last_source_change_ts"] > 0
+    assert rep["certified"] == (
+        rep["last_certification_ts"] >= rep["last_source_change_ts"]
+    )
+    # the source-change detector must not be fooled by doc/JSON churn:
+    # PROGRESS.jsonl itself is never a source path
+    assert not mod._is_source("PROGRESS.jsonl")
+    assert not mod._is_source("OPERATORS.md")
+    assert mod._is_source("tiny_etl_multiproc_bigdata_spark/catalog.py")
+    assert mod._is_source("tools/certification_guard.py")
+    assert not mod._is_source("tools_backup/evil.py")

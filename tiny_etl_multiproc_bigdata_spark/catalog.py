@@ -59,6 +59,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # arm of tools/partition_invariance_audit.py; latent-only:
             # committed fixtures are micros-vintage and this branch is
             # untaken on them).
+            # `div` truncates toward zero, which for PRE-epoch nanos
+            # that aren't a whole microsecond rounds up by 1µs versus
+            # floor semantics. That is DELIBERATE: DuckDB's native
+            # TIMESTAMP(NANOS)→micros read truncates toward zero too
+            # (verified empirically: -1500ns → -1µs, -999ns → 0µs), so
+            # trunc — not floor — is the parity-correct choice; floor
+            # division would diverge from the oracle on every pre-epoch
+            # sub-µs value (pinned cross-engine in
+            # tests/test_catalog_vintages.py::test_nanos_preepoch_parity).
             return df.withColumn(
                 "ts",
                 F.expr(

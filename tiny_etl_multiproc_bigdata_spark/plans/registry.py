@@ -281,80 +281,8 @@ _PRIORITY: tuple[str, ...] = (
 # when touching this dict so it lists only live debt. Future
 # requeues: add (name, round-of-change) here.
 _REQUEUE_VINTAGE: dict[str, int] = {
-    # --- r11 NULL-parity audit (tools/null_parity_audit.py) ---
-    # A NULL-spiked sf0.001 fixture diffed every oracle entry
-    # Spark-vs-DuckDB and surfaced 57 latent divergences in three
-    # classes — (a) Spark's ASC default is NULLS FIRST vs DuckDB's
-    # NULLS LAST (window orderings now asc_nulls_last), (b) rows
-    # silently dropped or crashed on one side only (explicit
-    # symmetric IS NOT NULL input contracts in engine AND oracle),
-    # (c) NULL-group representation gaps ('' vs NULL paths, inferred
-    # null Arrow columns, 3VL CASE polarity). Every entry below is
-    # value-identical on the NULL-free driver fixtures (sf0.01
-    # driver-sim re-swept green) — changed-code hygiene rows only.
-    # (The 47 r08-r11 names that drew their fresh row in the r11
-    # sample were pruned at r12 per the policy above.)
-    "multimodal_decode_stub": 11,
-    "multimodal_feature_extract": 11,
-    "multimodal_frame_sample": 11,
-    "ohlc_daily_candles": 11,
-    "pandas_iter_udf_scoring": 11,
-    "poisson_bootstrap_ci": 11,
-    "quantile_normalize_histogram": 11,
-    "rolling_median_exact": 11,
-    "scd2_intervals": 11,
-    "scd2_point_in_time_join": 11,
-    "session_gap_sensitivity": 11,
-    "session_path_signatures": 11,
-    "sessionize_events": 11,
-    "sprt_sequential_test": 11,
-    "streaming_cusum_alert": 11,
-    "streaming_ohlc_candles": 11,
-    "streaming_session_window": 11,
-    "streaming_sliding_counts": 11,
-    "streaming_state_timeout_sessions": 11,
-    "streaming_tumbling_counts": 11,
-    "text_boilerplate_strip": 11,
-    "text_ngram_topk": 11,
-    "time_weighted_average": 11,
-    "udtf_table_partitioned": 11,
-    "window_first_last_nth": 11,
-    "window_groups_frame_sum": 11,
-    "window_lag_lead": 11,
-    "window_sliding_counts": 11,
-    # --- r11 EMPTY-INPUT audit (null_parity_audit.py --empty) ---
-    # zero-row tables (the empty-date-slice shape) exposed an ANSI
-    # divide-by-zero crash class (nullif-guarded to the oracle's
-    # x/0 -> NULL), driver-side .first() guards, empty-write-then-
-    # read schema inference, and agg-over-empty NULL-vs-0 gaps.
-    # Values on non-empty fixtures unchanged (spiked-NULL audit
-    # re-run green); changed-code hygiene rows only.
-    "cohens_kappa_agreement": 11,
-    "confusion_matrix_threshold": 11,
-    "corpus_stats_summary": 11,
-    "csv_permissive_corrupt_records": 11,
-    "federated_union_agg": 11,
-    "partitioned_write_prune_agg": 11,
-    "python_datasource_write": 11,
-    "python_datasource_stream_write": 11,
-    "qq_deciles_two_group": 11,
-    "runs_test_randomness": 11,
-    "text_neardup_recall_eval": 11,
-    "window_distribution_fns": 11,
-    # --- r12 partition-invariance audit (nanos-vintage arm) ---
-    # the entry's pyarrow staging keyed the nanos vintage on ts.type
-    # == "int64", but pyarrow reads TIMESTAMP(NANOS) as timestamp[ns]
-    # (int64 is Spark's nanosAsLong view, which pyarrow never
-    # produces), so on that vintage the stage re-wrote nanos parquet
-    # verbatim and the entry's own readStream choked. Staged files now
-    # normalize to TIMESTAMP(MICROS) for every manifestation. The
-    # micros path (every committed fixture) stages byte-identical
-    # files — changed-code hygiene row only. catalog.table's companion
-    # nanos fix (the LTZ-detour zone shift) is NOT mass-requeued: that
-    # branch is unreachable on every committed fixture, pinned instead
-    # by tests/test_catalog_vintages.py + the audit's nanos fixture.
-    "streaming_late_data_drop": 12,
-    # --- r12 NULL-ELEMENT matrix extension (null_parity_audit.py) ---
+    # --- r12 NULL-ELEMENT matrix extension (null_parity_audit.py),
+    # the 9 names the r12 50-row sample window couldn't hold ---
     # A schema-legal embedding with NULL *elements* (partial decode
     # shape; distinct from embedding-IS-NULL, which the r11 contract
     # covered) diverged 18 entries: Spark's aggregate/zip_with folds
@@ -366,20 +294,11 @@ _REQUEUE_VINTAGE: dict[str, int] = {
     # DROPPED on both sides (a vector missing a dimension is not
     # comparable; zero-filling would bias every distance). Values on
     # the committed fixtures (no NULL elements) are unchanged —
-    # changed-code hygiene rows only. The pending tier is now 59 (44
-    # r11 carries + streaming_late_data_drop + 18 here, 4 of which
-    # upgraded their r11 vintage in place); the 50-row window drains
-    # the first 50 and the last 9 drain in r13 via the vintage
-    # machinery — no manual reorder.
-    "ann_bruteforce_topk": 12,
-    "ann_ivf_multiprobe": 12,
-    "ann_ivf_topk": 12,
-    "ann_lsh_buckets": 12,
-    "ann_lsh_topk": 12,
-    "dedup_embedding_cosine": 12,
-    "dedup_embedding_lsh": 12,
-    "dedup_incremental_embedding": 12,
-    "dedup_semantic_kmeans": 12,
+    # changed-code hygiene rows only. (The 50 r11/r12 names that drew
+    # their fresh row in the r12 sample — the 44 r11 NULL-parity +
+    # empty-input carries, streaming_late_data_drop, and the first 9
+    # NULL-element names window order reached — were pruned at r13
+    # per the remove-at-next-touch policy above.)
     "hard_negative_mining": 12,
     "int8_reconstruction_error": 12,
     "knn_label_eval": 12,

@@ -117,13 +117,17 @@ def build_ledger(root: str | None = None) -> dict:
     # requeues), capped at the driver's 50-row budget. Before r12 the
     # window stopped at never-sampled entries, so once the original
     # drain completed it printed empty while 44 pending requeues were
-    # actually next in line (VERDICT r11 item 2).
-    n_need = n_never + sum(1 for e in entries if e["tier"] == 1)
+    # actually next in line (VERDICT r11 item 2). Count by TIER, not by
+    # verdict: tier 0 also contains regressed-RED entries (sampled but
+    # not attested), which owe a row just like never-sampled ones — the
+    # verdict-based count truncated the window by one slot per red,
+    # silently pushing pending requeues out (r12 ADVICE item 1).
+    n_need = sum(1 for e in entries if e["tier"] in (0, 1))
     window_entries = entries[: min(WINDOW, n_need)]
-    window_clean = all(
-        e["verdict"] == "never_sampled" or e.get("requeue_state") == "pending"
-        for e in window_entries
-    )
+    # clean = every window slot is spent on an entry that OWES a row
+    # (tier 0: never-sampled or regressed-red; tier 1: pending requeue)
+    # — never on an attested-and-current one.
+    window_clean = all(e["tier"] in (0, 1) for e in window_entries)
     return {
         "registry": len(REGISTRY),
         "attested": len(checked & live),

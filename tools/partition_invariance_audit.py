@@ -291,7 +291,7 @@ def main() -> None:
             "__error__",
             "__watchdog__",
         ):
-            results[n] = f"ERROR: baseline={a[0] if a[0].startswith('__') else 'ok'} perturbed={b if b[0].startswith('__') else 'ok'}"
+            results[n] = f"ERROR: baseline={a[0] if a[0].startswith('__') else 'ok'} perturbed={b[0] if b[0].startswith('__') else 'ok'}"
             continue
         d = _diff(a, b)
         if d is None:

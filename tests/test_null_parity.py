@@ -85,3 +85,109 @@ def test_null_parity_sentinel(spark, null_fixture, name):
     assert spec.oracle is not None, f"{name} lost its oracle"
     problems = compare(spec.fn(spark, fix), con, spec.oracle, spec.ulp_sensitive)
     assert not problems, f"{name} diverges on NULL-spiked input: {problems}"
+
+
+# --- r13 matrix extensions: non-finite doubles and adversarial UTF-8 ---
+#
+# One sentinel per fixed class shape (same convention as SENTINELS):
+#
+# --nonfinite (functions/numerics.py grid-domain contract +
+# functions/vectors.py finite-element widening) — 74 entries diverged
+# three ways on a NaN/±Inf/1e308 double: Spark's ANSI CAST threw where
+# DuckDB's ConversionException threw at different rows, DuckDB's
+# stddev/corr raised Out-of-Range where Spark folded NaN, and Spark
+# saturated CAST(±Inf AS BIGINT) to Long.MIN *inside aggregates* —
+# silent corruption, pinned by embedding_label_centroids below.
+#
+# --unicode (functions/text.py::duck_jlower) — the engines' lowercase
+# mappings differ on 71 codepoints; the realistic one (Turkish U+0130)
+# silently shifted every downstream token string, fingerprint md5 and
+# simhash in 20 entries.
+NONFINITE_SENTINELS = [
+    "ohlc_daily_candles",          # quantizing scalar: ANSI-CAST crash class
+    "welch_t_test_ab",             # stat tier: DuckDB stddev Out-of-Range class
+    "embedding_label_centroids",   # silent Long.MIN saturation class
+    "vector_norm_stats",           # finite-element vector contract
+]
+UNICODE_SENTINELS = [
+    "text_fingerprint",            # fingerprint md5 silently shifted
+    "dedup_simhash",               # bit-level hash silently shifted
+    "a3_unique_filter",            # reference-ops normalization path
+]
+
+
+@pytest.fixture(scope="module")
+def nonfinite_fixture(tmp_path_factory):
+    from null_parity_audit import build_nonfinite_fixture
+
+    fix = str(tmp_path_factory.mktemp("nonfinite_parity") / "fixture")
+    build_nonfinite_fixture(fix)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix}/{t}.parquet')"
+        )
+    return fix, con
+
+
+@pytest.fixture(scope="module")
+def unicode_fixture(tmp_path_factory):
+    from null_parity_audit import build_unicode_fixture
+
+    fix = str(tmp_path_factory.mktemp("unicode_parity") / "fixture")
+    build_unicode_fixture(fix)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix}/{t}.parquet')"
+        )
+    return fix, con
+
+
+@pytest.mark.parametrize("name", NONFINITE_SENTINELS)
+def test_nonfinite_parity_sentinel(spark, nonfinite_fixture, name):
+    _load_all()
+    fix, con = nonfinite_fixture
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    problems = compare(spec.fn(spark, fix), con, spec.oracle, spec.ulp_sensitive)
+    assert not problems, f"{name} diverges on non-finite input: {problems}"
+
+
+@pytest.mark.parametrize("name", UNICODE_SENTINELS)
+def test_unicode_parity_sentinel(spark, unicode_fixture, name):
+    _load_all()
+    fix, con = unicode_fixture
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    problems = compare(spec.fn(spark, fix), con, spec.oracle, spec.ulp_sensitive)
+    assert not problems, f"{name} diverges on adversarial UTF-8: {problems}"
+
+
+def test_nonfinite_fixture_nonvacuous(nonfinite_fixture):
+    """The spike must actually contain non-finite and out-of-grid
+    values (guards against a future fixture edit silently defanging
+    the sentinels)."""
+    import math
+
+    fix, con = nonfinite_fixture
+    n_bad_vals = con.execute(
+        "SELECT count(*) FROM events WHERE NOT "
+        "(value > -9007199254.740992 AND value < 9007199254.740992)"
+    ).fetchone()[0]
+    assert n_bad_vals >= 5
+    n_bad_vecs = con.execute(
+        "SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL AND "
+        "length(list_filter(embedding, x -> x IS NULL OR NOT "
+        "(x > -9007199254.740992 AND x < 9007199254.740992))) > 0"
+    ).fetchone()[0]
+    assert n_bad_vecs >= 4
+
+
+def test_unicode_fixture_nonvacuous(unicode_fixture):
+    """The spike must contain the İ casefold divergence trigger."""
+    fix, con = unicode_fixture
+    n = con.execute(
+        "SELECT count(*) FROM documents WHERE text LIKE '%İ%'"
+    ).fetchone()[0]
+    assert n >= 1

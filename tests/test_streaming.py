@@ -120,7 +120,10 @@ def test_streaming_anomaly_zscore_tail_carries_across_batches(spark, tmp_path):
 
     real_stream = jobs._events_stream
 
-    def split_stream(spark_, _sf_dir, *, require_event_time=False):
+    def split_stream(
+        spark_, _sf_dir, *, require_event_time=False,
+        require_measure_domain=False
+    ):
         from pyspark.sql.types import LongType, TimestampType
 
         raw = (
@@ -143,6 +146,12 @@ def test_streaming_anomaly_zscore_tail_carries_across_batches(spark, tmp_path):
             out = raw.withColumn("ts", F.timestamp_micros(epoch_us))
         if require_event_time:
             out = out.filter(F.col("ts").isNotNull())
+        if require_measure_domain:
+            from tiny_etl_multiproc_bigdata_spark.functions.numerics import (
+                in_grid_domain,
+            )
+
+            out = out.filter(in_grid_domain(F.col("value")))
         return out
 
     jobs._events_stream = split_stream
@@ -199,7 +208,10 @@ def _stage_two_batch_split(spark, tmp_path):
     shutil.rmtree(stage + "/f2.dir")
     schema = spark.read.parquet(stage).schema
 
-    def split_stream(spark_, _sf_dir, *, require_event_time=False):
+    def split_stream(
+        spark_, _sf_dir, *, require_event_time=False,
+        require_measure_domain=False
+    ):
         from pyspark.sql.types import LongType, TimestampType
 
         raw = (
@@ -220,6 +232,12 @@ def _stage_two_batch_split(spark, tmp_path):
             out = raw.withColumn("ts", F.timestamp_micros(epoch_us))
         if require_event_time:
             out = out.filter(F.col("ts").isNotNull())
+        if require_measure_domain:
+            from tiny_etl_multiproc_bigdata_spark.functions.numerics import (
+                in_grid_domain,
+            )
+
+            out = out.filter(in_grid_domain(F.col("value")))
         return out
 
     return split_stream

@@ -88,6 +88,29 @@ def tokenize_words_nonempty(col: Column | str) -> Column:
     return F.filter(tokenize_words(F.lower(c)), lambda t: t != "")
 
 
+def duck_jlower(expr: str) -> str:
+    """DuckDB twin of the engine's ``F.lower`` for oracle SQL (r13
+    unicode parity matrix, tools/null_parity_audit.py ``--unicode``).
+
+    The engines' lowercase mappings differ on 71 codepoints (audited
+    exhaustively over every assigned codepoint, r13): Spark/JVM carries
+    the current Unicode simple+special mappings while DuckDB's utf8proc
+    is a version behind and maps them to themselves. Seventy are
+    rare-script letters (Vithkuqi, Garay, newer Latin additions) with
+    no realistic corpus frequency; the seventy-first is Turkish
+    U+0130 'İ', which is common web text — Spark lowers it to
+    'i' + U+0307 COMBINING DOT ABOVE (the Unicode-correct result) while
+    DuckDB yields bare 'i'. One İ in a corpus silently shifted every
+    downstream token string, chunk boundary, fingerprint md5, and
+    simhash in 20 registry entries (crash-free silent divergence — the
+    worst kind). The twin pre-maps İ on the oracle side so both
+    engines produce the identical Unicode-correct lowercase; the 70
+    rare-script codepoints are accepted as a documented oracle skew
+    (they cannot be enumerated into every SQL string; the audit spike
+    pins İ, the realistic one)."""
+    return f"lower(replace({expr}, 'İ', 'i' || chr(775)))"
+
+
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Contiguous word n-grams of a token array, space-joined.
 

@@ -35,9 +35,20 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# Per-element grid bound, shared with functions/numerics.py: 2**53 /
+# 1e6, the magnitude below which every quantization scale the vector
+# tier uses (max 1e6) stays on the exact double integer grid. Spelled
+# as a literal so engine and oracle carry the same constant.
+_ELEM_LIMIT = 9007199254.740992
+
+
 def is_complete_vector(a: Column) -> Column:
     """The embeddings INPUT CONTRACT predicate (r12 NULL-parity matrix
-    extension): a usable vector is non-NULL and has no NULL elements.
+    extension; r13 widened to NON-FINITE elements): a usable vector is
+    non-NULL and every element is non-NULL AND inside the
+    quantization-grid domain (``|x| < 2**53/1e6`` — which excludes
+    NaN, ±Inf, and corrupt magnitudes; see functions/numerics.py for
+    the comparison-semantics argument).
 
     Why the class exists: the r11 contract covered ``embedding IS NOT
     NULL`` only; an array with NULL *elements* (the realistic shape of
@@ -47,17 +58,34 @@ def is_complete_vector(a: Column) -> Column:
     DuckDB's ``list_inner_product`` REFUSES NULL elements outright
     (InvalidInputException), so any similarity query diverged —
     crash-on-one-side — the moment such a row appeared (18 entries,
-    found by extending tools/null_parity_audit.py's spike matrix). A
-    vector missing a dimension is not comparable under dot/cosine
-    (treating the hole as 0 silently biases every distance), so the
-    symmetric contract is an explicit scan-pushed DROP on both engines
-    — the oracle-side twin is ``COMPLETE_VECTOR_SQL``."""
-    return a.isNotNull() & ~F.exists(a, lambda x: x.isNull())
+    found by extending tools/null_parity_audit.py's spike matrix). The
+    r13 ``--nonfinite`` arm found the next input one step out: a NaN
+    element (failed normalization) NaN-poisons every Spark distance
+    while DuckDB's quantizing CAST raises ConversionException, and an
+    Inf/huge element saturates Spark's CAST-to-BIGINT to Long.MIN
+    inside aggregates (silent corruption) where DuckDB errors. A
+    vector with a missing OR non-finite OR out-of-grid dimension is
+    not comparable under dot/cosine (zero-filling or saturating
+    silently biases every distance), so the symmetric contract is an
+    explicit DROP on both engines — the oracle-side twin is
+    ``complete_vector_sql``."""
+    return a.isNotNull() & ~F.exists(
+        a,
+        lambda x: x.isNull()
+        | ~((x > F.lit(-_ELEM_LIMIT)) & (x < F.lit(_ELEM_LIMIT))),
+    )
 
 
 def complete_vector_sql(col: str = "embedding") -> str:
-    """DuckDB twin of ``is_complete_vector`` for oracle WHERE clauses."""
+    """DuckDB twin of ``is_complete_vector`` for oracle WHERE clauses.
+
+    NULL/NaN element handling rides the same comparison semantics as
+    the engine predicate: a NULL element makes the lambda NULL (kept
+    by ``x IS NULL``), NaN compares greater than every value in both
+    engines, ±Inf falls outside the range — all counted incomplete."""
     return (
         f"{col} IS NOT NULL"
-        f" AND length(list_filter({col}, x -> x IS NULL)) = 0"
+        f" AND length(list_filter({col}, x -> x IS NULL"
+        f" OR NOT (x > -9007199254.740992 AND x < 9007199254.740992)))"
+        f" = 0"
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -83,7 +84,7 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, count(*) AS n_events,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_value
-    FROM events GROUP BY user_id
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY user_id
     """,
 )
 def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +127,7 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "value", "ts")
+    ev = _events_stream(spark, sf_dir, require_measure_domain=True).select("user_id", "value", "ts")
     out = (
         ev.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -149,7 +150,7 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value,
            min(value) AS min_value,
            max(value) AS max_value
-    FROM events
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     GROUP BY event_type
     """,
 )
@@ -205,7 +206,7 @@ def grouped_arrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = table(spark, sf_dir, "events").select("event_type", "value")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).select("event_type", "value")
     return e.groupBy("event_type").applyInArrow(
         stats,
         schema=(
@@ -491,7 +492,7 @@ def _register_streaming_anomaly_zscore() -> None:
                 }
             )
 
-        ev = _events_stream(spark, sf_dir).select(
+        ev = _events_stream(spark, sf_dir, require_measure_domain=True).select(
             "user_id", "event_id", "value", "ts"
         )
         out = (
@@ -600,7 +601,7 @@ def _register_streaming_cusum_alert() -> None:
 
         # event-time contract mirrored in the shared batch oracle
         ev = _events_stream(
-            spark, sf_dir, require_event_time=True
+            spark, sf_dir, require_event_time=True, require_measure_domain=True
         ).select("event_type", "event_id", "value", "ts")
         out = (
             ev.withWatermark("ts", "1 hour")
@@ -706,7 +707,7 @@ def _register_streaming_sprt_decision() -> None:
             if out is not None:
                 yield out
 
-        ev = _events_stream(spark, sf_dir).select(
+        ev = _events_stream(spark, sf_dir, require_measure_domain=True).select(
             (F.col("user_id") % 2).alias("cohort"),
             "event_id",
             "value",
@@ -1035,7 +1036,7 @@ def pandas_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            * CASE event_type WHEN 'click' THEN 2 WHEN 'view' THEN 1
                              WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
                              ELSE 0 END AS score
-    FROM events
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     """,
 )
 def pandas_iter_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,7 +1070,7 @@ def pandas_iter_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             # raises on NaN in the worker (r11 NULL-parity audit)
             yield cents.astype("Int64") * w
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     return e.select(
         "event_id",
         score(

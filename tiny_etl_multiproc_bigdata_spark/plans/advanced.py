@@ -22,6 +22,7 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
     event_time_order,
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import stable_token_hash
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
@@ -637,7 +638,7 @@ _DD_OFF = 100_000  # positive shift for floor-division of negative log buckets
       SELECT event_type, value,
              CAST(floor(ln(value) * 1000000 + 0.5) AS BIGINT) AS lq,
              CAST(floor(ln({_DD_GAMMA}) * 1000000 + 0.5) AS BIGINT) AS g
-      FROM events WHERE value > 0
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE value > 0
     ), b AS (
       SELECT event_type,
              CAST(floor((lq + {_DD_OFF} * g) / g) AS BIGINT) - {_DD_OFF}
@@ -696,7 +697,7 @@ def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(q·n) are pure integer arithmetic; the final γ^b estimate is
     one power() per group-bucket, quantized by the portable floor
     form."""
-    e = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("value") > 0)
     lq = F.floor(F.log(F.col("value")) * 1_000_000 + 0.5).cast("bigint")
     g = F.floor(F.log(F.lit(float(_DD_GAMMA))) * 1_000_000 + 0.5).cast(
         "bigint"
@@ -769,7 +770,7 @@ _OLS_EPOCH = "2024-01-01"  # x origin: keeps day indices 0..~60, sums tiny
       SELECT event_type,
              CAST(CAST(ts AS DATE) - DATE '{_OLS_EPOCH}' AS BIGINT) AS x,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY event_type, CAST(ts AS DATE)
     ),
     s AS (
       SELECT event_type,
@@ -803,7 +804,7 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partially-aggregated pass; the regression itself runs on that
     tiny summary. This is the pattern for ANY closed-form sufficient-
     statistics model at scale — never feed raw rows to the fit."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -850,7 +851,7 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT event_type, user_id % 2 AS cohort,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     s AS (
       SELECT event_type,
@@ -890,7 +891,7 @@ def welch_t_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces six numbers per group; the test statistic is computed on
     the |groups|-row summary. Cohort assignment is a pure expression —
     no user-table join."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     v = e.select(
         "event_type",
         (F.col("user_id") % 2).alias("cohort"),
@@ -1032,7 +1033,7 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-      FROM events WHERE ts IS NOT NULL
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL
     ),
     per_h AS (
       SELECT event_type, h, count(*) AS nh, sum(y) AS sh
@@ -1089,7 +1090,7 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Input contract (r11 NULL-parity audit): an hour threshold cannot
     place a row with no timestamp on either side — NULL-ts rows
     excluded explicitly on both engines."""
-    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("ts").isNotNull())
     v = e.select(
         "event_type",
         F.hour("ts").cast("bigint").alias("h"),
@@ -1442,14 +1443,14 @@ def caliper_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     v AS (
       SELECT event_type,
              user_id % 2 = 1 AS treated,
              epoch_us(ts) > (SELECT mid_us FROM w) AS post,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     cells AS (
       SELECT event_type,
@@ -1483,7 +1484,7 @@ def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one partially-aggregated groupBy producing eight
     numbers per group; cohort and period assignment are pure
     expressions. The midpoint is a 1-row broadcast aggregate."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     # portable epoch-micros of the naive timestamp (the asof_last_signup
     # idiom — matches DuckDB's epoch_us on TIMESTAMP_NTZ)
     t_us = F.unix_timestamp("ts") * 1_000_000 + F.date_format(
@@ -1551,7 +1552,7 @@ _SPRT_HI = 5000        # "high-value" threshold, integer cents
       SELECT user_id % 2 AS cohort, ts, event_id,
              CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > {_SPRT_HI}
                   THEN 1 ELSE 0 END AS x
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     walk AS (
       SELECT cohort, ts, event_id,
@@ -1596,7 +1597,7 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing; a deployment parallelizes over many (experiment, arm)
     series. The streaming version is the streaming_cusum_alert
     pattern with (n, llr, decided) state."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     v = e.select(
         (F.col("user_id") % 2).alias("cohort"),
         "ts",
@@ -1675,7 +1676,7 @@ def _pois_w_sql(u: str) -> str:
                  " || '|' || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT)"
                  f" / {_U_DENOM})"
              )} AS w
-      FROM events e, range(0, {_BOOT_B}) b(b)
+      FROM (SELECT * FROM events WHERE value > -9007199254.740992 AND value < 9007199254.740992) e, range(0, {_BOOT_B}) b(b)
       WHERE e.value IS NOT NULL
     ),
     means AS (
@@ -1698,7 +1699,7 @@ def _pois_w_sql(u: str) -> str:
     JOIN (SELECT event_type,
                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
                  count(*) AS n
-          FROM events WHERE value IS NOT NULL
+          FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE value IS NOT NULL
           GROUP BY event_type) p
       ON s.event_type = p.event_type
     """,
@@ -1724,7 +1725,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded on both engines (an all-NULL group's replica means would
     otherwise be an empty collect_list and element_at(ms, 1) throws,
     while DuckDB's list() keeps NULLs and emits a NULL CI)."""
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("value").isNotNull())
     reps = e.crossJoin(
         spark.range(_BOOT_B).select(F.col("id").alias("b"))
     ).select(
@@ -1834,7 +1835,7 @@ def _gbdt_round_ctes(k: int) -> str:
       SELECT CAST(hour(ts) AS BIGINT) AS h,
              CAST(user_id % 7 AS BIGINT) AS c,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ),{_gbdt_round_ctes(1)},{_gbdt_round_ctes(2)}
     SELECT 1 AS round, w1.feature, w1.thr AS threshold,
            w1.gl AS gamma_left, w1.gr AS gamma_right,
@@ -1870,7 +1871,7 @@ def gbdt_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Input contract (r11 NULL-parity audit): a stump threshold cannot
     place a row with a NULL feature (no timestamp / no user) on either
     side — excluded explicitly on both engines."""
-    e = table(spark, sf_dir, "events").filter(
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
     v = e.select(

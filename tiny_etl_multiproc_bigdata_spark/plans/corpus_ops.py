@@ -34,14 +34,21 @@ from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     round_half_up,
 )
 from tiny_etl_multiproc_bigdata_spark.functions.text import (
+    duck_jlower,
     tokenize_words_nonempty,
     word_ngrams,
 )
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
-# DuckDB twin of tokenize_words_nonempty (same fragment as quality.py)
+# DuckDB twin of tokenize_words_nonempty (same fragment as quality.py,
+# patched identically): the token strings flow into output hashes,
+# fingerprints, and term columns, so the oracle must lower exactly
+# like the engine (r13 unicode matrix: one İ silently shifted 14 of
+# this module's entries — see functions/text.py::duck_jlower).
 _DUCK_TOKS = (
-    r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+    r"list_filter(regexp_split_to_array("
+    + duck_jlower("text")
+    + r", '\s+'), t -> t <> '')"
 )
 
 _SEG = 8  # dedup segment width (tokens)
@@ -807,8 +814,8 @@ def win_ctes_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
     near-dup pair join."""
     return rf"""
     WITH t AS (
-      SELECT doc_id, lower(text) AS low FROM documents
-      WHERE length(lower(text)) >= {k + w - 1}
+      SELECT doc_id, {duck_jlower("text")} AS low FROM documents
+      WHERE length({duck_jlower("text")}) >= {k + w - 1}
     ), enc AS (
       SELECT doc_id,
              list_transform(

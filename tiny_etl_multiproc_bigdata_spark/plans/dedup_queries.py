@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
@@ -665,7 +666,8 @@ def _simhash_oracle() -> str:
     WITH tok AS (
       SELECT DISTINCT doc_id, t.token AS token
       FROM documents,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+           unnest(list_filter(regexp_split_to_array(
+                    lower(replace(text, 'İ', 'i' || chr(775))), '\s+'),
                               x -> x <> '')) AS t(token)
     ), bits AS (
       SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id
@@ -1502,7 +1504,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id, event_type,
                             CAST(floor(value * 100 + 0.5) AS BIGINT)
                ORDER BY ts, event_id) AS gap_us
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     )
     SELECT user_id, event_type, event_id, cents
     FROM k WHERE gap_us IS NULL OR gap_us > 1000000
@@ -1525,7 +1527,7 @@ def telemetry_near_time_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window's single lag value — nothing like the distinct-set
     state exact dedup carries, which is why telemetry pipelines run
     this rule BEFORE content-hash dedup."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     t_us = (
         F.unix_timestamp("ts") * 1_000_000

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.functions.text import tokenize_words
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
@@ -102,7 +103,7 @@ def regexp_capture_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              count(*) AS n,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
       WHERE user_id < 40 AND event_type IS NOT NULL
         AND value IS NOT NULL
       GROUP BY user_id, event_type
@@ -145,7 +146,7 @@ def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL values (an all-NULL-value type would put a NULL avg in the
     Spark map that to_json renders as \"TYPE\":null while the oracle's
     string_agg drops the element — the maps are over PRICED events)."""
-    e = table(spark, sf_dir, "events").filter(
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(
         (F.col("user_id") < 40)
         & F.col("event_type").isNotNull()
         & F.col("value").isNotNull()

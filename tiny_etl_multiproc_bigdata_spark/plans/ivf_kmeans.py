@@ -226,7 +226,10 @@ _DUCK_KM_COMP = (
     "               + 2000000 AS q\n"
     "      FROM embeddings,\n"
     "           unnest(list_transform(range(1, len(embedding) + 1),\n"
-    "                                 i -> {'i': i, 'v': embedding[i]})) AS t(x)"
+    "                                 i -> {'i': i, 'v': embedding[i]})) AS t(x)\n"
+    # input contract (r13 non-finite matrix): shared by the
+    # kmeans_fixed_iters and silhouette oracles, twin of _km_assign
+    "      WHERE " + _VEC_OK
 )
 
 
@@ -289,8 +292,11 @@ def _km_assign(spark: SparkSession, sf_dir: str):
     """Engine twin of ``_km_cte_prefix``: the quantized component table
     (localCheckpointed) and the iteration-{_KM_ITERS} integer-Lloyd
     assignment frame (vec_id, cid, d). Shared by kmeans_fixed_iters and
-    silhouette_sampled_eval."""
-    e = table(spark, sf_dir, "embeddings")
+    silhouette_sampled_eval. Input contract (r13 non-finite matrix):
+    incomplete vectors excluded on both engines before quantization."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        is_complete_vector(F.col("embedding"))
+    )
     comp = (
         e.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
         .select(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
@@ -207,16 +208,16 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "robust_outlier_bounds",
     oracle="""
     WITH med AS (
-      SELECT CAST(quantile_cont(value, 0.5) AS DOUBLE) AS m FROM events
+      SELECT CAST(quantile_cont(value, 0.5) AS DOUBLE) AS m FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ), mad AS (
       SELECT CAST(quantile_cont(abs(value - m), 0.5) AS DOUBLE) AS d
-      FROM events, med
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events, med
     )
     SELECT e.event_type,
            count(*) AS n_events,
            CAST(sum(CASE WHEN abs(e.value - med.m) > 3 * mad.d
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM events e, med, mad
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) e, med, mad
     GROUP BY e.event_type
     """,
 )
@@ -227,7 +228,7 @@ def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     log. Exact `percentile` interpolates identically to DuckDB
     quantile_cont (verified property of this engine pair), so the
     |x - m| > 3*MAD cut is bit-identical."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     med = e.agg(F.expr("percentile(value, 0.5)").alias("m"))
     mad = (
         e.crossJoin(F.broadcast(med))

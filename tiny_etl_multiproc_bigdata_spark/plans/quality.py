@@ -34,7 +34,14 @@ from tiny_etl_multiproc_bigdata_spark.plans.text_queries import _BPE_RE
 
 # shared token-array fragments (lowercased whitespace split, empties
 # dropped) — the DuckDB twin of functions/text.tokenize_words_nonempty
-_DUCK_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+# oracle lowercase rides duck_jlower's İ pre-map (r13 unicode matrix:
+# text_repetition_strip's strip-hash and hashed_linear_classifier's
+# feature buckets silently shifted on one Turkish İ) — same fragment
+# as corpus_ops.py
+_DUCK_TOKS = (
+    r"list_filter(regexp_split_to_array("
+    r"lower(replace(text, 'İ', 'i' || chr(775))), '\s+'), t -> t <> '')"
+)
 
 
 def _toks() -> F.Column:

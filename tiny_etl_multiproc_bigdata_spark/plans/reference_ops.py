@@ -168,7 +168,7 @@ def p1_static_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p2_derived_values",
     oracle="""
     SELECT doc_id,
-           CAST(length(lower(trim(text))) AS BIGINT) AS clean_len
+           CAST(length(lower(replace(trim(text), 'İ', 'i' || chr(775)))) AS BIGINT) AS clean_len
     FROM documents
     """,
 )
@@ -288,7 +288,7 @@ def p11_remove_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p12_mapper_chain",
     oracle=r"""
-    SELECT DISTINCT lower(trim(t.token)) AS norm_word
+    SELECT DISTINCT lower(replace(trim(t.token), 'İ', 'i' || chr(775))) AS norm_word
     FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
     """,
 )
@@ -472,9 +472,9 @@ def a1_reduce_fold_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a3_unique_filter",
     oracle=r"""
-    SELECT source, lower(trim(t.token)) AS norm_word
+    SELECT source, lower(replace(trim(t.token), 'İ', 'i' || chr(775))) AS norm_word
     FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
-    GROUP BY source, lower(trim(t.token))
+    GROUP BY source, lower(replace(trim(t.token), 'İ', 'i' || chr(775)))
     """,
 )
 def a3_unique_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

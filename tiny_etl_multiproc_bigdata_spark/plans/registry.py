@@ -281,33 +281,163 @@ _PRIORITY: tuple[str, ...] = (
 # when touching this dict so it lists only live debt. Future
 # requeues: add (name, round-of-change) here.
 _REQUEUE_VINTAGE: dict[str, int] = {
-    # --- r12 NULL-ELEMENT matrix extension (null_parity_audit.py),
-    # the 9 names the r12 50-row sample window couldn't hold ---
-    # A schema-legal embedding with NULL *elements* (partial decode
-    # shape; distinct from embedding-IS-NULL, which the r11 contract
-    # covered) diverged 18 entries: Spark's aggregate/zip_with folds
-    # NULL-propagate element-wise while DuckDB's list_inner_product
-    # ERRORS outright and its list_sum SKIPS NULL terms (a biased
-    # partial distance). Fixed with one symmetric contract —
-    # functions/vectors.py::is_complete_vector in the engine,
-    # complete_vector_sql in every oracle: incomplete vectors are
-    # DROPPED on both sides (a vector missing a dimension is not
-    # comparable; zero-filling would bias every distance). Values on
-    # the committed fixtures (no NULL elements) are unchanged —
-    # changed-code hygiene rows only. (The 50 r11/r12 names that drew
-    # their fresh row in the r12 sample — the 44 r11 NULL-parity +
-    # empty-input carries, streaming_late_data_drop, and the first 9
-    # NULL-element names window order reached — were pruned at r13
-    # per the remove-at-next-touch policy above.)
-    "hard_negative_mining": 12,
-    "int8_reconstruction_error": 12,
-    "knn_label_eval": 12,
-    "mutual_nn_pairs": 12,
-    "pq_adc_topk": 12,
-    "pq_code_assign": 12,
-    "pq_recall_eval": 12,
-    "triplet_margin_violation_rate": 12,
-    "vector_norm_stats": 12,
+    # --- r13 matrix extensions (tools/null_parity_audit.py
+    # --nonfinite and --unicode; 124 entries total) ---
+    # NON-FINITE DOUBLES: a schema-legal NaN/±Inf/1e308 in
+    # events.value or an embedding element diverged 74 entries
+    # three ways — Spark's ANSI CAST threw where DuckDB's
+    # ConversionException threw at different rows, DuckDB's
+    # stddev/corr raised Out-of-Range where Spark folded NaN, and
+    # Spark silently saturated CAST(±Inf AS BIGINT) to Long.MIN
+    # inside aggregates. Fixed with two symmetric contracts at
+    # depth: functions/numerics.py::in_grid_domain /
+    # grid_domain_sql (scalar measurements must lie inside the
+    # quantization-grid domain |x| < 2**53/1e6 — two pushable
+    # range conjuncts that exclude NULL, NaN, ±Inf and corrupt
+    # magnitudes identically in both engines) and a finite-element
+    # widening of functions/vectors.py::is_complete_vector.
+    # ADVERSARIAL UTF-8: the engines' lowercase mappings differ on
+    # 71 codepoints (enumerated exhaustively); the realistic one,
+    # Turkish U+0130 İ, silently shifted every downstream token
+    # string, fingerprint md5 and simhash in 20 entries — fixed
+    # oracle-side with functions/text.py::duck_jlower (Spark's
+    # mapping is the Unicode-correct side). Values on every
+    # committed fixture are unchanged (no non-finite values or
+    # İ exist there) — changed-code hygiene rows only. Entries
+    # sharing the patched fragments (_DUCK_TOKS, duck_jlower,
+    # complete_vector_sql, DUCK_FINGERPRINT) requeue too: their
+    # oracle text changed, so their parity evidence is stale by
+    # definition even where values are provably identical.
+    # The 9 names below lead the dict DELIBERATELY: they are the
+    # r12 vintage-12 carries the r12 window could not hold (their
+    # vintage upgrades in place, r12 precedent), and tier-1 order
+    # is dict insertion order — listing them first guarantees the
+    # r13 50-row sample drains them (VERDICT r12 item 1).
+    "hard_negative_mining": 13,
+    "int8_reconstruction_error": 13,
+    "knn_label_eval": 13,
+    "mutual_nn_pairs": 13,
+    "pq_adc_topk": 13,
+    "pq_code_assign": 13,
+    "pq_recall_eval": 13,
+    "triplet_margin_violation_rate": 13,
+    "vector_norm_stats": 13,
+    # --- the remaining r13 changed-code listings ---
+    "a3_unique_filter": 13,
+    "ab_power_mde": 13,
+    "ann_bruteforce_topk": 13,
+    "ann_ivf_multiprobe": 13,
+    "ann_ivf_topk": 13,
+    "ann_lsh_buckets": 13,
+    "ann_lsh_topk": 13,
+    "anomaly_rolling_zscore": 13,
+    "bigram_logprob_score": 13,
+    "bm25_doc_scores": 13,
+    "ccnet_perplexity_buckets": 13,
+    "char_coverage_vocab": 13,
+    "chunk_sliding_tokens": 13,
+    "cohens_kappa_agreement": 13,
+    "confusion_matrix_threshold": 13,
+    "cross_correlation_lags": 13,
+    "ctfidf_cluster_terms": 13,
+    "cuped_variance_reduction": 13,
+    "cusum_alert_path": 13,
+    "cusum_changepoint": 13,
+    "ddsketch_quantiles": 13,
+    "decision_stump_split": 13,
+    "decontaminate_eval_overlap": 13,
+    "dedup_corpus_segments": 13,
+    "dedup_corpus_segments_rewrite": 13,
+    "dedup_embedding_cosine": 13,
+    "dedup_embedding_lsh": 13,
+    "dedup_incremental_embedding": 13,
+    "dedup_semantic_kmeans": 13,
+    "dedup_simhash": 13,
+    "dedup_token_inflation": 13,
+    "diff_in_differences": 13,
+    "dsir_importance_weights": 13,
+    "embedding_drift_centroids": 13,
+    "embedding_gram_matrix": 13,
+    "embedding_label_centroids": 13,
+    "embedding_power_iteration": 13,
+    "embedding_quantize_int8": 13,
+    "embedding_standardize": 13,
+    "ewma_fixed_horizon": 13,
+    "feature_hash_counts": 13,
+    "gbdt_boosted_stumps": 13,
+    "grouped_arrow_value_stats": 13,
+    "grouped_ols_trend": 13,
+    "half_life_weighted_revenue": 13,
+    "hashed_linear_classifier": 13,
+    "hybrid_search_rrf": 13,
+    "inverted_index_build": 13,
+    "ivf_recall_eval": 13,
+    "kmeans_fixed_iters": 13,
+    "kruskal_wallis_weekday": 13,
+    "linear_interpolate_gaps": 13,
+    "locf_impute": 13,
+    "lsh_recall_eval": 13,
+    "map_hof_suite": 13,
+    "mase_forecast_eval": 13,
+    "mcnemar_paired_test": 13,
+    "monotone_streak_lengths": 13,
+    "naive_bayes_lang_confusion": 13,
+    "ndcg_ranking_eval": 13,
+    "nearest_centroid_eval": 13,
+    "ohlc_daily_candles": 13,
+    "p12_mapper_chain": 13,
+    "p2_derived_values": 13,
+    "pandas_iter_udf_scoring": 13,
+    "pmi_collocations": 13,
+    "poisson_bootstrap_ci": 13,
+    "pr_curve_thresholds": 13,
+    "pretrain_corpus_pipeline": 13,
+    "python_datasource_stream_write": 13,
+    "rank_biased_overlap_eval": 13,
+    "repetition_quality_flags": 13,
+    "robust_outlier_bounds": 13,
+    "roc_auc_eval": 13,
+    "rolling_median_exact": 13,
+    "segment_novelty_rate": 13,
+    "segment_provenance_topk": 13,
+    "silhouette_sampled_eval": 13,
+    "sketch_count_min_topk": 13,
+    "source_overlap_matrix": 13,
+    "span_corruption_targets": 13,
+    "sprt_sequential_test": 13,
+    "sql_scripting_iterative_trim": 13,
+    "sql_table_function_lateral": 13,
+    "streaming_anomaly_zscore": 13,
+    "streaming_cusum_alert": 13,
+    "streaming_denylist_filter": 13,
+    "streaming_ohlc_candles": 13,
+    "streaming_segment_dedup": 13,
+    "streaming_sprt_decision": 13,
+    "streaming_stateful_counter": 13,
+    "streaming_stream_static_join": 13,
+    "streaming_tumbling_counts": 13,
+    "stupid_backoff_score": 13,
+    "telemetry_near_time_dedup": 13,
+    "text_boilerplate_strip": 13,
+    "text_fingerprint": 13,
+    "text_repetition_strip": 13,
+    "text_winnowing_fingerprint": 13,
+    "tfidf_topk_terms": 13,
+    "time_grouping_sets_rollup": 13,
+    "time_weighted_average": 13,
+    "token_entropy_score": 13,
+    "tokenizer_fertility_by_lang": 13,
+    "truncation_loss_report": 13,
+    "unigram_logprob_score": 13,
+    "vocab_coverage_curve": 13,
+    "vwap_daily": 13,
+    "welch_t_test_ab": 13,
+    "window_groups_frame_sum": 13,
+    "window_range_interval_frame": 13,
+    "window_sliding_counts": 13,
+    "window_tumbling_counts": 13,
+    "winnowing_neardup_pairs": 13,
+    "zipf_fit_slope": 13,
 }
 
 # Names-only view (insertion order preserved) for consumers that only

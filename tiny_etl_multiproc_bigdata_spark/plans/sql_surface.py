@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 # Synthetic deterministic "referral" graph over customers: every
@@ -704,7 +705,8 @@ _TRIM_ITERS = 3
     "sql_scripting_iterative_trim",
     oracle="""
     WITH v AS (
-      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     t1 AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS t FROM v),
     t2 AS (SELECT CAST(floor(avg(v.cents)) AS BIGINT) AS t
@@ -733,7 +735,9 @@ def sql_scripting_iterative_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: each loop pass is one full aggregation — scripting
     changes control flow, not data flow; the scan count is the
     iteration count, as the unrolled oracle makes explicit."""
-    table(spark, sf_dir, "events").select(
+    table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value"))
+    ).select(
         F.floor(F.col("value") * 100 + F.lit(0.5))
         .cast("bigint")
         .alias("cents")
@@ -903,7 +907,8 @@ def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY CAST(floor(value * 100 + 0.5)
                                               AS BIGINT) DESC,
                                          event_id ASC) AS rn
-      FROM events WHERE user_id < 50
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
+      WHERE user_id < 50
     )
     SELECT user_id, event_id, cents FROM r WHERE rn <= 2
     """,
@@ -927,7 +932,9 @@ def sql_table_function_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: after decorrelation this is one window over a
     user-partitioned sort — per-row re-execution of the function body
     never happens."""
-    table(spark, sf_dir, "events").createOrReplaceTempView("sql_tf_events")
+    table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value"))
+    ).createOrReplaceTempView("sql_tf_events")
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION user_events_tvf(uid BIGINT)

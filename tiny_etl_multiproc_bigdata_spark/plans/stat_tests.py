@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
@@ -1244,7 +1245,7 @@ def template_skeleton_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     per_user AS (
       SELECT user_id, user_id % 2 = 1 AS treated,
@@ -1254,7 +1255,7 @@ def template_skeleton_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                FILTER (epoch_us(ts) > (SELECT mid_us FROM w)), 0)
                AS BIGINT) AS y
-      FROM events GROUP BY user_id
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY user_id
     ),
     s AS (
       SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -1304,7 +1305,7 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     with filtered sums; the midpoint is a 1-row broadcast. Power sums
     of cents overflow int64 around ~10^5 users x large balances —
     the decimal(38,0) switch is the marked cast."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     t_us = F.unix_timestamp("ts") * 1_000_000 + F.date_format(
         "ts", "SSSSSS"
     ).cast("bigint")
@@ -1618,7 +1619,7 @@ _Z_BETA = 0.8416212335729143  # 80% power
       SELECT user_id, user_id % 2 = 1 AS treated,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS y
-      FROM events GROUP BY user_id
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY user_id
     ),
     s AS (
       SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -1656,7 +1657,7 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one corpus-scale groupBy to user grain and one
     scalar aggregate — the same two-stage shape as every per-user
     metric here."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     per_user = e.groupBy("user_id").agg(
         F.sum(exact_round(F.col("value") * 100, 0).cast("bigint"))
         .cast("bigint")
@@ -1806,7 +1807,7 @@ _CCF_MAX_LAG = 3
              CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                            FILTER (event_type = 'purchase'), 0) AS BIGINT)
                AS p
-      FROM events GROUP BY 1
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY 1
     ),
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
@@ -1851,7 +1852,7 @@ def cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale stage); the +-{L}-band self-join and both scalar
     aggregates run over the bounded hour series, localCheckpointed
     once for its three consumers."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     cents = exact_round(F.col("value") * 100, 0).cast("bigint")
     hourly = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
@@ -2503,7 +2504,7 @@ def ransac_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS wd,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     gv AS (SELECT wd, cents, count(*) AS c FROM v GROUP BY wd, cents),
     tv AS (
@@ -2562,7 +2563,7 @@ def kruskal_wallis_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank) are excluded explicitly on both engines; a NULL "value"
     would otherwise shift every midrank differently under the
     engines' opposite NULL sort defaults and add a bogus 8th group."""
-    e = table(spark, sf_dir, "events").filter(
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
     v = e.select(

@@ -169,9 +169,12 @@ def quality_from_docs(d: DataFrame, *extra_cols: str) -> DataFrame:
 
 
 # DuckDB twin of vocab_fingerprint(); `{col}`-substitutable.
+# oracle lowercase rides duck_jlower's İ pre-map (r13 unicode matrix:
+# the fingerprint md5 silently shifted on one Turkish İ) — shared by
+# text_fingerprint and curation.decontaminate_eval_overlap
 DUCK_FINGERPRINT = (
     "md5(array_to_string(list_sort(list_distinct("
-    r"list_filter(regexp_split_to_array(lower({col}), '\s+'),"
+    r"list_filter(regexp_split_to_array(lower(replace({col}, 'İ', 'i' || chr(775))), '\s+'),"
     " t -> t <> ''))), ' '))"
 )
 
@@ -259,7 +262,7 @@ def _boilerplate_oracle() -> str:
     WITH sents AS (
       SELECT doc_id,
              list_filter(list_transform(regexp_split_to_array(text, '\.'),
-                                        s -> trim(lower(s))),
+                                        s -> trim(lower(replace(s, 'İ', 'i' || chr(775))))),
                          s -> s <> '') AS l
       FROM {docs} d
       WHERE text IS NOT NULL
@@ -360,7 +363,7 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS (
       SELECT DISTINCT doc_id, t.term
       FROM documents,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+           unnest(list_filter(regexp_split_to_array(lower(replace(text, 'İ', 'i' || chr(775))), '\s+'),
                               x -> x <> '')) AS t(term)
     )
     SELECT term,
@@ -796,7 +799,7 @@ _CHAR_COV_PPM = 999_500
     oracle=f"""
     WITH ch AS (
       SELECT lang, c.c AS ch, count(*) AS n
-      FROM documents, unnest(string_split(lower(text), '')) AS c(c)
+      FROM documents, unnest(string_split(lower(replace(text, 'İ', 'i' || chr(775))), '')) AS c(c)
       WHERE c.c <> ' '
       GROUP BY lang, c.c
     ),

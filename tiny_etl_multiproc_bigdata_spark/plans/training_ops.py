@@ -37,6 +37,9 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
+from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
+    complete_vector_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
@@ -509,7 +512,7 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_topk_terms",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, lower(t.token) AS term
+      SELECT doc_id, lower(replace(t.token, 'İ', 'i' || chr(775))) AS term
       FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
       WHERE t.token <> ''
     ),
@@ -580,10 +583,11 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_label_centroids",
-    oracle="""
+    oracle=f"""
     SELECT label, CAST(i - 1 AS INTEGER) AS pos,
            floor(avg(embedding[i]::DOUBLE) * 10000 + 0.5) / 10000 AS centroid
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    WHERE {complete_vector_sql("embedding")}
     GROUP BY label, i
     """,
 )
@@ -594,8 +598,18 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1e-4 (float summation order varies across partitions and
     engines; the ulp noise sits ~9 orders below the cut). At 100 TB
     the shuffle carries only (label, pos, partial sum/count) pairs —
-    dims × labels rows, independent of corpus size."""
-    e = table(spark, sf_dir, "embeddings")
+    dims × labels rows, independent of corpus size. Input contract
+    (r13 non-finite matrix): incomplete vectors excluded on both
+    engines — before the contract, a single -Inf element saturated
+    Spark's centroid to a Long.MIN-scaled value (-922337203685000.0)
+    while the oracle said -inf: the silent-corruption shape, not even
+    a crash."""
+    from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
+        is_complete_vector,
+    )
+    e = table(spark, sf_dir, "embeddings").filter(
+        is_complete_vector(F.col("embedding"))
+    )
     ex = e.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     ).select("label", F.col("pos").cast("int").alias("pos"), "col")
@@ -737,7 +751,7 @@ def _cms_oracle() -> str:
     )
     return rf"""
     WITH toks AS (
-      SELECT lower(t.token) AS term
+      SELECT lower(replace(t.token, 'İ', 'i' || chr(775))) AS term
       FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
       WHERE t.token <> ''
     ),
@@ -934,7 +948,7 @@ _FEAT_BUCKETS = 64
     "feature_hash_counts",
     oracle=rf"""
     WITH toks AS (
-      SELECT doc_id, lower(t.token) AS term
+      SELECT doc_id, lower(replace(t.token, 'İ', 'i' || chr(775))) AS term
       FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
       WHERE t.token <> ''
     )
@@ -1138,7 +1152,7 @@ _SPAN_EVERY = 5  # every 5th span is masked (20% corruption rate)
     oracle=rf"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'),
+             list_filter(regexp_split_to_array(lower(replace(text, 'İ', 'i' || chr(775))), '\s+'),
                          x -> x <> '') AS l
       FROM documents
     ), t2 AS (
@@ -2222,7 +2236,7 @@ def largest_remainder_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ctfidf_cluster_terms",
     oracle=r"""
     WITH toks AS (
-      SELECT lang, lower(t.token) AS term
+      SELECT lang, lower(replace(t.token, 'İ', 'i' || chr(775))) AS term
       FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(token)
       WHERE t.token <> ''
     ),

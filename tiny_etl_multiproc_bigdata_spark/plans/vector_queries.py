@@ -276,12 +276,13 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
                / 127.0 AS scale
       FROM embeddings
+      WHERE {_VEC_OK}
     )
     SELECT vec_id,
            (floor(scale * 1000000 + 0.5) / 1000000) AS scale_r,
@@ -303,7 +304,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-inlined per element by CollapseProject (~d·d flops/row, d=64 —
     still cheaper at scale than materializing an intermediate column
     via a barrier or shuffle)."""
-    e = table(spark, sf_dir, "embeddings")
+    e = _complete_embeddings(spark, sf_dir)
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)
     q = F.transform(
@@ -563,13 +564,13 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_standardize",
-    oracle="""
+    oracle=f"""
     WITH comp AS (
       SELECT vec_id, x.i AS pos,
              CAST(floor(CAST(x.v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
-      FROM embeddings,
+      FROM (SELECT * FROM embeddings WHERE {_VEC_OK}) embeddings,
            unnest(list_transform(range(1, len(embedding) + 1),
-                                 i -> {'i': i, 'v': embedding[i]})) AS t(x)
+                                 i -> {{'i': i, 'v': embedding[i]}})) AS t(x)
     ), stats AS (
       SELECT pos,
              CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS mean_q,
@@ -609,8 +610,10 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     work. The per-vector regroup shuffles (vec_id, 64 ints); at 100 TB
     you would instead keep components in-row via zip_with against a
     64-element broadcast stats array — same math, zero regroup; the
-    exploded form is used here so the stats join shape is exercised."""
-    e = table(spark, sf_dir, "embeddings")
+    exploded form is used here so the stats join shape is exercised.
+    Input contract (r13 non-finite matrix): incomplete vectors are
+    excluded on both engines before standardization."""
+    e = _complete_embeddings(spark, sf_dir)
     comp = e.select(
         "vec_id",
         F.posexplode("embedding").alias("pos0", "v"),
@@ -943,7 +946,8 @@ def _pca_oracle() -> str:
       SELECT vec_id, CAST(t.i AS BIGINT) AS i,
              CAST(floor(embedding[i]::DOUBLE * {_PCA_SCALE} + 0.5)
                   AS BIGINT) AS y0
-      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      FROM (SELECT * FROM embeddings WHERE {_VEC_OK}) embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i)
     ), nn AS (
       SELECT count(DISTINCT vec_id) AS n FROM q0
     ), dimsum AS (
@@ -1023,8 +1027,9 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined per-row dot product, and a 64-group contraction
     — two narrow shuffles per round, state is 64 integers. This is the
     standard distributed power iteration (the building block under
-    PCA whitening of embedding spaces)."""
-    e = table(spark, sf_dir, "embeddings")
+    PCA whitening of embedding spaces). Input contract (r13
+    non-finite matrix): incomplete vectors excluded on both engines."""
+    e = _complete_embeddings(spark, sf_dir)
     q0 = (
         e.select("vec_id", F.posexplode("embedding"))
         .select(
@@ -1310,7 +1315,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, i - 1 AS pos,
              floor(avg(embedding[i]::DOUBLE) * 10000 + 0.5) / 10000 AS c
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-      WHERE vec_id >= {_KNN_Q}
+      WHERE vec_id >= {_KNN_Q} AND {_VEC_OK}
       GROUP BY label, i
     ),
     cvec AS (
@@ -1320,7 +1325,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT vec_id AS query_id, label AS true_label,
              embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {_KNN_Q}
+      FROM embeddings WHERE vec_id < {_KNN_Q} AND {_VEC_OK}
     ),
     scored AS (
       SELECT q.query_id, q.true_label, cvec.c_label,
@@ -1354,8 +1359,9 @@ def nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: centroids are a (labels x dims)-row aggregate of
     partial sums (corpus scans once), then broadcast as |labels| tiny
     vectors against the fixed query budget — the eval costs one scan
-    + one broadcast nested loop over 10 rows."""
-    e = table(spark, sf_dir, "embeddings")
+    + one broadcast nested loop over 10 rows. Input contract (r13
+    non-finite matrix): incomplete vectors excluded on both engines."""
+    e = _complete_embeddings(spark, sf_dir)
     train = e.filter(F.col("vec_id") >= _KNN_Q)
     cent = (
         train.select(
@@ -1682,6 +1688,7 @@ def gram_from_embeddings(e: DataFrame) -> DataFrame:
                             x -> CAST(floor(x * {_GRAM_Q} + 0.5) AS BIGINT))
                AS qv
       FROM embeddings
+      WHERE {_VEC_OK}
     )
     SELECT i.i AS i, j.j AS j,
            CAST(sum(q.qv[i.i] * q.qv[j.j]) AS BIGINT) AS gram_units
@@ -1707,8 +1714,14 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     only |partitions| x 2080 partial rows, and the result is 2080 rows
     regardless of input size. At d large enough that d^2 per-row
     expansion dominates, block the dimension (tile the triangle) —
-    the same plan per tile."""
-    e = table(spark, sf_dir, "embeddings")
+    the same plan per tile. Input contract (r13 non-finite matrix):
+    incomplete vectors excluded on both engines BEFORE quantization —
+    Spark's ANSI CAST throws on a NaN/Inf element and DuckDB's raises
+    ConversionException, so an uncontracted Gram dies on the first
+    corrupt row at corpus scale. The filter lives HERE (the registry
+    entry), not in gram_from_embeddings, so bench.py's amplified
+    topology keeps its byte-identical plan."""
+    e = _complete_embeddings(spark, sf_dir)
     return gram_from_embeddings(e)
 
 
@@ -1830,7 +1843,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_drift_centroids",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT vec_id, label,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
@@ -1839,6 +1852,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                             x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))
                AS qv
       FROM embeddings
+      WHERE {_VEC_OK}
     ),
     cent AS (
       SELECT label, half, i.i AS i,
@@ -1875,8 +1889,9 @@ def embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: per-(label, half) vector sums fold map-side (one
     pass, d accumulators each); the distance runs on 2·|labels| rows.
-    No pairwise anything."""
-    e = table(spark, sf_dir, "embeddings")
+    No pairwise anything. Input contract (r13 non-finite matrix):
+    incomplete vectors excluded on both engines."""
+    e = _complete_embeddings(spark, sf_dir)
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 10_000 + 0.5).cast("bigint"),

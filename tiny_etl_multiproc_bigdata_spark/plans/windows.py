@@ -22,6 +22,7 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
     event_time_order,
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
@@ -146,7 +147,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
-    FROM events
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     GROUP BY 1, 2
     """,
 )
@@ -154,7 +155,7 @@ def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute event-time buckets as a plain groupBy — the
     batch twin of the streaming window aggregation (streaming/jobs.py);
     partial aggregation applies, unlike an ordered window."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     bucket = F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("bucket")
     return e.groupBy(bucket, "event_type").agg(
         F.count("*").alias("n"),
@@ -173,7 +174,7 @@ def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
              AS sum_value
-    FROM events, unnest([0, 300]) AS o(off)
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events, unnest([0, 300]) AS o(off)
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
@@ -191,7 +192,7 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit filter makes the contract visible and the oracle mirrors
     it (unlike batch tumbling above, whose NULL bucket survives
     identically on both engines)."""
-    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("ts").isNotNull())
     w = F.window("ts", "10 minutes", "5 minutes").alias("w")
     return (
         e.groupBy(w, "event_type")
@@ -278,7 +279,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
                                              ORDER BY ts ASC, event_id ASC)))
                   - floor(epoch(ts)) AS BIGINT) AS wt
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     )
     SELECT user_id,
            CAST(sum(wt) AS BIGINT) AS total_seconds,
@@ -297,7 +298,7 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL×seconds products keep the weighted sum exact and
     shuffle-order-independent; (ts, event_id) ordering breaks
     simultaneous-event ties identically in both engines."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     w = Window.partitionBy("user_id").orderBy(*event_time_order())
     wt = (
         F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
@@ -393,7 +394,7 @@ _EWMA_HORIZON = 16
     WITH c AS (
       SELECT user_id, event_id, ts,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     )
     SELECT user_id, event_id,
            (floor((
@@ -419,7 +420,7 @@ def ewma_fixed_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — no float accumulation ambiguity anywhere, unlike a
     pow()-based closed form. Scale: one window partitioned by user
     (the inherent running-sum shape), 16 lags in one pass."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     cents = F.col("value").cast("decimal(18,2)") * 100
     c = e.select(
         "user_id", "event_id", "ts", cents.cast("bigint").alias("cents")
@@ -670,7 +671,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(value AS DECIMAL(30,2))
                       * CAST(value AS DECIMAL(30,2))) OVER win AS DOUBLE)
                AS sxx
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
       WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
     ), z AS (
@@ -706,7 +707,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — the standard bounded-frame window; the 6-row frame keeps
     state O(1) per row. The streaming twin would be
     applyInPandasWithState over the same power sums."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     dec = F.col("value").cast("decimal(30,2)")
     # asc_nulls_last: a NULL-ts row must read the same trailing
     # baseline as under the oracle's NULLS LAST order (r11 NULL-parity
@@ -947,7 +948,7 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT user_id, event_id, ts,
              CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     )
     SELECT user_id, event_id,
            CAST(median(cents) OVER (
@@ -971,7 +972,7 @@ def rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame bound keeps per-row state at 7 values regardless of user
     history length. The tiebroken ORDER BY (ts, event_id) makes the
     ROWS frame — and hence the median — deterministic under ts ties."""
-    e = table(spark, sf_dir, "events").select(
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).select(
         "user_id",
         "event_id",
         "ts",
@@ -1005,7 +1006,7 @@ def rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL
       GROUP BY event_type, CAST(ts AS DATE)
     ),
     c AS (
@@ -1043,7 +1044,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Input contract (r11 NULL-parity audit): a change-POINT needs a
     date — NULL-ts rows excluded explicitly on both engines."""
-    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("ts").isNotNull())
     daily = (
         e.groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(
@@ -1093,7 +1094,7 @@ CUSUM_ALERT_ORACLE = f"""
     WITH v AS (
       SELECT event_type, event_id, ts,
              CAST(floor(value * 100 + 0.5) AS BIGINT) - {_CUSUM_K} AS d
-      FROM events WHERE ts IS NOT NULL
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT event_type, event_id, ts,
@@ -1136,7 +1137,7 @@ def cusum_alert_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time state machine — NULL-ts rows excluded explicitly on
     both engines (the streaming twin's watermark drops them anyway,
     so this also harmonizes the batch and streaming twins)."""
-    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("ts").isNotNull())
     v = e.select(
         "event_type",
         "event_id",
@@ -1363,7 +1364,7 @@ def markov_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts,
              CASE WHEN event_type = 'error' THEN NULL
                   ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     rows_n AS (
       SELECT user_id, event_id, ts, cents,
@@ -1402,7 +1403,7 @@ def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to every other per-user window here; LOCF is also the
     state-carry shape of the streaming twin pattern (two values of
     state per series)."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     v = e.select(
         "user_id",
         "event_id",
@@ -2035,7 +2036,7 @@ def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT event_id, event_type, CAST(ts AS DATE) AS day,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     r AS (
       SELECT event_id, event_type, day, cents,
@@ -2066,7 +2067,7 @@ def window_groups_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     day/grp) sort — Catalyst reuses the single sort+partition for
     both passes (no second shuffle); partitions are per-event-type,
     the natural key of the statement."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     v = e.select(
         "event_id",
         "event_type",
@@ -2160,7 +2161,7 @@ def leave_one_out_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     r AS (
       SELECT event_type, day, cents,
@@ -2194,7 +2195,7 @@ def ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final groupBy share it (same keys, Catalyst reuses the
     partitioning); high/low/count fold map-side. Bucket-sized state,
     never day-spanning."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     v = e.select(
         "event_type",
         F.to_date("ts").alias("day"),
@@ -2237,7 +2238,7 @@ def ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS day,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     )
     SELECT day,
            CAST(sum(cents * vol) AS BIGINT) AS notional_cents,
@@ -2260,7 +2261,7 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: single scan, JSON path evaluated JVM-side
     (get_json_object, codegen'd), one map-side-combined groupBy on
     day. Nothing else moves."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     v = e.select(
         F.to_date("ts").alias("day"),
         exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
@@ -2288,7 +2289,7 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts ASC, event_id ASC) AS rn
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     ),
     f AS (
       SELECT user_id, rn,
@@ -2308,7 +2309,7 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM isl GROUP BY user_id, island
     ),
     best AS (SELECT user_id, max(len) AS max_incs FROM runs GROUP BY user_id),
-    n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+    n AS (SELECT user_id, count(*) AS n_events FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY user_id)
     SELECT n.user_id, CAST(n.n_events AS BIGINT) AS n_events,
            CAST(coalesce(best.max_incs + 1, 1) AS BIGINT) AS longest_streak
     FROM n LEFT JOIN best ON n.user_id = best.user_id
@@ -2330,7 +2331,7 @@ def monotone_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Catalyst reuses the user_id sort), islands aggregate to at most
     one row per rising run, and the final join is per-user — all keys
     natural, no global ordering anywhere."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     wu = Window.partitionBy("user_id").orderBy(*event_time_order())
     v = e.select(
         "user_id",
@@ -2499,7 +2500,7 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS x
-      FROM events GROUP BY 1, 2
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY 1, 2
     ),
     scored AS (
       SELECT a.event_type,
@@ -2534,7 +2535,7 @@ def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the daily rollup collapses the corpus to
     |types| x |days| rows with map-side partial sums; both forecast
     joins and the final aggregation run on that tiny frame."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -2658,12 +2659,12 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "half_life_weighted_revenue",
     oracle="""
-    WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+    WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events),
     v AS (
       SELECT event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
              CAST(ref.ref_day - CAST(ts AS DATE) AS BIGINT) // 7 AS age_w
-      FROM events, ref
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events, ref
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -2687,7 +2688,7 @@ def half_life_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one scan + map-side combined groupBy; the ref-day
     scalar joins by broadcast. Nothing ordered, nothing windowed."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     ref = e.agg(F.max(F.to_date("ts")).alias("ref_day"))
     v = e.crossJoin(F.broadcast(ref)).select(
         "event_type",
@@ -2725,7 +2726,7 @@ _RI_7D_US = 7 * 86400 * 1_000_000  # the oracle's INTERVAL 7 DAY, in micros
              PARTITION BY event_type ORDER BY ts
              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
              AS BIGINT) AS trailing7d_events
-    FROM events
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     """,
 )
 def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2769,7 +2770,7 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames NULL order keys as their peer group) are real output rows
     that plain equi-joins would drop. Pinned on constructed data in
     tests/test_plans.py::test_interval_range_frame_all_null_is_null."""
-    e = table(spark, sf_dir, "events").select(
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).select(
         "event_id",
         "event_type",
         (
@@ -2964,7 +2965,7 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS day,
              CAST(date_trunc('month', ts) AS DATE) AS mon,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     )
     SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
                 WHEN GROUPING(mon) = 0 THEN 'month'
@@ -2992,7 +2993,7 @@ def time_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine collapses them immediately — still one scan and
     one exchange versus three separate jobs (the union-of-aggregates
     alternative scans 3x)."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     v = e.select(
         F.to_date("ts").alias("day"),
         F.trunc("ts", "month").alias("mon"),
@@ -3028,7 +3029,7 @@ def time_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
-      FROM events WHERE user_id < 40 GROUP BY 1, 2
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE user_id < 40 GROUP BY 1, 2
     ),
     span AS (
       SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
@@ -3085,7 +3086,7 @@ def linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     days|; the two IGNORE-NULLS window passes share one user
     partitioning. The interpolation never looks beyond the partition
     — shard-safe."""
-    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("user_id") < 40)
     daily = e.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(

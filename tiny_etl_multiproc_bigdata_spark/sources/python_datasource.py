@@ -266,7 +266,7 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, count(*) AS n,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS total_cents
-    FROM events GROUP BY event_type
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY event_type
     """,
 )
 def python_datasource_stream_write(
@@ -336,7 +336,7 @@ def python_datasource_stream_write(
     )
 
     ev = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, require_measure_domain=True)
         .select(
             "event_type",
             F.floor(F.col("value") * 100 + F.lit(0.5))

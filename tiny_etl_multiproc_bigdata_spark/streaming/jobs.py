@@ -30,7 +30,8 @@ from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
 def _events_stream(
-    spark: SparkSession, sf_dir: str, *, require_event_time: bool = False
+    spark: SparkSession, sf_dir: str, *, require_event_time: bool = False,
+    require_measure_domain: bool = False
 ) -> DataFrame:
     """File-source stream of the events table (schema from a batch
     read).
@@ -42,6 +43,15 @@ def _events_stream(
     Spark's watermark machinery would drop them anyway, but silently
     and only on aggregated paths; the parameter makes the contract one
     declaration instead of nine copy-pasted filters.
+
+    ``require_measure_domain=True`` is the same one-declaration shape
+    for the r13 non-finite matrix (functions/numerics.py): operators
+    that consume ``value`` arithmetically drop rows whose value lies
+    outside the quantization-grid domain — a NaN/±Inf/corrupt
+    measurement would otherwise crash Spark's ANSI CAST in the
+    quantizing legs (and the oracle's DuckDB CAST differently), or
+    silently saturate aggregates. The caller's oracle carries the
+    matching range conjuncts.
 
     Watermarks require TIMESTAMP (with local tz), so both
     fixture vintages of `ts` normalize to an absolute-epoch LTZ where
@@ -72,6 +82,12 @@ def _events_stream(
         out = raw.withColumn("ts", F.timestamp_micros(epoch_us))
     if require_event_time:
         out = out.filter(F.col("ts").isNotNull())
+    if require_measure_domain:
+        from tiny_etl_multiproc_bigdata_spark.functions.numerics import (
+            in_grid_domain,
+        )
+
+        out = out.filter(in_grid_domain(F.col("value")))
     return out
 
 
@@ -127,13 +143,13 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, name: str, output_mode: s
            event_type,
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
-    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute windowed aggregation with a 10-minute
     watermark — the streaming twin of window_tumbling_counts."""
-    ev = _events_stream(spark, sf_dir, require_event_time=True)
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_measure_domain=True)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -233,7 +249,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE), 2)
              AS sum_value
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
 )
@@ -246,7 +262,7 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, and the broadcast keeps the stream side shuffle-free."""
     from tiny_etl_multiproc_bigdata_spark.catalog import table
 
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir, require_measure_domain=True)
     dim = table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
@@ -819,7 +835,7 @@ def streaming_stream_stream_left_outer(
              CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
              ts, event_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events WHERE ts IS NOT NULL
+      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL
     ),
     r AS (
       SELECT event_type, day_epoch, cents,
@@ -854,7 +870,7 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, day) window — constant per key per day regardless of
     event volume; the watermark bounds how many day-windows stay
     open."""
-    ev = _events_stream(spark, sf_dir, require_event_time=True)
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_measure_domain=True)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     key = F.struct(F.col("ts"), F.col("event_id"))
     agg = (
@@ -1155,7 +1171,7 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_kept,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS kept_cents
-    FROM events
+    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     WHERE ts IS NOT NULL
       -- anti-join semantics: a NULL user matches no denylist key and
       -- is KEPT; bare NOT IN would 3VL-drop it (r11 NULL-parity audit)
@@ -1187,7 +1203,7 @@ def streaming_denylist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("k"))
     )
-    ev = _events_stream(spark, sf_dir, require_event_time=True)
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_measure_domain=True)
     kept = ev.join(
         F.broadcast(deny), ev["user_id"] == deny["k"], "left_anti"
     )

@@ -26,11 +26,15 @@ oracle is a finding. Entries without an oracle are smoke-run
 The relational TPC-H tables are NOT spiked: their columns are NOT NULL
 by spec, so NULL behavior there is not a contract anyone holds.
 
-    python tools/null_parity_audit.py            # full board, NULL spikes
-    python tools/null_parity_audit.py name1 ...  # just these entries
-    python tools/null_parity_audit.py --empty    # zero-row tables instead
-                                                 # (the empty-date-slice
-                                                 # robustness board)
+    python tools/null_parity_audit.py             # full board, NULL spikes
+    python tools/null_parity_audit.py name1 ...   # just these entries
+    python tools/null_parity_audit.py --empty     # zero-row tables instead
+                                                  # (the empty-date-slice
+                                                  # robustness board)
+    python tools/null_parity_audit.py --nonfinite # NaN/±Inf/extreme doubles
+                                                  # (r13 matrix extension)
+    python tools/null_parity_audit.py --unicode   # adversarial UTF-8 text
+                                                  # (r13 matrix extension)
 """
 
 from __future__ import annotations
@@ -155,27 +159,174 @@ def _spiked_embeddings() -> list[dict]:
     return out
 
 
-def build_fixture(dst: str) -> None:
-    os.makedirs(dst, exist_ok=True)
-    spikes = {
-        "events": _spiked_events(),
-        "documents": _spiked_documents(),
-        "embeddings": _spiked_embeddings(),
-    }
+def _nonfinite_events() -> list[dict]:
+    """--nonfinite mode: NaN / ±Inf / extreme-magnitude doubles in
+    events.value — the realistic shape of sensor glitches, log-parse
+    artifacts, and divide-by-zero upstreams at corpus scale. Scouted
+    divergence classes (r13): DuckDB's stddev/corr family raises
+    Out-of-Range on ±Inf where Spark folds to NaN (crash-one-side,
+    same shape as r12's list_inner_product); Spark's floor(NaN)
+    silently yields BIGINT 0 where DuckDB keeps NaN then errors on
+    the cast (silent-bias vs crash); double→string renders 'NaN'/
+    'Infinity' vs 'nan'/'inf'."""
+    nan, inf = float("nan"), float("inf")
+    base = dict(
+        event_id=0, ts=_TS, user_id=7, event_type="click", value=1.5, props="{}"
+    )
+    combos = [
+        # on the event type most entries FILTER on, and on context types
+        {"value": nan, "event_type": "purchase"},
+        {"value": inf, "event_type": "purchase"},
+        {"value": -inf, "event_type": "purchase"},
+        {"value": nan, "event_type": "click"},
+        {"value": inf, "event_type": "click"},
+        {"value": nan, "event_type": "signup"},
+        {"value": nan, "event_type": "refund"},
+        # two huge same-sign values in ONE group: their SUM overflows
+        # to +Inf even though every input is finite-representable
+        {"value": 1e308, "event_type": "purchase", "user_id": 11},
+        {"value": 1e308, "event_type": "purchase", "user_id": 11},
+        {"value": -1e308, "event_type": "refund", "user_id": 12},
+        {"value": -1e308, "event_type": "refund", "user_id": 12},
+        # duplicate NaN in one group — NaN-normalizing aggs see >1
+        {"value": nan, "event_type": "purchase", "user_id": 13},
+        {"value": nan, "event_type": "purchase", "user_id": 13},
+    ]
+    out = []
+    for i, combo in enumerate(combos):
+        row = dict(base, event_id=2_000_000 + i)
+        row.update(combo)
+        row["ts"] = _TS + datetime.timedelta(hours=i)
+        out.append(row)
+    return out
+
+
+def _nonfinite_embeddings() -> list[dict]:
+    """Non-finite ELEMENTS inside schema-legal vectors (float32 holds
+    NaN/±Inf) — the partial-decode shape one step past the r12 NULL
+    element: a failed normalization writes NaN, an overflowed dot
+    writes Inf. A NaN distance is not a ranking value, so the contract
+    question is the same one r12 answered for NULL elements."""
+    nan, inf = float("nan"), float("inf")
+    return [
+        {"vec_id": 2_000_000,
+         "embedding": [0.5] * 20 + [nan] + [0.25] * 43, "label": 3},
+        {"vec_id": 2_000_001,
+         "embedding": [0.5] * 20 + [inf] + [0.25] * 43, "label": 2},
+        {"vec_id": 2_000_002,
+         "embedding": [0.5] * 20 + [-inf] + [0.25] * 43, "label": 1},
+        {"vec_id": 2_000_003, "embedding": [nan] * 64, "label": 3},
+        # finite but float32-huge: pairwise products overflow float32
+        # (3e38² ≫ f32 max) — engines differ in WHERE they widen
+        {"vec_id": 2_000_004,
+         "embedding": [3e38] * 64, "label": 2},
+    ]
+
+
+def _unicode_documents() -> list[dict]:
+    """--unicode mode: adversarial-but-valid-UTF-8 text — the realistic
+    web-corpus shapes (astral plane, ZWJ emoji, combining marks, Arabic
+    diacritics, case-mapping edge cases, NBSP, RTL marks, NUL bytes).
+    Scouted divergence classes (r13): upper('ß') = 'STRASSE' (Java)
+    vs 'STRAẞE' (utf8proc); lower('İ') keeps the combining dot in Java
+    but not DuckDB; reverse() is codepoint-wise in Spark but
+    grapheme-aware in DuckDB."""
+    texts = [
+        "a\U0001d11eb clef",                       # astral codepoint
+        "é́x combining acutes",         # stacked combining marks
+        "\U0001f469‍\U0001f4bb codes daily",  # ZWJ emoji sequence
+        "العَرَبِيَ"
+        "ّة text",                       # Arabic with diacritics
+        "straße lang",                        # sharp s casing
+        "Iıİi turkish",                  # dotted/dotless I
+        "a b c nbsp words",              # NBSP between words
+        "abc‏def rtl mark",                   # RTL mark
+        "a\x00b nul byte",                         # embedded NUL
+        "中文" * 40,                       # long CJK, no spaces
+    ]
+    out = []
+    for i, text in enumerate(texts):
+        out.append({
+            "doc_id": 3_000_000 + i,
+            "text": text,
+            # unicode in the GROUPING keys too (lang/source join and
+            # group paths), including a case-mapping-sensitive value
+            "lang": "tr" if i % 3 == 0 else ("İd" if i % 3 == 1 else "ar"),
+            "source": f"srcß{i % 2}",
+            "n_chars": len(text),
+        })
+    return out
+
+
+def _unicode_events() -> list[dict]:
+    base = dict(
+        event_id=0, ts=_TS, user_id=7, event_type="click", value=1.5, props="{}"
+    )
+    combos = [
+        {"event_type": "purchase", "props": '{"note": "straße"}'},
+        {"event_type": "purchase", "props": '{"emoji": "\U0001f469‍\U0001f4bb"}'},
+        {"event_type": "click", "props": '{"ar": "عَرَب"}'},
+        {"event_type": "signup", "props": '{"nul": "a\\u0000b"}'},
+    ]
+    out = []
+    for i, combo in enumerate(combos):
+        row = dict(base, event_id=3_000_000 + i)
+        row.update(combo)
+        row["ts"] = _TS + datetime.timedelta(hours=i)
+        out.append(row)
+    return out
+
+
+def _append_spikes(dst: str, spikes: dict[str, list[dict]]) -> None:
+    """Copy the fixture verbatim, appending the given spike rows on the
+    SAME physical schema (pandas metadata stripped so e.g.
+    timestamp[us] survives verbatim)."""
     for name in ("region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem"):
-        shutil.copy(f"{SF_DIR}/{name}.parquet", f"{dst}/{name}.parquet")
-    for name, rows in spikes.items():
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings"):
+        if name not in spikes:
+            shutil.copy(f"{SF_DIR}/{name}.parquet", f"{dst}/{name}.parquet")
+            continue
         src = pq.read_table(f"{SF_DIR}/{name}.parquet")
-        # strip pandas metadata; build the spike batch on the SAME
-        # physical schema so e.g. timestamp[us] survives verbatim
         schema = pa.schema([src.schema.field(i) for i in range(len(src.schema))])
         cols = {
-            f.name: [r[f.name] for r in rows] for f in schema
+            f.name: [r[f.name] for r in spikes[name]] for f in schema
         }
         spike = pa.table(cols, schema=schema)
         out = pa.concat_tables([src.cast(schema), spike])
         pq.write_table(out, f"{dst}/{name}.parquet")
+
+
+def build_fixture(dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    _append_spikes(dst, {
+        "events": _spiked_events(),
+        "documents": _spiked_documents(),
+        "embeddings": _spiked_embeddings(),
+    })
+
+
+def build_nonfinite_fixture(dst: str) -> None:
+    """--nonfinite mode: sf0.001 verbatim + NaN/±Inf/extreme spikes in
+    the double-typed surfaces (events.value, embedding elements). The
+    TPC-H tables and documents are NOT spiked: decimals can't hold NaN
+    and text carries no doubles."""
+    os.makedirs(dst, exist_ok=True)
+    _append_spikes(dst, {
+        "events": _nonfinite_events(),
+        "embeddings": _nonfinite_embeddings(),
+    })
+
+
+def build_unicode_fixture(dst: str) -> None:
+    """--unicode mode: sf0.001 verbatim + adversarial UTF-8 spikes in
+    the string surfaces (documents.text/lang/source, events.event_type
+    /props). TPC-H tables are NOT spiked (ASCII by spec)."""
+    os.makedirs(dst, exist_ok=True)
+    _append_spikes(dst, {
+        "documents": _unicode_documents(),
+        "events": _unicode_events(),
+    })
 
 
 def build_empty_fixture(dst: str) -> None:
@@ -233,13 +384,26 @@ _KNOWN_EMPTY_DEVIATIONS: dict[str, tuple[str, str]] = {
 }
 
 
+_MODES = {
+    "--empty": build_empty_fixture,
+    "--nonfinite": build_nonfinite_fixture,
+    "--unicode": build_unicode_fixture,
+}
+
+
 def main() -> None:
     args = sys.argv[1:]
-    empty_mode = "--empty" in args
-    unknown = [a for a in args if a.startswith("--") and a != "--empty"]
+    flags = [a for a in args if a.startswith("--")]
+    unknown = [a for a in flags if a not in _MODES]
     if unknown:
-        raise SystemExit(f"unknown flag(s): {unknown}; only --empty is supported")
-    only = set(a for a in args if a != "--empty")
+        raise SystemExit(
+            f"unknown flag(s): {unknown}; supported: {sorted(_MODES)}"
+        )
+    if len(flags) > 1:
+        raise SystemExit(f"pick ONE mode, got {flags}")
+    empty_mode = "--empty" in flags
+    build = _MODES[flags[0]] if flags else build_fixture
+    only = set(a for a in args if not a.startswith("--"))
     from pyspark.sql import SparkSession
 
     from compare import compare  # tests/compare.py
@@ -258,7 +422,7 @@ def main() -> None:
         raise SystemExit(f"not registry entries: {bad_names}")
     scratch = tempfile.mkdtemp(prefix="null_audit_")
     fix = os.path.join(scratch, "fixture")
-    (build_empty_fixture if empty_mode else build_fixture)(fix)
+    build(fix)
 
     spark = (
         SparkSession.builder.master("local[16]")

@@ -191,3 +191,54 @@ def test_unicode_fixture_nonvacuous(unicode_fixture):
         "SELECT count(*) FROM documents WHERE text LIKE '%İ%'"
     ).fetchone()[0]
     assert n >= 1
+
+
+# --ragged (functions/vectors.py declared-dimension conjunct,
+# EMBED_DIM) — a wrong-LENGTH vector with every element present and
+# finite is the input the element contracts can't see: Spark's
+# zip_with pads the shorter side with NULL (the fold dot product
+# silently NULL-propagates and biases every downstream distance /
+# top-k) while DuckDB's list_inner_product raises
+# InvalidInputException — 24 entries diverged on ONE ragged row
+# (18 crash-one-side, 6 silent-value).
+RAGGED_SENTINELS = [
+    "ann_bruteforce_topk",    # crash-one-side class (list_inner_product)
+    "pq_code_assign",         # silent-value class (subvector slicing)
+    "embedding_drift_centroids",  # Spark-side element_at index crash class
+]
+
+
+@pytest.fixture(scope="module")
+def ragged_fixture(tmp_path_factory):
+    from null_parity_audit import build_ragged_fixture
+
+    fix = str(tmp_path_factory.mktemp("ragged_parity") / "fixture")
+    build_ragged_fixture(fix)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix}/{t}.parquet')"
+        )
+    return fix, con
+
+
+@pytest.mark.parametrize("name", RAGGED_SENTINELS)
+def test_ragged_parity_sentinel(spark, ragged_fixture, name):
+    _load_all()
+    fix, con = ragged_fixture
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    problems = compare(spec.fn(spark, fix), con, spec.oracle, spec.ulp_sensitive)
+    assert not problems, f"{name} diverges on ragged-dimension input: {problems}"
+
+
+def test_ragged_fixture_nonvacuous(ragged_fixture):
+    """The spike must contain vectors of the wrong declared dimension
+    (guards against a future fixture edit silently defanging the
+    sentinels)."""
+    fix, con = ragged_fixture
+    n = con.execute(
+        "SELECT count(*) FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) <> 64"
+    ).fetchone()[0]
+    assert n >= 4

@@ -282,7 +282,7 @@ _PRIORITY: tuple[str, ...] = (
 # requeues: add (name, round-of-change) here.
 _REQUEUE_VINTAGE: dict[str, int] = {
     # --- r13 matrix extensions (tools/null_parity_audit.py
-    # --nonfinite and --unicode; 124 entries total) ---
+    # --nonfinite, --unicode and --ragged; 125 entries total) ---
     # NON-FINITE DOUBLES: a schema-legal NaN/±Inf/1e308 in
     # events.value or an embedding element diverged 74 entries
     # three ways — Spark's ANSI CAST threw where DuckDB's
@@ -301,9 +301,18 @@ _REQUEUE_VINTAGE: dict[str, int] = {
     # Turkish U+0130 İ, silently shifted every downstream token
     # string, fingerprint md5 and simhash in 20 entries — fixed
     # oracle-side with functions/text.py::duck_jlower (Spark's
-    # mapping is the Unicode-correct side). Values on every
-    # committed fixture are unchanged (no non-finite values or
-    # İ exist there) — changed-code hygiene rows only. Entries
+    # mapping is the Unicode-correct side).
+    # RAGGED DIMENSION: a wrong-LENGTH vector (every element
+    # present and finite) diverged 24 entries — Spark's zip_with
+    # pads the shorter side with NULL so the fold dot product
+    # silently NULL-propagates, while DuckDB's list_inner_product
+    # raises InvalidInputException; fixed by widening the same
+    # contract with a declared-dimension conjunct
+    # (functions/vectors.py::EMBED_DIM, len(col) = 64 in the
+    # oracle twin). Values on every
+    # committed fixture are unchanged (no non-finite values,
+    # İ, or ragged vectors exist there) — changed-code hygiene
+    # rows only. Entries
     # sharing the patched fragments (_DUCK_TOKS, duck_jlower,
     # complete_vector_sql, DUCK_FINGERPRINT) requeue too: their
     # oracle text changed, so their parity evidence is stale by
@@ -373,6 +382,7 @@ _REQUEUE_VINTAGE: dict[str, int] = {
     "inverted_index_build": 13,
     "ivf_recall_eval": 13,
     "kmeans_fixed_iters": 13,
+    "kmeans_lloyd": 13,
     "kruskal_wallis_weekday": 13,
     "linear_interpolate_gaps": 13,
     "locf_impute": 13,

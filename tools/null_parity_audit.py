@@ -35,6 +35,8 @@ by spec, so NULL behavior there is not a contract anyone holds.
                                                   # (r13 matrix extension)
     python tools/null_parity_audit.py --unicode   # adversarial UTF-8 text
                                                   # (r13 matrix extension)
+    python tools/null_parity_audit.py --ragged    # wrong-dimension vectors
+                                                  # (r13 matrix extension)
 """
 
 from __future__ import annotations
@@ -277,6 +279,30 @@ def _unicode_events() -> list[dict]:
     return out
 
 
+def _ragged_embeddings() -> list[dict]:
+    """--ragged mode: wrong-DIMENSION vectors — the input class the
+    r12 (NULL element) and r13 (non-finite element) contracts DON'T
+    catch: every element present and finite, but the vector is not
+    64-dimensional. Realistic at corpus scale: a truncated decode, a
+    model-version mix (384-dim rows in a 768-dim corpus), an empty
+    array from a failed embed call. Scouted divergence (r13): Spark's
+    ``zip_with`` pads the SHORTER side with NULL, so the aggregate-fold
+    dot product silently NULL-propagates (then NULL-biases every
+    downstream distance/top-k), while DuckDB's ``list_inner_product``
+    raises InvalidInputException ("list dimensions must be equal") —
+    silent-bias on one side, crash on the other, from ONE bad row."""
+    return [
+        # one dimension short — the truncated-decode shape
+        {"vec_id": 4_000_000, "embedding": [0.5] * 63, "label": 3},
+        # one dimension long — the concatenation-bug shape
+        {"vec_id": 4_000_001, "embedding": [0.25] * 65, "label": 2},
+        # empty array (NOT NULL — a failed embed call that wrote [])
+        {"vec_id": 4_000_002, "embedding": [], "label": 1},
+        # degenerate 1-dim — maximal length skew for norm/centroid paths
+        {"vec_id": 4_000_003, "embedding": [1.0], "label": 3},
+    ]
+
+
 def _append_spikes(dst: str, spikes: dict[str, list[dict]]) -> None:
     """Copy the fixture verbatim, appending the given spike rows on the
     SAME physical schema (pandas metadata stripped so e.g.
@@ -384,10 +410,22 @@ _KNOWN_EMPTY_DEVIATIONS: dict[str, tuple[str, str]] = {
 }
 
 
+def build_ragged_fixture(dst: str) -> None:
+    """--ragged mode: sf0.001 verbatim + wrong-dimension vectors in
+    embeddings.embedding (every element present and finite — ONLY the
+    length is adversarial). Other tables are NOT spiked: embeddings is
+    the sole array-typed surface."""
+    os.makedirs(dst, exist_ok=True)
+    _append_spikes(dst, {
+        "embeddings": _ragged_embeddings(),
+    })
+
+
 _MODES = {
     "--empty": build_empty_fixture,
     "--nonfinite": build_nonfinite_fixture,
     "--unicode": build_unicode_fixture,
+    "--ragged": build_ragged_fixture,
 }
 
 

@@ -242,3 +242,113 @@ def test_ragged_fixture_nonvacuous(ragged_fixture):
         "WHERE embedding IS NOT NULL AND len(embedding) <> 64"
     ).fetchone()[0]
     assert n >= 4
+
+
+# --stuck (nullif-guarded denominators in the stat tier +
+# windows.py half-life shift spelling) — DEGENERATE DISTRIBUTIONS:
+# every value present, finite, in-grid; what's adversarial is the
+# distribution (zero variance, n=1, sum=0, all-negative constants).
+# Spark 4 ANSI raises DIVIDE_BY_ZERO on ANY x/0 where DuckDB's double
+# division returns NULL — one flatlined group crashed the whole query
+# on the Spark side only; and DuckDB's `//` truncates toward zero
+# where `>>`/shiftright floor — the half-life decay silently differed
+# by 1 cent-unit on every NEGATIVE (refund) constant group.
+#
+# --jsonedge (functions/jsonpath.py symmetric JSON-path contract) —
+# adversarial events.props: Spark's get_json_object (Jackson) is
+# lenient (malformed → NULL) but ANSI CAST throws on non-integer
+# tokens; DuckDB's json_extract_string (yyjson) raises on malformed
+# JSON outright and its TRY_CAST ROUNDS '2.5'→3 where Spark NULLs —
+# crash-one-side both ways plus a silent ±1 bias, fixed by lenient
+# extraction + integer-token-gated TRY semantics on both engines.
+STUCK_SENTINELS = [
+    "grouped_ols_trend",           # zero-variance denominator crash class
+    "welch_t_test_ab",             # n=0 / n=1 / zero-pooled-variance class
+    "half_life_weighted_revenue",  # negative-cents // vs >> silent class
+]
+JSONEDGE_SENTINELS = [
+    "json_extract_scalar",   # strict-parser crash-one-side class
+    "variant_shred_props",   # VARIANT strictness / duplicate-key first-wins
+    "ransac_slope_fit",      # parsed-but-huge token exact-arith overflow
+]
+
+
+@pytest.fixture(scope="module")
+def stuck_fixture(tmp_path_factory):
+    from null_parity_audit import build_stuck_fixture
+
+    fix = str(tmp_path_factory.mktemp("stuck_parity") / "fixture")
+    build_stuck_fixture(fix)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix}/{t}.parquet')"
+        )
+    return fix, con
+
+
+@pytest.fixture(scope="module")
+def jsonedge_fixture(tmp_path_factory):
+    from null_parity_audit import build_jsonedge_fixture
+
+    fix = str(tmp_path_factory.mktemp("jsonedge_parity") / "fixture")
+    build_jsonedge_fixture(fix)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix}/{t}.parquet')"
+        )
+    return fix, con
+
+
+@pytest.mark.parametrize("name", STUCK_SENTINELS)
+def test_stuck_parity_sentinel(spark, stuck_fixture, name):
+    _load_all()
+    fix, con = stuck_fixture
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    problems = compare(spec.fn(spark, fix), con, spec.oracle, spec.ulp_sensitive)
+    assert not problems, f"{name} diverges on degenerate groups: {problems}"
+
+
+@pytest.mark.parametrize("name", JSONEDGE_SENTINELS)
+def test_jsonedge_parity_sentinel(spark, jsonedge_fixture, name):
+    _load_all()
+    fix, con = jsonedge_fixture
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    problems = compare(spec.fn(spark, fix), con, spec.oracle, spec.ulp_sensitive)
+    assert not problems, f"{name} diverges on adversarial JSON: {problems}"
+
+
+def test_stuck_fixture_nonvacuous(stuck_fixture):
+    """The spike must contain a zero-variance multi-row group and a
+    negative-constant group (guards against a future fixture edit
+    silently defanging the sentinels)."""
+    fix, con = stuck_fixture
+    flat = con.execute(
+        "SELECT count(*) FROM ("
+        "  SELECT event_type FROM events GROUP BY event_type"
+        "  HAVING count(*) >= 2 AND min(value) = max(value))"
+    ).fetchone()[0]
+    assert flat >= 1
+    neg = con.execute(
+        "SELECT count(*) FROM events WHERE value < 0 AND event_type = 'twin'"
+    ).fetchone()[0]
+    assert neg >= 2
+
+
+def test_jsonedge_fixture_nonvacuous(jsonedge_fixture):
+    """The spike must contain malformed JSON, a duplicate-key row and
+    a float-valued $.k (the TRY_CAST-rounding trigger)."""
+    fix, con = jsonedge_fixture
+    malformed = con.execute(
+        "SELECT count(*) FROM events "
+        "WHERE props IS NOT NULL AND NOT json_valid(props)"
+    ).fetchone()[0]
+    assert malformed >= 3
+    special = con.execute(
+        "SELECT count(*) FROM events WHERE props IN "
+        "('{\"k\": 1, \"k\": 2}', '{\"k\": 2.5}')"
+    ).fetchone()[0]
+    assert special == 2

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
+    duck_json_bigint,
+    json_bigint,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -964,13 +968,13 @@ def streaming_state_timeout_sessions(
 
 @register(
     "pandas_grouped_agg_udf",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+             {duck_json_bigint("props", "$.k")} AS vol
       FROM events
-      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      WHERE {duck_json_bigint("props", "$.k")} IS NOT NULL
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -1020,7 +1024,7 @@ def pandas_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
             "cents"
         ),
-        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+        json_bigint("props", "$.k").alias("vol"),
     ).filter(F.col("vol").isNotNull())
     return v.groupBy("event_type").agg(
         n_rows("cents").alias("n"),

@@ -780,10 +780,12 @@ _OLS_EPOCH = "2024-01-01"  # x origin: keeps day indices 0..~60, sums tiny
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
            (floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE) * 10000 + 0.5) / 10000)
+                  / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+                  * 10000 + 0.5) / 10000)
              AS slope_cents_per_day,
            (floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE) * 100 + 0.5) / 100)
+                  / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+                  * 100 + 0.5) / 100)
              AS intercept_cents
     FROM s
     """,
@@ -803,7 +805,14 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the raw table collapses to |groups| x |days| rows in
     one partially-aggregated pass; the regression itself runs on that
     tiny summary. This is the pattern for ANY closed-form sufficient-
-    statistics model at scale — never feed raw rows to the fit."""
+    statistics model at scale — never feed raw rows to the fit.
+
+    Input contract (r13 --stuck arm): a group whose x has zero
+    variance (a single-day series — the flatlined/brand-new-metric
+    shape) has NO defined slope; the denominator is nullif-guarded to
+    NULL on both engines. Unguarded, Spark 4 ANSI raises
+    DIVIDE_BY_ZERO and takes down the WHOLE query on one such group,
+    while DuckDB's double division returns NULL — crash-one-side."""
     e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -825,7 +834,10 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    denom = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
     return s.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
@@ -865,13 +877,17 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           (floor((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb) * 100 + 0.5)
+           (floor((CAST(sa AS DOUBLE)/nullif(na, 0)
+                   - CAST(sb AS DOUBLE)/nullif(nb, 0)) * 100 + 0.5)
              / 100) AS mean_diff_cents,
            (floor(
-             (CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
-             / sqrt(
-                 (CAST(na*qa - sa*sa AS DOUBLE) / na / (na-1)) / na
-               + (CAST(nb*qb - sb*sb AS DOUBLE) / nb / (nb-1)) / nb
+             (CAST(sa AS DOUBLE)/nullif(na, 0)
+              - CAST(sb AS DOUBLE)/nullif(nb, 0))
+             / sqrt(nullif(
+                 (CAST(na*qa - sa*sa AS DOUBLE)
+                    / nullif(na, 0) / nullif(na-1, 0)) / nullif(na, 0)
+               + (CAST(nb*qb - sb*sb AS DOUBLE)
+                    / nullif(nb, 0) / nullif(nb-1, 0)) / nullif(nb, 0), 0.0)
              ) * 10000 + 0.5) / 10000) AS t_stat
     FROM s
     """,
@@ -890,7 +906,15 @@ def welch_t_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one partially-aggregated pass over the fact table
     produces six numbers per group; the test statistic is computed on
     the |groups|-row summary. Cohort assignment is a pure expression —
-    no user-table join."""
+    no user-table join.
+
+    Input contract (r13 --stuck arm): a group where one cohort is
+    empty (n=0), has one row (n-1=0), or both cohorts are constant
+    (pooled variance 0) has NO defined t — every denominator is
+    nullif-guarded to NULL on both engines. Unguarded, Spark 4 ANSI
+    raises DIVIDE_BY_ZERO on the whole query at the first such group
+    (one new event_type routed entirely to one cohort suffices) while
+    DuckDB's double division returns NULL — crash-one-side."""
     e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     v = e.select(
         "event_type",
@@ -905,17 +929,21 @@ def welch_t_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cohort") == 1, F.col("y"))).alias("sb"),
         F.sum(F.when(F.col("cohort") == 1, F.col("y") * F.col("y"))).alias("qb"),
     )
-    mean_a = F.col("sa").cast("double") / F.col("na")
-    mean_b = F.col("sb").cast("double") / F.col("nb")
+    na = F.nullif(F.col("na"), F.lit(0))
+    nb = F.nullif(F.col("nb"), F.lit(0))
+    na1 = F.nullif(F.col("na") - 1, F.lit(0))
+    nb1 = F.nullif(F.col("nb") - 1, F.lit(0))
+    mean_a = F.col("sa").cast("double") / na
+    mean_b = F.col("sb").cast("double") / nb
     var_a = (
         (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")).cast("double")
-        / F.col("na")
-        / (F.col("na") - 1)
+        / na
+        / na1
     )
     var_b = (
         (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).cast("double")
-        / F.col("nb")
-        / (F.col("nb") - 1)
+        / nb
+        / nb1
     )
     return s.select(
         "event_type",
@@ -924,7 +952,7 @@ def welch_t_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(mean_a - mean_b, 2).alias("mean_diff_cents"),
         round_half_up(
             (mean_a - mean_b)
-            / F.sqrt(var_a / F.col("na") + var_b / F.col("nb")),
+            / F.sqrt(F.nullif(var_a / na + var_b / nb, F.lit(0.0))),
             4,
         ).alias("t_stat"),
     )

@@ -12,6 +12,9 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
     event_time_order,
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
+    duck_json_string,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
@@ -130,16 +133,22 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "null_handling_scalars",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           coalesce(json_extract_string(props, '$.missing'), 'absent') AS with_default,
+           coalesce({duck_json_string("props", "$.missing")}, 'absent') AS with_default,
            nullif(event_type, 'error')                                 AS non_error_type,
            CASE WHEN value IS NULL THEN -1 ELSE round(value, 2) END    AS value_or_flag,
-           (json_extract_string(props, '$.k') IS NOT NULL)             AS has_k
+           ({duck_json_string("props", "$.k")} IS NOT NULL)            AS has_k
     FROM events WHERE event_id < 300
     """,
 )
 def null_handling_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event_id<300 slice excludes the --jsonedge spike rows, but
+    the oracle still rides the jsonpath string contract
+    (functions/jsonpath.py): Spark's get_json_object is lenient
+    (malformed props → NULL → 'absent') while ungated
+    json_extract_string raises — the gate keeps the semantics
+    filter-independent."""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     return e.select(
         "event_id",

@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
+    duck_json_bigint,
+    json_bigint,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.text import (
     ARABIC_LETTER_CLASS,
     basename_backwards,
@@ -213,21 +217,24 @@ def p7_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p8_required_null_drop",
-    oracle="""
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    oracle=f"""
+    SELECT event_id, {duck_json_bigint("props", "$.k")} AS k
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE {duck_json_bigint("props", "$.k")} IS NOT NULL
       AND event_id IS NOT NULL
     """,
 )
 def p8_required_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 required-field row drop at sinks (loaders/commons.py:55-62):
-    modeled as explicit na.drop on the projection."""
+    modeled as explicit na.drop on the projection. JSON extraction
+    rides the r13 --jsonedge contract (functions/jsonpath.py): a
+    malformed or non-numeric $.k is NULL on both engines and the
+    required-field drop removes it — never an exception."""
     e = table(spark, sf_dir, "events")
     return (
         e.select(
             "event_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            json_bigint("props", "$.k").alias("k"),
         )
         .na.drop(subset=["event_id", "k"])
     )

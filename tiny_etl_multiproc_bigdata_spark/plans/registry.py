@@ -448,6 +448,27 @@ _REQUEUE_VINTAGE: dict[str, int] = {
     "window_tumbling_counts": 13,
     "winnowing_neardup_pairs": 13,
     "zipf_fit_slope": 13,
+    # --- r13 --stuck / --jsonedge arms (degenerate distributions +
+    # adversarial JSON). The jsonpath contract
+    # (functions/jsonpath.py: lenient extraction + integer-token-
+    # gated TRY_CAST on both engines) rewrote the oracle text of
+    # every events.props consumer — Spark's get_json_object NULLs
+    # malformed JSON while ungated DuckDB json_extract_string
+    # raises, and DuckDB's TRY_CAST rounds '2.5'→3 where Spark
+    # NULLs. ransac_slope_fit additionally gained the declared
+    # |x| <= 1e6 domain (exact int64 cross-multiplication
+    # headroom). All values on committed fixtures unchanged (every
+    # committed $.k is an integer literal in 0..99). The four
+    # --stuck names (grouped_ols_trend, welch_t_test_ab,
+    # half_life_weighted_revenue, vwap_daily) were already listed
+    # at vintage 13 above.
+    "json_extract_scalar": 13,
+    "json_roundtrip_structs": 13,
+    "null_handling_scalars": 13,
+    "p8_required_null_drop": 13,
+    "pandas_grouped_agg_udf": 13,
+    "ransac_slope_fit": 13,
+    "variant_shred_props": 13,
 }
 
 # Names-only view (insertion order preserved) for consumers that only

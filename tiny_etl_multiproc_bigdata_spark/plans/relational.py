@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
+    duck_json_bigint,
+    json_bigint,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
@@ -558,21 +562,24 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_scalar",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           CAST(sum({duck_json_bigint("props", "$.k")}) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
 )
 def json_extract_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction over the events.props column (SURVEY
-    fixture table `events`; JVM-side get_json_object, no UDF)."""
+    fixture table `events`; JVM-side get_json_object, no UDF). Rides
+    the r13 --jsonedge contract (functions/jsonpath.py): malformed or
+    non-numeric $.k is NULL on both engines (the SUM skips it) — one
+    truncated props row must not crash a corpus-scale aggregate."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        F.sum(json_bigint("props", "$.k"))
         .cast("bigint")
         .alias("sum_k"),
     )

@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
+    duck_json_bigint,
+    json_bigint,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -181,13 +185,13 @@ def _apply_udtf(spark: SparkSession, df: DataFrame, cls) -> DataFrame:
 
 @register(
     "variant_shred_props",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(sum({duck_json_bigint("props", "$.k")}) AS BIGINT)
              AS sum_k,
-           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+           min({duck_json_bigint("props", "$.k")}) AS min_k,
+           max({duck_json_bigint("props", "$.k")}) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -199,9 +203,26 @@ def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     for heterogeneous event payloads. At 100 TB, shredded VARIANT
     columns keep the scan columnar (json strings would re-tokenize on
     every access); the integer aggregates here are exact. Oracle uses
-    DuckDB's JSON extraction over the same column."""
+    DuckDB's JSON extraction over the same column.
+
+    Input contract (r13 --jsonedge arm, functions/jsonpath.py): the
+    VARIANT path is STRICTER than both lenient JSON parsers —
+    ``parse_json`` raises (→ try_parse_json NULLs) on duplicate keys
+    where Jackson and yyjson both take the FIRST value, and
+    ``variant_get(..., 'bigint')`` under ANSI throws on a non-integer
+    token. So the variant extraction goes string-typed + try_cast
+    (exactly Jackson's semantics per shape, verified empirically) and
+    COALESCEs with the lenient ``json_bigint`` fallback, making
+    first-key-wins the declared semantic here too; the oracle twin is
+    the shared ``duck_json_bigint`` contract."""
     e = table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    k = F.coalesce(
+        F.expr(
+            "try_cast(try_variant_get(try_parse_json(props), '$.k',"
+            " 'string') AS bigint)"
+        ),
+        json_bigint("props", "$.k"),
+    )
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
+    duck_json_bigint,
+    json_bigint,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
@@ -2343,6 +2347,14 @@ def anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole protocol is engine-portable with zero RNG
 _RANSAC_MODELS = 8
 _RANSAC_EPS_CENTS = 5000
+# Declared x-domain (r13 --jsonedge arm): the cross-multiplied inlier
+# test num*(x-ax) is EXACT int64 arithmetic, so x needs a bound just
+# like `value` rides in_grid_domain. With |y| <= ~9.01e11 cents (the
+# value grid domain), |x| <= 1e6 keeps |num*(x-ax)| <= ~3.6e18 < 2^63.
+# Without it, one parsed-but-huge $.k (e.g. 9007199254740993) crashes
+# the whole fit on BOTH engines (Spark ANSI ARITHMETIC_OVERFLOW /
+# DuckDB Out-of-Range). No-op on the committed fixtures ($.k in 0..99).
+_RANSAC_X_DOMAIN = 1_000_000
 
 
 def _ransac_oracle() -> str:
@@ -2365,10 +2377,11 @@ def _ransac_oracle() -> str:
     return f"""
     WITH pts AS (
       SELECT event_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+             {duck_json_bigint("props", "$.k")} AS x,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
       FROM events
-      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      WHERE {duck_json_bigint("props", "$.k")} IS NOT NULL
+        AND abs({duck_json_bigint("props", "$.k")}) <= {_RANSAC_X_DOMAIN}
     ),
     {", ".join(picks)},
     models AS (
@@ -2424,9 +2437,12 @@ def ransac_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     pts = e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("x"),
+        json_bigint("props", "$.k").alias("x"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
-    ).filter(F.col("x").isNotNull())
+    ).filter(
+        F.col("x").isNotNull()
+        & (F.abs(F.col("x")) <= F.lit(_RANSAC_X_DOMAIN))
+    )
     aggs = []
     for i in range(_RANSAC_MODELS):
         for tag, seed in (("a", i), ("b", i + 100)):

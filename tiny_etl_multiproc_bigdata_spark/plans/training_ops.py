@@ -36,6 +36,10 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
     event_time_order,
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
+    duck_json_bigint,
+    json_bigint,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import md5_long
 from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
     complete_vector_sql,
@@ -892,7 +896,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_roundtrip_structs",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            CAST(json_extract_string(j, '$.u') AS BIGINT) AS user_id,
            json_extract_string(j, '$.t') AS event_type,
@@ -901,7 +905,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id,
              to_json(struct_pack(
                u := user_id, t := event_type,
-               k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+               k := {duck_json_bigint("props", "$.k")}))
                AS j
       FROM events
     )
@@ -922,7 +926,7 @@ def json_roundtrip_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.col("user_id").alias("u"),
                 F.col("event_type").alias("t"),
-                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+                json_bigint("props", "$.k").alias("k"),
             )
         ).alias("j"),
     )

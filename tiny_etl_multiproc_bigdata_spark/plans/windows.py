@@ -22,6 +22,10 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
     event_time_order,
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
+    duck_json_bigint,
+    json_bigint,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
@@ -2233,11 +2237,11 @@ def ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vwap_daily",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT CAST(ts AS DATE) AS day,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+             {duck_json_bigint("props", "$.k")} AS vol
       FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
     )
     SELECT day,
@@ -2265,7 +2269,7 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         F.to_date("ts").alias("day"),
         exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
-        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+        json_bigint("props", "$.k").alias("vol"),
     )
     notional = F.sum(F.col("cents") * F.col("vol"))
     volume = F.sum("vol")
@@ -2669,7 +2673,7 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(cents) AS BIGINT) AS raw_cents,
-           CAST(sum(cents // (1::BIGINT << least(age_w, 62))) AS BIGINT)
+           CAST(sum(cents >> least(age_w, 62)) AS BIGINT)
              AS decayed_cents
     FROM v GROUP BY event_type
     """,
@@ -2684,7 +2688,13 @@ def half_life_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and partitions, the same motivation as every other
     integer-exact entry, here applied to the one aggregate people
     always compute with floats. The reference day is an aggregate
-    broadcast, not a driver-side now().
+    broadcast, not a driver-side now(). The oracle spells the decay as
+    ``cents >> least(age_w, 62)`` because DuckDB's ``>>`` is the same
+    arithmetic (floor) shift as Spark's shiftright for NEGATIVE cents
+    (refunds), while DuckDB's ``//`` truncates toward zero (-400//256
+    = -1 vs -400>>8 = -2) — found by the r13 --stuck arm's negative
+    constant group; the committed fixture's values are all positive,
+    so the old ``// (1<<k)`` spelling was green-but-latent.
 
     100 TB shape: one scan + map-side combined groupBy; the ref-day
     scalar joins by broadcast. Nothing ordered, nothing windowed."""

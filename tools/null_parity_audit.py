@@ -37,6 +37,10 @@ by spec, so NULL behavior there is not a contract anyone holds.
                                                   # (r13 matrix extension)
     python tools/null_parity_audit.py --ragged    # wrong-dimension vectors
                                                   # (r13 matrix extension)
+    python tools/null_parity_audit.py --stuck     # degenerate distributions
+                                                  # (r13 matrix extension)
+    python tools/null_parity_audit.py --jsonedge  # adversarial JSON props
+                                                  # (r13 matrix extension)
 """
 
 from __future__ import annotations
@@ -303,6 +307,87 @@ def _ragged_embeddings() -> list[dict]:
     ]
 
 
+def _stuck_events() -> list[dict]:
+    """--stuck mode: DEGENERATE DISTRIBUTIONS — the stuck-sensor /
+    constant-series shape, ubiquitous at 100 TB (a monitor that
+    flatlines, a group with one row, an all-zero counter). Every value
+    is present, finite, in-grid and unremarkable; what's adversarial
+    is the DISTRIBUTION: zero variance, n=1, sum=0. Scouted divergence
+    classes (r13): Spark 4 ANSI raises DIVIDE_BY_ZERO on ANY x/0
+    (integral or double) where DuckDB returns NULL — an unguarded
+    z-score/correlation denominator takes down the WHOLE query on one
+    flat group; DuckDB raises Out-of-Range on sqrt(-epsilon)/ln(0)
+    where Spark yields NaN/NULL silently — a hand-rolled variance that
+    goes negative-epsilon under float rounding crashes only the
+    oracle."""
+    base = dict(
+        event_id=0, ts=_TS, user_id=0, event_type="stuck", value=7.25,
+        props="{}",
+    )
+    out = []
+    eid = 5_000_000
+    # (a) a flatlined series: one NEW event_type, many rows, ONE value
+    #     (zero variance at the event_type grain; also a new
+    #     user_id-grain flat group via user_id=999001)
+    for i in range(24):
+        out.append(dict(base, event_id=eid, user_id=999001,
+                        ts=_TS + datetime.timedelta(minutes=7 * i)))
+        eid += 1
+    # (b) a single-row group (n=1: every (n-1) denominator is zero)
+    out.append(dict(base, event_id=eid, event_type="lonely",
+                    user_id=999002, value=3.5)); eid += 1
+    # (c) exactly two identical rows (n=2, variance 0, n-1=1)
+    for i in range(2):
+        out.append(dict(base, event_id=eid, event_type="twin",
+                        user_id=999003, value=-2.0,
+                        ts=_TS + datetime.timedelta(hours=i))); eid += 1
+    # (d) an all-ZERO group (sum=0 denominators, ln(0) paths)
+    for i in range(6):
+        out.append(dict(base, event_id=eid, event_type="zeroed",
+                        user_id=999004, value=0.0,
+                        ts=_TS + datetime.timedelta(hours=i))); eid += 1
+    return out
+
+
+def _jsonedge_events() -> list[dict]:
+    """--jsonedge mode: ADVERSARIAL JSON in events.props — the
+    realistic log-pipeline shapes (truncated write, unquoted keys,
+    leading zeros, overflow literals, duplicate keys, lone
+    surrogates). Scouted divergence (r13): Spark's get_json_object
+    (Jackson, lenient) returns NULL for malformed JSON while DuckDB's
+    json_extract_string (yyjson, strict) raises InvalidInputException
+    — ONE truncated row crashes the oracle side of every
+    props-parsing entry; on '{"k": 1e999}' Spark renders '"Infinity"'
+    (quoted) vs DuckDB 'Infinity'."""
+    base = dict(
+        event_id=0, ts=_TS, user_id=7, event_type="click", value=1.5,
+        props="{}",
+    )
+    combos = [
+        '{"k": ',                      # truncated mid-write
+        '{k: 1}',                      # unquoted key
+        '{"k": 01}',                   # leading-zero number
+        'not json at all',             # free text in a JSON column
+        '',                            # empty string (not NULL)
+        '{"k": 1, "k": 2}',            # duplicate key
+        '{"k": 9007199254740993}',     # beyond double-exact integers
+        '{"k": 1e999}',                # overflow literal
+        '{"k": 2.5}',                  # float value (DuckDB TRY_CAST
+                                       # ROUNDS '2.5'->3; Spark NULLs)
+        '{"k": 1e3}',                  # exponent integer (renders
+                                       # '1000.0' via double on both)
+        '{"k": "12"}',                 # quoted number (usable, =12)
+        '{"k": " 1 "}',                # padded quoted number (trim)
+        '[1, 2]',                      # array at the root
+        'null',                        # JSON null at the root
+    ]
+    out = []
+    for i, props in enumerate(combos):
+        out.append(dict(base, event_id=6_000_000 + i, props=props,
+                        ts=_TS + datetime.timedelta(hours=i)))
+    return out
+
+
 def _append_spikes(dst: str, spikes: dict[str, list[dict]]) -> None:
     """Copy the fixture verbatim, appending the given spike rows on the
     SAME physical schema (pandas metadata stripped so e.g.
@@ -421,11 +506,32 @@ def build_ragged_fixture(dst: str) -> None:
     })
 
 
+def build_stuck_fixture(dst: str) -> None:
+    """--stuck mode: sf0.001 verbatim + degenerate-distribution groups
+    in events (flatlined series, single-row group, all-zero group).
+    Only events is spiked: it is the sole measurement surface."""
+    os.makedirs(dst, exist_ok=True)
+    _append_spikes(dst, {
+        "events": _stuck_events(),
+    })
+
+
+def build_jsonedge_fixture(dst: str) -> None:
+    """--jsonedge mode: sf0.001 verbatim + adversarial JSON in
+    events.props (the only JSON-typed surface)."""
+    os.makedirs(dst, exist_ok=True)
+    _append_spikes(dst, {
+        "events": _jsonedge_events(),
+    })
+
+
 _MODES = {
     "--empty": build_empty_fixture,
     "--nonfinite": build_nonfinite_fixture,
     "--unicode": build_unicode_fixture,
     "--ragged": build_ragged_fixture,
+    "--stuck": build_stuck_fixture,
+    "--jsonedge": build_jsonedge_fixture,
 }
 
 

@@ -338,6 +338,75 @@ def test_stuck_fixture_nonvacuous(stuck_fixture):
     assert neg >= 2
 
 
+# --timeskew (functions/timedomain.py: portable / kernel / streaming /
+# observation time domains + epoch_us-exact oracle seconds and the
+# epoch_us_ntz reconstruction helper) — EXTREME EVENT TIMES: a zeroed
+# field (epoch exactly), a wrong-century parse (1890), a far-future
+# sentinel (9999-12-31), a nanos-as-micros unit bug (year 57552), a
+# pre-0001 negative. 35 entries diverged: Spark's client conversion
+# crashes on beyond-datetime values where DuckDB degrades to VARCHAR;
+# the oracles' double epoch() rounds the last second of 9999 across
+# bucket/day boundaries; exact int64 cross-products overflow on
+# multi-millennium spans; spine generators OOM on them; watermarks
+# floor at the epoch and are poisoned by the far future; pandas
+# kernels crash outside datetime64[ns]; and the old µs reconstruction
+# double-counted pre-epoch fractions.
+TIMESKEW_SENTINELS = [
+    "ohlc_daily_candles",       # client date-conversion crash class
+    "sessionize_events",        # epoch_us-exact trunc-seconds class
+    "events_rolling_dau",       # double-epoch() day-rounding class
+    "asof_next_purchase",       # µs-reconstruction idiom class
+    "grouped_ols_trend",        # span-quadratic overflow / obs window
+    "time_series_densify",      # spine-explosion / obs window
+    "streaming_tumbling_counts",       # stream domain + time_bucket
+    "streaming_stateful_counter",      # pandas datetime64[ns] kernel
+    "streaming_stream_stream_left_outer",  # strict epoch floor
+]
+
+
+@pytest.fixture(scope="module")
+def timeskew_fixture(tmp_path_factory):
+    from null_parity_audit import build_timeskew_fixture
+
+    fix = str(tmp_path_factory.mktemp("timeskew_parity") / "fixture")
+    build_timeskew_fixture(fix)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix}/{t}.parquet')"
+        )
+    return fix, con
+
+
+@pytest.mark.parametrize("name", TIMESKEW_SENTINELS)
+def test_timeskew_parity_sentinel(spark, timeskew_fixture, name):
+    _load_all()
+    fix, con = timeskew_fixture
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    problems = compare(spec.fn(spark, fix), con, spec.oracle, spec.ulp_sensitive)
+    assert not problems, f"{name} diverges on extreme timestamps: {problems}"
+
+
+def test_timeskew_fixture_nonvacuous(timeskew_fixture):
+    """The spike must contain a beyond-datetime instant (the unit-bug
+    year-57552 row and a pre-0001 row), the epoch-zero row and the
+    last representable second of 9999 — the four boundary triggers."""
+    fix, con = timeskew_fixture
+    beyond = con.execute(
+        "SELECT count(*) FROM events WHERE ts IS NOT NULL AND "
+        "(ts > TIMESTAMP '9999-12-31 23:59:59.999999'"
+        " OR ts < TIMESTAMP '0001-01-01')"
+    ).fetchone()[0]
+    assert beyond >= 2
+    edges = con.execute(
+        "SELECT count(*) FROM events WHERE "
+        "ts = TIMESTAMP '1970-01-01 00:00:00' OR "
+        "ts = TIMESTAMP '9999-12-31 23:59:59.999999'"
+    ).fetchone()[0]
+    assert edges >= 2
+
+
 def test_jsonedge_fixture_nonvacuous(jsonedge_fixture):
     """The spike must contain malformed JSON, a duplicate-key row and
     a float-valued $.k (the TRY_CAST-rounding trigger)."""

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    epoch_us_ntz,
+    stream_kernel_time_domain_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
     duck_json_bigint,
     json_bigint,
@@ -83,12 +87,40 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# The r13 --timeskew KERNEL-domain twin of a shared batch oracle: the
+# pandas-stateful streaming entries reuse their batch twins' oracle
+# text verbatim (state-equals-batch is the property under test), but
+# their ENGINE side additionally rides the streaming kernel time
+# domain (applyInPandasWithState converts every batch through
+# Arrow→pandas datetime64[ns]: an in-portable-domain year-9999 event
+# crashes the worker; a pre-epoch event is dropped by the watermark
+# clock, which starts at 0). This injects the matching conjunct into
+# the one standardized grid-domain subquery — asserted exact, so an
+# oracle refactor cannot silently detach the twin.
+_GRID_SUBQUERY = (
+    "(SELECT * FROM events WHERE value IS NULL OR "
+    "(value > -9007199254.740992 AND value < 9007199254.740992))"
+)
+
+
+def _with_kernel_time_domain(batch_oracle: str) -> str:
+    assert batch_oracle.count(_GRID_SUBQUERY) == 1, "grid subquery drifted"
+    return batch_oracle.replace(
+        _GRID_SUBQUERY,
+        "(SELECT * FROM events WHERE (value IS NULL OR "
+        "(value > -9007199254.740992 AND value < 9007199254.740992))"
+        f" AND {stream_kernel_time_domain_sql()})",
+    )
+
+
 @register(
     "streaming_stateful_counter",
-    oracle="""
+    oracle=f"""
     SELECT user_id, count(*) AS n_events,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_value
-    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY user_id
+    FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {stream_kernel_time_domain_sql()}) events GROUP BY user_id
     """,
 )
 def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,7 +163,7 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = _events_stream(spark, sf_dir, require_measure_domain=True).select("user_id", "value", "ts")
+    ev = _events_stream(spark, sf_dir, require_measure_domain=True, require_kernel_time_domain=True).select("user_id", "value", "ts")
     out = (
         ev.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -318,8 +350,7 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     raises on NaN merge keys in the worker otherwise)."""
     e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     ).alias("t_us")
     base = e.select("user_id", "event_id", "event_type", t_us)
     clicks = base.filter(F.col("event_type") == "click").select(
@@ -396,7 +427,9 @@ def _register_streaming_anomaly_zscore() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans import windows  # noqa: F401
     from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
 
-    zscore_oracle = REGISTRY["anomaly_rolling_zscore"].oracle
+    zscore_oracle = _with_kernel_time_domain(
+        REGISTRY["anomaly_rolling_zscore"].oracle
+    )
 
     @register("streaming_anomaly_zscore", oracle=zscore_oracle)
     def streaming_anomaly_zscore(
@@ -496,7 +529,7 @@ def _register_streaming_anomaly_zscore() -> None:
                 }
             )
 
-        ev = _events_stream(spark, sf_dir, require_measure_domain=True).select(
+        ev = _events_stream(spark, sf_dir, require_measure_domain=True, require_kernel_time_domain=True).select(
             "user_id", "event_id", "value", "ts"
         )
         out = (
@@ -526,7 +559,9 @@ def _register_streaming_cusum_alert() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans import windows
     from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
 
-    cusum_oracle = REGISTRY["cusum_alert_path"].oracle
+    cusum_oracle = _with_kernel_time_domain(
+        REGISTRY["cusum_alert_path"].oracle
+    )
 
     @register("streaming_cusum_alert", oracle=cusum_oracle)
     def streaming_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,7 +640,8 @@ def _register_streaming_cusum_alert() -> None:
 
         # event-time contract mirrored in the shared batch oracle
         ev = _events_stream(
-            spark, sf_dir, require_event_time=True, require_measure_domain=True
+            spark, sf_dir, require_event_time=True,
+            require_measure_domain=True, require_kernel_time_domain=True,
         ).select("event_type", "event_id", "value", "ts")
         out = (
             ev.withWatermark("ts", "1 hour")
@@ -642,7 +678,9 @@ def _register_streaming_sprt_decision() -> None:
     from tiny_etl_multiproc_bigdata_spark.plans import advanced
     from tiny_etl_multiproc_bigdata_spark.plans.registry import REGISTRY
 
-    sprt_oracle = REGISTRY["sprt_sequential_test"].oracle
+    sprt_oracle = _with_kernel_time_domain(
+        REGISTRY["sprt_sequential_test"].oracle
+    )
 
     @register("streaming_sprt_decision", oracle=sprt_oracle)
     def streaming_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,7 +749,7 @@ def _register_streaming_sprt_decision() -> None:
             if out is not None:
                 yield out
 
-        ev = _events_stream(spark, sf_dir, require_measure_domain=True).select(
+        ev = _events_stream(spark, sf_dir, require_measure_domain=True, require_kernel_time_domain=True).select(
             (F.col("user_id") % 2).alias("cohort"),
             "event_id",
             "value",
@@ -841,13 +879,14 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_state_timeout_sessions",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT user_id, ts, event_id, epoch_us(ts) AS t_us FROM events
-      WHERE ts IS NOT NULL
+      WHERE ts IS NOT NULL AND {stream_kernel_time_domain_sql()}
     ),
     wm AS (
-      SELECT (SELECT epoch_us(max(ts)) // 1000 FROM events) - 3600000 AS ms
+      SELECT (SELECT epoch_us(max(ts)) // 1000 FROM events
+              WHERE {stream_kernel_time_domain_sql()}) - 3600000 AS ms
     ),
     flagged AS (
       SELECT user_id, t_us,
@@ -940,14 +979,15 @@ def streaming_state_timeout_sessions(
     # event-time contract mirrored in the oracle (state machine with
     # event-time timeouts)
     ev = (
-        _events_stream(spark, sf_dir, require_event_time=True)
+        _events_stream(spark, sf_dir, require_event_time=True,
+                       require_kernel_time_domain=True)
         .select(
             "user_id",
             "ts",
-            (
-                F.unix_timestamp("ts") * 1_000_000
-                + F.date_format("ts", "SSSSSS").cast("bigint")
-            ).alias("t_us"),
+            # exact LTZ instant micros (the old unix_timestamp*1e6 +
+            # SSSSSS reconstruction double-counts pre-epoch fractions;
+            # r13 --timeskew)
+            F.unix_micros("ts").alias("t_us"),
         )
     )
     out = (

@@ -23,6 +23,11 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
 from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    epoch_us_ntz,
+    in_obs_window,
+    obs_window_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.hashing import stable_token_hash
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
@@ -770,7 +775,7 @@ _OLS_EPOCH = "2024-01-01"  # x origin: keeps day indices 0..~60, sums tiny
       SELECT event_type,
              CAST(CAST(ts AS DATE) - DATE '{_OLS_EPOCH}' AS BIGINT) AS x,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events GROUP BY event_type, CAST(ts AS DATE)
+      FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {obs_window_sql()}) events GROUP BY event_type, CAST(ts AS DATE)
     ),
     s AS (
       SELECT event_type,
@@ -812,8 +817,19 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape) has NO defined slope; the denominator is nullif-guarded to
     NULL on both engines. Unguarded, Spark 4 ANSI raises
     DIVIDE_BY_ZERO and takes down the WHOLE query on one such group,
-    while DuckDB's double division returns NULL — crash-one-side."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
+    while DuckDB's double division returns NULL — crash-one-side.
+
+    r13 --timeskew: rides the bounded OBSERVATION WINDOW [1970, 2100)
+    (functions/timedomain.py in_obs_window), not just the portable
+    domain: the cross-products grow QUADRATICALLY in the day-index
+    span (sy*sxx with one year-9999 day is ~1e19, past int64 — one
+    corrupt clock crashed the whole fit under ANSI), and a trend
+    slope over a multi-millennium x range is statistically
+    meaningless anyway — the window keeps every product exactly
+    representable."""
+    e = table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value")) & in_obs_window(F.col("ts"))
+    )
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -1515,9 +1531,7 @@ def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     # portable epoch-micros of the naive timestamp (the asof_last_signup
     # idiom — matches DuckDB's epoch_us on TIMESTAMP_NTZ)
-    t_us = F.unix_timestamp("ts") * 1_000_000 + F.date_format(
-        "ts", "SSSSSS"
-    ).cast("bigint")
+    t_us = epoch_us_ntz("ts")
     ep = e.withColumn("t_us", t_us)
     mid = ep.agg(
         F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us")

@@ -7,6 +7,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    in_obs_window,
+    obs_window_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     duck_round,
     round_half_up,
@@ -93,16 +97,22 @@ def string_transform_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "time_series_densify",
-    oracle="""
-    WITH bounds AS (
-      SELECT CAST(floor(epoch(min(ts)) / 300) AS BIGINT) AS b0,
-             CAST(floor(epoch(max(ts)) / 300) AS BIGINT) AS b1
-      FROM events
+    oracle=f"""
+    WITH e AS (
+      SELECT * FROM events WHERE ts IS NOT NULL AND {obs_window_sql()}
+    ), bounds AS (
+      SELECT CAST(floor((epoch_us(min(ts)) // 1000000) / 300) AS BIGINT)
+               AS b0,
+             CAST(floor((epoch_us(max(ts)) // 1000000) / 300) AS BIGINT)
+               AS b1
+      FROM e
     ), grid AS (
       SELECT t.bucket FROM bounds, unnest(range(b0, b1 + 1)) AS t(bucket)
     ), agg AS (
-      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, count(*) AS n
-      FROM events GROUP BY 1
+      SELECT CAST(floor((epoch_us(ts) // 1000000) / 300) AS BIGINT)
+               AS bucket,
+             count(*) AS n
+      FROM e GROUP BY 1
     )
     SELECT g.bucket, coalesce(a.n, 0) AS n
     FROM grid g LEFT JOIN agg a ON a.bucket = g.bucket
@@ -111,8 +121,18 @@ def string_transform_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_series_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filling a time series: generate the full 5-min bucket grid
     with `sequence` + explode, left-join the sparse aggregate, zero-fill.
-    The grid generation is a 1-row cross join — no data-volume cost."""
-    e = table(spark, sf_dir, "events")
+    The grid generation is a 1-row cross join — no data-volume cost.
+
+    r13 --timeskew: SPINE-GENERATING entry — grid cost is proportional
+    to the max-min SPAN, so it rides the bounded observation window
+    [1970, 2100) (functions/timedomain.py): one corrupt year-57552
+    event made the grid a 6-billion-bucket sequence and OOMed the JVM;
+    the NULL-ts exclusion keeps min/max honest and the oracle seconds
+    are epoch_us-integer-exact (the double epoch() rounds the last
+    second of 9999)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & in_obs_window(F.col("ts"))
+    )
     bucket = F.floor(F.unix_timestamp("ts") / 300).cast("bigint")
     agg = e.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
     bounds = e.agg(

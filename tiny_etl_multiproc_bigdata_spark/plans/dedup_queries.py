@@ -36,6 +36,9 @@ from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
 from tiny_etl_multiproc_bigdata_spark.functions.text import (
     tokenize_words_nonempty,
 )
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    epoch_us_ntz,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 _N_HASHES = 8
@@ -1530,8 +1533,7 @@ def telemetry_near_time_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     )
     w = Window.partitionBy("user_id", "event_type", "cents").orderBy(
         F.asc("ts"), F.asc("event_id")

@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    in_time_domain,
+    time_domain_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -253,8 +257,10 @@ def _zorder_oracle() -> str:
     WITH c AS (
       SELECT event_id,
              CAST(user_id & 255 AS BIGINT) AS x,
-             CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) & 255 AS BIGINT) AS y
+             CAST(CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT)
+                  & 255 AS BIGINT) AS y
       FROM events
+      WHERE {time_domain_sql()}
     )
     SELECT event_id, CAST({z} AS BIGINT) AS zvalue,
            CAST(({z}) >> {_Z_BITS} AS BIGINT) AS cluster
@@ -273,8 +279,10 @@ def zorder_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interleaved z-value and a 256-way cluster id (the write-path
     would `repartitionByRange(cluster)` before the sink). Pure bit
     arithmetic from ONE shared SQL formula (`_interleave_expr`), zero
-    shuffle, zero Python."""
-    e = table(spark, sf_dir, "events")
+    shuffle, zero Python. r13 --timeskew: portable-time-domain filter
+    + epoch_us-exact oracle day index (double epoch() rounds the last
+    second of 9999 into the next day and flips z-bits)."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     z = _interleave_expr("x", "y")
     return (
         e.selectExpr(
@@ -900,13 +908,15 @@ def _hilbert_steps() -> list[int]:
 
 
 def _hilbert_oracle() -> str:
-    head = """
+    head = f"""
     WITH h0 AS (
       SELECT event_id,
              CAST(user_id & 255 AS BIGINT) AS x,
-             CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) & 255 AS BIGINT) AS y,
+             CAST(CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT)
+                  & 255 AS BIGINT) AS y,
              CAST(0 AS BIGINT) AS d
       FROM events
+      WHERE {time_domain_sql()}
     )"""
     ctes = []
     for k, s in enumerate(_hilbert_steps(), start=1):
@@ -943,7 +953,7 @@ def hilbert_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's CTE chain, so the two cannot drift. The space-filling
     property (consecutive keys are grid-adjacent) is pinned
     exhaustively in tests/test_plans.py."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     df = e.selectExpr(
         "event_id",
         "CAST(user_id & 255 AS BIGINT) AS x",

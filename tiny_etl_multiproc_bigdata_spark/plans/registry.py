@@ -469,6 +469,48 @@ _REQUEUE_VINTAGE: dict[str, int] = {
     "pandas_grouped_agg_udf": 13,
     "ransac_slope_fit": 13,
     "variant_shred_props": 13,
+    # --- r13 --timeskew arm (extreme event times). The portable /
+    # kernel / streaming / observation time-domain contracts
+    # (functions/timedomain.py) and the epoch_us-exact oracle
+    # respelling (epoch() is a DOUBLE whose ulp exceeds 1µs past year
+    # 2242; DuckDB TRY/engine trunc-vs-floor split pre-epoch) rewrote
+    # the engine lowering and/or oracle text of every events.ts
+    # consumer that diverged on the spike matrix, plus the 15 entries
+    # whose µs reconstruction idiom (unix_timestamp*1e6 + SSSSSS —
+    # wrong pre-epoch) was replaced by the shared epoch_us_ntz
+    # helper. Values on committed fixtures unchanged (all committed
+    # ts are 2024, post-epoch, mid-domain).
+    "as_of_snapshot_counts": 13,
+    "asof_last_signup": 13,
+    "asof_next_purchase": 13,
+    "asof_tolerance_join": 13,
+    "attribution_linear": 13,
+    "attribution_u_shaped": 13,
+    "cogroup_asof_pandas": 13,
+    "concurrent_sessions_peak": 13,
+    "cumulative_distinct_users": 13,
+    "dau_wau_stickiness": 13,
+    "events_rolling_dau": 13,
+    "hilbert_cluster_assign": 13,
+    "interarrival_burstiness": 13,
+    "interval_coverage_union": 13,
+    "range_join_bucketed": 13,
+    "scd2_intervals": 13,
+    "scd2_point_in_time_join": 13,
+    "seasonal_decompose_daily": 13,
+    "session_gap_sensitivity": 13,
+    "sessionize_events": 13,
+    "streaming_late_data_drop": 13,
+    "streaming_session_dynamic_gap": 13,
+    "streaming_session_window": 13,
+    "streaming_sliding_counts": 13,
+    "streaming_state_timeout_sessions": 13,
+    "streaming_stream_stream_full_outer": 13,
+    "streaming_stream_stream_left_outer": 13,
+    "streaming_windowed_distinct_users": 13,
+    "time_series_densify": 13,
+    "wilson_ci_conversion": 13,
+    "zorder_cluster_assign": 13,
 }
 
 # Names-only view (insertion order preserved) for consumers that only

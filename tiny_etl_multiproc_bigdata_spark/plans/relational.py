@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    in_time_domain,
+    time_domain_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
     duck_json_bigint,
     json_bigint,
@@ -689,13 +693,17 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rolling_dau",
-    oracle="""
-    WITH days AS (
-      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
-      FROM events
+    oracle=f"""
+    WITH e AS (SELECT * FROM events WHERE {time_domain_sql()}),
+    days AS (
+      SELECT DISTINCT
+             CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT) AS day
+      FROM e
     ), user_days AS (
-      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
-      FROM events
+      SELECT DISTINCT
+             CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT) AS day,
+             user_id
+      FROM e
     )
     SELECT d.day,
            count(DISTINCT u.user_id) AS wau
@@ -714,8 +722,11 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan no longer depends on the spine staying tiny). A broadcast
     semi-join against the real-day spine drops phantom trailing days,
     then one distinct-count per window day. The 7x amplification
-    applies to the already-deduped pairs, never the raw event log."""
-    e = table(spark, sf_dir, "events")
+    applies to the already-deduped pairs, never the raw event log.
+    r13 --timeskew: portable-time-domain filter + epoch_us-exact
+    oracle day index (double epoch() rounds the last second of 9999
+    into the next day)."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
     user_days = e.select(day.alias("day"), "user_id").distinct()
     days = user_days.select("day").distinct()

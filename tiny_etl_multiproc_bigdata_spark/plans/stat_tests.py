@@ -32,6 +32,11 @@ from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
     json_bigint,
 )
 from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    epoch_us_ntz,
+    in_time_domain,
+    time_domain_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
@@ -1310,9 +1315,7 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     of cents overflow int64 around ~10^5 users x large balances —
     the decimal(38,0) switch is the marked cast."""
     e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
-    t_us = F.unix_timestamp("ts") * 1_000_000 + F.date_format(
-        "ts", "SSSSSS"
-    ).cast("bigint")
+    t_us = epoch_us_ntz("ts")
     ep = e.withColumn("t_us", t_us)
     mid = ep.agg(F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us"))
     y_cents = exact_round(F.col("value") * 100, 0).cast("bigint")
@@ -2516,11 +2519,12 @@ def ransac_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kruskal_wallis_weekday",
-    oracle="""
+    oracle=f"""
     WITH v AS (
-      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS wd,
+      SELECT CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT) % 7
+               AS wd,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL AND value IS NOT NULL
+      FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {time_domain_sql()}) events WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     gv AS (SELECT wd, cents, count(*) AS c FROM v GROUP BY wd, cents),
     tv AS (
@@ -2578,8 +2582,14 @@ def kruskal_wallis_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a group — rows with NULL ts (no weekday) or NULL value (no
     rank) are excluded explicitly on both engines; a NULL "value"
     would otherwise shift every midrank differently under the
-    engines' opposite NULL sort defaults and add a bogus 8th group."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(
+    engines' opposite NULL sort defaults and add a bogus 8th group.
+    r13 --timeskew: portable-time-domain filter + epoch_us-exact
+    oracle day index (the engines' native dayofweek() conventions
+    AND their extreme-date calendars both differ; the trunc-seconds
+    chain mirrors the engine side exactly)."""
+    e = table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value")) & in_time_domain(F.col("ts"))
+    ).filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
     v = e.select(
@@ -2652,9 +2662,11 @@ _WILSON_Z2 = "3.8416"
     "wilson_ci_conversion",
     oracle=f"""
     WITH v AS (
-      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS wd,
+      SELECT CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT) % 7
+               AS wd,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
       FROM events
+      WHERE {time_domain_sql()}
     ),
     agg AS (
       SELECT wd, CAST(count(*) AS BIGINT) AS n,
@@ -2690,8 +2702,11 @@ def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument).
 
     100 TB shape: one map-side-combined fold to 7 rows; the interval
-    math is row-local arithmetic on the combine output."""
-    e = table(spark, sf_dir, "events")
+    math is row-local arithmetic on the combine output. r13
+    --timeskew: portable-time-domain filter + epoch_us-exact oracle
+    day index (double epoch() rounds the last second of 9999 into the
+    next day and shifts its weekday group)."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     v = e.select(
         (
             F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") % 7

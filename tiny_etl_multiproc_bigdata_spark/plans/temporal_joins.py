@@ -21,6 +21,9 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
     event_time_order,
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    epoch_us_ntz,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
@@ -50,7 +53,7 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     works as a streaming stateful op. (A two-table as-of join unions
     the tagged tables first, then applies this window.)"""
     e = table(spark, sf_dir, "events")
-    t_us = (F.unix_timestamp("ts") * 1_000_000 + F.date_format("ts", "SSSSSS").cast("bigint")).alias("t_us")
+    t_us = (epoch_us_ntz("ts")).alias("t_us")
     marked = e.select("user_id", "event_id", "event_type", t_us)
     # asc_nulls_last matches DuckDB's ASC default (NULLS LAST): a
     # NULL-ts purchase must see every signup in its running frame like
@@ -106,8 +109,7 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality join)."""
     e = table(spark, sf_dir, "events")
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     )
     ev = e.select("user_id", "event_id", t_us.alias("t_us")).withColumn(
         "bucket", F.floor(F.col("t_us") / (_RANGE_S * 1_000_000))
@@ -183,8 +185,7 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing to the shuffle or state."""
     e = table(spark, sf_dir, "events")
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     ).alias("t_us")
     marked = e.select("user_id", "event_id", "event_type", t_us)
     # asc_nulls_last: same NULL-ordering parity as asof_last_signup
@@ -275,8 +276,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user under skew."""
     e = table(spark, sf_dir, "events")
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     ).alias("t_us")
     base = e.select("user_id", "event_id", "event_type", t_us)
     np_ = base.filter(F.col("event_type") != "purchase")

@@ -36,6 +36,11 @@ from tiny_etl_multiproc_bigdata_spark.functions.ordering import (
     event_time_order,
 )
 from tiny_etl_multiproc_bigdata_spark.catalog import table
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    epoch_us_ntz,
+    in_time_domain,
+    time_domain_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
     duck_json_bigint,
     json_bigint,
@@ -179,8 +184,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # NTZ-safe µs epoch (unix_micros rejects TIMESTAMP_NTZ);
             # same formula as temporal_joins.
             (
-                F.unix_timestamp("ts") * 1_000_000
-                + F.date_format("ts", "SSSSSS").cast("bigint")
+                epoch_us_ntz("ts")
             ).alias("valid_from_us"),
         )
     )
@@ -631,9 +635,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_next_purchase",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+      FROM events
+      WHERE {time_domain_sql()}
     )
     SELECT user_id, event_id, t_us,
            min(CASE WHEN event_type = 'purchase' THEN t_us END)
@@ -648,11 +654,18 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the timestamp of the user's next purchase strictly after it — the
     time-to-conversion primitive. Same no-join formulation: a
     conditional min over the FOLLOWING frame of one partitioned window,
-    one shuffle on user_id, no range join, no self-join."""
-    e = table(spark, sf_dir, "events")
-    t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+    one shuffle on user_id, no range join, no self-join.
+
+    r13 --timeskew: portable-time-domain filter, and t_us is exact NTZ
+    micro-arithmetic (timestampdiff) — the old reconstruction
+    ``unix_timestamp*1e6 + SSSSSS`` double-counts the sub-second
+    fraction on PRE-EPOCH timestamps (unix_timestamp truncates toward
+    zero, then the positive fraction adds the wrong way: every 1890
+    event landed 1s-minus-2·fraction late). Latent on the post-epoch
+    committed fixtures."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     ).alias("t_us")
     t = e.select("user_id", "event_id", "event_type", t_us)
     # the FOLLOWING frame is expressed as a running (unboundedPreceding,
@@ -1889,8 +1902,7 @@ def as_of_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(*event_time_order())
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     )
     changes = (
         e.withColumn("prev_type", F.lag("event_type").over(w))

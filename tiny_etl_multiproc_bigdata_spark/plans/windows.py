@@ -27,6 +27,13 @@ from tiny_etl_multiproc_bigdata_spark.functions.jsonpath import (
     json_bigint,
 )
 from tiny_etl_multiproc_bigdata_spark.functions.numerics import in_grid_domain
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    epoch_us_ntz,
+    in_obs_window,
+    in_time_domain,
+    obs_window_sql,
+    time_domain_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
@@ -146,20 +153,27 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_tumbling_counts",
-    oracle="""
-    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+    oracle=f"""
+    SELECT CAST(floor((epoch_us(ts) // 1000000) / 300) AS BIGINT) AS bucket,
            event_type,
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
-    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
+    FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {time_domain_sql()}) events
     GROUP BY 1, 2
     """,
 )
 def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute event-time buckets as a plain groupBy — the
     batch twin of the streaming window aggregation (streaming/jobs.py);
-    partial aggregation applies, unlike an ordered window."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
+    partial aggregation applies, unlike an ordered window. r13
+    --timeskew: portable-time-domain filter, and the oracle mirrors
+    the engine's trunc-seconds chain exactly (``epoch_us // 1e6``
+    then floor-div) — ``floor(epoch(ts)/300)`` is double arithmetic
+    whose ulp exceeds 1µs past year 2242, shifting the last second of
+    9999 into the next bucket."""
+    e = table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value")) & in_time_domain(F.col("ts"))
+    )
     bucket = F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("bucket")
     return e.groupBy(bucket, "event_type").agg(
         F.count("*").alias("n"),
@@ -171,14 +185,14 @@ def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_sliding_counts",
-    oracle="""
-    SELECT CAST(floor(epoch(ts) / 300) * 300 - o.off AS BIGINT)
-             AS window_start_epoch,
+    oracle=f"""
+    SELECT (epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000)
+             - o.off AS window_start_epoch,
            event_type,
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
              AS sum_value
-    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events, unnest([0, 300]) AS o(off)
+    FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {time_domain_sql()}) events, unnest([0, 300]) AS o(off)
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
@@ -195,8 +209,17 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     have no window — ``F.window`` already drops them silently; the
     explicit filter makes the contract visible and the oracle mirrors
     it (unlike batch tumbling above, whose NULL bucket survives
-    identically on both engines)."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("ts").isNotNull())
+    identically on both engines). r13 --timeskew: portable-time-domain
+    filter, and the oracle spells window starts as
+    ``epoch_us(time_bucket(...))`` — µs-exact and floor-aligned
+    exactly like ``F.window`` (verified on pre-epoch and year-9999
+    spikes), where ``floor(epoch(ts)/300)*300`` is double arithmetic
+    that misbuckets the last second of 9999."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(in_grid_domain(F.col("value")) & in_time_domain(F.col("ts")))
+        .filter(F.col("ts").isNotNull())
+    )
     w = F.window("ts", "10 minutes", "5 minutes").alias("w")
     return (
         e.groupBy(w, "event_type")
@@ -219,15 +242,15 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_events",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR CAST(floor(epoch(ts)) AS BIGINT)
-                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                       OR (epoch_us(ts) // 1000000)
+                          - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WHERE ts IS NOT NULL
+      WHERE ts IS NOT NULL AND {time_domain_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
       SELECT user_id, ts, event_id,
@@ -238,8 +261,8 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
-           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch
+           (epoch_us(min(ts)) // 1000000) AS session_start_epoch,
+           (epoch_us(max(ts)) // 1000000) AS session_end_epoch
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -252,8 +275,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Input contract (r11 NULL-parity audit): a session is an event-TIME
     construct — rows without a timestamp are excluded explicitly on
     both engines (they'd otherwise sessionize at opposite partition
-    ends under the engines' opposite NULL sort defaults)."""
-    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ends under the engines' opposite NULL sort defaults). r13
+    --timeskew: portable-time-domain filter (functions/timedomain.py)
+    and the oracle's seconds spelled epoch_us-integer-exact —
+    ``floor(epoch(ts))`` is a DOUBLE whose ulp exceeds 1µs past year
+    2242, rounding 9999-12-31 23:59:59.999999 up a full second, and
+    floors where Spark's unix_timestamp truncs on pre-epoch
+    fractions; ``epoch_us(ts) // 1000000`` is trunc on both engines
+    and exact at every in-domain magnitude."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & in_time_domain(F.col("ts"))
+    )
     w = Window.partitionBy("user_id").orderBy(*event_time_order())
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = e.withColumn(
@@ -326,16 +358,21 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "concurrent_sessions_peak",
-    oracle="""
+    oracle=f"""
     WITH pts AS (
       SELECT day, t, delta
       FROM (
-        -- explicit floor(x / 86400): DuckDB's // on DOUBLE operands is
-        -- plain division and CAST(double AS BIGINT) rounds to nearest,
-        -- which would shift after-noon events into the next day
-        SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t0,
-               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        -- seconds are epoch_us-integer-exact (r13 --timeskew:
+        -- epoch() is a DOUBLE whose ulp exceeds 1µs past year 2242,
+        -- rounding the last second of 9999 into the next day); the
+        -- explicit floor(t0 / 86400) then divides an exact BIGINT
+        -- (DuckDB's // on DOUBLE operands is plain division and
+        -- CAST(double AS BIGINT) rounds to nearest)
+        SELECT (epoch_us(ts) // 1000000) AS t0,
+               CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT)
+                 AS day
         FROM events
+        WHERE {time_domain_sql()}
       ), LATERAL (VALUES
         (t0, 1),
         (least(t0 + 1800, (day + 1) * 86400), -1)
@@ -365,8 +402,10 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: partitioned by day (bounded partitions, the sweep is
     a per-partition sort, no global order); a skewed day would split
     into sub-windows whose boundary counts merge in a second pass —
-    same topology, one extra tiny agg."""
-    e = table(spark, sf_dir, "events")
+    same topology, one extra tiny agg. r13 --timeskew: portable-time-
+    domain filter + epoch_us-exact oracle seconds (see
+    functions/timedomain.py)."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     t0 = F.floor(F.unix_timestamp("ts")).cast("bigint")
     day = F.floor(t0 / 86400).cast("bigint")
     pts = e.select(
@@ -508,13 +547,14 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "seasonal_decompose_daily",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
                AS dow,
              count(*) AS n
       FROM events
+      WHERE {time_domain_sql()}
       GROUP BY 1, 2
     ), seasonal AS (
       SELECT dow,
@@ -543,8 +583,10 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined; 7-row seasonal means) and a broadcast join back onto
     day-cardinality rows. Decomposition of a 100 TB event stream costs
     one scan; the multiplicative/trend variants (STL) ride the same
-    plan with a window over the day spine."""
-    e = table(spark, sf_dir, "events")
+    plan with a window over the day spine. r13 --timeskew: portable-
+    time-domain filter (a BC/year-57552 day crashes the client date
+    conversion one side only; functions/timedomain.py)."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     daily = (
         e.select(
             F.col("ts").cast("date").alias("day"),
@@ -626,8 +668,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies verbatim if a power user's week explodes)."""
     e = table(spark, sf_dir, "events")
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     ).alias("t_us")
     ev = e.select("user_id", "event_id", "event_type", t_us)
     purchases = ev.where(F.col("event_type") == "purchase").select(
@@ -797,8 +838,7 @@ def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     time — NULL-ts rows excluded explicitly on both engines."""
     e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     ).alias("t_us")
     base = e.select("user_id", "event_id", t_us)
     w = Window.partitionBy("user_id").orderBy(*event_time_order("t_us"))
@@ -1634,21 +1674,22 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "interarrival_burstiness",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT)
-             - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
-                                              ORDER BY ts ASC,
-                                                       event_id ASC)))
-                    AS BIGINT) AS g
+             (epoch_us(ts) // 1000000)
+             - (epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC,
+                                                event_id ASC))
+                // 1000000) AS g
       FROM events
+      WHERE {time_domain_sql()}
     ),
     stats AS (
       SELECT user_id,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(g) AS BIGINT) AS s,
-             CAST(sum(g * g) AS BIGINT) AS q
+             sum(CAST(g AS HUGEINT) * g) AS q
       FROM gaps WHERE g IS NOT NULL
       GROUP BY user_id
       HAVING count(*) >= 2
@@ -1685,8 +1726,16 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps where the events already live, then a partial-agg'd groupBy
     to user grain; nothing after is corpus-scale. The n·Σg² product
     is evaluated in double (exact through ~2^53): a century of
-    per-second gaps per user stays clear by orders of magnitude."""
-    e = table(spark, sf_dir, "events")
+    per-second gaps per user stays clear by orders of magnitude.
+
+    r13 --timeskew: portable-time-domain filter + epoch_us-exact
+    oracle seconds, and Σg² widened to DECIMAL(38)/HUGEINT (the
+    bollinger_bands precedent): an in-domain year-1→9999 gap squares
+    to ~1e23, past int64 — one corrupt-clock pair per user crashed the
+    whole aggregate under ANSI. The exact wide integer converts to
+    double once, correctly rounded identically on both engines, so
+    the fixed-IEEE-tree determinism argument above still holds."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     w = Window.partitionBy("user_id").orderBy(*event_time_order())
     g = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     gaps = e.select("user_id", g.alias("g")).filter(F.col("g").isNotNull())
@@ -1695,7 +1744,10 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("g").cast("bigint").alias("s"),
-            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("q"),
+            F.sum(
+                F.col("g").cast("decimal(19,0)")
+                * F.col("g").cast("decimal(19,0)")
+            ).alias("q"),
         )
         .filter(F.col("n") >= 2)
     )
@@ -1902,11 +1954,13 @@ def markov_stationary_distribution(
 
 @register(
     "dau_wau_stickiness",
-    oracle="""
+    oracle=f"""
     WITH du AS (
-      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+      SELECT DISTINCT
+             CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT) AS d,
              user_id
       FROM events
+      WHERE {time_domain_sql()}
     ),
     days AS (SELECT DISTINCT d FROM du),
     dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
@@ -1936,8 +1990,12 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair x7 onto a |days|-row spine — bounded fan-out on an already
     user-deduped table — and the per-day distinct is the standard
     two-level agg. At 100 TB the exact WAU swaps for the mergeable
-    HLL sketch (hll_sketch_partition_merge) with ~1% error."""
-    e = table(spark, sf_dir, "events")
+    HLL sketch (hll_sketch_partition_merge) with ~1% error.
+
+    r13 --timeskew: portable-time-domain filter + epoch_us-exact
+    oracle day index (``floor(epoch(ts)/86400)`` is double arithmetic
+    that rounds the last second of 9999 into the next day)."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     du = (
         e.select(
             F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
@@ -2036,11 +2094,11 @@ def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_groups_frame_sum",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT event_id, event_type, CAST(ts AS DATE) AS day,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
+      FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {time_domain_sql()}) events
     ),
     r AS (
       SELECT event_id, event_type, day, cents,
@@ -2070,8 +2128,12 @@ def window_groups_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: two windows over the same (event_type ORDER BY
     day/grp) sort — Catalyst reuses the single sort+partition for
     both passes (no second shuffle); partitions are per-event-type,
-    the natural key of the statement."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
+    the natural key of the statement. r13 --timeskew: portable-time-
+    domain filter (a BC/year-57552 day crashes the client date
+    conversion one side only)."""
+    e = table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value")) & in_time_domain(F.col("ts"))
+    )
     v = e.select(
         "event_id",
         "event_type",
@@ -2161,11 +2223,11 @@ def leave_one_out_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ohlc_daily_candles",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
+      FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {time_domain_sql()}) events
     ),
     r AS (
       SELECT event_type, day, cents,
@@ -2198,8 +2260,12 @@ def ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one shuffle on (event_type, day) — the window and
     the final groupBy share it (same keys, Catalyst reuses the
     partitioning); high/low/count fold map-side. Bucket-sized state,
-    never day-spanning."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
+    never day-spanning. r13 --timeskew: portable-time-domain filter
+    (a BC/year-57552 day crashes the client date conversion one side
+    only)."""
+    e = table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value")) & in_time_domain(F.col("ts"))
+    )
     v = e.select(
         "event_type",
         F.to_date("ts").alias("day"),
@@ -2242,7 +2308,7 @@ def ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS day,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
              {duck_json_bigint("props", "$.k")} AS vol
-      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
+      FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {time_domain_sql()}) events
     )
     SELECT day,
            CAST(sum(cents * vol) AS BIGINT) AS notional_cents,
@@ -2264,8 +2330,12 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: single scan, JSON path evaluated JVM-side
     (get_json_object, codegen'd), one map-side-combined groupBy on
-    day. Nothing else moves."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
+    day. Nothing else moves. r13 --timeskew: portable-time-domain
+    filter (a BC/year-57552 day crashes the client date conversion
+    one side only)."""
+    e = table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value")) & in_time_domain(F.col("ts"))
+    )
     v = e.select(
         F.to_date("ts").alias("day"),
         exact_round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
@@ -2438,8 +2508,7 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         (
-            F.unix_timestamp("ts") * 1_000_000
-            + F.date_format("ts", "SSSSSS").cast("bigint")
+            epoch_us_ntz("ts")
         ).alias("t_us"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -2592,13 +2661,14 @@ def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cumulative_distinct_users",
-    oracle="""
-    WITH firsts AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+    oracle=f"""
+    WITH e AS (SELECT * FROM events WHERE {time_domain_sql()}),
+    firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM e
       GROUP BY user_id
     ),
     daily AS (
-      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM e
       GROUP BY 1
     ),
     news AS (
@@ -2626,8 +2696,10 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the user fold is map-side combined; the final
     running sum orders a calendar-bounded table (thousands of rows)
     — the single-partition window there is free. Skew-proof: no
-    per-day distinct state anywhere."""
-    e = table(spark, sf_dir, "events")
+    per-day distinct state anywhere. r13 --timeskew: portable-time-
+    domain filter (a BC/year-57552 day crashes the client date
+    conversion one side only)."""
+    e = table(spark, sf_dir, "events").filter(in_time_domain(F.col("ts")))
     firsts = e.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_day")
     )
@@ -2784,8 +2856,7 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         (
-            F.unix_timestamp("ts") * 1_000_000
-            + F.date_format("ts", "SSSSSS").cast("bigint")
+            epoch_us_ntz("ts")
         ).alias("t_us"),
         F.floor(F.col("value") * 100 + F.lit(0.5))
         .cast("bigint")
@@ -2922,8 +2993,7 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(*event_time_order())
     t_us = (
-        F.unix_timestamp("ts") * 1_000_000
-        + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us_ntz("ts")
     )
     g = e.select((t_us - F.lag(t_us).over(w)).alias("gap_us"))
     n_users = e.agg(
@@ -2970,12 +3040,12 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "time_grouping_sets_rollup",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT CAST(ts AS DATE) AS day,
              CAST(date_trunc('month', ts) AS DATE) AS mon,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events
+      FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {time_domain_sql()}) events
     )
     SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
                 WHEN GROUPING(mon) = 0 THEN 'month'
@@ -3002,8 +3072,13 @@ def time_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate but each replica carries only its set's keys, and
     map-side combine collapses them immediately — still one scan and
     one exchange versus three separate jobs (the union-of-aggregates
-    alternative scans 3x)."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value")))
+    alternative scans 3x). r13 --timeskew: portable-time-domain filter
+    — beyond it the engines' VARCHAR renderings split ('+57552-01-01'
+    vs '57552-01-01') and the client date conversion crashes one side
+    only."""
+    e = table(spark, sf_dir, "events").filter(
+        in_grid_domain(F.col("value")) & in_time_domain(F.col("ts"))
+    )
     v = e.select(
         F.to_date("ts").alias("day"),
         F.trunc("ts", "month").alias("mon"),
@@ -3035,11 +3110,11 @@ def time_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "linear_interpolate_gaps",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
-      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE user_id < 40 GROUP BY 1, 2
+      FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {obs_window_sql()}) events WHERE user_id < 40 GROUP BY 1, 2
     ),
     span AS (
       SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
@@ -3095,8 +3170,19 @@ def linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: spine expansion is bounded by |users| x |span
     days|; the two IGNORE-NULLS window passes share one user
     partitioning. The interpolation never looks beyond the partition
-    — shard-safe."""
-    e = table(spark, sf_dir, "events").filter(in_grid_domain(F.col("value"))).filter(F.col("user_id") < 40)
+    — shard-safe.
+
+    r13 --timeskew: SPINE-GENERATING entry — rides the bounded
+    observation window [1970, 2100) (functions/timedomain.py
+    in_obs_window), not just the portable domain: spine cost is
+    proportional to the SPAN, and one corrupt year-1/9999 event
+    per user would inflate the per-user spine to 3.65M rows (the
+    pre-contract unit-bug shape OOMed the JVM)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(in_grid_domain(F.col("value")) & in_obs_window(F.col("ts")))
+        .filter(F.col("user_id") < 40)
+    )
     daily = e.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(

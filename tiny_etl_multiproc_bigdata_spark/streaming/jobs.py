@@ -26,12 +26,17 @@ from pyspark.sql import functions as F
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
 )
+from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+    stream_time_domain_sql,
+)
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
 
 def _events_stream(
     spark: SparkSession, sf_dir: str, *, require_event_time: bool = False,
-    require_measure_domain: bool = False
+    require_measure_domain: bool = False,
+    require_time_domain: bool = False,
+    require_kernel_time_domain: bool = False,
 ) -> DataFrame:
     """File-source stream of the events table (schema from a batch
     read).
@@ -53,14 +58,38 @@ def _events_stream(
     silently saturate aggregates. The caller's oracle carries the
     matching range conjuncts.
 
+    ``require_time_domain=True`` declares the r13 --timeskew
+    STREAMING-TIME-DOMAIN contract (functions/timedomain.py,
+    [epoch, 9999-12-31]): one schema-legal corrupt instant (year
+    57552 from a nanos-as-micros unit bug) advances the WATERMARK
+    past every honest row — the silent drop-everything failure,
+    invisible in a single-batch replay but fatal in production — and
+    the epoch FLOOR is Spark's own: the watermark clock starts at 0
+    and only advances, so a pre-epoch event is born late and
+    silently dropped whatever the delay (observed: three missing
+    pre-epoch sessions, engine side only). The filter is an instant
+    comparison against epoch-micros literals, session-zone-free (a
+    string-literal LTZ comparison would reintroduce the zone
+    dependence the partition-invariance board checks).
+
+    ``require_kernel_time_domain=True`` tightens the ceiling to the
+    Arrow/pandas datetime64[ns] limit ([epoch, 2262-04-11)) for
+    operators that route rows through applyInPandas(WithState): an
+    in-portable-domain year-9999 event crashes the worker's
+    Arrow→pandas conversion (observed: StreamingQueryException one
+    side only).
+
     Watermarks require TIMESTAMP (with local tz), so both
     fixture vintages of `ts` normalize to an absolute-epoch LTZ where
     the instant equals the naive value interpreted as UTC (matching the
     DuckDB oracles' `epoch(ts)`): int64 nanos are already epoch-encoded;
-    TIMESTAMP_NTZ converts via tz-free epoch seconds
-    (`to_unix_timestamp` on NTZ ignores the session timezone) plus the
-    sub-second fraction (tz offsets are whole minutes, so `SSSSSS` is
-    tz-safe)."""
+    TIMESTAMP_NTZ converts via exact tz-free NTZ micro-arithmetic
+    (``timestampdiff(MICROSECOND, epoch, ts)``) — NOT the old
+    ``to_unix_timestamp*1e6 + SSSSSS`` reconstruction, which
+    double-counts the sub-second fraction on PRE-EPOCH timestamps
+    (to_unix_timestamp truncates toward zero, then the positive
+    fraction adds the wrong way; r13 --timeskew, latent on the
+    post-epoch committed fixtures)."""
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -76,9 +105,10 @@ def _events_stream(
     if isinstance(schema["ts"].dataType, LongType):
         out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
-            "bigint"
-        ) + F.date_format("ts", "SSSSSS").cast("bigint")
+        epoch_us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
         out = raw.withColumn("ts", F.timestamp_micros(epoch_us))
     if require_event_time:
         out = out.filter(F.col("ts").isNotNull())
@@ -88,6 +118,18 @@ def _events_stream(
         )
 
         out = out.filter(in_grid_domain(F.col("value")))
+    if require_kernel_time_domain:
+        from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+            in_stream_kernel_time_domain_instant,
+        )
+
+        out = out.filter(in_stream_kernel_time_domain_instant(F.col("ts")))
+    elif require_time_domain:
+        from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
+            in_stream_time_domain_instant,
+        )
+
+        out = out.filter(in_stream_time_domain_instant(F.col("ts")))
     return out
 
 
@@ -138,18 +180,23 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, name: str, output_mode: s
 
 @register(
     "streaming_tumbling_counts",
-    oracle="""
-    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
+    oracle=f"""
+    SELECT (epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000)
+             AS window_start_epoch,
            event_type,
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
-    FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL GROUP BY 1, 2
+    FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {stream_time_domain_sql()}) events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute windowed aggregation with a 10-minute
-    watermark — the streaming twin of window_tumbling_counts."""
-    ev = _events_stream(spark, sf_dir, require_event_time=True, require_measure_domain=True)
+    watermark — the streaming twin of window_tumbling_counts. r13
+    --timeskew: streaming-time-domain contract; the oracle spells
+    window starts via time_bucket (µs-exact, floor-aligned exactly
+    like F.window — the double floor(epoch/300) misbuckets the last
+    second of 9999)."""
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_measure_domain=True, require_time_domain=True)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -193,7 +240,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_window",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -202,7 +249,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- µs gap comparison: session_window splits at the ts
              -- precision, not floored seconds
       FROM events
-      WHERE ts IS NOT NULL
+      WHERE ts IS NOT NULL AND {stream_time_domain_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
       SELECT user_id, ts,
@@ -213,8 +260,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id,
-           CAST(floor(epoch(min(ts))) AS BIGINT)        AS session_start_epoch,
-           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end_epoch,
+           (epoch_us(min(ts)) // 1000000)        AS session_start_epoch,
+           (epoch_us(max(ts)) // 1000000) + 1800 AS session_end_epoch,
            count(*) AS n_events
     FROM sessions GROUP BY user_id, session_id
     """,
@@ -222,8 +269,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) with watermark — the
     streaming analog of sessionize_events (gaps-and-islands); session
-    state merges incrementally as events arrive."""
-    ev = _events_stream(spark, sf_dir, require_event_time=True)
+    state merges incrementally as events arrive. r13 --timeskew:
+    streaming-time-domain contract (watermark clock floors at the
+    epoch; far-future poisons it) + epoch_us-exact oracle bounds."""
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_time_domain=True)
     sess = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
@@ -407,13 +456,14 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_late_data_drop",
-    oracle="""
+    oracle=f"""
     WITH f1 AS (
       SELECT event_id, ts FROM events
       WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-01-24'
         AND (event_id & 15) <> 3
     ), f2 AS (
-      SELECT event_id, ts FROM events WHERE ts >= TIMESTAMP '2024-01-24'
+      SELECT event_id, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-24' AND {stream_time_domain_sql()}
     ), strag AS (
       SELECT event_id, ts FROM events
       WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-01-24'
@@ -433,15 +483,16 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- watermark (the filter is on window.end, not the row ts —
       -- empirically pinned, see docstring)
       SELECT s.ts FROM strag s, wml
-      WHERE (CAST(floor(epoch(s.ts) / 300) * 300 AS BIGINT) + 300) * 1000000
-            > wml.us
+      WHERE ((epoch_us(time_bucket(INTERVAL '5 minutes', s.ts)) // 1000000)
+             + 300) * 1000000 > wml.us
     )
-    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
+    SELECT (epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000)
+             AS window_start_epoch,
            count(*) AS n
     FROM kept, wmf
     GROUP BY 1, wmf.us
-    HAVING (CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) + 300) * 1000000
-           <= wmf.us
+    HAVING ((epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000)
+            + 300) * 1000000 <= wmf.us
     """,
 )
 def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,8 +575,22 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             paths = [os.path.join(root, f"f{i}.parquet") for i in (1, 2, 3)]
             pq.write_table(mid.filter(pc.invert(strag_mask)), paths[0])
+            # f2 carries everything from Jan 24 on, BOUNDED to the
+            # streaming time domain (r13 --timeskew): one corrupt
+            # far-future instant in f2 would set the watermark
+            # millennia ahead and silently evict every honest window
+            # — the drop-everything poison this entry exists to
+            # demonstrate the *correct* version of. Mirrored by the
+            # oracle's f2 conjunct.
+            dmax = datetime.datetime(9999, 12, 31, 23, 59, 59, 999999)
             pq.write_table(
-                src.filter(pc.greater_equal(src.column("ts"), j24)), paths[1]
+                src.filter(
+                    pc.and_(
+                        pc.greater_equal(src.column("ts"), j24),
+                        pc.less_equal(src.column("ts"), dmax),
+                    )
+                ),
+                paths[1],
             )
             pq.write_table(mid.filter(strag_mask), paths[2])
             now = os.path.getmtime(paths[2])
@@ -538,9 +603,10 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(root)
             )
-            epoch_us = F.to_unix_timestamp("ts") * F.lit(1_000_000).cast(
-                "bigint"
-            ) + F.date_format("ts", "SSSSSS").cast("bigint")
+            epoch_us = F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
             ev = raw.withColumn("ts", F.timestamp_micros(epoch_us))
             agg = (
                 ev.withWatermark("ts", "30 minutes")
@@ -563,13 +629,13 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_sliding_counts",
-    oracle="""
-    SELECT CAST(floor(epoch(ts) / 300) * 300 - o.off AS BIGINT)
-             AS window_start_epoch,
+    oracle=f"""
+    SELECT (epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000)
+             - o.off AS window_start_epoch,
            event_type,
            count(*) AS n
     FROM events, unnest([0, 300]) AS o(off)
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND {stream_time_domain_sql()}
     GROUP BY 1, 2
     """,
 )
@@ -578,8 +644,10 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes, so each event lands in exactly two open windows — the
     overlap shape the tumbling entry cannot exercise (state holds
     window-count × key rows; watermark closes both). Streaming twin of
-    window_sliding_counts with the same two-offset oracle."""
-    ev = _events_stream(spark, sf_dir, require_event_time=True)
+    window_sliding_counts with the same two-offset oracle. r13
+    --timeskew: streaming-time-domain contract + time_bucket-exact
+    oracle window starts."""
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_time_domain=True)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(
@@ -730,14 +798,14 @@ def streaming_dedup_within_watermark(
 
 @register(
     "streaming_stream_stream_left_outer",
-    oracle="""
+    oracle=f"""
     WITH clicks AS (
       SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
-      WHERE event_type = 'click'
+      WHERE event_type = 'click' AND {stream_time_domain_sql()}
     ),
     purchases AS (
       SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
-      WHERE event_type = 'purchase'
+      WHERE event_type = 'purchase' AND {stream_time_domain_sql()}
     ),
     wm AS (
       -- final global watermark: min over both inputs of
@@ -748,7 +816,7 @@ def streaming_dedup_within_watermark(
     ),
     matched AS (
       SELECT c.click_id, p.purchase_id, c.user_id,
-             CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT)
+             (epoch_us(p.p_ts) // 1000000) - (epoch_us(c.c_ts) // 1000000)
                AS gap_s,
              c.c_ts
       FROM clicks c JOIN purchases p
@@ -786,9 +854,11 @@ def streaming_stream_stream_left_outer(
     100 TB shape: same state topology as the inner join (state
     partitioned by user across the shuffle, bounded by the range
     condition); the outer variant adds only the eviction-time null
-    emission, no extra state."""
+    emission, no extra state. r13 --timeskew: streaming-time-domain
+    contract on BOTH inputs (a corrupt far-future click poisons the
+    shared global watermark and evicts every honest pending match)."""
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, require_time_domain=True)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -798,7 +868,7 @@ def streaming_stream_stream_left_outer(
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, require_time_domain=True)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -829,13 +899,14 @@ def streaming_stream_stream_left_outer(
 
 @register(
     "streaming_ohlc_candles",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT event_type,
-             CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
+             (epoch_us(time_bucket(INTERVAL '1 day', ts)) // 1000000)
+               AS day_epoch,
              ts, event_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM (SELECT * FROM events WHERE value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) events WHERE ts IS NOT NULL
+      FROM (SELECT * FROM events WHERE (value IS NULL OR (value > -9007199254.740992 AND value < 9007199254.740992)) AND {stream_time_domain_sql()}) events WHERE ts IS NOT NULL
     ),
     r AS (
       SELECT event_type, day_epoch, cents,
@@ -869,8 +940,9 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: state is one (open,high,low,close,n) tuple per
     (event_type, day) window — constant per key per day regardless of
     event volume; the watermark bounds how many day-windows stay
-    open."""
-    ev = _events_stream(spark, sf_dir, require_event_time=True, require_measure_domain=True)
+    open. r13 --timeskew: streaming-time-domain contract +
+    time_bucket-exact oracle day buckets."""
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_measure_domain=True, require_time_domain=True)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     key = F.struct(F.col("ts"), F.col("event_id"))
     agg = (
@@ -901,12 +973,13 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_dynamic_gap",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT user_id, ts, event_id, epoch_us(ts) AS t_us,
              CASE WHEN event_type = 'purchase'
                   THEN 600000000 ELSE 1800000000 END AS gap_us
-      FROM events WHERE ts IS NOT NULL
+      FROM events
+      WHERE ts IS NOT NULL AND {stream_time_domain_sql()}
     ),
     flagged AS (
       SELECT user_id, ts, event_id, t_us, gap_us,
@@ -925,7 +998,7 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id,
-           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           (epoch_us(min(ts)) // 1000000) AS session_start_epoch,
            CAST(max(t_us + gap_us) // 1000000 AS BIGINT)
              AS session_end_epoch,
            count(*) AS n_events
@@ -947,8 +1020,10 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
 
     100 TB shape: same merging state store as the fixed-gap entry,
     partitioned by user; the gap expression evaluates row-local at
-    ingest, adding nothing to state."""
-    ev = _events_stream(spark, sf_dir, require_event_time=True)
+    ingest, adding nothing to state. r13 --timeskew: streaming-time-
+    domain contract (watermark clock floors at the epoch) +
+    epoch_us-exact oracle session start."""
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_time_domain=True)
     gap = F.when(
         F.col("event_type") == "purchase", F.lit("10 minutes")
     ).otherwise(F.lit("30 minutes"))
@@ -972,14 +1047,14 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "streaming_stream_stream_full_outer",
-    oracle="""
+    oracle=f"""
     WITH clicks AS (
       SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
-      WHERE event_type = 'click'
+      WHERE event_type = 'click' AND {stream_time_domain_sql()}
     ),
     purchases AS (
       SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
-      WHERE event_type = 'purchase'
+      WHERE event_type = 'purchase' AND {stream_time_domain_sql()}
     ),
     wm AS (
       SELECT least((SELECT epoch_us(max(c_ts)) // 1000 FROM clicks),
@@ -988,7 +1063,7 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     matched AS (
       SELECT c.click_id, p.purchase_id, c.user_id,
-             CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT)
+             (epoch_us(p.p_ts) // 1000000) - (epoch_us(c.c_ts) // 1000000)
                AS gap_s,
              c.c_ts, p.p_ts
       FROM clicks c JOIN purchases p
@@ -1033,9 +1108,11 @@ def streaming_stream_stream_full_outer(
 
     100 TB shape: identical state topology to the inner join — keyed
     by user across the shuffle, bounded by the range condition; each
-    side adds only its eviction-time null emission."""
+    side adds only its eviction-time null emission. r13 --timeskew:
+    streaming-time-domain contract on BOTH inputs (a corrupt
+    far-future event poisons the shared global watermark)."""
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, require_time_domain=True)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -1045,7 +1122,7 @@ def streaming_stream_stream_full_outer(
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, require_time_domain=True)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -1220,12 +1297,13 @@ def streaming_denylist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_windowed_distinct_users",
-    oracle="""
+    oracle=f"""
     WITH w AS (
-      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+      SELECT (epoch_us(time_bucket(INTERVAL '1 hour', ts)) // 1000000)
                AS window_start_epoch,
              user_id
-      FROM events WHERE ts IS NOT NULL
+      FROM events
+      WHERE ts IS NOT NULL AND {stream_time_domain_sql()}
     )
     SELECT window_start_epoch,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -1250,7 +1328,7 @@ def streaming_windowed_distinct_users(
     when that dominates, the registered HLL entries are the
     fixed-state alternative. Both stateful stages key on the same
     window column, so the agg reuses the dedup's shuffle."""
-    ev = _events_stream(spark, sf_dir, require_event_time=True)
+    ev = _events_stream(spark, sf_dir, require_event_time=True, require_time_domain=True)
     bucketed = (
         ev.withWatermark("ts", "1 hour")
         .select(

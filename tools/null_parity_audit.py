@@ -41,6 +41,8 @@ by spec, so NULL behavior there is not a contract anyone holds.
                                                   # (r13 matrix extension)
     python tools/null_parity_audit.py --jsonedge  # adversarial JSON props
                                                   # (r13 matrix extension)
+    python tools/null_parity_audit.py --timeskew  # extreme event times
+                                                  # (r13 matrix extension)
 """
 
 from __future__ import annotations
@@ -388,10 +390,46 @@ def _jsonedge_events() -> list[dict]:
     return out
 
 
+def _timeskew_events() -> list[dict]:
+    """--timeskew mode: EXTREME EVENT TIMES — the realistic clock /
+    unit corruption shapes of a 100 TB log pipeline: a zeroed field
+    (epoch exactly), a wrong-century parse (1890), a far-future
+    sentinel (9999-12-31), a nanos-written-as-micros unit bug
+    (year 57552), a pre-0001 value (negative overflow). Scouted
+    divergence (r13): both engines COMPUTE on all of these (micros
+    int64 spans ±292k years), but the beyond-datetime values (year
+    >9999 or <1) CRASH Spark's driver/Arrow conversion at collect
+    (`ValueError: year 57552 is out of range`) while DuckDB silently
+    degrades the same cell to a VARCHAR rendering — crash-one-side
+    for every entry that returns a ts-derived column, and a silent
+    watermark poison for streaming (one year-57552 event advances the
+    watermark past every honest row)."""
+    base = dict(
+        event_id=0, ts=_TS, user_id=11, event_type="click", value=2.5,
+        props="{}",
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+    combos = [
+        ("zeroed", epoch),                                # zeroed field
+        ("wrongcentury", datetime.datetime(1890, 1, 20, 3, 4, 5, 123456)),
+        ("yearone", datetime.datetime(1, 1, 2, 0, 0, 0)),
+        ("farfuture", datetime.datetime(9999, 12, 31, 23, 59, 59, 999999)),
+        ("unitbug", 1_754_000_000_000_000_000),           # ns written as us
+        ("preone", -62_225_836_800_000_000),              # ~year 1 BC
+    ]
+    out = []
+    for i, (_, ts) in enumerate(combos):
+        out.append(dict(base, event_id=7_000_000 + i, ts=ts))
+    return out
+
+
 def _append_spikes(dst: str, spikes: dict[str, list[dict]]) -> None:
     """Copy the fixture verbatim, appending the given spike rows on the
     SAME physical schema (pandas metadata stripped so e.g.
-    timestamp[us] survives verbatim)."""
+    timestamp[us] survives verbatim). A timestamp-typed field accepts
+    either a datetime (years 1..9999 — the Python limit) or a raw int
+    of epoch MICROS (the --timeskew arm's beyond-datetime values, e.g.
+    year 57552 from a nanos-written-as-micros unit bug)."""
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents",
                  "embeddings"):
@@ -400,9 +438,21 @@ def _append_spikes(dst: str, spikes: dict[str, list[dict]]) -> None:
             continue
         src = pq.read_table(f"{SF_DIR}/{name}.parquet")
         schema = pa.schema([src.schema.field(i) for i in range(len(src.schema))])
-        cols = {
-            f.name: [r[f.name] for r in spikes[name]] for f in schema
-        }
+        cols = {}
+        for f in schema:
+            vals = [r[f.name] for r in spikes[name]]
+            if pa.types.is_timestamp(f.type) and any(
+                isinstance(v, int) for v in vals
+            ):
+                epoch = datetime.datetime(1970, 1, 1)
+                us = datetime.timedelta(microseconds=1)
+                cols[f.name] = pa.array(
+                    [v if v is None or isinstance(v, int)
+                     else (v - epoch) // us for v in vals],
+                    type=pa.int64(),
+                ).cast(f.type)
+            else:
+                cols[f.name] = vals
         spike = pa.table(cols, schema=schema)
         out = pa.concat_tables([src.cast(schema), spike])
         pq.write_table(out, f"{dst}/{name}.parquet")
@@ -525,6 +575,15 @@ def build_jsonedge_fixture(dst: str) -> None:
     })
 
 
+def build_timeskew_fixture(dst: str) -> None:
+    """--timeskew mode: sf0.001 verbatim + extreme event times in
+    events.ts (the only event-time surface)."""
+    os.makedirs(dst, exist_ok=True)
+    _append_spikes(dst, {
+        "events": _timeskew_events(),
+    })
+
+
 _MODES = {
     "--empty": build_empty_fixture,
     "--nonfinite": build_nonfinite_fixture,
@@ -532,6 +591,7 @@ _MODES = {
     "--ragged": build_ragged_fixture,
     "--stuck": build_stuck_fixture,
     "--jsonedge": build_jsonedge_fixture,
+    "--timeskew": build_timeskew_fixture,
 }
 
 
@@ -568,13 +628,16 @@ def main() -> None:
     fix = os.path.join(scratch, "fixture")
     build(fix)
 
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.ui.enabled", "false")
-        .appName("null-parity-audit")
-        .getOrCreate()
-    )
+    def _new_session():
+        return (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            .appName("null-parity-audit")
+            .getOrCreate()
+        )
+
+    spark = _new_session()
     sc = spark.sparkContext
     con = duckdb.connect()
     for t in TABLES:
@@ -624,6 +687,28 @@ def main() -> None:
             results[name] = f"{kind}: {repr(ex)[:300]}"
         finally:
             timer.cancel()
+            # An entry can kill the whole JVM (observed in the r13
+            # --timeskew scout: interpolating a 55k-year gap OOMed the
+            # driver and every later entry then "errored" on a dead
+            # context — 200+ cascade rows masking the real findings).
+            # Per-entry isolation must include the session itself:
+            # restart on a stopped context and mark the entry, so one
+            # poisoned entry costs one restart, not the rest of the run.
+            try:
+                dead = sc._jsc.sc().isStopped()
+            except Exception:  # noqa: BLE001 — py4j gone = dead
+                dead = True
+            if dead:
+                results[name] = (
+                    f"{results.get(name, 'error:')[:200]}"
+                    " [KILLED SESSION — restarted]"
+                )
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001 — already dead
+                    pass
+                spark = _new_session()
+                sc = spark.sparkContext
             sc.setJobGroup("idle", "idle")
         if (i + 1) % 25 == 0:
             print(f"{i + 1}/{len(names)} {time.time() - t_all:.0f}s", flush=True)

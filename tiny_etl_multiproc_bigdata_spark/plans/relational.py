@@ -43,6 +43,27 @@ def _dec(col, scale: int = 2):
     return F.col(col).cast(f"decimal(30,{scale})") if isinstance(col, str) else col.cast(f"decimal(30,{scale})")
 
 
+def _cents(col) -> F.Column:
+    """Integer cent units of a cent-exact money double — exact, and
+    value-equal to ``_dec(col) * 100`` on the whole input class the
+    oracle comparison admits (r13 optimization; see q1_from_lineitem's
+    docstring for the equivalence argument). Summing these longs
+    replaces per-row BigDecimal allocation with codegen'd integer
+    folds; convert back to the oracle's decimal scale once per group."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+def _units_to_money(sum_col: F.Column, scale_units: int) -> F.Column:
+    """Exact integer units → the identical double the decimal lowering
+    produced: one decimal division (exact — result scale 6 covers every
+    unit scale used) then ONE cast to double, then the same half-up
+    cent rounding."""
+    return round_half_up(
+        (sum_col.cast("decimal(38,0)") / F.lit(scale_units)).cast("double"), 2
+    )
+
+
 def _money(col) -> F.Column:
     """Exact decimal → double, rounded to cents — via the engine-
     portable half-up formula, because _money also receives scale-4/6
@@ -86,17 +107,83 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_from_lineitem(li: DataFrame) -> DataFrame:
     """The Q1 aggregation over any lineitem-shaped DataFrame — also used
     by bench.py's amplified run (union of k parquet scans = k× input
-    splits, the honest more-data shape)."""
-    qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
-    cnt = F.count("*")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _money(F.sum(qty)).alias("sum_qty"),
-        _money(F.sum(price)).alias("sum_base_price"),
-        _money(F.sum(price * _dec(F.lit(1) - disc))).alias("sum_disc_price"),
-        _money(F.sum(price * _dec(F.lit(1) - disc) * _dec(F.lit(1) + tax))).alias("sum_charge"),
-        round_half_up(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
-        round_half_up(F.sum(price).cast("double") / cnt, 6).alias("avg_price"),
-        round_half_up(F.sum(_dec("l_discount")).cast("double") / cnt, 6).alias("avg_disc"),
+    splits, the honest more-data shape).
+
+    r13 optimization (guide §2.3 "narrower types" / §1.2 per-task
+    work): the decimal lowering spent ~70% of the query allocating
+    BigDecimals per row — four double→DECIMAL(30,2) casts plus two
+    wide-precision products per row feed six >18-precision sum buffers
+    (amplified ×16 A/B: decimal 2.76s vs the same sums over scaled
+    longs 0.83s; per-row work is identical on a cluster, so the win
+    transfers to 100 TB directly). The rewrite folds each money column
+    to integer cent units (floor(x*100 + 0.5) — exact and equal to the
+    DECIMAL(30,2) cast for every cent-exact money double, the same
+    input class the oracle comparison already requires: a non-cent
+    double diverges Spark-vs-DuckDB under the OLD lowering too, since
+    Spark rounds the shortest-repr BigDecimal where DuckDB rounds the
+    binary value), sums exact integer units, and converts to the
+    oracle's decimal scale once per GROUP, not once per row.
+
+    Overflow honesty at 100 TB (ANSI sum(long) throws, it does not
+    wrap): the charge units reach ~1e11/row, so a single-level long
+    sum would overflow past ~9e7 rows per group. The aggregation is
+    therefore two-level: level 1 groups by (partition id, flags) —
+    partial sums bounded by rows-per-task (~6e5 at 128 MB splits →
+    ≤ ~6e16, 150× headroom), level 2 folds the per-partition longs
+    into DECIMAL(38,0) (exact, unbounded) and divides back to the
+    exact decimal the old plan produced. Every output double is
+    bit-identical: both lowerings cast the same exact rational
+    (Σunits/10^scale) to double exactly once
+    (tests/test_q1_money_rewrite.py pins this on fixtures, NULL
+    spikes, and adversarial groupings)."""
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    qc, pc, dc, tc = (
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
+    part = (
+        li.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qc).alias("sq"),
+            F.sum(pc).alias("sp"),
+            F.sum(pc * (F.lit(100) - dc)).alias("sdp"),
+            F.sum(pc * (F.lit(100) - dc) * (F.lit(100) + tc)).alias("sch"),
+            F.sum(dc).alias("sd"),
+            F.count("*").alias("n"),
+        )
+    )
+    d0 = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    tot = part.groupBy("l_returnflag", "l_linestatus").agg(
+        d0("sq").alias("sq"),
+        d0("sp").alias("sp"),
+        d0("sdp").alias("sdp"),
+        d0("sch").alias("sch"),
+        d0("sd").alias("sd"),
+        F.sum("n").alias("n"),
+    )
+    # exact decimal division (≤6 fractional digits, result scale 6) →
+    # ONE double rounding per output, same as the old decimal sums
+    qty_d = (F.col("sq") / F.lit(100)).cast("double")
+    price_d = (F.col("sp") / F.lit(100)).cast("double")
+    disc_d = (F.col("sd") / F.lit(100)).cast("double")
+    cnt = F.col("n")
+    return tot.select(
+        "l_returnflag",
+        "l_linestatus",
+        round_half_up(qty_d, 2).alias("sum_qty"),
+        round_half_up(price_d, 2).alias("sum_base_price"),
+        round_half_up((F.col("sdp") / F.lit(10_000)).cast("double"), 2).alias(
+            "sum_disc_price"
+        ),
+        round_half_up(
+            (F.col("sch") / F.lit(1_000_000)).cast("double"), 2
+        ).alias("sum_charge"),
+        round_half_up(qty_d / cnt, 6).alias("avg_qty"),
+        round_half_up(price_d / cnt, 6).alias("avg_price"),
+        round_half_up(disc_d / cnt, 6).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
@@ -237,17 +324,27 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: selective dim filter → fact joins → top-k.
 
     customer is broadcast (post-filter it is tiny); orders⋈lineitem
-    shuffles on orderkey. Top-k carries a full tiebreak (orderkey) so
-    the limit is deterministic for the oracle hash."""
+    shuffles on orderkey. Revenue sums integer 1e-4 units (exact; see
+    q1_from_lineitem) — per-group row count is bounded by order size,
+    so a single-level long sum cannot overflow at any corpus scale.
+    Top-k carries a full tiebreak (orderkey) so the limit is
+    deterministic for the oracle hash. (r13 note: a reorder that
+    pre-joins broadcast(c) onto orders before the orderkey join was
+    A/B'd and REVERTED — locally every join broadcasts, and nesting
+    the broadcast build serialized an extra job per run: q3 1.03s →
+    1.23s paired median. At cluster scale the pre-filter would cut
+    the orders side of the orderkey exchange ~5×; that belongs with a
+    size-based planner decision, not a hardcoded local pessimization.)
+    """
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    price = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    units = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(_money(F.sum(price)).alias("revenue"))
+        .agg(_units_to_money(F.sum(units), 10_000).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -272,15 +369,25 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style multi-hop star join; all dims broadcast so the only
-    wide exchange is orders⋈lineitem."""
+    wide exchange is orders⋈lineitem. Revenue folds integer 1e-4 units
+    cast to DECIMAL(38,0) (r13): one cheap per-row decimal cast of an
+    exact long replaces three double→DECIMAL(30,2) casts plus a wide
+    product, and the (38,0) sum is overflow-free at any corpus scale
+    without q1's two-level fold — A/B'd against both the old lowering
+    and a q1-style two-level pid fold (old 2.44s / units 2.26s /
+    two-level 2.77s paired medians under load; the join chain, not the
+    agg, dominates this query locally, and the extra pid stage is pure
+    overhead at 5-row group cardinality). The q3-style
+    broadcast-reorder was A/B'd and reverted here too: q5 1.12s →
+    1.45s paired median — see q3's docstring."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    price = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
-    return (
+    units = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(
@@ -289,8 +396,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(_money(F.sum(price)).alias("revenue"))
+    )
+    return joined.groupBy("n_name").agg(
+        _units_to_money(F.sum(units.cast("decimal(38,0)")), 10_000).alias(
+            "revenue"
+        )
     )
 
 

@@ -469,10 +469,18 @@ def q9_from_tables(li, orders, supplier, nation, part) -> DataFrame:
     p = part.filter(F.col("p_name").like("%ol%")).select(
         "p_partkey", "p_retailprice"
     )
-    profit = (_rev() - _dec("p_retailprice") * _dec("l_quantity")).alias(
-        "profit"
-    )
-    return (
+    # r13: profit in integer 1e-4 units (exact; relational._cents) —
+    # the decimal lowering paid four BigDecimal casts + two wide
+    # products per row. (nation, year) groups are unbounded at scale,
+    # so the fold is two-level like q1: per-partition long partials,
+    # exact DECIMAL(38,0) totals, ONE decimal→double conversion per
+    # group (same rational → same double as the old plan).
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    units = (
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+        - cents("p_retailprice") * cents("l_quantity")
+    ).alias("u")
+    part_sums = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), s.s_nationkey == ns.n_nationkey)
@@ -480,10 +488,21 @@ def q9_from_tables(li, orders, supplier, nation, part) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
-            profit,
+            units,
         )
-        .groupBy("nation", "o_year")
-        .agg(round_half_up(F.sum("profit").cast("double"), 2).alias("sum_profit"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "nation", "o_year")
+        .agg(F.sum("u").alias("pu"))
+    )
+    tot = part_sums.groupBy("nation", "o_year").agg(
+        F.sum(F.col("pu").cast("decimal(38,0)")).alias("tu")
+    )
+    return tot.select(
+        "nation",
+        "o_year",
+        round_half_up(
+            (F.col("tu") / F.lit(10_000)).cast("double"), 2
+        ).alias("sum_profit"),
     )
 
 

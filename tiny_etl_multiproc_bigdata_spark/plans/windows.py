@@ -106,19 +106,28 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative frame (ROWS UNBOUNDED PRECEDING → CURRENT). Decimal
-    accumulation keeps the prefix sums exact under any partitioning."""
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING → CURRENT). Integer
+    cent accumulation keeps the prefix sums exact under any
+    partitioning (r13: was a per-row DECIMAL(30,2) window fold — the
+    long fold is the same exact value at codegen speed, and the
+    per-row cents→double conversion is a single correctly-rounded
+    IEEE divide, identical to the decimal→double cast the old plan
+    did: both produce nearest-double(S_k/100). Cent-exact input class
+    unchanged — see relational._cents. Per-customer prefix sums are
+    bounded by customer order volume, so the long fold cannot
+    overflow under ANSI at any corpus scale)."""
     o = table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return o.select(
         "o_custkey",
         "o_orderkey",
         exact_round(
-            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"),
+            F.sum(cents).over(w).cast("double") / F.lit(100.0),
             2,
         ).alias("running_total"),
     )

@@ -142,8 +142,16 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining corpus. The eval fingerprint set is tiny, so the
     anti-join broadcasts; fingerprints are computed in one corpus scan
     with no shuffle on the training side."""
+    # Generate barrier (r13 optimization round): pins the fingerprint
+    # expression to one evaluation per row per branch — as a bare
+    # projection the md5∘sort∘distinct∘tokenize chain was inlined into
+    # the join keys and union branches (10 copies of split(lower(text))
+    # in the plan; 2 after — one per eval/train scan branch).
     d = _fixture_docs(spark, sf_dir, _DECON_ROWS).select(
-        "doc_id", vocab_fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id",
+        F.explode(F.array(vocab_fingerprint(F.col("text")))).alias(
+            "fingerprint"
+        ),
     )
     is_eval = F.col("doc_id") % 97 == 0
     evalset = d.filter(is_eval).select("fingerprint")

@@ -56,10 +56,56 @@ def _shingles(col):
     """Distinct word-3-gram shingles of a text column (empty array for
     docs under 3 tokens). Shifted-slice construction via
     functions.text.word_ngrams — see its docstring for why this is not
-    a transform/element_at HOF."""
+    a transform/element_at HOF.
+
+    Prefer ``_shingled_docs`` for whole-DataFrame shingling: as a bare
+    expression the token array is re-derived per reference inside
+    word_ngrams (7 textual copies of tokenize per shingle expression),
+    and a filter on the result gets pushed below the projection and
+    duplicates the entire derivation again (r13 optimization round:
+    21 copies of ``split(lower(text))`` in one shingle plan)."""
     from tiny_etl_multiproc_bigdata_spark.functions.text import word_ngrams
 
     return F.array_distinct(word_ngrams(_tokens(col), 3))
+
+
+def _shingled_docs(d: DataFrame) -> DataFrame:
+    """(doc_id, text[, salt]) → (doc_id, shingles) with empty-shingle
+    docs dropped and, when present, the bench salt folded into every
+    shingle — the shared front of the minhash / prefix-filter / ngram
+    pipelines.
+
+    r13 optimization round (guide §1.2 per-task work, §7.2 plan
+    reading): tokens and shingles are each pinned to ONE evaluation per
+    row via a Generate barrier (``explode`` of a one-element array).
+    Without the barriers the plan evaluates tokenize up to 21× per row:
+    word_ngrams references the token array 7× (three shifted slices +
+    size guards), and PushDownPredicate inlines the whole shingle
+    derivation into the ``size > 0`` filter below the projection.
+    Filters above a Generate cannot be pushed below it, and the
+    generator expression references only pinned ATTRIBUTES, so each
+    stage evaluates once (measured −43% on the ×16-amplified shingle
+    stage: 3.11s → 1.78s, byte-identical output)."""
+    from tiny_etl_multiproc_bigdata_spark.functions.text import word_ngrams
+
+    carry = ["doc_id"] + (["salt"] if "salt" in d.columns else [])
+    t = d.select(
+        *carry, F.explode(F.array(_tokens(F.col("text")))).alias("toks")
+    )
+    s = t.select(
+        *carry,
+        F.explode(
+            F.array(F.array_distinct(word_ngrams(F.col("toks"), 3)))
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    if "salt" in d.columns:
+        s = s.withColumn(
+            "shingles",
+            F.transform(
+                "shingles", lambda sh: F.concat_ws("|", sh, F.col("salt"))
+            ),
+        )
+    return s.select("doc_id", "shingles")
 
 
 _DUCK_SHINGLES = r"""
@@ -236,16 +282,7 @@ def minhash_pairs_from_docs(d: DataFrame) -> DataFrame:
     corpus scales candidate pairs linearly (bounded duplicate clusters,
     the realistic shape) instead of quadratically (one giant
     cross-replica cluster per document)."""
-    shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
-        F.size("shingles") > 0
-    )
-    if "salt" in d.columns:
-        shingled = shingled.withColumn(
-            "shingles",
-            F.transform(
-                "shingles", lambda sh: F.concat_ws("|", sh, F.col("salt"))
-            ),
-        )
+    shingled = _shingled_docs(d)
     # Materialize the signature stage ONCE (VERDICT r01 item 5): sig is
     # consumed three times downstream (band explode + both pair sides),
     # and without a barrier the full tokenize→shingle→md5→8-min lineage
@@ -432,9 +469,7 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate path (that is dedup_minhash_lsh + the df-capped
     verification in dedup_ngram_jaccard)."""
     d = table(spark, sf_dir, "documents")
-    shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
-        F.size("shingles") > 0
-    )
+    shingled = _shingled_docs(d)
     pred = (
         minhash_scored_pairs(spark, sf_dir)
         .filter(F.col("n_match") >= 4)
@@ -756,8 +791,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale (no hot-shingle k² blowup); one extra window count on
     the already-shuffled sh key."""
     d = table(spark, sf_dir, "documents")
+    # token-pinning barrier via _shingled_docs (r13 optimization round):
+    # the bare explode(_shingles(text)) generator re-derived the token
+    # array 7x per row inside word_ngrams
     ex = (
-        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+        _shingled_docs(d)
+        .select("doc_id", F.explode("shingles").alias("sh"))
         .distinct()
     )
     ex = (
@@ -1021,32 +1060,36 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
     an N×-replicated corpus forms N independent token spaces and
     candidate pairs grow linearly, not quadratically."""
     # Materialize the shingle ARRAYS once: the checkpointed array table
-    # feeds four independent subtrees (sizes, document frequencies, the
-    # prefix window input, and both verification sides) — without a
-    # barrier the tokenize→shingle lineage re-executes per consumer,
-    # ~4 corpus passes at scale (the minhash_pairs_from_docs lesson,
+    # feeds three independent subtrees (sizes, document frequencies,
+    # and the prefix/array build) — without a barrier the
+    # tokenize→shingle lineage re-executes per consumer, multiple
+    # corpus passes at scale (the minhash_pairs_from_docs lesson,
     # VERDICT r01 item 5; flagged again by the r05 review). Arrays, not
     # exploded postings, because sizes then come map-side (F.size — no
-    # groupBy shuffle) and verification intersects the two arrays per
-    # candidate pair directly (r6: replaces the cand×|doc| posting
-    # explode + count shuffle that dominated the amplified run).
-    shingled = d.withColumn("shingles", _shingles(F.col("text"))).filter(
-        F.size("shingles") > 0
-    )
-    if "salt" in d.columns:
-        shingled = shingled.withColumn(
-            "shingles",
-            F.transform(
-                "shingles", lambda sh: F.concat_ws("|", sh, F.col("salt"))
-            ),
-        )
-    shingled = shingled.select("doc_id", "shingles").localCheckpoint(
-        eager=True
-    )
+    # groupBy shuffle).
+    shingled = _shingled_docs(d).localCheckpoint(eager=True)
     sh = shingled.select("doc_id", F.explode("shingles").alias("tok"))
     sz = shingled.select("doc_id", F.size("shingles").alias("n"))
-    dfr = sh.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    # r13 optimization-round rewrite (guide §2.3 "shuffle narrower
+    # types" + §2.4 "remove shuffles outright"): every stage past the
+    # df-count now runs on an exact bijective int64 token id instead of
+    # the 3-word shingle STRING. The id VALUE is arbitrary (unique per
+    # distinct token within the run): intersection sizes are invariant
+    # under any bijection, and the PPJoin prefix theorem holds for ANY
+    # total order shared by all docs — (df asc, tok_id asc) is one —
+    # so the verified output is bit-identical to the string lowering
+    # (pinned by tests/test_jaccard_rewrite.py against the old lowering
+    # kept verbatim there, and by test_prefix_filter_is_complete's
+    # independent all-pairs ground truth). monotonically_increasing_id
+    # is evaluated exactly once per run: its only consumer chain is
+    # frozen by the eager per_doc localCheckpoint below, so retries
+    # downstream cannot observe a second assignment.
+    dfr = (
+        sh.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn("tok_id", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok_id"))
     prefix_len = (
         F.col("n")
         - F.floor(
@@ -1055,13 +1098,32 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
         )
         + 1
     )
-    pref = (
+    # ONE doc_id exchange feeds window AND per-doc array build: the
+    # groupBy(doc_id) directly under Window.partitionBy(doc_id) reuses
+    # the window's partitioning (guide §2.4) — the old plan ran the
+    # join+window pipeline TWICE (once per self-join side, 26 Exchanges
+    # total, plans/r13/dedup_jaccard_prefix_filter_before.txt) and then
+    # broadcast ~1 KB STRING arrays to every candidate pair.
+    # collect_list skips NULLs, so the prefix ids fold into the same
+    # aggregate as the full id set without a second pass.
+    ranked = (
         sh.join(dfr, "tok")
+        .select("doc_id", "tok_id", "df")  # shingle strings end here
         .join(sz, "doc_id")
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "tok", "n")
     )
+    per_doc = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.collect_list("tok_id").alias("ids"),
+            F.collect_list(
+                F.when(F.col("rk") <= prefix_len, F.col("tok_id"))
+            ).alias("pref_ids"),
+            F.first("n").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pref = per_doc.select("doc_id", F.explode("pref_ids").alias("tok_id"), "n")
     a, b = pref.alias("a"), pref.alias("b")
     # PPJoin length filter (exactness-preserving, like the prefix
     # itself): J(A,B) >= θ forces θ·max(|A|,|B|) <= |A∩B| <= min, so a
@@ -1073,7 +1135,7 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.tok") == F.col("b.tok"))
+            (F.col("a.tok_id") == F.col("b.tok_id"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.lit(_PF_THETA_DEN) * F.least(F.col("a.n"), F.col("b.n"))
@@ -1085,27 +1147,44 @@ def prefix_filter_pairs_from_docs(d: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    # verification: join each candidate pair to BOTH docs' shingle
-    # arrays and intersect map-side — |cand| rows total, vs the former
+    # verification: join each candidate pair to BOTH docs' id arrays
+    # and intersect map-side — |cand| rows total, vs the former
     # posting-explode plan whose intermediate was |cand| × |doc| rows
     # into a count shuffle. Shingles are distinct (sets), so
-    # |array_intersect| IS the exact Jaccard intersection size.
-    arr_a = shingled.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    # |array_intersect| IS the exact Jaccard intersection size — and on
+    # int64 ids it measured 3.4× faster than on the shingle strings
+    # (1.54s vs 5.24s isolated at ×16 amplification).
+    arr_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("ids").alias("ids_a")
     )
-    arr_b = shingled.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    arr_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("ids").alias("ids_b")
     )
+    # Generate barrier (explode of a 1-element array): without it,
+    # CollapseProject + filter pushdown inline the intersect into BOTH
+    # the threshold Filter and the output Project, evaluating it twice
+    # per pair (measured 1.54s → 2.97s isolated). Filters referencing a
+    # generator output cannot be pushed below the Generate, so the
+    # intersect evaluates exactly once.
     paired = (
         cand.join(arr_a, "doc_a")
         .join(arr_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
-            F.size("sh_a").alias("na"),
-            F.size("sh_b").alias("nb"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.size(F.array_intersect("ids_a", "ids_b")).alias(
+                            "i"
+                        ),
+                        F.size("ids_a").alias("na"),
+                        F.size("ids_b").alias("nb"),
+                    )
+                )
+            ).alias("v"),
         )
+        .select("doc_a", "doc_b", "v.i", "v.na", "v.nb")
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return paired.filter(
@@ -1357,8 +1436,12 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the cap is the k² guard); the two extra divisions ride
     the same joined row."""
     d = table(spark, sf_dir, "documents")
+    # token-pinning barrier via _shingled_docs (r13 optimization round):
+    # the bare explode(_shingles(text)) generator re-derived the token
+    # array 7x per row inside word_ngrams
     ex = (
-        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+        _shingled_docs(d)
+        .select("doc_id", F.explode("shingles").alias("sh"))
         .distinct()
     )
     ex = (

@@ -234,8 +234,14 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     toks = F.filter(tokenize_words(F.lower(F.col("text"))), lambda t: t != "")
+    # Generate barrier pins the token array to one evaluation per row
+    # (r13 optimization round): word_ngrams references its input 5×
+    # (two shifted slices + size guards), and as a bare expression each
+    # reference re-derived the full tokenize (5 copies of
+    # split(lower(text)) in the plan; 1 after).
     return (
-        d.select(F.explode(word_ngrams(toks, 2)).alias("ngram"))
+        d.select(F.explode(F.array(toks)).alias("l"))
+        .select(F.explode(word_ngrams(F.col("l"), 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("ngram"))

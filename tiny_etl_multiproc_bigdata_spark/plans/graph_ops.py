@@ -805,6 +805,55 @@ def _lpa_oracle() -> str:
     )
 
 
+# r13 optimization round: order-preserving int64 node encoding for the
+# LPA rounds (guide §2.3 "shuffle narrower bytes"). Node ids are
+# 'c<digits>' / 's<digits>' strings whose LEXICOGRAPHIC order the
+# tie-break depends on; enc() is a strict order-isomorphism into
+# int64, so min(struct(-cnt, lbl)) over encoded longs picks exactly
+# the label the string comparison picked, and every round's join/agg
+# shuffles 16-byte long pairs instead of ~40-byte strings. The
+# encoding is purely arithmetic and invertible, so the final decode is
+# a per-row expression — no mapping table, no extra join.
+#
+# enc('c'+d) = num(rightpad(d, W, '0'))·16 + len(d); 's' adds 2^61.
+# For digit strings without leading zeros, lex order == numeric order
+# of the right-padded value with length as tiebreak (right-padding
+# with '0', the smallest digit, preserves every non-prefix comparison;
+# prefix pairs pad to the same value and resolve by length), and all
+# 'c*' sort before all 's*' ('c' < 's'). Exact for keys < 10^W
+# (W=12: custkey at sf ~100k is ~11 digits; the cast chain is
+# int64-exact throughout). Pinned by tests/test_lpa_rewrite.py:
+# adversarial prefix/length cases, and full-output equivalence vs the
+# old string lowering at two SFs.
+_LPA_PAD_W = 12
+_LPA_S_BIT = 1 << 61
+
+
+def _lpa_enc(key: str, is_s: bool) -> F.Column:
+    """Order-preserving encode of a positive bigint key column into the
+    node id space ('c<key>' when is_s=False, 's<key>' when True)."""
+    padded = F.col(key).cast("bigint") * F.expr(
+        f"cast(pow(10, {_LPA_PAD_W} - length(cast({key} as string))) as bigint)"
+    )
+    base = padded * 16 + F.length(F.col(key).cast("string")).cast("bigint")
+    return base + F.lit(_LPA_S_BIT) if is_s else base
+
+
+def _lpa_dec(col: str) -> F.Column:
+    """Inverse of _lpa_enc — back to the 'c<digits>'/'s<digits>' string.
+    Pure int64 arithmetic (bigint ``div``), evaluated per row on the
+    tiny |V|-sized result."""
+    base = f"(case when {col} >= {_LPA_S_BIT} then {col} - {_LPA_S_BIT} else {col} end)"
+    key = (
+        f"(({base} div 16) div "
+        f"cast(pow(10, {_LPA_PAD_W} - {base} % 16) as bigint))"
+    )
+    return F.expr(
+        f"concat(case when {col} >= {_LPA_S_BIT} then 's' else 'c' end, "
+        f"cast({key} as string))"
+    )
+
+
 @register("label_propagation_communities", oracle=_lpa_oracle())
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
@@ -835,13 +884,18 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     (every-k-rounds) checkpoint, the kcore/sssp convention."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct over the (custkey, suppkey) INT pairs, encode after —
+    # the big dedup shuffle moves 16-byte pairs, not node strings
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
         .distinct()
+        .select(
+            _lpa_enc("ck", False).alias("cnode"),
+            _lpa_enc("sk", True).alias("snode"),
+        )
     )
     e = (
         pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
@@ -872,7 +926,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         lbl = counts.groupBy("node").agg(
             F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))).alias("m")
         ).select("node", F.col("m.lbl").alias("lbl"))
-    return lbl.select("node", F.col("lbl").alias("community"))
+    # decode back to the contract's 'c<digits>'/'s<digits>' strings —
+    # per-row arithmetic on the final |V|-row result, no mapping join
+    return lbl.select(
+        _lpa_dec("node").alias("node"), _lpa_dec("lbl").alias("community")
+    )
 
 
 # ---- Hilbert-curve clustering keys ---------------------------------------

@@ -1441,23 +1441,27 @@ def itemcf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
     a = li.select(F.col("ok"), F.col("pk").alias("pa"))
     b = li.select(F.col("ok"), F.col("pk").alias("pb"))
+    # The basket self-join must never broadcast: both sides are the full
+    # postings table, so a hash exchange on ok is the only shape that
+    # scales (a raised local threshold would otherwise broadcast one side).
     co = (
-        a.join(b, "ok")
+        a.hint("shuffle_hash").join(b, "ok")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("co"))
     )
-    sym = co.unionAll(
-        co.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co")
-    )
-    scored = (
-        sym.join(F.broadcast(n.withColumnRenamed("pk", "pa")
-                             .withColumnRenamed("n", "na")), "pa")
+    # cos(a,b) is symmetric (sqrt(na)*sqrt(nb) commutes exactly in IEEE),
+    # so score each unordered pair ONCE and emit both directions with a
+    # map-side explode; a union of co + swapped co would re-evaluate the
+    # whole pair join+aggregate pipeline, one pass per branch.
+    scored_once = (
+        co.join(F.broadcast(n.withColumnRenamed("pk", "pa")
+                            .withColumnRenamed("n", "na")), "pa")
         .join(F.broadcast(n.withColumnRenamed("pk", "pb")
                           .withColumnRenamed("n", "nb")), "pb")
         .select(
-            F.col("pa").alias("item"),
-            F.col("pb").alias("neighbor"),
+            F.col("pa"),
+            F.col("pb"),
             F.floor(
                 F.col("co")
                 / (F.sqrt(F.col("na").cast("double"))
@@ -1469,6 +1473,22 @@ def itemcf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_micro"),
         )
     )
+    scored = scored_once.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("item"),
+                    F.col("pb").alias("neighbor"),
+                    F.col("cos_micro"),
+                ),
+                F.struct(
+                    F.col("pb").alias("item"),
+                    F.col("pa").alias("neighbor"),
+                    F.col("cos_micro"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.item", "e.neighbor", "e.cos_micro")
     wr = Window.partitionBy("item").orderBy(
         F.desc("cos_micro"), F.asc("neighbor")
     )

@@ -603,26 +603,48 @@ def resource_allocation_linkpred(
     bounding per-customer fan-out at C({_RA_DEG_CAP},2) pairs. High-
     degree customers carry negligible RA mass anyway (each contributes
     <= 1e8/{_RA_DEG_CAP + 1} per pair) — the cap is principled, not
-    just cheap. One edge shuffle, one degree agg, one pair shuffle on
-    the bounded fan-out."""
+    just cheap. One edge shuffle (collect_set dedupes map-side), a
+    map-side C(d,2) pair explode, one pair-key shuffle of partials."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e = (
+    # One exchange replaces the old distinct + degree join + pair
+    # self-join chain: collect_set dedupes (c, s) map-side, the degree
+    # is the set size (+1 if a NULL supplier row existed — DISTINCT
+    # keeps exactly one NULL, and the old per-c count included it),
+    # and the bounded C(d,2) pair fan-out explodes map-side from the
+    # sorted set, so no edge table is ever shuffled twice. NULL c rows
+    # never paired before (equi-join key), so they drop up front.
+    per_c = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint(eager=True)  # consumers: degree table + 2 join arms
-    )
-    deg = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    kept = e.join(deg, "c").filter(F.col("d") <= _RA_DEG_CAP)
-    a = kept.select("c", F.col("s").alias("supp_a"), "d")
-    b = kept.select("c", F.col("s").alias("supp_b"))
-    return (
-        a.join(b, "c")
-        .where(F.col("supp_a") < F.col("supp_b"))
-        .groupBy("supp_a", "supp_b")
+        .filter(F.col("c").isNotNull())
+        .groupBy("c")
         .agg(
-            F.sum(F.expr(f"{_RA_SCALE} div d")).cast("bigint").alias("ra_e8"),
+            F.sort_array(F.collect_set("s")).alias("ss"),
+            F.max(F.col("s").isNull()).alias("hn"),
+        )
+        .select(
+            "ss",
+            (F.size("ss") + F.col("hn").cast("int")).cast("bigint").alias("d"),
+        )
+        .filter(F.col("d") <= _RA_DEG_CAP)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss) - i - 1), "
+        "y -> struct(x as supp_a, y as supp_b))))"
+    )
+    return (
+        per_c.select(
+            F.explode(pair_expr).alias("p"),
+            F.expr(f"{_RA_SCALE} div d").alias("t"),
+        )
+        .groupBy(
+            F.col("p.supp_a").alias("supp_a"),
+            F.col("p.supp_b").alias("supp_b"),
+        )
+        .agg(
+            F.sum("t").cast("bigint").alias("ra_e8"),
             F.count(F.lit(1)).cast("bigint").alias("common_customers"),
         )
         .select("supp_a", "supp_b", "common_customers", "ra_e8")

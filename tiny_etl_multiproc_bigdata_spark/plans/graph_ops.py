@@ -80,13 +80,19 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     and determinism story."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # int64 node codes for every iteration's shuffle (r13 optimization
+    # round, the LPA _lpa_enc port): the dedup shuffle moves 16-byte
+    # INT pairs and each round's join/agg hashes longs, not 8-13-byte
+    # strings; the recurrence only needs node IDENTITY (sums commute),
+    # so any bijection works — decode on the final |V|-row result.
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
+        .select(
+            _lpa_enc("ck", False).alias("src"),
+            _lpa_enc("sk", True).alias("dst"),
+        )
     )
     # materialization barriers (r07 plan audit: 28 parquet scans —
     # every per-iteration reference of nodes/e2 re-executed the
@@ -123,7 +129,7 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST({_PR_BASE} + (85 * coalesce(s, 0)) div 100 AS BIGINT)")
             .alias("pr"),
         )
-    return pr
+    return pr.select(_lpa_dec("node").alias("node"), "pr")
 
 
 # --------------------------------------------------------------------------
@@ -369,17 +375,21 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_quantity"
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # int64 node codes for every round's shuffle (r13, the LPA port):
+    # min-plus relaxation only needs node identity, so the weight
+    # aggregate groups on the raw INT pair and the codes decode once
+    # on the final reachable set.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "cnode"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "snode"
-            ),
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
         .agg(F.min("l_quantity").cast("bigint").alias("w"))
+        .select(
+            _lpa_enc("ck", False).alias("cnode"),
+            _lpa_enc("sk", True).alias("snode"),
+            "w",
+        )
     )
     # materialize the edge list once and each round's distance table:
     # every iteration references `d` twice (in `relaxed` and in the
@@ -398,7 +408,10 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     d = spark.createDataFrame(
-        [(_SSSP_SOURCE, 0)], "node string, dist long"
+        [(int(_SSSP_SOURCE[1:]), 0)], "ck long, dist long"
+    ).select(
+        _lpa_enc("ck", False).alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
     )
     for _ in range(_SSSP_ITERS):
         d = d.localCheckpoint(eager=True)
@@ -411,7 +424,7 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
-    return d
+    return d.select(_lpa_dec("node").alias("node"), "dist")
 
 
 # ---- k-core peeling (fixed iterations) ----------------------------------
@@ -474,17 +487,18 @@ def kcore_fixed_peels(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink monotonically."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # int64 node codes for every peel's join/agg shuffle (r13, the LPA
+    # port): degree counting only needs node identity; the dedup
+    # shuffle moves INT pairs and the codes decode once on the
+    # surviving-node result.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "cnode"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "snode"
-            ),
-        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
+        .select(
+            _lpa_enc("ck", False).alias("cnode"),
+            _lpa_enc("sk", True).alias("snode"),
+        )
     )
     # materialize the edge list once and each round's survivor set:
     # every round references `nodes` TWICE (both join sides), so without
@@ -516,9 +530,10 @@ def kcore_fixed_peels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     return nodes.select(
-        "node", F.count("*").over(W.partitionBy()).cast("bigint").alias(
+        _lpa_dec("node").alias("node"),
+        F.count("*").over(W.partitionBy()).cast("bigint").alias(
             "surviving_nodes"
-        )
+        ),
     )
 
 
@@ -591,18 +606,19 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying the 1-bit seed flag through the node table."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # int64 node codes for every iteration's shuffle (r13, the LPA
+    # port); the seed flag derives from the raw custkey, and the old
+    # distinct over (src, dst, ck) was definitionally the (ck, sk)
+    # distinct (src/dst are functions of ck/sk).
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-            F.col("o_custkey").alias("ck"),
-        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
+        .select(
+            _lpa_enc("ck", False).alias("src"),
+            _lpa_enc("sk", True).alias("dst"),
+            "ck",
+        )
     )
     nodes = (
         edges.select(
@@ -650,7 +666,9 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + (85 * coalesce(s, 0)) div 100 AS BIGINT)"
             ).alias("pr"),
         )
-    return pr.filter(F.col("pr") > 0).select("node", "pr")
+    return pr.filter(F.col("pr") > 0).select(
+        _lpa_dec("node").alias("node"), "pr"
+    )
 
 
 # ---- HITS (hubs & authorities, fixed iterations, unnormalized) ----------

@@ -590,23 +590,31 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # r13 optimization: (a) ||c||^2 hoists to the broadcast build (one
+    # evaluation per centroid, not per pair) and ||x||^2 drops from the
+    # argmin entirely — it is constant within each vec_id partition, so
+    # ranking by m = ||c||^2 - 2 x·c with the same (value, cid)
+    # tiebreak selects the identical centroid (d = ||x||^2 + m);
+    # (b) the row_number window over the N×k distance table becomes a
+    # partial-aggregable min(struct(m, cid)) fold, so the argmin
+    # combines map-side instead of shuffling and sorting N×k rows.
+    # Interpreted dot products per pair drop 3 -> 1. A/B at sf1:
+    # 12.43s -> 9.02s median (-27%, 4/4), bit-identical at two SFs.
     cent = qv.filter(F.col("vec_id") % _CENTROID_MOD == 7).select(
-        F.col("vec_id").alias("cid"), F.col("qa").alias("ca")
+        F.col("vec_id").alias("cid"),
+        F.col("qa").alias("ca"),
+        idot(F.col("qa"), F.col("qa")).alias("nc"),
     )
-    dist = qv.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        (
-            idot(F.col("qa"), F.col("qa"))
-            - F.lit(2) * idot(F.col("qa"), F.col("ca"))
-            + idot(F.col("ca"), F.col("ca"))
-        ).alias("d"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    m = F.col("nc") - F.lit(2) * idot(F.col("qa"), F.col("ca"))
     assign = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        qv.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.struct(m.alias("m"), F.col("cid").alias("cid")).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
         .localCheckpoint(eager=True)
     )
     biggest = assign.groupBy("cid").count().agg(F.max("count")).first()[0] or 0

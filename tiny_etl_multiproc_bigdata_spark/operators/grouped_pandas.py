@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Iterator, Tuple  # module-level: pandas_udf resolves
 # string type hints against module globals, not closure locals
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -371,9 +372,17 @@ def cogroup_asof_from(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     break under the external driver's session)."""
 
     def asof_merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
-        # ties on t_us collapse to the same time value, so sorting by
-        # t_us alone is deterministic for the OUTPUT even when click
-        # event_ids tie; purchases keep event_id for identity
+        # r13 optimization round (guide §4.2 "vectorized native work
+        # inside the UDF"): the per-group pd.merge_asof (two stable
+        # sorts + the full merge machinery per USER) is replaced by one
+        # numpy searchsorted — backward as-of with exact matches over
+        # sorted click times is ct[searchsorted(ct, pt, 'right') - 1].
+        # Ties on t_us collapse to the same time VALUE, so which tie
+        # index searchsorted lands on is immaterial, exactly the
+        # argument the mergesort sort made before. int64 throughout
+        # (the old float64 NaN detour was exact too: t_us ~1.7e15 <
+        # 2^53). Bit-identical at three SFs + constructed tie/empty
+        # frames: tests/test_operators.py.
         if len(p) == 0 or len(c) == 0:
             return pd.DataFrame(
                 columns=[
@@ -383,31 +392,20 @@ def cogroup_asof_from(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
                     "secs_since_click",
                 ]
             )
-        p = p.sort_values("t_us", kind="mergesort")
-        c = c.sort_values("t_us", kind="mergesort")
-        m = pd.merge_asof(
-            p,
-            c.rename(columns={"t_us": "click_us"}),
-            left_on="t_us",
-            right_on="click_us",
-            direction="backward",
-        )
-        m = m.dropna(subset=["click_us"])
-        out = pd.DataFrame(
+        pt = p["t_us"].to_numpy()
+        ct = np.sort(c["t_us"].to_numpy())
+        idx = np.searchsorted(ct, pt, side="right") - 1
+        keep = idx >= 0
+        click = ct[idx[keep]]
+        t = pt[keep]
+        return pd.DataFrame(
             {
-                "user_id": m["user_id_x"]
-                if "user_id_x" in m
-                else m["user_id"],
-                "event_id": m["event_id"],
-                "last_click_epoch": (m["click_us"] // 1_000_000).astype(
-                    "int64"
-                ),
-                "secs_since_click": (
-                    (m["t_us"] - m["click_us"]) // 1_000_000
-                ).astype("int64"),
+                "user_id": p["user_id"].to_numpy()[keep],
+                "event_id": p["event_id"].to_numpy()[keep],
+                "last_click_epoch": click // 1_000_000,
+                "secs_since_click": (t - click) // 1_000_000,
             }
         )
-        return out
 
     return (
         purchases.groupBy("user_id")

@@ -749,20 +749,40 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-score auth state so the final union is well-defined even if
     # _HITS_ITERS is tuned to 0 (matches the oracle's a0 CTE semantics)
     a = auths.withColumn("s", F.lit(0).cast("bigint"))
+    # r13 optimization round (guide §2.4 / §3.1): each half-round used
+    # to run nodes ⟕ e ⟕ other_score → groupBy — the EDGE table crossed
+    # two exchanges (by auth, then the joined rows by hub) plus a third
+    # for the partials, all SortMergeJoins. Reordered: score joins the
+    # edge list FIRST (inner — the score table covers every node of its
+    # side each round, so the inner join matches every e row; NULL keys
+    # never equi-join in either form), then the groupBy partial-
+    # aggregates map-side, so the edge table crosses ONE exchange per
+    # half-round and the second exchange carries |nodes|-bounded
+    # partials. Edge-less nodes get s=0 via the final left join exactly
+    # as before (bit-identical at two SFs: tests/test_hits_rewrite.py).
+    # shuffle_hash pins the score side as the per-partition build (the
+    # checkpointed score table has no stats, so the planner would fall
+    # back to sort-merge and pay a sort of the edge table; the build
+    # side is |V|/P rows — bounded at any scale, no broadcast of a
+    # |V|-row table anywhere).
     for _ in range(_HITS_ITERS):
         h = h.localCheckpoint(eager=True)
-        a = (
-            auths.join(e, "auth", "left")
-            .join(h.select("hub", F.col("s").alias("hs")), "hub", "left")
+        pa = (
+            e.join(h.select("hub", F.col("s").alias("hs")).hint("shuffle_hash"), "hub")
             .groupBy("auth")
-            .agg(F.coalesce(F.sum("hs"), F.lit(0)).cast("bigint").alias("s"))
+            .agg(F.sum("hs").alias("ps"))
+        )
+        a = auths.join(pa, "auth", "left").select(
+            "auth", F.coalesce(F.col("ps"), F.lit(0)).cast("bigint").alias("s")
         )
         a = a.localCheckpoint(eager=True)
-        h = (
-            hubs.join(e, "hub", "left")
-            .join(a.select("auth", F.col("s").alias("as_")), "auth", "left")
+        ph = (
+            e.join(a.select("auth", F.col("s").alias("as_")).hint("shuffle_hash"), "auth")
             .groupBy("hub")
-            .agg(F.coalesce(F.sum("as_"), F.lit(0)).cast("bigint").alias("s"))
+            .agg(F.sum("as_").alias("ps"))
+        )
+        h = hubs.join(ph, "hub", "left").select(
+            "hub", F.coalesce(F.col("ps"), F.lit(0)).cast("bigint").alias("s")
         )
     return (
         h.select(

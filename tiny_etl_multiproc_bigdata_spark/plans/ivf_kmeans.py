@@ -48,19 +48,47 @@ def _l2sq(a, b):
 def _assign_cells(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the centroid set, rank by
     micro-scaled integer distance (cross-engine-stable ties). Shared by
-    ann_ivf_topk and each kmeans_lloyd iteration — the 'cell' here and
-    the k-means assignment step are the same primitive."""
+    ann_ivf_topk, ann_ivf_multiprobe and each kmeans_lloyd iteration —
+    the 'cell' here and the k-means assignment step are the same
+    primitive.
+
+    r13 optimization round (guide §2.3, the §10 SemDeDup fold): the
+    argmin used to be a row_number window, which shuffled and sorted
+    all N×k candidate rows WITH their embedding arrays. It is now a
+    partial-aggregable min(struct(dq, cid, dist, embedding)) fold: the
+    selection key (dq asc, cid asc) is identical (struct comparison is
+    field-lexicographic with the same NULLS FIRST order the window's
+    asc used — probed in tests/test_assign_fold.py), cid is unique per
+    vec so the trailing fields never participate in the comparison,
+    and the map-side partial folds k candidates down to ONE struct per
+    vec per partition before the exchange. Bit-identical at three SFs
+    (tests/test_assign_fold.py)."""
     joined = e.crossJoin(F.broadcast(centroids))
     d = _l2sq(F.col("embedding"), F.col("cvec"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.floor(d * 1_000_000 + F.lit(0.5)).cast("bigint").asc(), F.asc("cid")
+    # project the distance FIRST so the interpreted fold evaluates once
+    # per pair: the struct below references the dist ATTRIBUTE twice
+    # (quantized rank key + payload), and CollapseProject keeps the
+    # producing projection separate because the expression is non-cheap
+    # and multiply-referenced (fingerprint pinned: one zip_with per
+    # pair stage in the formatted plan).
+    pair = joined.select("vec_id", "embedding", "cid", d.alias("dist"))
+    best = pair.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                F.floor(F.col("dist") * 1_000_000 + F.lit(0.5))
+                .cast("bigint")
+                .alias("dq"),
+                F.col("cid").alias("cid"),
+                F.col("dist").alias("dist"),
+                F.col("embedding").alias("embedding"),
+            )
+        ).alias("b")
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id", "embedding", F.col("cid").alias("cell"), d.alias("dist")
-        )
+    return best.select(
+        "vec_id",
+        F.col("b.embedding").alias("embedding"),
+        F.col("b.cid").alias("cell"),
+        F.col("b.dist").alias("dist"),
     )
 
 

@@ -1043,25 +1043,48 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", F.lower("text").alias("low")).where(
         F.length("low") >= _WIN_K + _WIN_W - 1
     )
+    # r13 optimization round (guide §2.4; the linkpred C(d,2) shape):
+    # the pair stage used to join the postings table against a
+    # df-capped keepable set and then SELF-JOIN it on the 32-char md5
+    # hex — the posting table crossed three exchanges keyed on 32-byte
+    # strings. The df-cap bounds every posting list at _WIN_DF_CAP
+    # docs, so ONE collect_list aggregate (postings shuffle once on
+    # kh) plus a map-side C(d,2) explode of the sorted list replaces
+    # the keepable join AND the self-join; doc_a < doc_b falls out of
+    # the sort order. The isNotNull guard reproduces the old join
+    # semantics exactly (a NULL kh never equi-joined, so it never
+    # paired; unreachable on real fingerprints, guarded anyway).
+    # Bit-identical at three SFs: tests/test_winnowing_rewrite.py.
     h = (
         winnow_fingerprints(base, rollup=False)
         .select("doc_id", F.col("kgram_hash").alias("kh"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds the df-cap AND both join sides
     )
-    keepable = (
-        h.groupBy("kh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _WIN_DF_CAP)
-        .select("kh")
+    post = (
+        h.where(F.col("kh").isNotNull())
+        .groupBy("kh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(
+            (F.size("ds") <= _WIN_DF_CAP) & (F.size("ds") >= 2)
+        )
     )
-    hp = h.join(keepable, "kh")
-    a = hp.select(F.col("doc_id").alias("doc_a"), "kh")
-    b = hp.select(F.col("doc_id").alias("doc_b"), "kh")
+    pairs = post.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("ds", 1, F.size("ds") - 1),
+                    lambda a, i: F.transform(
+                        F.slice("ds", i + 2, F.size("ds")),
+                        lambda b: F.struct(
+                            a.alias("doc_a"), b.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(b, "kh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= _WIN_MIN_SHARED)
     )

@@ -33,6 +33,10 @@ from tiny_etl_multiproc_bigdata_spark.functions.timedomain import (
     in_time_domain,
     time_domain_sql,
 )
+from tiny_etl_multiproc_bigdata_spark.functions.partitioning import (
+    ckpt_hash,
+    ckpt_keep,
+)
 from tiny_etl_multiproc_bigdata_spark.functions.rounding import round_half_up
 from tiny_etl_multiproc_bigdata_spark.plans.registry import register
 
@@ -103,20 +107,32 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contrib join), so the fused ITERS-deep plan recomputes nothing —
     # the per-round eager localCheckpoint measured as pure overhead at
     # sf1 (21.0s -> 10.2s mean, -51%, bit-identical at two scales).
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
+    #
+    # r14 (guide §2.4, VERDICT item 1): the barriers now PRESERVE
+    # partitioning — ckpt_hash/ckpt_keep capture hashpartitioning on
+    # the LogicalRDD (see functions/partitioning.py), so e2 stays
+    # hash(src), nodes stays hash(node), and each iteration's pr chain
+    # stays hash(node) end to end. Per-iteration Exchanges drop 3 -> 1
+    # (only the contrib partial-sum shuffle, |V|-bounded partials);
+    # the |E|-row e2 table crosses ZERO per-round exchanges.
+    edges = ckpt_hash(edges, "src")
+    nodes = ckpt_keep(
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    e2 = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    e2 = ckpt_keep(edges.join(outdeg, "src"))
     pr = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("bigint"))
     for _ in range(_PR_ITERS):
-        # shuffle_hash hint: same rationale as LPA's — keep the rank
-        # recurrence off the driver (no per-round broadcast collect);
-        # measured −25% at sf1 in the bench session, bit-identical
+        # shuffle_hash hints: keep the rank recurrence off the driver
+        # (no per-round broadcast collect; measured −25% at sf1 in the
+        # r13 bench session) and, with both sides pre-partitioned, skip
+        # the SortMergeJoin sorts. Build sides are per-partition
+        # |V|/P-row score/contrib tables of 16-byte longs — bounded by
+        # the node count, never the edge count, at any scale (the
+        # VERDICT item-7 sizing rule: a build partition of a 10^9-node
+        # graph at P=20k is ~50k rows ≈ 1 MB).
         pr = pr.hint("shuffle_hash")
         contrib = (
             e2.join(pr, e2.src == pr.node)
@@ -124,7 +140,7 @@ def pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        pr = nodes.join(contrib, "node", "left").select(
+        pr = nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
             "node",
             F.expr(f"CAST({_PR_BASE} + (85 * coalesce(s, 0)) div 100 AS BIGINT)")
             .alias("pr"),
@@ -396,16 +412,22 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unionAll), so without a barrier the lineage doubles per round —
     # ~2^ITERS copies of the lineitem-orders edge-build subtree in the
     # final plan (the kcore_fixed_peels lesson, r6 review finding)
-    e = (
+    # r14 (guide §2.4): ckpt_hash keeps the |E|-row edge table
+    # hash(src) across all ITERS relaxations — the per-round join
+    # shuffles only the frontier; ckpt_keep on each round's d captures
+    # the min-agg's hash(node) so the NEXT round's join needs no
+    # exchange on d either. Per-round Exchanges drop to 1 (the
+    # min-combine partials). shuffle_hash builds the frontier side —
+    # bounded by |V|/P rows of 16-byte longs per partition.
+    e = ckpt_hash(
         pairs.select(
             F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
-        )
-        .unionAll(
+        ).unionAll(
             pairs.select(
                 F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w"
             )
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "src",
     )
     d = spark.createDataFrame(
         [(int(_SSSP_SOURCE[1:]), 0)], "ck long, dist long"
@@ -414,8 +436,8 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").cast("bigint").alias("dist"),
     )
     for _ in range(_SSSP_ITERS):
-        d = d.localCheckpoint(eager=True)
-        relaxed = e.join(d, e.src == d.node).select(
+        d = ckpt_keep(d)
+        relaxed = e.join(d.hint("shuffle_hash"), e.src == d.node).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
@@ -505,26 +527,41 @@ def kcore_fixed_peels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a barrier the survivor lineage doubles per round — 2^PEELS copies
     # of the edge-build subtree in the final plan (the _cc_labels
     # lesson, dedup_groups.py; r6 review finding)
-    e = (
+    #
+    # r14 (guide §2.4, VERDICT item 1): partitioning-preserving
+    # barriers + aggregate-then-semi-join. The edge table is pinned
+    # hash(dst) once; each peel counts degrees toward SURVIVING dst
+    # first (zero-exchange co-partitioned join: survivors are
+    # hash(node) from the previous peel's groupBy, renamed to dst),
+    # then semi-joins the surviving-src condition AFTER the count —
+    # equivalent because the old src-join only FILTERED rows (survivor
+    # sets are distinct single-column), never changed a surviving
+    # src's count: count(dst∈b | src=s) is the same number whether
+    # non-surviving s rows are dropped before or after grouping. The
+    # |E|-row table crosses ZERO per-peel exchanges; only the
+    # |V|-bounded degree partials shuffle. shuffle_hash builds the
+    # survivor side — |V|/P rows of 8-byte longs per partition at any
+    # scale.
+    e = ckpt_hash(
         pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
         .unionAll(
             pairs.select(
                 F.col("snode").alias("src"), F.col("cnode").alias("dst")
             )
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "dst",
     )
     nodes = e.select(F.col("src").alias("node")).distinct()
     for _ in range(_KCORE_PEELS):
-        nodes = nodes.localCheckpoint(eager=True)
+        nodes = ckpt_keep(nodes)
         a = nodes.select(F.col("node").alias("src"))
         b = nodes.select(F.col("node").alias("dst"))
         nodes = (
-            e.join(a, "src")
-            .join(b, "dst")
+            e.join(b.hint("shuffle_hash"), "dst")
             .groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= _KCORE_K)
+            .join(a.hint("shuffle_hash"), "src", "left_semi")
             .select(F.col("src").alias("node"))
         )
     from pyspark.sql import Window as W
@@ -620,7 +657,15 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ck",
         )
     )
-    nodes = (
+    # same barriers as pagerank_scaled (r07 plan audit); like there,
+    # the single-consumer rank recurrence is left un-barriered (r10).
+    # r14: partitioning-preserving barriers (ckpt_hash/ckpt_keep, see
+    # pagerank_scaled) — e2 stays hash(src), nodes stays hash(node),
+    # per-iteration Exchanges 3 -> 1 (contrib partials only). nodes is
+    # now built FROM the checkpointed edges (it used to close over the
+    # pre-barrier frame and re-execute the whole edge build).
+    edges = ckpt_hash(edges, "src")
+    nodes = ckpt_keep(
         edges.select(
             F.col("src").alias("node"),
             (F.col("ck") % _PPR_SEED_MOD == 7).cast("int").alias("seed"),
@@ -631,16 +676,8 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.max("seed").alias("seed"))
     )
-    # same barriers as pagerank_scaled (r07 plan audit); like there,
-    # the single-consumer rank recurrence is left un-barriered (r10)
-    edges = edges.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    e2 = (
-        edges.select("src", "dst")
-        .join(outdeg, "src")
-        .localCheckpoint(eager=True)
-    )
+    e2 = ckpt_keep(edges.select("src", "dst").join(outdeg, "src"))
     pr = nodes.select(
         "node",
         "seed",
@@ -658,7 +695,7 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        pr = nodes.join(contrib, "node", "left").select(
+        pr = nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
             "node",
             "seed",
             F.expr(
@@ -742,9 +779,22 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # h references a's whole lineage and vice versa each half-round,
     # and the final union embeds both): edge list + node sets once,
     # both score tables per half-round
-    e = e.localCheckpoint(eager=True)
-    hubs = e.select("hub").distinct().localCheckpoint(eager=True)
-    auths = e.select("auth").distinct().localCheckpoint(eager=True)
+    #
+    # r14 (guide §2.4, VERDICT item 1): the half-rounds alternate join
+    # keys (hub, then auth), so ONE edge partitioning can never serve
+    # both. Pin TWO partitioning-preserving copies of the |E|-row edge
+    # list — e_h hash(hub), e_a hash(auth) — and keep each score table
+    # hash-partitioned on its own key (hubs/auths from distinct, the
+    # recurrence from the left join on them). Every half-round's edge
+    # join is then exchange-free on BOTH sides; only the |node|-bounded
+    # score partials shuffle. Storage cost: 2× the edge longs — paid
+    # once, saves ITERS×|E| exchange bytes.
+    e_h = ckpt_hash(e, "hub")
+    # derive the auth-keyed copy FROM the hub-keyed checkpoint so the
+    # lineitem⋈orders edge build executes once, not twice
+    e_a = ckpt_hash(e_h, "auth")
+    hubs = ckpt_keep(e_h.select("hub").distinct())
+    auths = ckpt_keep(e_a.select("auth").distinct())
     h = hubs.withColumn("s", F.lit(1).cast("bigint"))
     # zero-score auth state so the final union is well-defined even if
     # _HITS_ITERS is tuned to 0 (matches the oracle's a0 CTE semantics)
@@ -766,22 +816,22 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side is |V|/P rows — bounded at any scale, no broadcast of a
     # |V|-row table anywhere).
     for _ in range(_HITS_ITERS):
-        h = h.localCheckpoint(eager=True)
+        h = ckpt_keep(h)
         pa = (
-            e.join(h.select("hub", F.col("s").alias("hs")).hint("shuffle_hash"), "hub")
+            e_h.join(h.select("hub", F.col("s").alias("hs")).hint("shuffle_hash"), "hub")
             .groupBy("auth")
             .agg(F.sum("hs").alias("ps"))
         )
-        a = auths.join(pa, "auth", "left").select(
+        a = auths.join(pa.hint("shuffle_hash"), "auth", "left").select(
             "auth", F.coalesce(F.col("ps"), F.lit(0)).cast("bigint").alias("s")
         )
-        a = a.localCheckpoint(eager=True)
+        a = ckpt_keep(a)
         ph = (
-            e.join(a.select("auth", F.col("s").alias("as_")).hint("shuffle_hash"), "auth")
+            e_a.join(a.select("auth", F.col("s").alias("as_")).hint("shuffle_hash"), "auth")
             .groupBy("hub")
             .agg(F.sum("as_").alias("ps"))
         )
-        h = hubs.join(ph, "hub", "left").select(
+        h = hubs.join(ph.hint("shuffle_hash"), "hub", "left").select(
             "hub", F.coalesce(F.col("ps"), F.lit(0)).cast("bigint").alias("s")
         )
     return (
@@ -935,12 +985,18 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             _lpa_enc("sk", True).alias("snode"),
         )
     )
-    e = (
+    # r14 (guide §2.4, VERDICT item 1): partitioning-preserving barrier
+    # — the |E|-row edge table stays hash(src) across all rounds, so
+    # each round's label join needs NO exchange on e; and each round's
+    # argmax groupBy leaves lbl hash(node), which (renamed to src)
+    # co-partitions with e for the NEXT round. Per-round exchanges
+    # drop to the two |V|-bounded partial-agg shuffles.
+    e = ckpt_hash(
         pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
         .unionAll(
             pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "src",
     )
     lbl = e.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
     for _ in range(_LPA_ITERS):

@@ -1,5 +1,6 @@
 """Capture .explain("formatted") for named registry queries (and the
-bench amplified topologies) into plans/r13/<name>_<tag>.txt.
+bench amplified topologies) into plans/$SPARK_GRAFT_PLANS_ROUND
+(default r14)/<name>_<tag>.txt.
 
 Usage: python tools/capture_plans.py <tag> [name ...]
 With no names: the 10 headline queries + amplified topologies.
@@ -35,7 +36,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

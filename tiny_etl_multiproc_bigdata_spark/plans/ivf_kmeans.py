@@ -21,6 +21,7 @@ from tiny_etl_multiproc_bigdata_spark.functions.rounding import (
     exact_round,
     round_half_up,
 )
+from tiny_etl_multiproc_bigdata_spark.functions.partitioning import ckpt_hash
 from tiny_etl_multiproc_bigdata_spark.functions.vectors import (
     complete_vector_sql,
     cosine_similarity,
@@ -318,50 +319,158 @@ def _kmeans_oracle() -> str:
 
 def _km_assign(spark: SparkSession, sf_dir: str):
     """Engine twin of ``_km_cte_prefix``: the quantized component table
-    (localCheckpointed) and the iteration-{_KM_ITERS} integer-Lloyd
-    assignment frame (vec_id, cid, d). Shared by kmeans_fixed_iters and
+    and the iteration-{_KM_ITERS} integer-Lloyd assignment frame
+    (vec_id, cid, d). Shared by kmeans_fixed_iters and
     silhouette_sampled_eval. Input contract (r13 non-finite matrix):
-    incomplete vectors excluded on both engines before quantization."""
+    incomplete vectors excluded on both engines before quantization.
+
+    r14 optimization round (guide §4.2/§3.3, VERDICT item 4, the §1
+    gram pattern): each iteration used to join the exploded N×64
+    component table against the broadcast k×64 centroid table ON pos —
+    every component row matched every centroid, N×64×k joined rows per
+    iteration (256M at sf1) flowing into a (vec_id, cid) aggregate plus
+    a window argmin. Now the distance step is ONE per-group NumPy int64
+    matmul: vectors cross the Python boundary as quantized int64
+    arrays (quantization stays a JVM expression — identical
+    floor(v*1e6+0.5) lowering, so NO float op ever happens in Python
+    and there is nothing to prove about NumPy/JVM double parity),
+    cogrouped with the (tiny, group-replicated) centroid table.
+    D = ‖q‖² + ‖c‖² − 2·Q@Cᵀ is an exact int64 identity with
+    Σ(q−c)² (max |D| term ≈ 3·64·(2.6e6)² ≈ 1.3e15 « 2^63); argmin over
+    cid-ascending columns reproduces the (d ASC, cid ASC) tie-break
+    (np.argmin returns the FIRST minimum). Intermediate iterations emit
+    per-group per-centroid partial sums (k×64 rows/group) so the
+    centroid update is a |k·64·G|-row aggregate — the old per-iteration
+    assign⋈comp N×64-row join disappears too. Bit-identical to the old
+    lowering at two SFs: tests/test_kmeans_assign_rewrite.py (old
+    lowering kept verbatim there).
+
+    Scale/topology notes: the vector table is pinned hash(g) ONCE via
+    ckpt_hash (functions/partitioning.py), so the per-iteration cogroup
+    re-shuffles only the replicated centroid side (k×G short rows) —
+    the N heavy rows cross zero per-iteration exchanges, the graph-tier
+    discipline applied to the Lloyd recurrence. G = 8× the session
+    shuffle partitions (conf-derived, nothing local-only): enough
+    distinct keys that hashpartitioning spreads groups evenly (guide
+    §2.5 synthetic-key warning), few enough that each group's matmul
+    batch stays big. Per-task Python memory is the group's int64 matrix
+    (~N/G × dim × 8 B) plus the k×dim centroid matrix — both bounded
+    and G-tunable, no broadcast, no driver collect."""
     e = table(spark, sf_dir, "embeddings").filter(
         is_complete_vector(F.col("embedding"))
     )
-    comp = (
-        e.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
-        .select(
+    n_groups = 8 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    qv = ckpt_hash(
+        e.select(
             "vec_id",
-            (F.col("pos0") + 1).alias("pos"),
-            (
-                F.floor(
-                    F.col("v").cast("double") * _KM_SCALE + F.lit(0.5)
+            F.transform(
+                "embedding",
+                lambda v: F.floor(
+                    v.cast("double") * _KM_SCALE + F.lit(0.5)
                 ).cast("bigint")
-                + F.lit(_KM_OFFSET)
-            ).alias("q"),
-        )
-        .localCheckpoint(eager=True)
+                + F.lit(_KM_OFFSET),
+            ).alias("qarr"),
+        ).withColumn("g", F.pmod(F.col("vec_id"), F.lit(n_groups))),
+        "g",
     )
-    cent = comp.filter(F.col("vec_id") % _CENTROID_MOD == 7).select(
-        F.col("vec_id").alias("cid"), "pos", F.col("q").alias("cq")
+    # the exploded (vec_id, pos, q) view — silhouette's pairwise arm
+    # consumes it; lazy over the checkpointed qv, no second barrier
+    comp = qv.select(
+        "vec_id", F.posexplode("qarr").alias("pos0", "q")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "q")
+    groups = spark.range(n_groups).select(F.col("id").alias("g"))
+
+    # local closures (not module-level defs): the external driver's
+    # sys.path hack is not inherited by Spark's Python workers, so
+    # package-module functions pickled by reference would not import
+    # there — closures pickle by value (the verify-skill gotcha).
+    def _matrices(left, right):
+        import numpy as np
+
+        q_mat = np.stack(left["qarr"].to_numpy()).astype(np.int64, copy=False)
+        c_raw = np.stack(right["cq_arr"].to_numpy()).astype(np.int64, copy=False)
+        cids = right["cid"].to_numpy()
+        order = np.argsort(cids, kind="stable")  # cid-ASC tie-break
+        c_mat = c_raw[order]
+        d_mat = (
+            (q_mat * q_mat).sum(axis=1)[:, None]
+            + (c_mat * c_mat).sum(axis=1)[None, :]
+            - 2 * (q_mat @ c_mat.T)
+        )
+        j = np.argmin(d_mat, axis=1)
+        return q_mat, cids[order], d_mat, j
+
+    def _assign_fn(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_id": [], "cid": [], "d": []}).astype(
+                {"vec_id": "int64", "cid": "int64", "d": "int64"}
+            )
+        q_mat, cids, d_mat, j = _matrices(left, right)
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"].to_numpy(),
+                "cid": cids[j],
+                "d": d_mat[np.arange(len(q_mat)), j],
+            }
+        )
+
+    def _update_fn(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"cid": [], "pos0": [], "psum": [], "cnt": []}
+            ).astype(
+                {"cid": "int64", "pos0": "int64", "psum": "int64", "cnt": "int64"}
+            )
+        q_mat, cids, _d, j = _matrices(left, right)
+        dim = q_mat.shape[1]
+        sums = np.zeros((len(cids), dim), dtype=np.int64)
+        np.add.at(sums, j, q_mat)
+        counts = np.bincount(j, minlength=len(cids))
+        present = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {
+                "cid": np.repeat(cids[present], dim),
+                "pos0": np.tile(np.arange(dim, dtype=np.int64), len(present)),
+                "psum": sums[present].ravel(),
+                "cnt": np.repeat(counts[present], dim).astype(np.int64),
+            }
+        )
+
+    centp = qv.filter(F.col("vec_id") % _CENTROID_MOD == 7).select(
+        F.col("vec_id").alias("cid"), F.col("qarr").alias("cq_arr")
     )
     assign = None
     for it in range(_KM_ITERS):
-        diff = F.col("c.q") - F.col("ct.cq")
-        dist = (
-            comp.alias("c")
-            .join(F.broadcast(cent.alias("ct")), F.col("c.pos") == F.col("ct.pos"))
-            .groupBy(F.col("c.vec_id").alias("vec_id"), F.col("ct.cid").alias("cid"))
-            .agg(F.sum(diff * diff).cast("bigint").alias("d"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "d")
-        )
+        cent_rep = centp.crossJoin(groups)
+        cg = qv.groupBy("g").cogroup(cent_rep.groupBy("g"))
         if it < _KM_ITERS - 1:
-            cent = (
-                assign.join(comp, "vec_id")
-                .groupBy("cid", "pos")
-                .agg(F.expr("CAST(sum(q) div count(*) AS BIGINT)").alias("cq"))
+            partials = cg.applyInPandas(
+                _update_fn, "cid long, pos0 long, psum long, cnt long"
+            )
+            # div ONCE on the combined totals — same floor point as the
+            # old sum(q) div count(*) over the full member set
+            centp = (
+                partials.groupBy("cid", "pos0")
+                .agg(
+                    F.expr("CAST(sum(psum) div sum(cnt) AS BIGINT)").alias("cq")
+                )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos0", "cq"))),
+                        lambda s: s["cq"],
+                    ).alias("cq_arr")
+                )
+            )
+        else:
+            assign = cg.applyInPandas(
+                _assign_fn, "vec_id long, cid long, d long"
             )
     return comp, assign
 

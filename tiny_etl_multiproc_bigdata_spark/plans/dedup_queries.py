@@ -75,29 +75,118 @@ def _shingled_docs(d: DataFrame) -> DataFrame:
     shingle — the shared front of the minhash / prefix-filter / ngram
     pipelines.
 
-    r13 optimization round (guide §1.2 per-task work, §7.2 plan
-    reading): tokens and shingles are each pinned to ONE evaluation per
-    row via a Generate barrier (``explode`` of a one-element array).
-    Without the barriers the plan evaluates tokenize up to 21× per row:
-    word_ngrams references the token array 7× (three shifted slices +
-    size guards), and PushDownPredicate inlines the whole shingle
-    derivation into the ``size > 0`` filter below the projection.
-    Filters above a Generate cannot be pushed below it, and the
-    generator expression references only pinned ATTRIBUTES, so each
-    stage evaluates once (measured −43% on the ×16-amplified shingle
-    stage: 3.11s → 1.78s, byte-identical output)."""
-    from tiny_etl_multiproc_bigdata_spark.functions.text import word_ngrams
+    r14 optimization round (guide §4.2, VERDICT r13 item 3): the r13
+    Generate-barrier JVM lowering (split + filter HOF + three shifted
+    slices folded with zip_with + array_distinct — all interpreted,
+    HOFs don't codegen) is replaced by ONE vectorized mapInArrow
+    stage. Lowercasing stays a JVM expression (``F.lower`` BEFORE the
+    boundary), so the r13 unicode-parity question (İ/U+0307, the 71
+    divergent codepoints audited by tools/null_parity_audit.py
+    --unicode) never reaches Python — Python only ever splits and
+    re-joins already-lowercased bytes. Inside the batch everything is
+    Arrow/NumPy kernels, no per-row Python:
+
+    - ``pc.ascii_split_whitespace`` splits on exactly {space, \\t, \\n,
+      \\x0b, \\f, \\r} with runs collapsed and edge empties kept —
+      verified equal to Java/Spark ``split(s, '\\\\s+', -1)`` (Java \\s
+      is the same ASCII class; both emit leading/trailing '' which the
+      old lowering filtered, here a vectorized mask drops them);
+    - 3-grams are built by offset arithmetic over the flat token
+      buffer + ``binary_join_element_wise`` (the §4.2 re-slice trick);
+    - first-occurrence dedup (``array_distinct`` semantics, order
+      preserved) via pandas ``duplicated`` over (doc, gram) pairs;
+    - docs with <3 tokens or NULL text drop exactly as the old
+      ``filter(size > 0)`` did.
+
+    Byte-identical to the r13 lowering INCLUDING array order at two
+    SFs (tests/test_shingle_arrow_rewrite.py keeps the old lowering
+    verbatim); measured −16% on the ×16-amplified isolated stage at
+    quiet load (1.49s → 1.25s median) with the HOF chain's 21-copy
+    duplication hazard gone structurally (one opaque Arrow node —
+    nothing for PushDownPredicate to inline). The salt fold stays a
+    JVM ``transform`` above the boundary, unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
     carry = ["doc_id"] + (["salt"] if "salt" in d.columns else [])
-    t = d.select(
-        *carry, F.explode(F.array(_tokens(F.col("text")))).alias("toks")
+    src = d.select(*carry, F.lower(F.col("text")).alias("lt"))
+    out_schema = StructType(
+        [src.schema[c] for c in carry]
+        + [StructField("shingles", ArrayType(StringType()), False)]
     )
-    s = t.select(
-        *carry,
-        F.explode(
-            F.array(F.array_distinct(word_ngrams(F.col("toks"), 3)))
-        ).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    n_carry = len(carry)
+
+    # local closure (not a module-level def): the external driver's
+    # sys.path hack is not inherited by Spark's Python workers, so
+    # package functions pickled by reference would not import there
+    def fn(it):
+        import pandas as pd
+
+        for batch in it:
+            out_pa = pa.schema(
+                [batch.schema.field(j) for j in range(n_carry)]
+                + [pa.field("shingles", pa.list_(pa.string()))]
+            )
+            toks = pc.ascii_split_whitespace(batch.column(n_carry))
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # normalize a possible non-zero-offset slice so flat
+            # positions line up with the values buffer
+            vals = toks.values
+            if offs[0] != 0 or len(vals) != offs[-1]:
+                vals = vals.slice(offs[0], offs[-1] - offs[0])
+                offs = offs - offs[0]
+            n_tok = np.diff(offs)
+            n_docs = len(n_tok)
+            doc_of = np.repeat(np.arange(n_docs), n_tok)
+            nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+            if toks.null_count:
+                # defensive: never attribute phantom token spans to a
+                # NULL row (compute-produced arrays give them 0-length
+                # spans, so this is a no-op there)
+                valid = ~toks.is_null().to_numpy(zero_copy_only=False)
+                nonempty &= np.repeat(valid, n_tok)
+            flat_idx = np.nonzero(nonempty)[0]
+            vals_ne = vals.take(pa.array(flat_idx))
+            doc_ne = doc_of[flat_idx]
+            cnt = np.bincount(doc_ne, minlength=n_docs)
+            g = np.maximum(cnt - 2, 0)
+            keep_doc = g > 0
+            total_g = int(g.sum())
+            if total_g == 0:
+                empty = pa.array([], type=pa.int32())
+                cols = [batch.column(j).take(empty) for j in range(n_carry)]
+                cols.append(pa.array([], type=pa.list_(pa.string())))
+                yield pa.RecordBatch.from_arrays(cols, schema=out_pa)
+                continue
+            starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            doc_rep = np.repeat(np.arange(n_docs), g)
+            gstart = np.concatenate(([0], np.cumsum(g)))[:-1]
+            within = np.arange(total_g) - np.repeat(gstart, g)
+            i0 = starts[doc_rep] + within
+            grams = pc.binary_join_element_wise(
+                vals_ne.take(pa.array(i0)),
+                vals_ne.take(pa.array(i0 + 1)),
+                vals_ne.take(pa.array(i0 + 2)),
+                " ",
+            )
+            kept = (
+                ~pd.DataFrame({"d": doc_rep, "s": grams.to_pandas()})
+                .duplicated()
+                .to_numpy()
+            )
+            doc_kept = doc_rep[kept]
+            grams_kept = grams.filter(pa.array(kept))
+            out_cnt = np.bincount(doc_kept, minlength=n_docs)[keep_doc]
+            new_offs = np.concatenate(([0], np.cumsum(out_cnt))).astype(np.int32)
+            shingles = pa.ListArray.from_arrays(pa.array(new_offs), grams_kept)
+            sel = pa.array(np.nonzero(keep_doc)[0], type=pa.int32())
+            cols = [batch.column(j).take(sel) for j in range(n_carry)]
+            cols.append(shingles)
+            yield pa.RecordBatch.from_arrays(cols, schema=out_pa)
+
+    s = src.mapInArrow(fn, out_schema)
     if "salt" in d.columns:
         s = s.withColumn(
             "shingles",

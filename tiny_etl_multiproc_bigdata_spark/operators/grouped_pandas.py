@@ -381,8 +381,8 @@ def cogroup_asof_from(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
         # index searchsorted lands on is immaterial, exactly the
         # argument the mergesort sort made before. int64 throughout
         # (the old float64 NaN detour was exact too: t_us ~1.7e15 <
-        # 2^53). Bit-identical at three SFs + constructed tie/empty
-        # frames: tests/test_operators.py.
+        # 2^53). Bit-identical at two SFs (sf0.001, sf0.01) +
+        # constructed tie/empty frames: tests/test_cogroup_rewrite.py.
         if len(p) == 0 or len(c) == 0:
             return pd.DataFrame(
                 columns=[

@@ -1054,19 +1054,39 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sort order. The isNotNull guard reproduces the old join
     # semantics exactly (a NULL kh never equi-joined, so it never
     # paired; unreachable on real fingerprints, guarded anyway).
-    # Bit-identical at three SFs: tests/test_winnowing_rewrite.py.
+    # Bit-identical at two SFs (sf0.001, sf0.01):
+    # tests/test_winnowing_rewrite.py.
     h = (
         winnow_fingerprints(base, rollup=False)
         .select("doc_id", F.col("kgram_hash").alias("kh"))
         .distinct()
     )
+    # r14 (ADVICE r13): enforce the df-cap BEFORE collect_list. The r13
+    # shape filtered on size(ds) AFTER the aggregate, so an over-cap
+    # hot fingerprint still materialized its full posting list in one
+    # aggregation buffer before being discarded — an OOM/skew hazard
+    # on corpora with ubiquitous k-grams. The pre-count is a
+    # constant-memory-per-key aggregate (map-side combined partials,
+    # never a posting list), and its filtered key set semi-joins the
+    # postings BEFORE collect_list — broadcast at this scale per the
+    # captured plan (plans/r14/winnowing_neardup_pairs_after.txt), a
+    # kh-keyed shuffle join at a scale where the kept-key set outgrows
+    # the threshold (AQE's call; either way no list aggregate sees an
+    # over-cap key). So the df-cap now genuinely bounds EVERY
+    # materialized posting list. h is distinct on (doc_id, kh), so
+    # count(*) per kh equals the old size(ds) exactly — same kept
+    # keys, same lists.
+    hs = h.where(F.col("kh").isNotNull())
+    keepable = (
+        hs.groupBy("kh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= _WIN_DF_CAP))
+        .select("kh")
+    )
     post = (
-        h.where(F.col("kh").isNotNull())
+        hs.join(keepable, "kh", "left_semi")
         .groupBy("kh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(
-            (F.size("ds") <= _WIN_DF_CAP) & (F.size("ds") >= 2)
-        )
     )
     pairs = post.select(
         F.explode(

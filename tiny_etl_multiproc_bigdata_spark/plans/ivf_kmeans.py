@@ -62,8 +62,8 @@ def _assign_cells(e: DataFrame, centroids: DataFrame) -> DataFrame:
     asc used — probed in tests/test_assign_fold.py), cid is unique per
     vec so the trailing fields never participate in the comparison,
     and the map-side partial folds k candidates down to ONE struct per
-    vec per partition before the exchange. Bit-identical at three SFs
-    (tests/test_assign_fold.py)."""
+    vec per partition before the exchange. Bit-identical at two SFs
+    (sf0.001, sf0.01: tests/test_assign_fold.py)."""
     joined = e.crossJoin(F.broadcast(centroids))
     d = _l2sq(F.col("embedding"), F.col("cvec"))
     # project the distance FIRST so the interpreted fold evaluates once

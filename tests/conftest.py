@@ -37,6 +37,10 @@ _SLOW_NODE_PREFIXES = (
     "tests/test_jdbc_live.py",
     "tests/test_cc_property.py::test_cc_labels_match_union_find",
     "tests/test_packing_property.py::test_pack_fold_matches_simulator",
+    # plan-STRUCTURE pins for the streaming tier (~50s): streaming
+    # CORRECTNESS still gates the default profile via test_streaming's
+    # batch-equivalence boards and test_correctness's oracle rows
+    "tests/test_plan_budget.py::test_streaming_structure_budget",
 )
 _SLOW_PARAM = "[/root/testdata/sf0.01]"
 
